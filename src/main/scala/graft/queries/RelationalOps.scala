@@ -1,0 +1,686 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational operator surface of SURVEY.md §2, each expressed
+  * Spark-first over the driver's TPC-H-ish parquet corpus and paired
+  * with an ANSI-SQL DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Operator ids (f1, j6, a1, w2, ...) reference the SURVEY §2 inventory
+  * rows; each query is the Spark mapping of the cited reference
+  * operator, e.g. f4 ⇔ `_validate_tagval` keep/exclude semantics
+  * (reference primitives.py:186-215).
+  *
+  * Determinism rules (SURVEY §7.3 risk 2): every query carries a
+  * complete ORDER BY; doubles are rounded identically on both sides;
+  * timestamps are surfaced as epoch integers.
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S13 — scan + projection + sort sink (reference _frame.py:8-57).
+    // Projection prunes the parquet read schema to 3 of 11 columns.
+    "s13_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F1 — osm-type selector ⇔ isin filter, pushed to the scan
+    // (reference osmquery.py:242-247).
+    "f1_type_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F2 — small id-set lookup → In pushdown (reference osmquery.py:262-276).
+    "f2_idset_small" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey").isin(1L, 7L, 42L, 999L, 4242L))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F2b — large id-set → broadcast left-semi join (reference dense.py:107-112).
+    "f2_idset_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ids = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      li.join(broadcast(ids), li("l_orderkey") === ids("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F3 — must_tags ∃-semantics: key-set overlap (reference
+    // primitives.py:178-183, dense.py:143-144). Tags modelled as a map
+    // column; predicate = arrays_overlap(map_keys, wanted).
+    "f3_must_tags" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("tags", map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type"),
+          lit("container"), lit(null.asInstanceOf[String])))
+        .filter(arrays_overlap(map_keys(map_filter(col("tags"), (_, v) => v.isNotNull)),
+          array(lit("container"), lit("type"))))
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")),
+
+    // F4 — keep/exclude pair+key filter, keep_first=true:
+    // kept iff (matches keep) AND NOT (matches exclude)
+    // (reference primitives.py:186-215 `_validate_tagval`).
+    // keep = {brand: [Brand#13, Brand#7], size: []  (any value)}
+    // exclude = {type: [ECONOMY]}
+    "f4_keep_first_true" -> ((s, dir) => {
+      val m = map(
+        lit("brand"), col("p_brand"),
+        lit("type"), col("p_type"),
+        lit("mkt"), lit(null.asInstanceOf[String]))
+      val kps = size(map_filter(m, (k, v) =>
+        (k === "brand" && v.isin("Brand#13", "Brand#7")) || k === "mkt" && v.isNotNull)) > 0
+      val exs = size(map_filter(m, (k, v) =>
+        k === "type" && v.isin("ECONOMY"))) > 0
+      t(s, dir, "part").withColumn("tags", m)
+        .filter(kps && !exs)
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    // F4 — keep_first=false: kept iff NOT excluded OR kept
+    // (reference primitives.py:205-211 branch).
+    "f4_keep_first_false" -> ((s, dir) => {
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      val kps = size(map_filter(m, (k, v) =>
+        k === "brand" && v.isin("Brand#13"))) > 0
+      val exs = size(map_filter(m, (k, v) =>
+        k === "type" && v.isin("ECONOMY", "PROMO"))) > 0
+      t(s, dir, "part").withColumn("tags", m)
+        .filter(!exs || kps)
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    // F6 — relation_type value-set filter (reference primitives.py:127-130).
+    "f6_relation_type" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "P"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // F7 — tag projection: map_filter to requested keys then project
+    // (reference primitives.py:218-227, osmquery.py:107-114).
+    "f7_tag_projection" -> ((s, dir) => {
+      val m = map(
+        lit("brand"), col("p_brand"),
+        lit("type"), col("p_type"),
+        lit("size"), col("p_size").cast("string"))
+      val kept = map_filter(m, (k, _) => k.isin("brand", "size"))
+      t(s, dir, "part")
+        .withColumn("tags", kept)
+        .select(col("p_partkey"),
+          element_at(col("tags"), "brand").as("brand"),
+          element_at(col("tags"), "size").as("size"))
+        .orderBy("p_partkey")
+    }),
+
+    // F9 — min-points filter: element dropped when its ref list has <2
+    // entries (reference primitives.py:76-78). refs ⇔ collect_list of
+    // line numbers per order.
+    "f9_min_refs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_list("l_linenumber").as("refs"))
+        .filter(size(col("refs")) >= 2)
+        .select(col("l_orderkey"), size(col("refs")).as("n_refs"))
+        .orderBy("l_orderkey")),
+
+    // J1 — THE scale-critical equi-join: exploded refs ⋈ nodes
+    // (reference osmdata.py:81-84 binary-search lookup → shuffle join;
+    // SURVEY §7.3 risk 1). lineitem(fact) ⋈ part(nodes) on partkey.
+    "j1_ref_coord_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("p_retailprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J2 — member attach join + star-schema broadcast dims
+    // (reference _frame.py:33-40): revenue per region name.
+    "j2_star_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // J3 — relation→way expansion as self-join re-query
+    // (reference osmdata.py:194-206): two-hop orders→lineitem→part.
+    "j3_two_hop_expand" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("p_brand"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // J4 — left outer attach (reference _frame.py:126-127).
+    "j4_left_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J6 — anti-join dedup: drop elements that appear as members
+    // (reference _frame.py:27-28): parts never ordered.
+    "j6_anti_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30.0)
+        .select(col("l_partkey"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // J7 — semi-join mask (reference dense.py:114-128): customers with
+    // at least one open order.
+    "j7_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // A1 — group first/last by explicit order (reference _frame.py:298-303):
+    // first/last extendedprice per order by line number. min_by/max_by
+    // keep the aggregation one-pass (no window shuffle + join-back).
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus — the
+    // order key must include the value itself to stay deterministic.
+    "a1_first_last" -> ((s, dir) => {
+      val key = col("l_linenumber") * lit(10000000.0) + col("l_extendedprice")
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min_by(col("l_extendedprice"), key).as("first_price"),
+          max_by(col("l_extendedprice"), key).as("last_price"))
+        .orderBy("l_orderkey")
+    }),
+
+    // A2 — group size / value_counts (reference _geometry.py:76-84).
+    "a2_group_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")),
+
+    // A3 — cumcount: 0-based position within group (reference _frame.py:246-249).
+    "a3_cumcount" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("pos", row_number().over(w) - 1)
+        .select("l_orderkey", "l_linenumber", "pos")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A4/A5-adjacent — min/max/avg aggregate (reference _frame.py:120,135).
+    "a4_minmax" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(max(col("l_quantity")).as("max_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .orderBy("l_returnflag")),
+
+    // A5 — global distinct (reference osmdata.py:144).
+    "a5_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A6 — sequential per-group algorithm via typed groupByKey.mapGroups
+    // (reference _frame.py:181-215 groupby-apply): order's line numbers
+    // chained in sequence order. Groups are small (≤7 rows) — the same
+    // shape as per-relation ring chaining.
+    "a6_group_chain" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          val chain = it.map(_._2).toArray.sorted.mkString(",")
+          (k, chain)
+        }
+        .toDF("l_orderkey", "chain")
+        .orderBy("l_orderkey")
+    }),
+
+    // A7 — union of partial results + deterministic renumbering
+    // (reference osmdata.py:231-259 merge; row positions replaced by a
+    // complete-key row_number, SURVEY §4.3 delta 3).
+    "a7_union_renumber" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+      val r = li.filter(col("l_returnflag") === "R")
+      val u = a.unionByName(r)
+      val w = Window.orderBy("l_orderkey", "l_linenumber")
+      u.withColumn("row_pos", row_number().over(w) - 1)
+        .select("row_pos", "l_orderkey", "l_linenumber")
+        .orderBy("row_pos")
+    }),
+
+    // W1 — lag/lead neighbours (reference _frame.py:251-256, 279-281).
+    "w1_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select("event_id", "user_id", "prev_value", "next_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W2 — change-flag cumsum → run ids (reference _geometry.py:109-117,
+    // _frame.py:290): per user, consecutive same-type event runs.
+    "w2_run_ids" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("flag",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("flag")).over(cum) - 1)
+        .select("event_id", "user_id", "run_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W3 — per-group head(1) (reference _frame.py:186,209-210): first
+    // event of each user.
+    "w3_group_head" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // O3 — multi-key sort with complete tiebreakers (reference
+    // _frame.py:158-159; Spark sort is not stable → full key).
+    "o3_multikey_sort" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_quantity", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)),
+
+    // O4 — first-wins dedup by key with explicit order (reference
+    // _frame.py:126 drop_duplicates → row_number()=1).
+    "o4_dedup_first_wins" -> ((s, dir) => {
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_partkey")
+    }),
+
+    // O5 — unionByName of heterogeneous partials (reference _frame.py:96,171).
+    "o5_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        .withColumn("src", lit("customer"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"))
+        .withColumn("src", lit("supplier"))
+      c.unionByName(sup).orderBy("src", "key")
+    }),
+
+    // O6 — set algebra on tag arrays (reference primitives.py:196-215):
+    // intersection size with a literal set.
+    "o6_set_algebra" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("n_overlap",
+          size(array_intersect(array(col("p_brand"), col("p_type")),
+            array(lit("Brand#13"), lit("Brand#7"), lit("ECONOMY")))))
+        .select("p_partkey", "n_overlap")
+        .orderBy("p_partkey")),
+
+    // R1 — EAV→wide pivot (reference _frame.py:59-68): order counts per
+    // status × priority, explicit pivot values for a deterministic schema.
+    "r1_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .orderBy("o_orderstatus")),
+
+    // R3 — coordinate de-quantization arithmetic (reference headers.py:197-199):
+    // (offset + granularity*raw) * 1e-9 in pure codegen'd expressions.
+    "r3_dequantize" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("coord",
+          (lit(100L) + lit(50L) * col("l_partkey")).cast("double") * lit(1e-9))
+        .select("l_orderkey", "l_linenumber", "coord")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R4 — timestamp scaling to epoch millis (reference primitives.py:163-167).
+    // ts arrives as raw nanosecond longs (see Verify session config);
+    // integer `div` keeps full precision (a double would lose it at 1.7e18).
+    "r4_ts_epoch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000000").as("ms"))
+        .orderBy("event_id")),
+
+    // R5 — JSON expansion (reference datasource.py:153-182): from_json on
+    // the events props payload.
+    "r5_json_expand" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("j.k").as("k"))
+        .orderBy("event_id")),
+
+    // R6 — string normalization (reference datasource.py:184-191):
+    // upper + apostrophe strip.
+    "r6_string_norm" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          translate(upper(col("c_name")), "'’", "").as("norm_name"))
+        .orderBy("c_custkey")),
+
+    // R7 — area-heuristic CASE cascade (reference primitives.py:260-285):
+    // nested when/otherwise over "tags", no UDF.
+    "r7_case_cascade" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("geom_class",
+          when(col("p_size") < 4, "line")
+            .when(col("p_brand") === "Brand#13", "area")
+            .when(col("p_type").isin("ECONOMY", "PROMO"), "line")
+            .when(col("p_retailprice") > 1500.0, "area")
+            .otherwise("none"))
+        .select("p_partkey", "geom_class")
+        .orderBy("p_partkey")),
+
+    // R9 — closed-way predicate: first ref == last ref per group
+    // (reference primitives.py:256-257).
+    "r9_closed_pred" -> ((s, dir) => {
+      val key = col("l_linenumber") * lit(10000000L) + col("l_partkey")
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg((min_by(col("l_partkey"), key) ===
+          max_by(col("l_partkey"), key)).as("closed"))
+        .orderBy("l_orderkey")
+    }),
+
+    // G10 — topology segmentation (reference _frame.py:267-296): treat
+    // each order as a "way" whose node chain is its partkeys in line
+    // order; nodes on ≥2 ways are junctions; split chains at interior
+    // junctions (duplicating the junction row), run-id segments via
+    // cumsum, then first/last node per segment as source/target.
+    "g10_topo_segments" -> ((s, dir) => {
+      // pos must be unique within a way: derive it as a row_number over
+      // the complete (linenumber, partkey) order — ties are identical
+      // (pos, node) pairs, so the node sequence stays deterministic.
+      val wPos = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("way"),
+          row_number().over(wPos).as("pos"), col("l_partkey").as("node"))
+      val wayCount = li.groupBy("node")
+        .agg(countDistinct("way").as("n_ways"))
+      val wWay = Window.partitionBy("way")
+      val rows = li.join(wayCount, "node")
+        .withColumn("is_first", col("pos") === min("pos").over(wWay))
+        .withColumn("is_last", col("pos") === max("pos").over(wWay))
+        .withColumn("junction", col("n_ways") >= 2)
+      val interior = col("junction") && !col("is_first") && !col("is_last")
+      val exploded = rows
+        .withColumn("c", explode(when(interior, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      val wOrd = Window.partitionBy("way").orderBy("pos", "c")
+      val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = exploded
+        .withColumn("start",
+          when(col("is_first") || (col("junction") && !col("is_first") &&
+            !col("is_last") && col("c") === 1), 1).otherwise(0))
+        .withColumn("seg_ix", sum(col("start")).over(cum) - 1)
+      seg.groupBy("way", "seg_ix")
+        .agg(min_by(col("node"), col("pos") * 2 + col("c")).as("source"),
+          max_by(col("node"), col("pos") * 2 + col("c")).as("target"),
+          count(lit(1)).as("n_nodes"))
+        .filter(col("n_nodes") >= 2)
+        .orderBy("way", "seg_ix")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracle: Map[String, String] = Map(
+    "s13_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+    "f1_type_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber""",
+    "f2_idset_small" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_orderkey IN (1,7,42,999,4242) ORDER BY l_orderkey, l_linenumber""",
+    "f2_idset_semi" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+         ORDER BY l_orderkey, l_linenumber""",
+    "f3_must_tags" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_type IS NOT NULL ORDER BY p_partkey""",
+    "f4_keep_first_true" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_brand IN ('Brand#13','Brand#7') AND p_type NOT IN ('ECONOMY')
+         ORDER BY p_partkey""",
+    "f4_keep_first_false" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE NOT (p_type IN ('ECONOMY','PROMO')) OR p_brand IN ('Brand#13')
+         ORDER BY p_partkey""",
+    "f6_relation_type" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderstatus IN ('F','P') ORDER BY o_orderkey""",
+    "f7_tag_projection" ->
+      """SELECT p_partkey, p_brand AS brand, CAST(p_size AS VARCHAR) AS size
+         FROM part ORDER BY p_partkey""",
+    "f9_min_refs" ->
+      """SELECT l_orderkey, count(*) AS n_refs FROM lineitem
+         GROUP BY l_orderkey HAVING count(*) >= 2 ORDER BY l_orderkey""",
+    "j1_ref_coord_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "j2_star_broadcast" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "j3_two_hop_expand" ->
+      """SELECT o_orderkey, l_linenumber, p_brand
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey, l_linenumber""",
+    "j4_left_join" ->
+      """SELECT o_orderkey, c_name
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+         ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j6_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_partkey = p_partkey AND l_quantity >= 30.0)
+         ORDER BY p_partkey""",
+    "j7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "a1_first_last" ->
+      """SELECT l_orderkey,
+                arg_min(l_extendedprice, l_linenumber * 10000000.0 + l_extendedprice) AS first_price,
+                arg_max(l_extendedprice, l_linenumber * 10000000.0 + l_extendedprice) AS last_price
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "a2_group_count" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+         GROUP BY l_partkey ORDER BY l_partkey""",
+    "a3_cumcount" ->
+      """SELECT l_orderkey, l_linenumber,
+                row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "a4_minmax" ->
+      """SELECT l_returnflag, max(l_quantity) AS max_qty, min(l_quantity) AS min_qty,
+                round(avg(l_quantity), 6) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a5_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "a6_group_chain" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS chain
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "a7_union_renumber" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_pos,
+                l_orderkey, l_linenumber
+         FROM lineitem WHERE l_returnflag IN ('A','R')
+         ORDER BY row_pos""",
+    "w1_lag_lead" ->
+      """SELECT event_id, user_id,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+    "w2_run_ids" ->
+      """WITH o AS (
+           SELECT event_id, user_id, ts, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT event_id, user_id, ts,
+                  CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS flag
+           FROM o)
+         SELECT event_id, user_id,
+                sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+         FROM f ORDER BY user_id, event_id""",
+    "w3_group_head" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "o3_multikey_sort" ->
+      """SELECT l_quantity, l_orderkey, l_linenumber FROM lineitem
+         ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC""",
+    "o4_dedup_first_wins" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber FROM (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_partkey
+                                     ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""",
+    "o5_union_by_name" ->
+      """SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+         UNION ALL
+         SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier
+         ORDER BY src, key""",
+    "o6_set_algebra" ->
+      """SELECT p_partkey,
+                CAST(p_brand IN ('Brand#13','Brand#7') AS INT) +
+                CAST(p_type IN ('ECONOMY') AS INT) AS n_overlap
+         FROM part ORDER BY p_partkey""",
+    "r1_pivot" ->
+      """SELECT o_orderstatus,
+                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+                sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+                sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+                sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+                sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "r3_dequantize" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(100 + 50 * l_partkey AS DOUBLE) * 1e-9 AS coord
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "r4_ts_epoch" ->
+      """SELECT event_id, epoch_ms(ts) AS ms FROM events ORDER BY event_id""",
+    "r5_json_expand" ->
+      """SELECT event_id,
+                CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k
+         FROM events ORDER BY event_id""",
+    "r6_string_norm" ->
+      """SELECT c_custkey, replace(replace(upper(c_name), '''', ''), '’', '') AS norm_name
+         FROM customer ORDER BY c_custkey""",
+    "r7_case_cascade" ->
+      """SELECT p_partkey,
+                CASE WHEN p_size < 4 THEN 'line'
+                     WHEN p_brand = 'Brand#13' THEN 'area'
+                     WHEN p_type IN ('ECONOMY','PROMO') THEN 'line'
+                     WHEN p_retailprice > 1500.0 THEN 'area'
+                     ELSE 'none' END AS geom_class
+         FROM part ORDER BY p_partkey""",
+    "r9_closed_pred" ->
+      """SELECT l_orderkey,
+                arg_min(l_partkey, l_linenumber * 10000000 + l_partkey) =
+                arg_max(l_partkey, l_linenumber * 10000000 + l_partkey) AS closed
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "g10_topo_segments" ->
+      """WITH li AS (
+           SELECT l_orderkey AS way,
+                  row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS pos,
+                  l_partkey AS node
+           FROM lineitem),
+         wc AS (
+           SELECT node, count(DISTINCT way) AS n_ways FROM li GROUP BY node),
+         rows0 AS (
+           SELECT li.way, li.pos, li.node,
+                  li.pos = min(li.pos) OVER (PARTITION BY li.way) AS is_first,
+                  li.pos = max(li.pos) OVER (PARTITION BY li.way) AS is_last,
+                  wc.n_ways >= 2 AS junction
+           FROM li JOIN wc USING (node)),
+         exploded AS (
+           SELECT r.*, u.c FROM rows0 r
+           CROSS JOIN (SELECT unnest([0,1]) AS c) u
+           WHERE u.c = 0 OR (r.junction AND NOT r.is_first AND NOT r.is_last)),
+         seg AS (
+           SELECT *,
+                  sum(CASE WHEN is_first OR (junction AND NOT is_first AND NOT is_last AND c = 1)
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY way ORDER BY pos, c ROWS UNBOUNDED PRECEDING) - 1 AS seg_ix
+           FROM exploded)
+         SELECT way, seg_ix,
+                arg_min(node, pos * 2 + c) AS source,
+                arg_max(node, pos * 2 + c) AS target,
+                count(*) AS n_nodes
+         FROM seg GROUP BY way, seg_ix HAVING count(*) >= 2
+         ORDER BY way, seg_ix"""
+  )
+}
