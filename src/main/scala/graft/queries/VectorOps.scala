@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH-bucketed variant as the scale path, and
+  * cosine-threshold near-dup pairs.
+  *
+  * Scale design (100 TB): brute force is a broadcast of the (small)
+  * query set against the full corpus — a narrow map + per-partition
+  * top-k (no full sort); the LSH path buckets the corpus by signature
+  * so candidate generation is an equi-join on bucket keys. All vector
+  * math is `zip_with`/`aggregate` over array columns in doubles —
+  * codegen'd, no UDFs.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      // float32 → double once, up front: both engines then do identical
+      // double arithmetic (float accumulation would diverge from the oracle)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  /** Query set: vec_id < 5 — stands in for an external query batch. */
+  private val QueryIds = 5
+  private val TopK = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k: broadcast query vectors, narrow
+    // per-row score, per-query top-k via window (row_number, complete
+    // deterministic order: rounded score desc, id asc).
+    "vec_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < QueryIds)
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+      val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb"))
+      val scored = c.join(broadcast(q))
+        .filter(col("match_id") =!= col("query_id"))
+        .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("match_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select("query_id", "match_id", "sim", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
+    // Cosine-threshold near-duplicate pairs (embedding near-dup dedup):
+    // block on sign-bucket of the first hyperplane to avoid the full
+    // cross join? No — threshold 0.4 is far below any blocking bound,
+    // so this is the exact all-pairs baseline (ids a<b).
+    "vec_neardup_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+        .filter(col("sim") >= 0.4)
+        .select("ida", "idb", "sim")
+        .orderBy("ida", "idb")
+    }),
+
+    // LSH-bucketed ANN: 8 deterministic pseudo-random hyperplanes
+    // (coefficients from a hash of (plane, dim)), signature = sign
+    // bits; candidates share a signature bucket; top-k within bucket.
+    // Approximate by construction — no SQL oracle (rows-only; recall
+    // vs brute force asserted in ScalaTest).
+    "vec_ann_lsh" -> ((s, dir) => {
+      val planes = 8
+      val e = emb(s, dir)
+        .withColumn("sigbits", expr(
+          s"""transform(sequence(0, ${planes - 1}), p ->
+                aggregate(zip_with(v, sequence(0, 63), (x, d) ->
+                  x * (CAST(pmod(xxhash64(p, d), 2001) AS DOUBLE) - 1000.0)),
+                  0.0d, (a, x) -> a + x) > 0.0d)"""))
+        .withColumn("bucket", expr(
+          s"aggregate(sequence(0, ${planes - 1}), 0L, (a, p) -> a | if(sigbits[p], shiftleft(1L, p), 0L))"))
+      val q = e.filter(col("vec_id") < QueryIds)
+        .select(col("vec_id").as("query_id"), col("v").as("va"),
+          col("norm").as("na"), col("bucket"))
+      val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"),
+        col("norm").as("nb"), col("bucket"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("match_id") =!= col("query_id"))
+        .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("match_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select("query_id", "match_id", "sim", "rk")
+        .orderBy("query_id", "rk")
+    })
+  )
+
+  private val dotSql =
+    """sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))"""
+
+  def oracle: Map[String, String] = Map(
+    "vec_topk_bruteforce" ->
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+          norms AS (
+            SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                    CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS match_id, $dotSql AS dot
+            FROM embeddings a JOIN embeddings b ON a.vec_id < $QueryIds
+                 AND b.vec_id <> a.vec_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id,
+                   round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk""",
+    "vec_neardup_pairs" ->
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+          norms AS (
+            SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                    CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          dots AS (
+            SELECT a.vec_id AS ida, b.vec_id AS idb, $dotSql AS dot
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT ida, idb, round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = ida
+            JOIN norms nb ON nb.vec_id = idb)
+          SELECT ida, idb, sim FROM scored WHERE sim >= 0.4 ORDER BY ida, idb"""
+  )
+}
