@@ -1,0 +1,426 @@
+package graft.pbf
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.collection.mutable.ArrayBuffer
+
+/** One OSMData blob = one Spark input partition (the unit of parallel
+  * decode — the parallelism the single-threaded reference lacks;
+  * reference osmdata.py:213-227 processes these sequentially). */
+final case class BlobInfo(path: String, dataOffset: Long, dataLen: Int)
+
+/** A decoded OSM element in columnar-friendly primitive form. */
+final case class Decoded(
+    id: Long,
+    etype: Byte, // 0 node, 1 way, 2 relation (reference block.py:29-33)
+    lat: Double,
+    lon: Double,
+    hasCoord: Boolean,
+    tagKeys: Array[String],
+    tagVals: Array[String],
+    refs: Array[Long],
+    memberRoles: Array[String],
+    memberRefs: Array[Long],
+    memberTypes: Array[Byte],
+    version: Int,
+    timestampMs: Long,
+    changeset: Long,
+    hasInfo: Boolean)
+
+/** Which element fields a scan needs — projection pushdown into the
+  * protobuf decode (reference lazily decodes tags/refs/info the same
+  * way: osmquery.py:325-333, primitives.py:23,61,73,31). */
+final case class DecodeNeeds(
+    tags: Boolean, refs: Boolean, members: Boolean,
+    info: Boolean, coords: Boolean)
+
+object DecodeNeeds {
+  val all: DecodeNeeds = DecodeNeeds(tags = true, refs = true,
+    members = true, info = true, coords = true)
+}
+
+/** File framing + HeaderBlock validation
+  * (reference headers.py:9-121, osmdata.py:95-125). */
+object OsmPbfFile {
+
+  /** Scan `[len:int32-BE][BlobHeader][Blob]` frames; validate the
+    * OSMHeader; return one BlobInfo per OSMData blob. Only reads the
+    * small header messages + the header blob — ~50 bytes per data blob,
+    * so driver-side planning over a 100 TB corpus stays cheap. */
+  def index(pathStr: String, conf: Configuration = new Configuration()): Seq[BlobInfo] = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val blobs = ArrayBuffer.empty[BlobInfo]
+      var off = 0L
+      var sawHeader = false
+      val lenBuf = new Array[Byte](4)
+      while (off < fileLen) {
+        in.readFully(off, lenBuf, 0, 4)
+        val headerLen = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+          ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(off + 4, headerBytes, 0, headerLen)
+        // BlobHeader: type=1 string, indexdata=2, datasize=3 int32
+        var blobType = ""
+        var dataSize = 0
+        val r = new PbfReader(headerBytes)
+        while (r.hasMore) {
+          val tag = r.readTag()
+          (tag >> 3) match {
+            case 1 => blobType = r.readString()
+            case 3 => dataSize = r.readVarint().toInt
+            case _ => r.skip(tag & 7)
+          }
+        }
+        val dataOff = off + 4 + headerLen
+        blobType match {
+          case "OSMHeader" =>
+            val hb = new Array[Byte](dataSize)
+            in.readFully(dataOff, hb, 0, dataSize)
+            validateHeader(decodeBlob(hb))
+            sawHeader = true
+          case "OSMData" =>
+            blobs += BlobInfo(pathStr, dataOff, dataSize)
+          case other =>
+            throw new IllegalArgumentException(s"unknown blob type '$other'")
+        }
+        off = dataOff + dataSize
+      }
+      require(sawHeader, s"$pathStr: no OSMHeader blob")
+      blobs.toSeq
+    } finally in.close()
+  }
+
+  /** Blob payload extraction: raw(1) / raw_size(2) / zlib_data(3)
+    * (reference headers.py:33-78; like the reference, only raw + zlib —
+    * other codecs are rejected, headers.py:84-85, block.py:20-23). */
+  def decodeBlob(blob: Array[Byte]): Array[Byte] = {
+    val r = new PbfReader(blob)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: Array[Byte] = null
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => raw = r.readBytes()
+        case 2 => rawSize = r.readVarint().toInt
+        case 3 => zlib = r.readBytes()
+        case f if f >= 4 && f <= 7 =>
+          throw new UnsupportedOperationException(
+            s"unsupported blob compression (field $f); only raw/zlib")
+        case _ => r.skip(tag & 7)
+      }
+    }
+    if (raw != null) raw
+    else if (zlib != null) Zlib.inflate(zlib, rawSize)
+    else throw new IllegalArgumentException("empty blob")
+  }
+
+  /** Required-features check: OsmSchema-V0.6 + DenseNodes only
+    * (reference headers.py:81-121). */
+  def validateHeader(headerBlock: Array[Byte]): Unit = {
+    val supported = Set("OsmSchema-V0.6", "DenseNodes")
+    val r = new PbfReader(headerBlock)
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 4 =>
+          val feat = r.readString()
+          if (!supported.contains(feat))
+            throw new UnsupportedOperationException(s"required feature '$feat' not supported")
+        case _ => r.skip(tag & 7)
+      }
+    }
+  }
+
+  def readBlob(info: BlobInfo, conf: Configuration): Array[Byte] = {
+    val path = new Path(info.path)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](info.dataLen)
+      in.readFully(info.dataOffset, buf, 0, info.dataLen)
+      decodeBlob(buf)
+    } finally in.close()
+  }
+}
+
+/** PrimitiveBlock → elements decoder (reference block.py:8-130,
+  * primitives.py:9-147, dense.py:8-80 — but emitting real strings and
+  * maps immediately; the reference's global string dictionary is
+  * deliberately dropped, SURVEY §4.3). */
+object BlockDecoder {
+
+  private val emptyS = Array.empty[String]
+  private val emptyL = Array.empty[Long]
+  private val emptyB = Array.empty[Byte]
+
+  /** @param wantTypes which of node(0)/way(1)/relation(2) to emit —
+    *   type pushdown skips decoding whole primitive groups
+    *   (reference osmquery.py:242-247). */
+  def decode(block: Array[Byte], wantTypes: Array[Boolean],
+             needs: DecodeNeeds): Iterator[Decoded] = {
+    val root = new PbfReader(block)
+    var strings: Array[String] = null
+    val groupSpans = ArrayBuffer.empty[(Int, Int)]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000L
+
+    while (root.hasMore) {
+      val tag = root.readTag()
+      (tag >> 3) match {
+        case 1 => // stringtable
+          val st = root.readMessage()
+          val buf = ArrayBuffer.empty[String]
+          while (st.hasMore) {
+            val t2 = st.readTag()
+            if ((t2 >> 3) == 1) buf += st.readString() else st.skip(t2 & 7)
+          }
+          strings = buf.toArray
+        case 2 =>
+          val m = root.readMessage()
+          groupSpans += ((m.pos, m.end))
+        case 17 => granularity = root.readVarint()
+        case 18 => dateGranularity = root.readVarint()
+        case 19 => latOffset = root.readVarint()
+        case 20 => lonOffset = root.readVarint()
+        case _ => root.skip(tag & 7)
+      }
+    }
+    val strs = if (strings == null) emptyS else strings
+    val out = ArrayBuffer.empty[Decoded]
+    groupSpans.foreach { case (s, e) =>
+      decodeGroup(new PbfReader(root.buf, s, e), strs, wantTypes, needs,
+        granularity, latOffset, lonOffset, dateGranularity, out)
+    }
+    out.iterator
+  }
+
+  private def decodeGroup(g: PbfReader, strings: Array[String],
+      wantTypes: Array[Boolean], needs: DecodeNeeds,
+      gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
+      out: ArrayBuffer[Decoded]): Unit = {
+    while (g.hasMore) {
+      val tag = g.readTag()
+      (tag >> 3) match {
+        case 1 => // Node
+          if (wantTypes(0)) decodeNode(g.readMessage(), strings, needs,
+            gran, latOff, lonOff, dateGran, out)
+          else g.skip(2)
+        case 2 => // DenseNodes
+          if (wantTypes(0)) decodeDense(g.readMessage(), strings, needs,
+            gran, latOff, lonOff, dateGran, out)
+          else g.skip(2)
+        case 3 => // Way
+          if (wantTypes(1)) decodeWay(g.readMessage(), strings, needs, dateGran, out)
+          else g.skip(2)
+        case 4 => // Relation
+          if (wantTypes(2)) decodeRelation(g.readMessage(), strings, needs, dateGran, out)
+          else g.skip(2)
+        case _ => g.skip(tag & 7)
+      }
+    }
+  }
+
+  /** Info submessage → (version, timestampMs, changeset). */
+  private def decodeInfo(r: PbfReader, dateGran: Long): (Int, Long, Long) = {
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => version = r.readVarint().toInt
+        case 2 => ts = r.readVarint() * dateGran
+        case 3 => cs = r.readVarint()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    (version, ts, cs)
+  }
+
+  private def decodeNode(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
+      out: ArrayBuffer[Decoded]): Unit = {
+    var id = 0L
+    var lat = 0L
+    var lon = 0L
+    var keys = emptyL
+    var vals = emptyL
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readZigzag()
+        case 2 => if (needs.tags) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 4 =>
+          if (needs.info) {
+            val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
+            version = v; ts = t; cs = c; hasInfo = true
+          } else r.skip(2)
+        case 3 => if (needs.tags) vals = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 8 => lat = r.readZigzag()
+        case 9 => lon = r.readZigzag()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val (tk, tv) = lookupTags(keys, vals, strings)
+    out += Decoded(id, 0,
+      1e-9 * (latOff + gran * lat), 1e-9 * (lonOff + gran * lon), needs.coords,
+      tk, tv, emptyL, emptyS, emptyL, emptyB, version, ts, cs, hasInfo)
+  }
+
+  /** Vectorized DenseNodes incl. the 0-delimited keys_vals splitter
+    * (reference dense.py:8-50, protobuf.pyx:74-106). */
+  private def decodeDense(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
+      out: ArrayBuffer[Decoded]): Unit = {
+    var ids = emptyL
+    var lats = emptyL
+    var lons = emptyL
+    var kvs: Array[Long] = emptyL
+    var versions: Array[Long] = emptyL
+    var tss: Array[Long] = emptyL
+    var css: Array[Long] = emptyL
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => ids = r.readPackedLongs(zigzag = true, delta = true)
+        case 5 =>
+          if (needs.info) {
+            val di = r.readMessage()
+            hasInfo = true
+            while (di.hasMore) {
+              val t2 = di.readTag()
+              (t2 >> 3) match {
+                case 1 => versions = di.readPackedLongs(zigzag = false, delta = false)
+                case 2 => tss = di.readPackedLongs(zigzag = true, delta = true)
+                case 3 => css = di.readPackedLongs(zigzag = true, delta = true)
+                case _ => di.skip(t2 & 7)
+              }
+            }
+          } else r.skip(2)
+        case 8 => lats = r.readPackedLongs(zigzag = true, delta = true)
+        case 9 => lons = r.readPackedLongs(zigzag = true, delta = true)
+        case 10 => if (needs.tags) kvs = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    var kvPos = 0
+    var i = 0
+    while (i < ids.length) {
+      var tk = emptyS
+      var tv = emptyS
+      if (kvs.nonEmpty && kvPos < kvs.length) {
+        val ks = ArrayBuffer.empty[String]
+        val vs = ArrayBuffer.empty[String]
+        while (kvPos < kvs.length && kvs(kvPos) != 0L) {
+          ks += strings(kvs(kvPos).toInt)
+          vs += strings(kvs(kvPos + 1).toInt)
+          kvPos += 2
+        }
+        kvPos += 1 // consume the 0 delimiter
+        if (ks.nonEmpty) { tk = ks.toArray; tv = vs.toArray }
+      }
+      out += Decoded(ids(i), 0,
+        1e-9 * (latOff + gran * lats(i)), 1e-9 * (lonOff + gran * lons(i)),
+        needs.coords, tk, tv, emptyL, emptyS, emptyL, emptyB,
+        if (versions.nonEmpty) versions(i).toInt else -1,
+        if (tss.nonEmpty) tss(i) * dateGran else 0L,
+        if (css.nonEmpty) css(i) else 0L,
+        hasInfo)
+      i += 1
+    }
+  }
+
+  private def decodeWay(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
+    var id = 0L
+    var keys = emptyL
+    var vals = emptyL
+    var refs = emptyL
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => if (needs.tags) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 3 => if (needs.tags) vals = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 4 =>
+          if (needs.info) {
+            val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
+            version = v; ts = t; cs = c; hasInfo = true
+          } else r.skip(2)
+        case 8 => if (needs.refs) refs = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val (tk, tv) = lookupTags(keys, vals, strings)
+    out += Decoded(id, 1, 0.0, 0.0, hasCoord = false,
+      tk, tv, refs, emptyS, emptyL, emptyB, version, ts, cs, hasInfo)
+  }
+
+  private def decodeRelation(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
+    var id = 0L
+    var keys = emptyL
+    var vals = emptyL
+    var roleSids = Array.empty[Int]
+    var memids = emptyL
+    var types = Array.empty[Int]
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => if (needs.tags) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 3 => if (needs.tags) vals = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 4 =>
+          if (needs.info) {
+            val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
+            version = v; ts = t; cs = c; hasInfo = true
+          } else r.skip(2)
+        case 8 => if (needs.members) roleSids = r.readPackedInts() else r.skip(2)
+        case 9 => if (needs.members) memids = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
+        case 10 => if (needs.members) types = r.readPackedInts() else r.skip(2)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val (tk, tv) = lookupTags(keys, vals, strings)
+    val roles = if (roleSids.nonEmpty) roleSids.map(strings(_)) else emptyS
+    val mtypes = if (types.nonEmpty) types.map(_.toByte) else emptyB
+    out += Decoded(id, 2, 0.0, 0.0, hasCoord = false,
+      tk, tv, emptyL, roles, memids, mtypes, version, ts, cs, hasInfo)
+  }
+
+  private def lookupTags(keys: Array[Long], vals: Array[Long],
+      strings: Array[String]): (Array[String], Array[String]) = {
+    if (keys.isEmpty) (emptyS, emptyS)
+    else {
+      val tk = new Array[String](keys.length)
+      val tv = new Array[String](keys.length)
+      var i = 0
+      while (i < keys.length) {
+        tk(i) = strings(keys(i).toInt)
+        tv(i) = strings(vals(i).toInt)
+        i += 1
+      }
+      (tk, tv)
+    }
+  }
+}
