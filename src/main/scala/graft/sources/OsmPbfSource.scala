@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pbf._
+
+/** Spark DataSource V2 for `.osm.pbf` files:
+  * `spark.read.format("graft.sources.osmpbf").load(path)`.
+  *
+  * Design (SURVEY §1.4, §3.1): the reference reads blobs sequentially on
+  * one thread (reference osmdata.py:95-125); here the driver only frames
+  * the file (4-byte length + ~50-byte BlobHeader per 1-32 MB blob, via
+  * seeks) and each OSMData blob becomes one InputPartition, so
+  * decompression + protobuf decode run fully parallel across executors.
+  * At 100 TB the framing pass reads ~3 MB per 100 GB file and the scan
+  * scales with the number of blobs (~8k elements each).
+  *
+  * Pushdown:
+  *  - `SupportsPushDownRequiredColumns` — skips protobuf field decode for
+  *    unrequested columns (tags/refs/members/info), mirroring the
+  *    reference's lazy decode (reference osmquery.py:325-333).
+  *  - `SupportsPushDownFilters` — `type IN/= (...)` skips whole primitive
+  *    groups before any element parse (reference osmquery.py:242-247);
+  *    `id IN (...)` drops elements during decode, before row build
+  *    (reference osmquery.py:262-276).
+  */
+object OsmPbfSource {
+  val TypeNode: Byte = 0
+  val TypeWay: Byte = 1
+  val TypeRelation: Byte = 2
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("type", ByteType, nullable = false),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("tags", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("refs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("role", StringType, nullable = false),
+      StructField("ref", LongType, nullable = false),
+      StructField("mtype", ByteType, nullable = false))), containsNull = false), nullable = false),
+    StructField("version", IntegerType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("changeset", LongType, nullable = true)))
+}
+
+class OsmPbfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osmpbf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmPbfSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OsmPbfTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class OsmPbfTable(path: String) extends Table with SupportsRead {
+  require(path != null, "osm.pbf source requires .load(path)")
+  override def name(): String = s"osmpbf:$path"
+  override def schema(): StructType = OsmPbfSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmPbfScanBuilder(path)
+}
+
+class OsmPbfScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = OsmPbfSource.schema
+  private var wantTypes: Array[Boolean] = Array(true, true, true)
+  private var idFilter: Option[Set[Long]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("type", _) | In("type", _) => true
+      case In("id", _) | EqualTo("id", _) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("type", v: Any) =>
+        val t = anyToByte(v)
+        wantTypes = Array(t == 0, t == 1, t == 2)
+      case In("type", vs) =>
+        val ts = vs.map(anyToByte).toSet
+        wantTypes = Array(ts.contains(0), ts.contains(1), ts.contains(2))
+      case EqualTo("id", v: Any) => idFilter = Some(Set(anyToLong(v)))
+      case In("id", vs) => idFilter = Some(vs.map(anyToLong).toSet)
+      case _ =>
+    }
+    pushed = accepted
+    // Conservatively keep pushed filters in the Spark plan too (exact
+    // re-check is cheap; the win is skipped decode inside the scan).
+    rest ++ accepted
+  }
+
+  private def anyToByte(v: Any): Byte = v match {
+    case b: Byte => b
+    case i: Int => i.toByte
+    case l: Long => l.toByte
+    case s: Short => s.toByte
+    case other => other.toString.toByte
+  }
+  private def anyToLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.toString.toLong
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new OsmPbfScan(path, required, wantTypes, idFilter)
+}
+
+class OsmPbfScan(path: String, required: StructType,
+    wantTypes: Array[Boolean], idFilter: Option[Set[Long]]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val types = Seq("node", "way", "relation").zip(wantTypes)
+      .collect { case (n, true) => n }.mkString(",")
+    s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")})"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmPbfFile.index(path).map(b =>
+      OsmPbfPartition(b.path, b.dataOffset, b.dataLen): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(required.fieldNames, wantTypes,
+      idFilter.map(_.toArray).orNull)
+}
+
+case class OsmPbfPartition(path: String, offset: Long, len: Int) extends InputPartition
+
+class OsmPbfReaderFactory(fieldNames: Array[String], wantTypes: Array[Boolean],
+    idFilterArr: Array[Long]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmPbfPartition]
+    new OsmPbfPartitionReader(p, fieldNames, wantTypes,
+      if (idFilterArr == null) null else idFilterArr.toSet)
+  }
+}
+
+class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
+    wantTypes: Array[Boolean], idFilter: Set[Long])
+    extends PartitionReader[InternalRow] {
+
+  private val needs = DecodeNeeds(
+    tags = fieldNames.contains("tags"),
+    refs = fieldNames.contains("refs"),
+    members = fieldNames.contains("members"),
+    info = fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
+    coords = fieldNames.exists(f => f == "lat" || f == "lon"))
+
+  private val iter: Iterator[Decoded] = {
+    val block = OsmPbfFile.readBlob(BlobInfo(p.path, p.offset, p.len), new Configuration())
+    val base = BlockDecoder.decode(block, wantTypes, needs)
+    if (idFilter == null) base else base.filter(d => idFilter.contains(d.id))
+  }
+
+  private var current: Decoded = _
+
+  override def next(): Boolean = {
+    if (iter.hasNext) { current = iter.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val d = current
+    val row = new Array[Any](fieldNames.length)
+    var i = 0
+    while (i < fieldNames.length) {
+      row(i) = fieldNames(i) match {
+        case "id" => d.id
+        case "type" => d.etype
+        case "lat" => if (d.etype == 0) d.lat else null
+        case "lon" => if (d.etype == 0) d.lon else null
+        case "tags" =>
+          new ArrayBasedMapData(
+            new GenericArrayData(d.tagKeys.map(k => UTF8String.fromString(k): Any)),
+            new GenericArrayData(d.tagVals.map(v => UTF8String.fromString(v): Any)))
+        case "refs" => new GenericArrayData(d.refs)
+        case "members" =>
+          new GenericArrayData(d.memberRefs.indices.map { j =>
+            InternalRow(UTF8String.fromString(d.memberRoles(j)),
+              d.memberRefs(j), d.memberTypes(j))
+          }.toArray[Any])
+        case "version" => if (d.hasInfo) d.version else null
+        case "timestamp" => if (d.hasInfo) d.timestampMs * 1000L else null // micros
+        case "changeset" => if (d.hasInfo) d.changeset else null
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(row.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

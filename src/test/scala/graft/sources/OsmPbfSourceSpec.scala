@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pbf.OsmPbfWriter._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+class OsmPbfSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture(): String = {
+    val f = java.io.File.createTempFile("srcpbf", ".osm.pbf")
+    f.deleteOnExit()
+    write(f.getAbsolutePath, Seq(
+      Seq(
+        N(1, 43.51, 5.41, Seq("amenity" -> "cafe")),
+        N(2, 43.52, 5.42),
+        N(3, 43.53, 5.43, Seq("amenity" -> "bench", "name" -> "b1"),
+          Some(Info(2, 1600000000L, 55)))),
+      Seq(
+        W(10, Seq(1L, 2L, 3L), Seq("highway" -> "residential")),
+        W(11, Seq(3L, 2L, 1L, 3L), Seq("building" -> "yes"))),
+      Seq(
+        R(20, Seq(("outer", 10L, 1.toByte), ("inner", 11L, 1.toByte)),
+          Seq("type" -> "multipolygon")))))
+    f.getAbsolutePath
+  }
+
+  test("reads all element types with full schema") {
+    val df = spark.read.format("osmpbf").load(fixture())
+    assert(df.count() === 6)
+    val byType = df.groupBy("type").count().collect()
+      .map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(byType === Map(0.toByte -> 3L, 1.toByte -> 2L, 2.toByte -> 1L))
+    val cafe = df.filter(element_at(col("tags"), "amenity") === "cafe").collect()
+    assert(cafe.length === 1 && cafe.head.getAs[Long]("id") === 1L)
+    val w11 = df.filter(col("id") === 11 && col("type") === 1).collect().head
+    assert(w11.getSeq[Long](w11.fieldIndex("refs")) === Seq(3L, 2L, 1L, 3L))
+    val r20 = df.filter(col("type") === 2).collect().head
+    val members = r20.getSeq[org.apache.spark.sql.Row](r20.fieldIndex("members"))
+    assert(members.map(m => (m.getString(0), m.getLong(1), m.getByte(2))) ===
+      Seq(("outer", 10L, 1.toByte), ("inner", 11L, 1.toByte)))
+    val n3 = df.filter(col("id") === 3 && col("type") === 0).collect().head
+    assert(n3.getAs[Int]("version") === 2)
+    assert(n3.getAs[java.sql.Timestamp]("timestamp").getTime === 1600000000000L)
+  }
+
+  test("one partition per blob") {
+    val df = spark.read.format("osmpbf").load(fixture())
+    assert(df.rdd.getNumPartitions === 3)
+  }
+
+  test("type and id filters are pushed into the scan") {
+    val df = spark.read.format("osmpbf").load(fixture())
+    val plan = df.filter(col("type") === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("OsmPbfScan") && plan.contains("types=way"),
+      s"expected pushed type filter in plan:\n$plan")
+    assert(df.filter(col("type") === 1).count() === 2)
+    assert(df.filter(col("id").isin(1, 20)).count() === 2)
+  }
+
+  test("column pruning reaches the decoder") {
+    val df = spark.read.format("osmpbf").load(fixture())
+      .select("id", "type")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("cols=id,type"), s"plan:\n$scanDesc")
+    assert(df.count() === 6)
+  }
+}
