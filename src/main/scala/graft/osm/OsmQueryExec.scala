@@ -1,0 +1,432 @@
+package graft.osm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geom.Wkb
+import graft.geom.Wkb.Coord
+
+/** Compiles an [[OsmQuery]] into a Spark dataflow over the osmpbf
+  * DataSource (SURVEY §3.2): one declarative plan instead of the
+  * reference's per-block compile/execute/merge loop
+  * (reference osmdata.py:183-259) — Catalyst handles pushdown and AQE
+  * picks join strategies; blob-granular partitions replace per-block
+  * skipping.
+  *
+  * Scale notes (the node-coordinate join is THE critical join, SURVEY
+  * §7.3 risk 1): way assembly shuffles `posexplode(refs)` against the
+  * node table on node id — a plain equi-join that AQE can re-plan;
+  * per-way/per-relation assembly then uses `groupByKey.mapGroups`,
+  * whose groups are bounded by OSM data (ways ≤ 2000 nodes, relation
+  * member lists are small), so no group can blow an executor.
+  */
+object OsmQueryExec {
+
+  import graft.sources.OsmPbfSource.{TypeNode, TypeRelation, TypeWay}
+
+  // --- area heuristic tag tables (reference defaults.py:5-62) ---
+  val NotArea: Map[String, Seq[String]] = Map(
+    "area:highway" -> Seq("no"),
+    "aeroway" -> Seq("no", "taxiway"),
+    "amenity" -> Seq("no"),
+    "boundary" -> Seq("no"),
+    "building:part" -> Seq("no"),
+    "building" -> Seq("no"),
+    "craft" -> Seq("no"),
+    "golf" -> Seq("no"),
+    "historic" -> Seq("no"),
+    "indoor" -> Seq("no"),
+    "landuse" -> Seq("no"),
+    "leisure" -> Seq("no"),
+    "man_made" -> Seq("no", "cutline", "embankment", "pipeline"),
+    "natural" -> Seq("no", "coastline", "cliff", "ridge", "arete", "tree_row"),
+    "office" -> Seq("no"),
+    "place" -> Seq("no"),
+    "public_transport" -> Seq("no"),
+    "ruins" -> Seq("no"),
+    "shops" -> Seq("no"),
+    "tourism" -> Seq("no"))
+
+  val IsArea: Map[String, Seq[String]] = Map(
+    "barrier" -> Seq("city_wall", "ditch", "hedge", "retaining_wall", "wall", "spikes"),
+    "highway" -> Seq("services", "rest_area", "escape", "elevator"),
+    "power" -> Seq("plant", "substation", "generator", "transformer"),
+    "railway" -> Seq("station", "turntable", "roundhouse", "platform"),
+    "waterway" -> Seq("riverbank", "dock", "boatyard", "dam"))
+
+  val IsAreaKeyAnyValue: Seq[String] = Seq(
+    "area", "area:highway", "aeroway", "amenity", "boundary", "building",
+    "building:part", "craft", "golf", "historic", "indoor", "landuse",
+    "leisure", "man_made", "natural", "office", "place", "public_transport",
+    "ruins", "shop", "tourism")
+
+  val RelationLine: Seq[String] = Seq("route")
+  val RelationArea: Seq[String] = Seq("multipolygon", "boundary")
+
+  // ------------------------------------------------------------------
+
+  private def scan(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("osmpbf").load(path)
+
+  /** keep/exclude pair+key match over the tags map — one side of the
+    * `_validate_tagval` truth table (reference primitives.py:186-215).
+    * Empty value list = any value (key-only match). */
+  private def tagSpecMatch(tags: Column, spec: Map[String, Seq[String]]): Column =
+    spec.foldLeft(lit(false)) { case (acc, (k, vs)) =>
+      val hit =
+        if (vs.isEmpty) map_contains_key(tags, lit(k))
+        else coalesce(try_element_at(tags, lit(k)).isin(vs.map(v => v: Any): _*), lit(false))
+      acc || hit
+    }
+
+  /** Full element-keep predicate, exactly the reference formula:
+    * keepFirst ? (kps && !exs) : (!exs || kps)
+    * — including the documented edge case that an element with no
+    * matching information resolves to `!keepFirst`
+    * (reference primitives.py:186-215). */
+  def tagPredicate(q: OsmQuery, tags: Column): Column = {
+    val must =
+      if (q.mustTags.isEmpty) lit(true)
+      else arrays_overlap(map_keys(tags), array(q.mustTags.map(lit): _*))
+    val kps = q.keep.map(tagSpecMatch(tags, _)).getOrElse(lit(false))
+    val exs = q.exclude.map(tagSpecMatch(tags, _)).getOrElse(lit(false))
+    val noTagval = q.mustTags.isEmpty && q.keep.isEmpty && q.exclude.isEmpty
+    val body =
+      if (noTagval) lit(!q.keepFirst)
+      else if (q.keepFirst) kps && !exs
+      else !exs || kps
+    must && body
+  }
+
+  /** Way line/area heuristic as a pure Column cascade (reference
+    * primitives.py:260-285 `_way_geotype` intended semantics — the
+    * reference's `_is_area` has dead branches from `if not <set>`
+    * confusion; we implement the documented intent, SURVEY §2.7 R7). */
+  def wayIsArea(tags: Column, refs: Column): Column = {
+    val closed = element_at(refs, 1) === element_at(refs, -1)
+    val areaNo = coalesce(try_element_at(tags, lit("area")) === "no", lit(false))
+    val isAreaPair = tagSpecMatch(tags, IsArea)
+    val notAreaPair = tagSpecMatch(tags, NotArea)
+    val anyKey = arrays_overlap(map_keys(tags), array(IsAreaKeyAnyValue.map(lit): _*))
+    size(refs) >= 4 && closed && !areaNo &&
+      (isAreaPair || (!notAreaPair && anyKey))
+  }
+
+  /** Relation geometry dispatch (reference primitives.py:288-305):
+    * 0 none / 2 line / 3 area; relations with node or relation members
+    * get no geometry (documented limitation Q6, super-relations are not
+    * expanded — reference osmdata.py:192 TODO). */
+  def relGeomClass(tags: Column, members: Column): Column = {
+    val hasNonWay = exists(members, m => m.getField("mtype") =!= TypeWay)
+    val t = try_element_at(tags, lit("type"))
+    when(size(members) === 0 || hasNonWay, 0)
+      .when(t.isin(RelationLine.map(v => v: Any): _*), 2)
+      .when(t.isin(RelationArea.map(v => v: Any): _*), 3)
+      .otherwise(0)
+  }
+
+  // ------------------------------------------------------------------
+
+  def run(spark: SparkSession, path: String, q: OsmQuery): DataFrame = {
+    val all = scan(spark, path)
+
+    val typeCond = {
+      val wanted = Seq(TypeNode -> q.nodes, TypeWay -> q.ways, TypeRelation -> q.relations)
+        .collect { case (t, true) => t }
+      require(wanted.nonEmpty, "query must select at least one of nodes/ways/relations")
+      col("type").isin(wanted.map(t => t: Any): _*)
+    }
+    val idCond = {
+      val conds = Seq(
+        q.nodeIds.map(ids => col("type") === TypeNode && col("id").isin(ids.map(i => i: Any): _*)),
+        q.wayIds.map(ids => col("type") === TypeWay && col("id").isin(ids.map(i => i: Any): _*)))
+        .flatten
+      if (conds.isEmpty) lit(true)
+      else {
+        // element types without an id set stay unrestricted
+        val restricted = Seq(q.nodeIds.map(_ => TypeNode), q.wayIds.map(_ => TypeWay)).flatten
+        conds.reduce(_ || _) || !col("type").isin(restricted.map(t => t: Any): _*)
+      }
+    }
+    val relTypeCond = q.relationType match {
+      case Some(ts) => col("type") =!= TypeRelation ||
+        coalesce(try_element_at(col("tags"), lit("type")).isin(ts.map(v => v: Any): _*), lit(false))
+      case None => lit(true)
+    }
+
+    var el = all.filter(typeCond && idCond && relTypeCond && tagPredicate(q, col("tags")))
+    // min-points way filter (reference primitives.py:76-78) — geometry
+    // queries drop degenerate ways before the coordinate join
+    if (q.geometry) el = el.filter(col("type") =!= TypeWay || size(col("refs")) >= 2)
+
+    val result =
+      if (q.topology) Topology.build(spark, el, nodeCoords(spark, path))
+      else if (q.geometry) GeometryBuilder.build(spark, path, el, q, nodeCoords(spark, path))
+      else el
+
+    project(result, q)
+  }
+
+  /** The "geometry cache" equivalent: the node coordinate table
+    * (reference osmdata.py:127-133) — a pruned parallel scan instead of
+    * a driver-RAM array; persist() it for repeated queries. */
+  def nodeCoords(spark: SparkSession, path: String): DataFrame =
+    scan(spark, path)
+      .filter(col("type") === TypeNode)
+      .select(col("id").as("nid"), col("lon"), col("lat"))
+
+  /** Result-shape projection (reference _frame.py:8-57 to_dataframe):
+    * osmid, osmtype, tag columns per the projection mode, optional
+    * metadata, optional geometry/topology columns. */
+  private def project(df: DataFrame, q: OsmQuery): DataFrame = {
+    val base = Seq(col("id").as("osmid"), col("type").as("osmtype"))
+    val tagCols = q.tags match {
+      case None => Seq(col("tags"))
+      case Some(ks) => ks.map(k => try_element_at(col("tags"), lit(k)).as(k))
+    }
+    val metaCols =
+      if (q.metadata) Seq(col("version"), col("timestamp"), col("changeset"))
+      else Nil
+    val geomCols =
+      if (q.topology) Seq(col("source"), col("target"), col("geometry"), col("geom_type"))
+      else if (q.geometry) Seq(col("geometry"), col("geom_type"))
+      else Nil
+    df.select(base ++ tagCols ++ metaCols ++ geomCols: _*)
+  }
+}
+
+/** Geometry assembly: points (G1), way linestrings/polygons (G2/G3 via
+  * the R7 heuristic), relation multipolygon/route assembly
+  * (G5-G8, J3-J6). */
+object GeometryBuilder {
+
+  import OsmQueryExec._
+  import graft.sources.OsmPbfSource.{TypeNode, TypeRelation, TypeWay}
+
+  private case class GeomRow(id: Long, geometry: Array[Byte], geom_type: String)
+
+  /** @param el filtered elements (nodes/ways/relations per query)
+    * @param nodes full node coordinate table (nid, lon, lat) */
+  def build(spark: SparkSession, path: String, el: DataFrame, q: OsmQuery,
+      nodes: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val carry = Seq("id", "type", "tags", "version", "timestamp", "changeset")
+
+    // G1 — node points: pure expression, no shuffle at all
+    val points = el.filter(col("type") === TypeNode)
+      .withColumn("geometry", pointWkb(col("lon"), col("lat")))
+      .withColumn("geom_type", lit("Point"))
+      .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
+
+    // G2/G3 — way geometry: explode refs, join coords, assemble per way
+    val ways = el.filter(col("type") === TypeWay)
+    val wayGeoms: DataFrame = {
+      val exploded = ways
+        .withColumn("is_area", wayIsArea(col("tags"), col("refs")))
+        .select(col("id"), col("is_area"), posexplode(col("refs")).as(Seq("pos", "ref")))
+        .join(nodes, col("ref") === col("nid"))
+        .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
+      exploded.as[(Long, Boolean, Int, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (wid, it) =>
+          val rows = it.toArray.sortBy(_._3)
+          val coords = rows.map(r => Coord(r._4, r._5)).toSeq
+          val isArea = rows.head._2
+          if (isArea) {
+            val ring = if (coords.head == coords.last) coords else coords :+ coords.head
+            GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
+          } else GeomRow(wid, Wkb.lineString(coords), "LineString")
+        }
+        .toDF("id", "geometry", "geom_type")
+    }
+    val wayRows = ways.drop("geometry", "geom_type")
+      .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
+      .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
+
+    // G5-G8 — relation geometry via member-way expansion (J3: a second
+    // pruned scan of ways replaces the reference's second query pass,
+    // reference osmdata.py:194-206)
+    val rels = el.filter(col("type") === TypeRelation)
+      .withColumn("gclass", relGeomClass(col("tags"), col("members")))
+    val geomRels = rels.filter(col("gclass").isin(2, 3))
+
+    val members = geomRels
+      .select(col("id").as("rel_id"), col("gclass"),
+        posexplode(col("members")).as(Seq("mpos", "m")))
+      .filter(col("m.mtype") === TypeWay)
+      .select(col("rel_id"), col("gclass"), col("mpos"),
+        col("m.role").as("role"), col("m.ref").as("wref"))
+
+    // member ways may be outside the filtered set → re-scan ways (id, refs)
+    val allWays = spark.read.format("osmpbf").load(path)
+      .filter(col("type") === TypeWay)
+      .select(col("id").as("wid"), col("refs"))
+
+    // per-way ordered node sequence with coordinates
+    val wayNodeSeq = allWays
+      .join(members.select(col("wref")).distinct(), col("wid") === col("wref"), "left_semi")
+      .select(col("wid"), posexplode(col("refs")).as(Seq("pos", "ref")))
+      .join(nodes, col("ref") === col("nid"))
+      .select(col("wid"), col("pos"), col("ref"), col("lon"), col("lat"))
+      .as[(Long, Int, Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (wid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        (wid, rows.map(_._3), rows.map(_._4), rows.map(_._5))
+      }
+      .toDF("wid", "node_ids", "xs", "ys")
+
+    val memberWays = members
+      .join(wayNodeSeq, col("wref") === col("wid"))
+      .select(col("rel_id"), col("gclass"), col("mpos"), col("role"),
+        col("node_ids"), col("xs"), col("ys"))
+
+    val relGeoms = memberWays
+      .as[(Long, Int, Int, String, Array[Long], Array[Double], Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (relId, it) =>
+        val ms = it.toArray.sortBy(_._3)
+        val gclass = ms.head._2
+        assembleRelation(relId, gclass, ms.map(m => Member(m._4, m._5, m._6, m._7)))
+      }
+      .toDF("id", "geometry", "geom_type")
+
+    val relRows = geomRels.drop("gclass")
+      .join(relGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
+      .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
+
+    // J6 — drop standalone result ways that are members of result
+    // geometry relations (reference _frame.py:27-28 anti-join)
+    val memberWayIds = members.select(col("wref")).distinct()
+    val dedupedWayRows = wayRows.join(memberWayIds,
+      wayRows("id") === memberWayIds("wref"), "left_anti")
+
+    points.unionByName(dedupedWayRows).unionByName(relRows)
+  }
+
+  /** WKB point via a minimal scalar UDF (Spark has no double→IEEE-bits
+    * expression; this is the engine's only scalar UDF — ways/relations
+    * assemble inside typed mapGroups instead). */
+  private val pointUdf = udf((lon: Double, lat: Double) => Wkb.point(lon, lat))
+  private def pointWkb(lon: Column, lat: Column): Column = pointUdf(lon, lat)
+
+  private case class Member(role: String, nodeIds: Array[Long],
+      xs: Array[Double], ys: Array[Double])
+
+  /** Greedy ring chaining per relation (G6, reference _frame.py:181-215)
+    * + simple-area expansion (G5), ring closure (G8), duplicate junction
+    * drop (G9), complex-ring drop (G7), polygon/multipolygon assembly
+    * (G3/G4). Runs per relation group — member counts are small. */
+  private def assembleRelation(relId: Long, gclass: Int, ms: Array[Member]): GeomRow = {
+    if (gclass == 2) {
+      // route: chain members into lines (no closure)
+      val chains = chain(ms, close = false)
+      val lines = chains.map(c => Wkb.lineString(c.map(p => Coord(p._2, p._3))))
+      if (lines.length == 1) GeomRow(relId, lines.head, "LineString")
+      else GeomRow(relId, Wkb.multiLineString(lines), "MultiLineString")
+    } else {
+      // area: simple-role members are their own rings (G5); outer/inner
+      // chained within role (G6)
+      val (simple, complex) = ms.partition(m => m.role != "outer" && m.role != "inner")
+      val simpleRings = simple.map(m => closeRing(m.nodeIds.zip(m.xs.zip(m.ys))
+        .map { case (n, (x, y)) => (n, x, y) }.toSeq))
+      val outerRings = chain(complex.filter(_.role == "outer"), close = true)
+      val innerRings = chain(complex.filter(_.role == "inner"), close = true)
+      val outers = (simpleRings ++ outerRings).map(r => r.map(p => Coord(p._2, p._3)))
+      val inners = innerRings.map(r => r.map(p => Coord(p._2, p._3)))
+      if (outers.isEmpty) GeomRow(relId, Wkb.multiPolygon(Nil), "MultiPolygon")
+      else if (outers.length == 1)
+        GeomRow(relId, Wkb.polygon(outers.head +: inners), "Polygon")
+      else
+        // >1 outer: inner rings dropped (documented limitation G7,
+        // reference _frame.py:234-244, README.md:31)
+        GeomRow(relId, Wkb.multiPolygon(outers.map(o => Wkb.polygon(Seq(o)))), "MultiPolygon")
+    }
+  }
+
+  private def closeRing(pts: Seq[(Long, Double, Double)]): Seq[(Long, Double, Double)] =
+    if (pts.length >= 2 && pts.head._1 == pts.last._1) pts else pts :+ pts.head
+
+  /** Greedy end-to-end chaining with reversal (reference _frame.py:181-215):
+    * matching is by node id; the shared junction node of consecutive
+    * ways is emitted once (G9). */
+  private def chain(ms: Array[Member], close: Boolean): Seq[Seq[(Long, Double, Double)]] = {
+    val seqs = ms.map(m => m.nodeIds.zip(m.xs.zip(m.ys))
+      .map { case (n, (x, y)) => (n, x, y) }.toSeq)
+    val unused = scala.collection.mutable.LinkedHashSet(seqs.indices: _*)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Double, Double)]]
+    while (unused.nonEmpty) {
+      val start = unused.head
+      unused -= start
+      var ring = seqs(start)
+      var extended = true
+      while (extended && ring.head._1 != ring.last._1) {
+        extended = false
+        val endId = ring.last._1
+        unused.find(i => seqs(i).head._1 == endId) match {
+          case Some(i) =>
+            unused -= i; ring = ring ++ seqs(i).tail; extended = true
+          case None =>
+            unused.find(i => seqs(i).last._1 == endId) match {
+              case Some(i) =>
+                unused -= i; ring = ring ++ seqs(i).reverse.tail; extended = true
+              case None =>
+            }
+        }
+      }
+      rings += (if (close) closeRing(ring) else ring)
+    }
+    rings.toSeq
+  }
+}
+
+/** G10/G11 — highway topology: split way node chains at shared nodes,
+  * emit per-segment source/target + linestring geometry
+  * (reference _frame.py:261-296). */
+object Topology {
+
+  def build(spark: SparkSession, el: DataFrame, nodes: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val ways = el.filter(col("type") === graft.sources.OsmPbfSource.TypeWay)
+    val exploded = ways
+      .select(col("id").as("way"), posexplode(col("refs")).as(Seq("pos", "node")))
+
+    // junction = node occurring more than once across all exploded rows
+    // (reference _frame.py:272 pandas duplicated(keep=False))
+    val counts = exploded.groupBy("node").agg(count(lit(1)).as("n_occ"))
+    val wWay = Window.partitionBy("way")
+    val rows = exploded.join(counts, "node")
+      .withColumn("is_first", col("pos") === min("pos").over(wWay))
+      .withColumn("is_last", col("pos") === max("pos").over(wWay))
+      .withColumn("junction", col("n_occ") >= 2)
+
+    val interior = col("junction") && !col("is_first") && !col("is_last")
+    val dup = rows.withColumn("c",
+      explode(when(interior, array(lit(0), lit(1))).otherwise(array(lit(0)))))
+    val wOrd = Window.partitionBy("way").orderBy("pos", "c")
+    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = dup
+      .withColumn("start", when(col("is_first") || (interior && col("c") === 1), 1).otherwise(0))
+      .withColumn("seg_ix", sum(col("start")).over(cum) - 1)
+      .join(nodes, col("node") === col("nid"))
+      .select(col("way"), col("seg_ix"), col("pos"), col("c"),
+        col("node"), col("lon"), col("lat"))
+
+    val segGeoms = seg.as[(Long, Long, Int, Int, Long, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long, Double, Double)]) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._4))
+        val coords = rows.map(r => Coord(r._6, r._7)).toSeq
+        (key._1, key._2, rows.head._5, rows.last._5,
+          Wkb.lineString(coords), "LineString", rows.length)
+      }
+      .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type", "n_nodes")
+      .filter(col("n_nodes") >= 2)
+      .drop("n_nodes")
+
+    ways.join(segGeoms, ways("id") === segGeoms("way"))
+      .drop("way")
+  }
+}
