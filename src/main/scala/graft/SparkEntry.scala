@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++ Map(
+    RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
+      PipelineOps.queries ++ OsmQueries.queries ++ Map(
       "q1_agg" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         s.read.parquet(s"$dir/lineitem.parquet")
@@ -29,7 +30,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ Map(
+    RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+      PipelineOps.oracle ++ Map(
       "q1_agg" -> "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
 }

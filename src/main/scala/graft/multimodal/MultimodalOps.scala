@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `BINARY` media payloads with
+  * typed metadata, processed batch-wise via `mapPartitions` (the Scala
+  * counterpart of a pandas-batch UDF: one buffer reuse per partition,
+  * no per-row setup).
+  *
+  * The actual media *decode* (image/audio codecs) is STUBBED — the
+  * container has no codec libraries — behind [[MediaCodec.decodeStub]],
+  * a deterministic fake that treats the payload's byte histogram as
+  * "pixels". The Spark-side plumbing (schema, binary columns, batched
+  * partition processing, feature schema) is real and tested; swapping
+  * the stub for a JNI/javacv decoder changes no query shape.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(id: Long, media: Array[Byte], kind: String)
+  final case class MediaFeatures(id: Long, n_bytes: Int, n_distinct_bytes: Int,
+      entropy: Double, fingerprint: Long)
+
+  object MediaCodec {
+    /** STUB decode: deterministic byte histogram standing in for decoded
+      * pixels/samples. Real decoders plug in here. */
+    def decodeStub(media: Array[Byte]): Array[Int] = {
+      val hist = new Array[Int](256)
+      var i = 0
+      while (i < media.length) { hist(media(i) & 0xff) += 1; i += 1 }
+      hist
+    }
+
+    def features(id: Long, media: Array[Byte]): MediaFeatures = {
+      val hist = decodeStub(media)
+      val n = media.length
+      var distinct = 0
+      var entropy = 0.0
+      var fp = 0xcbf29ce484222325L // FNV-1a 64 over the histogram
+      var i = 0
+      while (i < 256) {
+        if (hist(i) > 0) {
+          distinct += 1
+          val p = hist(i).toDouble / n
+          entropy -= p * math.log(p) / math.log(2.0)
+        }
+        fp ^= hist(i)
+        fp *= 0x100000001b3L
+        i += 1
+      }
+      MediaFeatures(id, n, distinct, entropy, fp)
+    }
+  }
+
+  /** documents.text → media rows (UTF-8 payload bytes standing in for
+    * image/audio blobs; the pipeline shape is media-agnostic). */
+  def docsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("text/utf-8").as("kind"))
+
+  /** Batched feature extraction over binary media via mapPartitions. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => MediaCodec.features(id, bytes) })
+      .toDF()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.osm.OsmQuery
+
+/** The reference's user-facing query surface exercised end-to-end over
+  * the committed fixture pbf (fixtures/mini.pbf). DuckDB cannot read
+  * PBF, so these are rows-only checks in the driver's gate; their
+  * *semantic* correctness is pinned by the golden assertions in
+  * OsmQuerySpec (same world, hand-computed expectations). */
+object OsmQueries {
+
+  private val fixture = graft.pbf.MiniWorld.path
+
+  private def ensureFixture(): Unit = {
+    val f = new java.io.File(fixture)
+    if (!f.exists()) graft.pbf.MiniWorld.generate()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // raw DSv2 scan: elements per type (S1-S11)
+    "osm_scan_counts" -> ((s, _) => {
+      ensureFixture()
+      s.read.format("osmpbf").load(fixture)
+        .groupBy("type").agg(count(lit(1)).as("n"))
+        .orderBy("type")
+    }),
+
+    // default POI query with point geometry (F3, G1)
+    "osm_pois" -> ((s, _) => {
+      ensureFixture()
+      OsmQuery.pois.copy(geometry = true).run(s, fixture)
+        .select(col("osmid"), col("osmtype"), col("amenity"),
+          hex(col("geometry")).as("wkb_hex"), col("geom_type"))
+        .orderBy("osmid")
+    }),
+
+    // default highway query, linestrings (F4 exclude, G2)
+    "osm_highways" -> ((s, _) => {
+      ensureFixture()
+      OsmQuery.highways.copy(geometry = true).run(s, fixture)
+        .select(col("osmid"), col("highway"),
+          hex(col("geometry")).as("wkb_hex"), col("geom_type"))
+        .orderBy("osmid")
+    }),
+
+    // buildings incl. multipolygon relation assembly (G3-G8, J3/J6)
+    "osm_buildings" -> ((s, _) => {
+      ensureFixture()
+      OsmQuery.buildings.copy(geometry = true).run(s, fixture)
+        .select(col("osmid"), col("osmtype"), col("building"),
+          hex(col("geometry")).as("wkb_hex"), col("geom_type"))
+        .orderBy("osmid")
+    }),
+
+    // highway topology: source/target per junction-split segment (G10/G11)
+    "osm_topology" -> ((s, _) => {
+      ensureFixture()
+      OsmQuery.highways.copy(geometry = true, topology = true).run(s, fixture)
+        .select(col("osmid"), col("source"), col("target"), col("geom_type"))
+        .orderBy("osmid", "source")
+    })
+  )
+}
