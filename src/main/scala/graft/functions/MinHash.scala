@@ -1,0 +1,91 @@
+package graft.functions
+
+/** Tight-loop MinHash kernels (the hot path of dedup_minhash_lsh).
+  *
+  * Each distinct character 3-gram is hashed once (polynomial base +
+  * splitmix64 finalizer); the K permutations derive arithmetically from
+  * that one hash — K·|grams| multiply-xor ops per document instead of
+  * K·|grams| string hashes, and no per-row array churn. Runs inside
+  * mapPartitions: the signature build is a narrow map, nothing
+  * shuffles until LSH bucketing.
+  */
+object MinHash {
+
+  final val Golden = 0x9E3779B97F4A7C15L
+
+  @inline def splitmix64(z0: Long): Long = {
+    var z = z0 + Golden
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct char-3gram base hashes of a string (same shingling as the
+    * exact-verification gram table: substring(text, i, 3), i = 1..n-2;
+    * a short string contributes its single truncated gram). */
+  def gramHashes(text: String): Array[Long] = {
+    val n = math.max(text.length - 2, 1)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + 3, text.length)
+      while (j < end) { h = h * 131L + text.charAt(j); j += 1 }
+      val g = splitmix64(h)
+      if (seen.add(g)) { out(m) = g; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  /** K-component MinHash signature from gram base hashes. */
+  def signature(grams: Array[Long], k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var gi = 0
+    while (gi < grams.length) {
+      val g = grams(gi)
+      var i = 0
+      while (i < k) {
+        val v = splitmix64(g ^ (i * Golden))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      gi += 1
+    }
+    sig
+  }
+
+  /** Band hashes: fold r consecutive signature components per band. */
+  def bandHashes(sig: Array[Long], r: Int, b: Int): Array[Long] = {
+    val out = new Array[Long](b)
+    var bi = 0
+    while (bi < b) {
+      var h = 0L
+      var j = 0
+      while (j < r) {
+        h = (h << 7) ^ (h >>> 57) ^ sig(bi * r + j)
+        j += 1
+      }
+      out(bi) = h
+      bi += 1
+    }
+    out
+  }
+
+  /** Fraction of equal components with early exit below `minMatches`. */
+  def sigMatches(a: Array[Long], b: Array[Long], minMatches: Int): Int = {
+    val k = a.length
+    var eq = 0
+    var i = 0
+    while (i < k) {
+      if (a(i) == b(i)) eq += 1
+      else if (eq + (k - i - 1) < minMatches) return -1
+      i += 1
+    }
+    eq
+  }
+}

@@ -81,36 +81,61 @@ object TextOps {
     // Jaccard verification. Same output contract as dedup_ngram_jaccard
     // — the LSH path is the 100TB-scale route (no full gram self-join).
     "dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.MinHash
       val d = docs(s, dir)
-      val withSig = d
-        .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))"))
-        .withColumn("sig", expr(
-          s"transform(sequence(0, ${K - 1}), i -> array_min(transform(grams, g -> xxhash64(i, g))))"))
-      val bands = withSig.select(col("doc_id"),
-          explode(expr(
-            s"transform(sequence(0, ${B - 1}), bi -> struct(bi AS band, aggregate(slice(sig, bi*$R+1, $R), 0L, (a, x) -> shiftleft(a, 7) ^ shiftright(a, 57) ^ x) AS bh))"))
-            .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val l = bands.select(col("doc_id").as("ida"), col("band"), col("bh"))
-      val r = bands.select(col("doc_id").as("idb"), col("band"), col("bh"))
-      val rawCands = l.join(r, Seq("band", "bh")).filter(col("ida") < col("idb"))
-        .select("ida", "idb").distinct()
-      // Signature-similarity pre-filter: r=4/b=32 banding is near-
-      // exhaustive below j≈0.6, so on skew-heavy corpora the candidate
-      // set is huge; estimating j from the 128-component signature
-      // (cheap zip_with, no gram shuffle) prunes to the j≳0.75 shell
-      // before the exact-verification join. At j=0.8 the estimate is
-      // Binomial(128, 0.8) — P(< 0.72·128) ≈ 1e-2‰, preserving oracle
-      // parity; at j=0.6 almost everything is pruned.
-      val sigs = withSig.select(col("doc_id"), col("sig"))
-      val cands = rawCands
-        .join(sigs.select(col("doc_id").as("ida"), col("sig").as("siga")), "ida")
-        .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sigb")), "idb")
-        .withColumn("sig_sim", expr(
-          s"aggregate(zip_with(siga, sigb, (a, b) -> if(a = b, 1, 0)), 0, (acc, x) -> acc + x) / ${K}.0"))
-        .filter(col("sig_sim") >= 0.72)
-        .select("ida", "idb")
+      // narrow map: signature + band hashes in a tight JVM loop
+      // (graft.functions.MinHash) -- one string hash per distinct gram,
+      // K arithmetic permutations; nothing shuffles until bucketing
+      val kK = K; val kR = R; val kB = B
+      val sigDs = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val sig = MinHash.signature(MinHash.gramHashes(text), kK)
+          (id, sig, MinHash.bandHashes(sig, kR, kB))
+        })
+        .toDF("doc_id", "sig", "bhs")
+      // Candidate pairs are generated and filtered INSIDE each band
+      // bucket (flatMapGroups): only (band, bandHash) bucket rows
+      // shuffle -- never the O(candidates) pair set. Cross-band
+      // duplicates are dropped by the first-matching-band rule (a pair
+      // is emitted only in its lowest matching band), and the
+      // 128-component signature estimate prunes to the j >= ~0.72
+      // shell with an early-exit compare before the exact gram-join
+      // verification. At j=0.8 the estimate is Binomial(128, 0.8):
+      // P(< 0.72*128) ~ 1e-4, so oracle parity is preserved; the
+      // j ~ 0.5 collision mass is rejected in O(few comparisons).
+      val exploded = sigDs
+        .select(col("doc_id"), col("sig"), col("bhs"),
+          posexplode(col("bhs")).as(Seq("band", "bh")))
+        .select(col("band"), col("bh"), col("doc_id"), col("sig"), col("bhs"))
+        .as[(Int, Long, Long, Array[Long], Array[Long])]
+      val minMatches = math.ceil(0.72 * K).toInt
+      val cands = exploded
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Long])]) =>
+          val ds = it.toArray.sortBy(_._3)
+          if (ds.length < 2) Iterator.empty
+          else {
+            val band = key._1
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var i = 0
+            while (i < ds.length) {
+              var j = i + 1
+              while (j < ds.length) {
+                val a = ds(i); val b = ds(j)
+                var fb = 0
+                while (a._5(fb) != b._5(fb)) fb += 1
+                if (fb == band &&
+                    MinHash.sigMatches(a._4, b._4, minMatches) >= minMatches)
+                  out += ((a._3, b._3))
+                j += 1
+              }
+              i += 1
+            }
+            out.iterator
+          }
+        }
+        .toDF("ida", "idb")
       jaccardOn(cands, gramTable(d), 0.8)
     }),
 
