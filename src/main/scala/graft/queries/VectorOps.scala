@@ -72,16 +72,38 @@ object VectorOps {
     // bits; candidates share a signature bucket; top-k within bucket.
     // Approximate by construction — no SQL oracle (rows-only; recall
     // vs brute force asserted in ScalaTest).
-    "vec_ann_lsh" -> ((s, dir) => {
-      val planes = 8
-      val e = emb(s, dir)
-        .withColumn("sigbits", expr(
-          s"""transform(sequence(0, ${planes - 1}), p ->
-                aggregate(zip_with(v, sequence(0, 63), (x, d) ->
-                  x * (CAST(pmod(xxhash64(p, d), 2001) AS DOUBLE) - 1000.0)),
-                  0.0d, (a, x) -> a + x) > 0.0d)"""))
-        .withColumn("bucket", expr(
-          s"aggregate(sequence(0, ${planes - 1}), 0L, (a, p) -> a | if(sigbits[p], shiftleft(1L, p), 0L))"))
+    "vec_ann_lsh" -> ((s, dir) => annLsh(s, dir, 8)))
+
+  /** Random-hyperplane LSH ANN, parameterized by plane count (bucket
+    * granularity: 2^planes buckets — tune to corpus size). */
+  def annLsh(s: SparkSession, dir: String, planes: Int): DataFrame = {
+    locally {
+      import s.implicits._
+      // deterministic pseudo-random hyperplanes; projection in a tight
+      // JVM loop (planes × dims multiply-adds — no per-element lambda
+      // evaluation on the hot path)
+      val e0 = emb(s, dir)
+      val bucketed = e0.select(col("vec_id"), col("v"), col("norm"))
+        .as[(Long, Seq[Double], Double)]
+        .mapPartitions { it =>
+          val coef = Array.tabulate(planes, 64) { (p, d) =>
+            (graft.functions.MinHash.splitmix64(p * 1000003L + d) % 1000L).toDouble
+          }
+          it.map { case (id, v, norm) =>
+            val arr = v.toArray
+            var bucket = 0L
+            var p = 0
+            while (p < planes) {
+              var dot = 0.0
+              var d = 0
+              while (d < 64) { dot += arr(d) * coef(p)(d); d += 1 }
+              if (dot > 0.0) bucket |= 1L << p
+              p += 1
+            }
+            (id, v, norm, bucket)
+          }
+        }
+      val e = bucketed.toDF("vec_id", "v", "norm", "bucket")
       val q = e.filter(col("vec_id") < QueryIds)
         .select(col("vec_id").as("query_id"), col("v").as("va"),
           col("norm").as("na"), col("bucket"))
@@ -95,8 +117,8 @@ object VectorOps {
         .filter(col("rk") <= TopK)
         .select("query_id", "match_id", "sim", "rk")
         .orderBy("query_id", "rk")
-    })
-  )
+    }
+  }
 
   private val dotSql =
     """sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))"""

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+import graft.queries.{TextOps, VectorOps}
+
+class MinHashSpec extends AnyFunSuite {
+
+  test("gram hashing is deterministic and shingles like substring(i,3)") {
+    val a = MinHash.gramHashes("abcdef")
+    val b = MinHash.gramHashes("abcdef")
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 4) // abc bcd cde def
+    assert(MinHash.gramHashes("ab").length === 1) // truncated single gram
+    assert(MinHash.gramHashes("aaaa").length === 1) // aaa deduped
+  }
+
+  test("signature similarity estimates Jaccard") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(300)(rnd.nextLong())
+    // overlap 80% of grams
+    val other = base.take(240) ++ Array.fill(60)(rnd.nextLong())
+    val sa = MinHash.signature(base, 128)
+    val sb = MinHash.signature(other, 128)
+    val eq = sa.zip(sb).count { case (x, y) => x == y }
+    val estimate = eq / 128.0
+    val trueJ = 240.0 / 360.0 // |∩|/|∪|
+    assert(math.abs(estimate - trueJ) < 0.15, s"estimate $estimate vs $trueJ")
+  }
+
+  test("identical inputs give identical signatures and band hashes") {
+    val g = MinHash.gramHashes("the quick brown fox")
+    val s1 = MinHash.signature(g, 128)
+    assert(MinHash.bandHashes(s1, 4, 32).toSeq ===
+      MinHash.bandHashes(MinHash.signature(g, 128), 4, 32).toSeq)
+  }
+}
+
+class LshParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinHash-LSH near-dup pairs equal the exact ngram-Jaccard result") {
+    val exact = TextOps.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextOps.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture corpus should contain near-duplicates")
+    assert(lsh === exact)
+  }
+
+  test("ANN-LSH results are a subset of brute-force rankings with identical scores") {
+    val bf = VectorOps.queries("vec_topk_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 4 planes → 16 buckets: coarse enough that the 500-vector corpus
+    // populates the query buckets
+    val ann = VectorOps.annLsh(spark, dir, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ann.nonEmpty)
+    // every ANN hit that brute force also ranked must carry the same score
+    val overlapping = ann.filter(a => bf.contains((a._1, a._2)))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { case (q, m, s) =>
+      assert(math.abs(bf((q, m)) - s) < 1e-9, s"score mismatch for ($q,$m)")
+    }
+  }
+}
