@@ -1,0 +1,138 @@
+package graft.osm
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.text.Normalizer
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.Try
+
+/** Driver-side extract acquisition utility — the Spark counterpart of
+  * the reference's async downloader (reference
+  * datasource/OSMdatasource.py:8-71, datasource/datasource.py:33-131):
+  * place name → extract URL via the Geofabrik JSON index ∪ BBBike CSV,
+  * parallel download with an alternate-URL fallback. Not a Spark
+  * operator (SURVEY §2.1 S12) — plain JDK HTTP + Futures.
+  *
+  * `fetch` is injectable so index parsing and download logic are
+  * testable without network access (and so callers can add auth,
+  * retries or a proxy).
+  */
+class OsmDatasource(
+    fetch: String => Array[Byte] = OsmDatasource.httpFetch,
+    geofabrikIndexUrl: String = OsmDatasource.GeofabrikIndex,
+    bbbikeCsvUrl: String = OsmDatasource.BbbikeIndex) {
+
+  /** name (normalized) → candidate URLs, Geofabrik first. */
+  lazy val index: Map[String, Seq[String]] = {
+    val geo = Try(parseGeofabrik(new String(fetch(geofabrikIndexUrl), "UTF-8")))
+      .getOrElse(Map.empty)
+    val bb = Try(parseBbbike(new String(fetch(bbbikeCsvUrl), "UTF-8")))
+      .getOrElse(Map.empty)
+    (geo.keySet ++ bb.keySet).map { k =>
+      k -> (geo.getOrElse(k, Nil) ++ bb.getOrElse(k, Nil))
+    }.toMap
+  }
+
+  def places: Seq[String] = index.keys.toSeq.sorted
+
+  /** Download extracts for the given place names into `dir`; tries each
+    * candidate URL in order (reference datasource.py:33-50 fallback).
+    * Returns place → written file. */
+  def download(dir: String, places: Seq[String])(
+      implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Path] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val futures = places.map { p =>
+      val key = OsmDatasource.normalizeName(p)
+      val urls = index.getOrElse(key,
+        throw new NoSuchElementException(s"unknown place '$p'"))
+      Future {
+        val bytes = urls.view.map(u => Try(fetch(u))).collectFirst {
+          case scala.util.Success(b) => b
+        }.getOrElse(throw new RuntimeException(s"all URLs failed for '$p'"))
+        val out = d.resolve(s"$key.osm.pbf")
+        Files.write(out, bytes)
+        p -> out
+      }
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(Future.sequence(futures), 1.hour).toMap
+  }
+
+  /** Geofabrik index.json: features[].properties.{name, urls.pbf}
+    * (reference OSMdatasource.py:36-47) — minimal JSON field scrape,
+    * no JSON library on the driver classpath needed. */
+  private[osm] def parseGeofabrik(json: String): Map[String, Seq[String]] = {
+    val entry = """"name"\s*:\s*"([^"]+)"|"pbf"\s*:\s*"([^"]+)"""".r
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var currentName: Option[String] = None
+    entry.findAllMatchIn(json).foreach { m =>
+      if (m.group(1) != null) currentName = Some(m.group(1))
+      else currentName.foreach { n => pairs += ((OsmDatasource.normalizeName(n), m.group(2))) }
+    }
+    pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.toSeq }
+  }
+
+  /** BBBike CSV: one city per line (reference OSMdatasource.py:49-57). */
+  private[osm] def parseBbbike(csv: String,
+      urlPattern: String = OsmDatasource.BbbikeUrlPattern): Map[String, Seq[String]] =
+    csv.linesIterator
+      .map(_.trim.split("[,;\t]")(0).trim)
+      .filter(_.nonEmpty)
+      .map(city => OsmDatasource.normalizeName(city) ->
+        Seq(urlPattern.replace("{city}", city)))
+      .toMap
+}
+
+object OsmDatasource {
+  val GeofabrikIndex = "https://download.geofabrik.de/index-v1.json"
+  val BbbikeIndex = "https://download.bbbike.org/osm/bbbike/cities.txt"
+  val BbbikeUrlPattern = "https://download.bbbike.org/osm/bbbike/{city}/{city}.osm.pbf"
+
+  /** upper + NFC + apostrophe strip (reference datasource.py:184-191). */
+  def normalizeName(s: String): String =
+    Normalizer.normalize(s.toUpperCase, Normalizer.Form.NFC)
+      .replace("'", "").replace("’", "")
+
+  def httpFetch(url: String): Array[Byte] = {
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
+}
+
+/** Convenience handle over one pbf file — the `OSM` object surface
+  * (reference osmdata.py:41-90: info(), geometry(), coords()). */
+class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String) {
+  import org.apache.spark.sql.functions._
+
+  lazy val elements: org.apache.spark.sql.DataFrame =
+    spark.read.format("osmpbf").load(path)
+
+  /** cache stats analogue: blob count + element counts per type. */
+  def info(): Map[String, Long] = {
+    val blobs = graft.pbf.OsmPbfFile.index(path).size.toLong
+    val counts = elements.groupBy("type").count().collect()
+      .map(r => r.getByte(0) -> r.getLong(1)).toMap
+    Map(
+      "blobs" -> blobs,
+      "nodes" -> counts.getOrElse(0, 0L),
+      "ways" -> counts.getOrElse(1, 0L),
+      "relations" -> counts.getOrElse(2, 0L))
+  }
+
+  /** full node coordinate table (reference osmdata.py:75-79). */
+  def geometry(): org.apache.spark.sql.DataFrame =
+    OsmQueryExec.nodeCoords(spark, path)
+
+  /** coordinates of specific node ids (reference osmdata.py:81-84). */
+  def coords(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+    geometry().filter(col("nid").isin(ids.map(i => i: Any): _*))
+
+  def query(q: OsmQuery): org.apache.spark.sql.DataFrame = q.run(spark, path)
+}

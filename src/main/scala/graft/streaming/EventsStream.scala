@@ -25,9 +25,41 @@ object EventsStream {
       .select(unix_seconds(col("w.start")).as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sessionization with explicit state: per-user session
+    * counter + last-event time carried in GroupState, the stateful
+    * counterpart of [[sessionize]] (same gap rule). Use with
+    * `ds.groupByKey(_.user_id).flatMapGroupsWithState(...)` — see
+    * [[sessionizeStream]]. */
+  final case class SessionState(lastTsNs: Long, sessionId: Long)
+  final case class SessionOut(event_id: Long, user_id: Long, session_id: Long)
+
+  def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = 30L * 60 * 1000000000L
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+          // events within a micro-batch arrive unordered: sort by (ts, id)
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
+          val out = evs.map { case (eid, uid, ts) =>
+            val sid = if (st.lastTsNs == Long.MinValue || ts - st.lastTsNs > gapNs)
+              st.sessionId + 1 else st.sessionId
+            st = SessionState(ts, sid)
+            SessionOut(eid, uid, sid)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "session_id")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
-    * event exceeds 30 minutes (batch form; the streaming form would use
-    * flatMapGroupsWithState — same per-user sequential semantics). */
+    * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
+    * is the stateful streaming counterpart). */
   def sessionize(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
