@@ -136,6 +136,34 @@ object OsmPbfFile {
     }
   }
 
+  /** Element-type content of one blob WITHOUT decoding elements: inflate,
+    * then walk only the top-level PrimitiveBlock field tags and the
+    * primitive-group field tags, skipping all bodies by length. This is
+    * the cheap stats pass behind blob-level partition pruning (F10 —
+    * the reference's per-block type index, osmquery.py:242-247). */
+  def blobTypes(block: Array[Byte]): (Boolean, Boolean, Boolean) = {
+    var hasN = false
+    var hasW = false
+    var hasR = false
+    val r = new PbfReader(block)
+    while (r.hasMore) {
+      val tag = r.readTag()
+      if ((tag >> 3) == 2) {
+        val g = r.readMessage()
+        while (g.hasMore) {
+          val t2 = g.readTag()
+          (t2 >> 3) match {
+            case 1 | 2 => hasN = true; g.skip(t2 & 7)
+            case 3 => hasW = true; g.skip(t2 & 7)
+            case 4 => hasR = true; g.skip(t2 & 7)
+            case _ => g.skip(t2 & 7)
+          }
+        }
+      } else r.skip(tag & 7)
+    }
+    (hasN, hasW, hasR)
+  }
+
   def readBlob(info: BlobInfo, conf: Configuration): Array[Byte] = {
     val path = new Path(info.path)
     val fs = path.getFileSystem(conf)

@@ -140,9 +140,24 @@ class OsmPbfScan(path: String, required: StructType,
     s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")})"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    OsmPbfFile.index(path).map(b =>
-      OsmPbfPartition(b.path, b.dataOffset, b.dataLen): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val blobs = OsmPbfFile.index(path)
+    // F10 — blob-level partition pruning: when a type filter is pushed,
+    // consult (and lazily build, one parallel pass per file) the
+    // per-blob element-type stats index and drop blobs that cannot
+    // contain requested types (reference osmquery.py:242-247; the
+    // reference's first-pass cache plays this role, SURVEY §4.1).
+    val pruned =
+      if (wantTypes.forall(identity)) blobs
+      else {
+        val stats = OsmPbfStats.forFile(path, blobs)
+        blobs.zip(stats).collect {
+          case (b, (n, w, r))
+            if (n && wantTypes(0)) || (w && wantTypes(1)) || (r && wantTypes(2)) => b
+        }
+      }
+    pruned.map(b => OsmPbfPartition(b.path, b.dataOffset, b.dataLen): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfReaderFactory(required.fieldNames, wantTypes,
@@ -150,6 +165,27 @@ class OsmPbfScan(path: String, required: StructType,
 }
 
 case class OsmPbfPartition(path: String, offset: Long, len: Int) extends InputPartition
+
+/** Driver-side cache of per-blob element-type stats, built once per
+  * file by a parallel Spark job (inflate + field-tag walk only — no
+  * element decode). Subsequent scans with type filters prune partitions
+  * for free. */
+object OsmPbfStats {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Boolean, Boolean, Boolean)]]()
+
+  def forFile(path: String, blobs: Seq[BlobInfo]): Seq[(Boolean, Boolean, Boolean)] =
+    cache.computeIfAbsent(path, _ => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.sparkContext
+        .parallelize(blobs, math.min(blobs.size, 64).max(1))
+        .map { b =>
+          val block = OsmPbfFile.readBlob(b, new Configuration())
+          OsmPbfFile.blobTypes(block)
+        }
+        .collect().toSeq
+    })
+}
 
 class OsmPbfReaderFactory(fieldNames: Array[String], wantTypes: Array[Boolean],
     idFilterArr: Array[Long]) extends PartitionReaderFactory {

@@ -70,6 +70,17 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     assert(df.filter(col("id").isin(1, 20)).count() === 2)
   }
 
+  test("blob-level partition pruning from pushed type filter (F10)") {
+    val df = spark.read.format("osmpbf").load(fixture())
+    // fixture has 3 blobs: nodes, ways, relations — a relations-only
+    // scan must plan exactly 1 partition after the stats pass
+    val rels = df.filter(col("type") === 2)
+    assert(rels.rdd.getNumPartitions === 1)
+    assert(rels.count() === 1)
+    val ways = df.filter(col("type").isin(1, 2))
+    assert(ways.rdd.getNumPartitions === 2)
+  }
+
   test("column pruning reaches the decoder") {
     val df = spark.read.format("osmpbf").load(fixture())
       .select("id", "type")
