@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   val headline: Seq[String] = Seq(
+    // analytics headliners
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins

@@ -16,13 +16,15 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries ++ TextOps.queries ++ VectorOps.queries ++
+    RelationalOps.queries ++ RelationalOps.analyticsQueries ++
+      TextOps.queries ++ VectorOps.queries ++
       PipelineOps.queries ++ OsmQueries.queries ++ Map(
       "q1_agg" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         s.read.parquet(s"$dir/lineitem.parquet")
           .groupBy("l_returnflag")
-          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+          // decimal accumulation: exact, engine-order-independent
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
           .orderBy("l_returnflag")
       })
     )
@@ -30,8 +32,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+    RelationalOps.oracle ++ RelationalOps.analyticsOracle ++
+      TextOps.oracle ++ VectorOps.oracle ++
       PipelineOps.oracle ++ Map(
-      "q1_agg" -> "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      "q1_agg" -> "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
 }

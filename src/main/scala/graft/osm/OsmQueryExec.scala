@@ -202,7 +202,7 @@ object GeometryBuilder {
   import OsmQueryExec._
   import graft.sources.OsmPbfSource.{TypeNode, TypeRelation, TypeWay}
 
-  private case class GeomRow(id: Long, geometry: Array[Byte], geom_type: String)
+  private[osm] case class GeomRow(id: Long, geometry: Array[Byte], geom_type: String)
 
   /** @param el filtered elements (nodes/ways/relations per query)
     * @param nodes full node coordinate table (nid, lon, lat) */
@@ -310,14 +310,14 @@ object GeometryBuilder {
   private val pointUdf = udf((lon: Double, lat: Double) => Wkb.point(lon, lat))
   private def pointWkb(lon: Column, lat: Column): Column = pointUdf(lon, lat)
 
-  private case class Member(role: String, nodeIds: Array[Long],
+  private[osm] case class Member(role: String, nodeIds: Array[Long],
       xs: Array[Double], ys: Array[Double])
 
   /** Greedy ring chaining per relation (G6, reference _frame.py:181-215)
     * + simple-area expansion (G5), ring closure (G8), duplicate junction
     * drop (G9), complex-ring drop (G7), polygon/multipolygon assembly
     * (G3/G4). Runs per relation group — member counts are small. */
-  private def assembleRelation(relId: Long, gclass: Int, ms: Array[Member]): GeomRow = {
+  private[osm] def assembleRelation(relId: Long, gclass: Int, ms: Array[Member]): GeomRow = {
     if (gclass == 2) {
       // route: chain members into lines (no closure)
       val chains = chain(ms, close = false)
@@ -344,13 +344,13 @@ object GeometryBuilder {
     }
   }
 
-  private def closeRing(pts: Seq[(Long, Double, Double)]): Seq[(Long, Double, Double)] =
+  private[osm] def closeRing(pts: Seq[(Long, Double, Double)]): Seq[(Long, Double, Double)] =
     if (pts.length >= 2 && pts.head._1 == pts.last._1) pts else pts :+ pts.head
 
   /** Greedy end-to-end chaining with reversal (reference _frame.py:181-215):
     * matching is by node id; the shared junction node of consecutive
     * ways is emitted once (G9). */
-  private def chain(ms: Array[Member], close: Boolean): Seq[Seq[(Long, Double, Double)]] = {
+  private[osm] def chain(ms: Array[Member], close: Boolean): Seq[Seq[(Long, Double, Double)]] = {
     val seqs = ms.map(m => m.nodeIds.zip(m.xs.zip(m.ys))
       .map { case (n, (x, y)) => (n, x, y) }.toSeq)
     val unused = scala.collection.mutable.LinkedHashSet(seqs.indices: _*)

@@ -164,7 +164,7 @@ object RelationalOps {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("r_name")
     }),
@@ -248,7 +248,8 @@ object RelationalOps {
         .groupBy("l_returnflag")
         .agg(max(col("l_quantity")).as("max_qty"),
           min(col("l_quantity")).as("min_qty"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"))
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_qty"))
         .orderBy("l_returnflag")),
 
     // A5 — global distinct (reference osmdata.py:144).
@@ -476,6 +477,110 @@ object RelationalOps {
     })
   )
 
+  /** Full analytics headliners (TPC-H-style): exercise the engine the
+    * way a warehouse would — multi-agg pricing summary, selective
+    * star-join revenue, two-sided nation-colocated revenue. */
+  def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "tpch_q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        // exact decimal accumulation, double only at the output edge:
+        // float sums are order-dependent and flip round() boundaries
+        // between engines; decimal sums are exact in both
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+            (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)")))
+            .cast("double").as("sum_charge"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "tpch_q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), unix_date(col("o_orderdate").cast("date")).as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+    }),
+
+    "tpch_q5_local_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }))
+
+  def analyticsOracle: Map[String, String] = Map(
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+                         (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3_shipping" ->
+      """SELECT l_orderkey,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_date,
+                o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey""",
+    "tpch_q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""")
+
   // ------------------------------------------------------------ oracle SQL
 
   def oracle: Map[String, String] = Map(
@@ -518,7 +623,7 @@ object RelationalOps {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          ORDER BY l_orderkey, l_linenumber""",
     "j2_star_broadcast" ->
-      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -560,7 +665,7 @@ object RelationalOps {
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "a4_minmax" ->
       """SELECT l_returnflag, max(l_quantity) AS max_qty, min(l_quantity) AS min_qty,
-                round(avg(l_quantity), 6) AS avg_qty
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a5_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
