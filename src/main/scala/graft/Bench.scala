@@ -28,8 +28,8 @@ object Bench {
     "vec_topk_bruteforce", "vec_ann_lsh",
     // events / multimodal
     "ev_window_agg", "ev_sessionize", "mm_features",
-    // osm fixture end-to-end
-    "osm_buildings", "osm_topology")
+    // osm fixture end-to-end + 2M-node scale probes
+    "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,6 +49,8 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    try graft.pbf.BigWorld.ensure(graft.queries.OsmQueries.BigPath, 2000000, 100000)
+    catch { case _: Throwable => }
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()

@@ -61,6 +61,24 @@ object OsmQueries {
       OsmQuery.highways.copy(geometry = true, topology = true).run(s, fixture)
         .select(col("osmid"), col("source"), col("target"), col("geom_type"))
         .orderBy("osmid", "source")
+    }),
+
+    // scale probes over a 2M-node / 100k-way synthetic extract (~250
+    // blobs → 250 input partitions): parallel decode + POI tag filter
+    "osm_big_pois" -> ((s, _) => {
+      val p = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+      OsmQuery.pois.copy(geometry = true).run(s, p)
+        .groupBy("amenity").agg(count(lit(1)).as("n"))
+        .orderBy("amenity")
+    }),
+
+    // scale probe: highway extraction + junction topology end-to-end
+    "osm_big_topology" -> ((s, _) => {
+      val p = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+      OsmQuery.highways.copy(geometry = true, topology = true).run(s, p)
+        .groupBy("geom_type").agg(count(lit(1)).as("n_segments"))
     })
   )
+
+  val BigPath = "/tmp/graft_bigworld.osm.pbf"
 }
