@@ -212,13 +212,18 @@ object GeometryBuilder {
 
     val carry = Seq("id", "type", "tags", "version", "timestamp", "changeset")
 
+    // Only plan the branches the query selects — each branch triggers
+    // its own (pruned) scans, so an unused branch is pure waste.
+    val branches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
     // G1 — node points: pure expression, no shuffle at all
-    val points = el.filter(col("type") === TypeNode)
+    if (q.nodes) branches += el.filter(col("type") === TypeNode)
       .withColumn("geometry", pointWkb(col("lon"), col("lat")))
       .withColumn("geom_type", lit("Point"))
       .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
 
     // G2/G3 — way geometry: explode refs, join coords, assemble per way
+    if (q.ways || q.relations) {
     val ways = el.filter(col("type") === TypeWay)
     val wayGeoms: DataFrame = {
       val exploded = ways
@@ -243,6 +248,9 @@ object GeometryBuilder {
       .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
       .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
 
+    if (!q.relations) {
+      branches += wayRows
+    } else {
     // G5-G8 — relation geometry via member-way expansion (J3: a second
     // pruned scan of ways replaces the reference's second query pass,
     // reference osmdata.py:194-206)
@@ -298,10 +306,14 @@ object GeometryBuilder {
     // J6 — drop standalone result ways that are members of result
     // geometry relations (reference _frame.py:27-28 anti-join)
     val memberWayIds = members.select(col("wref")).distinct()
-    val dedupedWayRows = wayRows.join(memberWayIds,
-      wayRows("id") === memberWayIds("wref"), "left_anti")
+    if (q.ways)
+      branches += wayRows.join(memberWayIds,
+        wayRows("id") === memberWayIds("wref"), "left_anti")
+    branches += relRows
+    }
+    }
 
-    points.unionByName(dedupedWayRows).unionByName(relRows)
+    branches.reduce(_.unionByName(_))
   }
 
   /** WKB point via a minimal scalar UDF (Spark has no double→IEEE-bits
