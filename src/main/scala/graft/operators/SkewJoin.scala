@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY §4.2 / the 100 TB brief):
+  * when one join key dominates (a node shared by thousands of ways, a
+  * gram present in every document), hash-partitioning sends the whole
+  * key to one task. Salting splits the hot key's left rows across
+  * `salts` sub-keys deterministically and replicates the right side
+  * `salts` ways, so the hot key fans out over `salts` tasks.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin`) covers
+  * sort-merge joins at runtime; this explicit form is for (a) broadcast-
+  * ineligible hot-key joins where AQE's split thresholds don't trigger,
+  * and (b) deterministic plans in pipelines that must not depend on
+  * runtime stats.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `left(leftKey) = right(rightKey)` with the right
+    * side replicated `salts` ways. The salt is derived from the hash of
+    * the whole left row — deterministic, no RNG in the plan. */
+  def saltedInner(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+}

@@ -107,12 +107,22 @@ object OsmDatasource {
 }
 
 /** Convenience handle over one pbf file — the `OSM` object surface
-  * (reference osmdata.py:41-90: info(), geometry(), coords()). */
-class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String) {
+  * (reference osmdata.py:41-90: info(), geometry(), coords()).
+  *
+  * With `cache = true` the decoded element table is persisted and every
+  * query derives from it — the Spark analogue of the reference's
+  * one-scan cache model (decode once, query many times in
+  * milliseconds-to-seconds instead of re-scanning). */
+class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String,
+    cache: Boolean = false) {
   import org.apache.spark.sql.functions._
 
-  lazy val elements: org.apache.spark.sql.DataFrame =
-    spark.read.format("osmpbf").load(path)
+  lazy val elements: org.apache.spark.sql.DataFrame = {
+    val df = spark.read.format("osmpbf").load(path)
+    if (cache) df.persist() else df
+  }
+
+  def unpersist(): Unit = if (cache) elements.unpersist()
 
   /** cache stats analogue: blob count + element counts per type. */
   def info(): Map[String, Long] = {
@@ -128,11 +138,14 @@ class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String) {
 
   /** full node coordinate table (reference osmdata.py:75-79). */
   def geometry(): org.apache.spark.sql.DataFrame =
-    OsmQueryExec.nodeCoords(spark, path)
+    elements.filter(col("type") === 0)
+      .select(col("id").as("nid"), col("lon"), col("lat"))
 
   /** coordinates of specific node ids (reference osmdata.py:81-84). */
   def coords(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
     geometry().filter(col("nid").isin(ids.map(i => i: Any): _*))
 
-  def query(q: OsmQuery): org.apache.spark.sql.DataFrame = q.run(spark, path)
+  /** queries run against the (possibly persisted) element table. */
+  def query(q: OsmQuery): org.apache.spark.sql.DataFrame =
+    OsmQueryExec.run(spark, elements, q)
 }

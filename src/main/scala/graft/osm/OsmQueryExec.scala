@@ -126,8 +126,15 @@ object OsmQueryExec {
 
   // ------------------------------------------------------------------
 
-  def run(spark: SparkSession, path: String, q: OsmQuery): DataFrame = {
-    val all = scan(spark, path)
+  def run(spark: SparkSession, path: String, q: OsmQuery): DataFrame =
+    run(spark, scan(spark, path), q)
+
+  /** Run against a pre-built element DataFrame — pass a `.persist()`ed
+    * scan to get the reference's cache semantics (one decode, many
+    * queries; reference osmdata.py caches, SURVEY §4.3 delta 2): every
+    * branch (filtered elements, node coords, member ways) derives from
+    * the same source, so a persisted source is decoded exactly once. */
+  def run(spark: SparkSession, all: DataFrame, q: OsmQuery): DataFrame = {
 
     val typeCond = {
       val wanted = Seq(TypeNode -> q.nodes, TypeWay -> q.ways, TypeRelation -> q.relations)
@@ -158,9 +165,11 @@ object OsmQueryExec {
     // queries drop degenerate ways before the coordinate join
     if (q.geometry) el = el.filter(col("type") =!= TypeWay || size(col("refs")) >= 2)
 
+    val nodes = all.filter(col("type") === TypeNode)
+      .select(col("id").as("nid"), col("lon"), col("lat"))
     val result =
-      if (q.topology) Topology.build(spark, el, nodeCoords(spark, path))
-      else if (q.geometry) GeometryBuilder.build(spark, path, el, q, nodeCoords(spark, path))
+      if (q.topology) Topology.build(spark, el, nodes)
+      else if (q.geometry) GeometryBuilder.build(spark, all, el, q, nodes)
       else el
 
     project(result, q)
@@ -206,7 +215,7 @@ object GeometryBuilder {
 
   /** @param el filtered elements (nodes/ways/relations per query)
     * @param nodes full node coordinate table (nid, lon, lat) */
-  def build(spark: SparkSession, path: String, el: DataFrame, q: OsmQuery,
+  def build(spark: SparkSession, all: DataFrame, el: DataFrame, q: OsmQuery,
       nodes: DataFrame): DataFrame = {
     import spark.implicits._
 
@@ -265,8 +274,9 @@ object GeometryBuilder {
       .select(col("rel_id"), col("gclass"), col("mpos"),
         col("m.role").as("role"), col("m.ref").as("wref"))
 
-    // member ways may be outside the filtered set → re-scan ways (id, refs)
-    val allWays = spark.read.format("osmpbf").load(path)
+    // member ways may be outside the filtered set → unfiltered way pass
+    // over the same source (a pruned re-scan, or free if persisted)
+    val allWays = all
       .filter(col("type") === TypeWay)
       .select(col("id").as("wid"), col("refs"))
 

@@ -60,6 +60,20 @@ class OsmFileSpec extends AnyFunSuite {
     val c = f.coords(Seq(1L)).collect().head
     assert(math.abs(c.getAs[Double]("lat") - 43.5) < 1e-6)
   }
+
+  test("cached OsmFile answers queries from the persisted element table") {
+    graft.pbf.MiniWorld.generate()
+    val cached = new OsmFile(spark, graft.pbf.MiniWorld.path, cache = true)
+    try {
+      val viaCache = cached.query(OsmQuery.buildings.copy(geometry = true))
+        .orderBy("osmid").collect().map(_.getAs[Long]("osmid")).toSeq
+      val direct = OsmQuery.buildings.copy(geometry = true)
+        .run(spark, graft.pbf.MiniWorld.path)
+        .orderBy("osmid").collect().map(_.getAs[Long]("osmid")).toSeq
+      assert(viaCache === direct && viaCache.nonEmpty)
+      assert(cached.elements.storageLevel.useMemory)
+    } finally cached.unpersist()
+  }
 }
 
 class Fnv64Spec extends AnyFunSuite {
