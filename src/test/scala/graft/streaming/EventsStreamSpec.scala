@@ -35,6 +35,43 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L // 1h in ns
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: events in hours 0 and 2 — watermark advances to 1h50m
+    writeBatch("b1", Seq(
+      (1L, 10L, 1L, "a", 1.0, "{}"),
+      (2L, 2L * h, 1L, "a", 1.0, "{}")))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val sin = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = EventsStream.windowedCounts(sin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a fresh event at hour 5 plus a LATE event for hour 0
+      // (behind the 1h50m watermark) — the late one must be dropped
+      writeBatch("b2", Seq(
+        (3L, 5L * h, 1L, "a", 1.0, "{}"),
+        (4L, 20L, 1L, "a", 100.0, "{}")))
+      q.processAllAvailable()
+      // one more batch to push the watermark past hour 5 and flush
+      writeBatch("b3", Seq((5L, 7L * h, 1L, "a", 1.0, "{}")))
+      q.processAllAvailable()
+      val out = spark.table("late_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // hour-0 window finalized with ONLY the on-time event (n=1, sum=1.0)
+      assert(out(0L) === ((1L, 1.0)), s"late event leaked into $out")
+      assert(out.contains(2L * 3600) && out.contains(5L * 3600))
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps") {
     import spark.implicits._
     val h = 3600L * 1000000000L
