@@ -412,16 +412,19 @@ object Topology {
     import org.apache.spark.sql.expressions.Window
 
     val ways = el.filter(col("type") === graft.sources.OsmPbfSource.TypeWay)
+    // posexplode's position is already 0-based within the way, so the
+    // endpoint flags come from `size(refs)` carried through the explode
+    // — no per-way window (and its shuffle) needed.
     val exploded = ways
-      .select(col("id").as("way"), posexplode(col("refs")).as(Seq("pos", "node")))
+      .select(col("id").as("way"), size(col("refs")).as("n_refs"),
+        posexplode(col("refs")).as(Seq("pos", "node")))
 
     // junction = node occurring more than once across all exploded rows
     // (reference _frame.py:272 pandas duplicated(keep=False))
     val counts = exploded.groupBy("node").agg(count(lit(1)).as("n_occ"))
-    val wWay = Window.partitionBy("way")
     val rows = exploded.join(counts, "node")
-      .withColumn("is_first", col("pos") === min("pos").over(wWay))
-      .withColumn("is_last", col("pos") === max("pos").over(wWay))
+      .withColumn("is_first", col("pos") === 0)
+      .withColumn("is_last", col("pos") === col("n_refs") - 1)
       .withColumn("junction", col("n_occ") >= 2)
 
     val interior = col("junction") && !col("is_first") && !col("is_last")
