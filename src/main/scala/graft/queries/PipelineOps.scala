@@ -15,6 +15,24 @@ object PipelineOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The integrated training-data preparation pipeline: token/quality
+    // gate → near-duplicate removal (MinHash-LSH candidates, exact-
+    // verified — the scale path, proven equal to the exact baseline) →
+    // clean corpus. Duplicate policy: for every near-dup pair (a<b),
+    // the higher id is dropped (deterministic canonicalization).
+    "pipe_clean_corpus" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = split(col("text"), " ")
+      val quality = docs
+        .withColumn("n_tokens", size(toks))
+        .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
+      val dupIds = TextOps.queries("dedup_minhash_lsh")(s, dir)
+        .select(col("idb").as("dup_id")).distinct()
+      quality.join(dupIds, quality("doc_id") === dupIds("dup_id"), "left_anti")
+        .select("doc_id", "n_tokens", "lang")
+        .orderBy("doc_id")
+    }),
+
     // tumbling 1h window aggregation (streaming-capable transform)
     "ev_window_agg" -> ((s, dir) =>
       EventsStream.windowedCounts(t(s, dir, "events"))
@@ -42,6 +60,29 @@ object PipelineOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "pipe_clean_corpus" ->
+      """WITH idx AS (SELECT unnest(range(1, 1000)) AS g),
+         grams AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 3) AS gram
+           FROM documents JOIN idx ON g <= greatest(length(text) - 2, 1)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dups AS (
+           SELECT DISTINCT idb AS dup_id FROM inter
+           JOIN sizes sa ON sa.doc_id = ida
+           JOIN sizes sb ON sb.doc_id = idb
+           WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)
+         SELECT doc_id,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                lang
+         FROM documents
+         WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 10
+           AND length(text) >= 60
+           AND doc_id NOT IN (SELECT dup_id FROM dups)
+         ORDER BY doc_id""",
     "ev_window_agg" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
                 event_type, count(*) AS n, round(sum(value), 2) AS sum_value
