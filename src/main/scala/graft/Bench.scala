@@ -26,8 +26,8 @@ object Bench {
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh",
-    // events / multimodal
-    "ev_window_agg", "ev_sessionize", "mm_features",
+    // events / multimodal / integrated pipeline
+    "ev_window_agg", "ev_sessionize", "mm_features", "pipe_clean_corpus",
     // osm fixture end-to-end + 2M-node scale probes
     "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 
