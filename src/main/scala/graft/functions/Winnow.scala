@@ -1,0 +1,59 @@
+package graft.functions
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, public
+  * MOSS algorithm): Rabin-style rolling hash over character k-grams,
+  * then the minimum hash per sliding window of w consecutive grams.
+  * Guarantee: any shared substring of length ≥ w + k - 1 between two
+  * documents yields at least one shared fingerprint.
+  */
+object Winnow {
+
+  final val Base = 1000003L
+
+  /** Rolling hashes of all k-grams (length n-k+1), computed in O(n). */
+  def rollingHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(MinHash.splitmix64(
+      text.foldLeft(0L)((h, c) => h * Base + c)))
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + text.charAt(i); i += 1 }
+    out(0) = MinHash.splitmix64(h)
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * Base + text.charAt(i)
+      out(i - k + 1) = MinHash.splitmix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprint set: min hash of each w-window, rightmost
+    * minimum wins ties (the standard robust-winnowing rule), deduped. */
+  def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val hs = rollingHashes(text, k)
+    if (hs.length <= w) return hs.distinct.sorted
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + w <= hs.length) {
+      var minIx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (hs(j) <= hs(minIx)) minIx = j
+        j += 1
+      }
+      seen.add(hs(minIx))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+}

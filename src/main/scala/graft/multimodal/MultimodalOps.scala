@@ -66,4 +66,42 @@ object MultimodalOps {
       .mapPartitions(_.map { case (id, bytes) => MediaCodec.features(id, bytes) })
       .toDF()
   }
+
+  /** "Resize" plumbing: media → fixed-size payload (decode → scale →
+    * re-encode in a real pipeline; the STUB deterministically samples
+    * source bytes at a fixed stride). Output schema carries the new
+    * size metadata the way an image pipeline would. */
+  def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    media.select("id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = new Array[Byte](targetBytes)
+        val n = math.max(bytes.length, 1)
+        var i = 0
+        while (i < targetBytes) {
+          out(i) = bytes((i.toLong * n / targetBytes).toInt % n)
+          i += 1
+        }
+        (id, out, targetBytes, bytes.length)
+      })
+      .toDF("id", "media", "n_bytes", "orig_bytes")
+  }
+
+  /** Frame-sampling plumbing: treat the payload as consecutive
+    * `frameBytes`-sized frames, keep every `stride`-th frame — the
+    * shape of video keyframe extraction (one binary → array of binary
+    * frames + positions). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.select("id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).map { f =>
+          val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes)
+          (id, f, frame)
+        }
+      })
+      .toDF("id", "frame_ix", "frame")
+  }
 }

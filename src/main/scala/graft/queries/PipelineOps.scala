@@ -56,7 +56,33 @@ object PipelineOps {
       MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")))
         .select(col("id").as("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
           round(col("entropy"), 6).as("entropy"), col("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multimodal resize plumbing: fixed-size payloads (stubbed codec;
+    // rows-only — byte layout pinned in MultimodalSpec)
+    "mm_resize" -> ((s, dir) =>
+      MultimodalOps.resize(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")), 128)
+        .select(col("id").as("doc_id"), col("n_bytes"), col("orig_bytes"))
+        .orderBy("doc_id")),
+
+    // multimodal frame sampling: every 4th 32-byte "frame" (rows-only)
+    "mm_frame_sample" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")), 32, 4)
+        .select(col("id").as("doc_id"), col("frame_ix"), length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_ix")),
+
+    // winnowing fingerprints (MOSS rolling-hash scheme; rows-only —
+    // shared-substring guarantee pinned in WinnowSpec)
+    "text_winnow" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val fps = graft.functions.Winnow.fingerprints(text, 5, 4)
+          (id, fps.length, fps.headOption.getOrElse(0L))
+        })
+        .toDF("doc_id", "n_fingerprints", "min_fp")
+        .orderBy("doc_id")
+    })
   )
 
   def oracle: Map[String, String] = Map(
