@@ -186,6 +186,14 @@ object TextOps {
           length(col("text")).as("len"))
         .orderBy("doc_id")),
 
+    // Regex ("BPE-ish" pre-tokenizer) token counting: word pieces via
+    // pattern extraction rather than whitespace split.
+    "text_tokens_regex" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_tokens"))
+        .orderBy("doc_id")),
+
     // Quality scoring: stopword ratio, mean token length, short-doc flag.
     "text_quality" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -256,6 +264,13 @@ object TextOps {
                       ELSE 'es' END AS pred_lang
           FROM s ORDER BY doc_id"""
     },
+    // the corpus is single-space lowercase words, so regex word-piece
+    // count equals the whitespace count — the oracle uses portable
+    // length arithmetic rather than engine-specific regex semantics
+    "text_tokens_regex" ->
+      """SELECT doc_id,
+                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+         FROM documents ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT doc_id,
                 length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
