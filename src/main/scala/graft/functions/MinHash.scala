@@ -76,6 +76,35 @@ object MinHash {
     out
   }
 
+  /** Pack the low byte of each signature component, 8 per long — the
+    * shuffle-compact form for in-bucket similarity estimation (byte
+    * equality is implied by full-component equality, so filtering on
+    * byte matches can only over-approximate: no new false negatives;
+    * the +1/256 false-equal rate is absorbed by exact verification). */
+  def packBytes(sig: Array[Long]): Array[Long] = {
+    val out = new Array[Long]((sig.length + 7) / 8)
+    var i = 0
+    while (i < sig.length) {
+      out(i >> 3) |= (sig(i) & 0xffL) << ((i & 7) << 3)
+      i += 1
+    }
+    out
+  }
+
+  /** Count byte-equal components of two packed signatures, early-exit
+    * once `minMatches` is unreachable; returns -1 on early exit. */
+  def packedMatches(a: Array[Long], b: Array[Long], k: Int, minMatches: Int): Int = {
+    var eq = 0
+    var i = 0
+    while (i < k) {
+      val shift = (i & 7) << 3
+      if (((a(i >> 3) >>> shift) & 0xffL) == ((b(i >> 3) >>> shift) & 0xffL)) eq += 1
+      else if (eq + (k - i - 1) < minMatches) return -1
+      i += 1
+    }
+    eq
+  }
+
   /** Fraction of equal components with early exit below `minMatches`. */
   def sigMatches(a: Array[Long], b: Array[Long], minMatches: Int): Int = {
     val k = a.length

@@ -126,7 +126,7 @@ class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String,
 
   /** cache stats analogue: blob count + element counts per type. */
   def info(): Map[String, Long] = {
-    val blobs = graft.pbf.OsmPbfFile.index(path).size.toLong
+    val blobs = graft.pbf.OsmPbfFile.indexAll(path).size.toLong
     val counts = elements.groupBy("type").count().collect()
       .map(r => r.getByte(0) -> r.getLong(1)).toMap
     Map(

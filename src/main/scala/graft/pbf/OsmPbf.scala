@@ -43,6 +43,26 @@ object DecodeNeeds {
   * (reference headers.py:9-121, osmdata.py:95-125). */
 object OsmPbfFile {
 
+  /** Expand a path / directory / glob into concrete `.osm.pbf` files —
+    * a 100 TB corpus is a directory of extracts, not one file. */
+  def expand(pathStr: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val statuses =
+      if (fs.isDirectory(path)) fs.listStatus(path).toSeq
+      else Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+    val files =
+      if (statuses.isEmpty) Seq(pathStr) // plain single file
+      else statuses.filter(_.isFile).map(_.getPath.toString)
+        .filter(p => p.endsWith(".pbf") || statuses.size == 1)
+    require(files.nonEmpty, s"no .pbf files under $pathStr")
+    files.sorted
+  }
+
+  /** Index every file under the path/glob (one framing pass each). */
+  def indexAll(pathStr: String, conf: Configuration = new Configuration()): Seq[BlobInfo] =
+    expand(pathStr, conf).flatMap(f => index(f, conf))
+
   /** Scan `[len:int32-BE][BlobHeader][Blob]` frames; validate the
     * OSMHeader; return one BlobInfo per OSMData blob. Only reads the
     * small header messages + the header blob — ~50 bytes per data blob,

@@ -91,9 +91,11 @@ object TextOps {
       val sigDs = d.select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val sig = MinHash.signature(MinHash.gramHashes(text), kK)
-          (id, sig, MinHash.bandHashes(sig, kR, kB))
+          // byte-packed signature (16 longs) rides the band shuffle in
+          // place of the full 128-long signature (3x narrower rows)
+          (id, MinHash.packBytes(sig), MinHash.bandHashes(sig, kR, kB))
         })
-        .toDF("doc_id", "sig", "bhs")
+        .toDF("doc_id", "sig8", "bhs")
       // Candidate pairs are generated and filtered INSIDE each band
       // bucket (flatMapGroups): only (band, bandHash) bucket rows
       // shuffle -- never the O(candidates) pair set. Cross-band
@@ -105,9 +107,9 @@ object TextOps {
       // P(< 0.72*128) ~ 1e-4, so oracle parity is preserved; the
       // j ~ 0.5 collision mass is rejected in O(few comparisons).
       val exploded = sigDs
-        .select(col("doc_id"), col("sig"), col("bhs"),
+        .select(col("doc_id"), col("sig8"), col("bhs"),
           posexplode(col("bhs")).as(Seq("band", "bh")))
-        .select(col("band"), col("bh"), col("doc_id"), col("sig"), col("bhs"))
+        .select(col("band"), col("bh"), col("doc_id"), col("sig8"), col("bhs"))
         .as[(Int, Long, Long, Array[Long], Array[Long])]
       val minMatches = math.ceil(0.72 * K).toInt
       val cands = exploded
@@ -126,7 +128,7 @@ object TextOps {
                 var fb = 0
                 while (a._5(fb) != b._5(fb)) fb += 1
                 if (fb == band &&
-                    MinHash.sigMatches(a._4, b._4, minMatches) >= minMatches)
+                    MinHash.packedMatches(a._4, b._4, kK, minMatches) >= minMatches)
                   out += ((a._3, b._3))
                 j += 1
               }

@@ -141,7 +141,7 @@ class OsmPbfScan(path: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val blobs = OsmPbfFile.index(path)
+    val blobs = OsmPbfFile.indexAll(path)
     // F10 — blob-level partition pruning: when a type filter is pushed,
     // consult (and lazily build, one parallel pass per file) the
     // per-blob element-type stats index and drop blobs that cannot

@@ -70,6 +70,18 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     assert(df.filter(col("id").isin(1, 20)).count() === 2)
   }
 
+  test("directory of pbf files scans as one table (multi-file corpus)") {
+    val dir = java.nio.file.Files.createTempDirectory("multipbf")
+    write(dir.resolve("a.osm.pbf").toString, Seq(Seq(
+      N(1, 0.0, 0.0, Seq("amenity" -> "cafe")), N(2, 1.0, 1.0))))
+    write(dir.resolve("b.osm.pbf").toString, Seq(Seq(
+      N(10, 2.0, 2.0), W(20, Seq(1L, 2L), Seq("highway" -> "service")))))
+    val df = spark.read.format("osmpbf").load(dir.toString)
+    assert(df.count() === 4)
+    assert(df.rdd.getNumPartitions === 2) // one blob per file
+    assert(df.filter(col("type") === 1).count() === 1)
+  }
+
   test("blob-level partition pruning from pushed type filter (F10)") {
     val df = spark.read.format("osmpbf").load(fixture())
     // fixture has 3 blobs: nodes, ways, relations — a relations-only
