@@ -1,0 +1,78 @@
+package graft.pbf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Framing/codec error semantics (reference headers.py:33-121:
+  * unsupported codecs and features raise; Q5 — only raw + zlib). */
+class ErrorPathSpec extends AnyFunSuite {
+
+  test("unsupported blob compression is rejected") {
+    val blob = new PbfWriter
+    blob.writeVarintField(2, 10) // raw_size
+    blob.writeBytes(4, Array[Byte](1, 2, 3)) // lzma_data field
+    val e = intercept[UnsupportedOperationException] {
+      OsmPbfFile.decodeBlob(blob.toBytes)
+    }
+    assert(e.getMessage.contains("compression"))
+  }
+
+  test("empty blob is rejected") {
+    val blob = new PbfWriter
+    blob.writeVarintField(2, 10)
+    intercept[IllegalArgumentException] {
+      OsmPbfFile.decodeBlob(blob.toBytes)
+    }
+  }
+
+  test("unknown required feature in OSMHeader is rejected") {
+    val hb = new PbfWriter
+    hb.writeString(4, "OsmSchema-V0.6")
+    hb.writeString(4, "HistoricalInformation")
+    val e = intercept[UnsupportedOperationException] {
+      OsmPbfFile.validateHeader(hb.toBytes)
+    }
+    assert(e.getMessage.contains("HistoricalInformation"))
+  }
+
+  test("file without an OSMHeader blob is rejected") {
+    val f = java.io.File.createTempFile("nohdr", ".osm.pbf")
+    f.deleteOnExit()
+    // write a file whose only blob is OSMData
+    OsmPbfWriter.write(f.getAbsolutePath, Seq(Seq(OsmPbfWriter.N(1, 0, 0))))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // strip the header frame: find the second frame start
+    val headerLen = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    // parse BlobHeader to get datasize
+    val r = new PbfReader(java.util.Arrays.copyOfRange(bytes, 4, 4 + headerLen))
+    var dataSize = 0
+    while (r.hasMore) {
+      val tag = r.readTag()
+      if ((tag >> 3) == 3) dataSize = r.readVarint().toInt else r.skip(tag & 7)
+    }
+    val rest = java.util.Arrays.copyOfRange(bytes, 4 + headerLen + dataSize, bytes.length)
+    val f2 = java.io.File.createTempFile("nohdr2", ".osm.pbf")
+    f2.deleteOnExit()
+    java.nio.file.Files.write(f2.toPath, rest)
+    intercept[IllegalArgumentException] {
+      OsmPbfFile.index(f2.getAbsolutePath)
+    }
+  }
+
+  test("unknown blob type is rejected") {
+    val f = java.io.File.createTempFile("badtype", ".osm.pbf")
+    f.deleteOnExit()
+    val out = new java.io.FileOutputStream(f)
+    val header = new PbfWriter
+    header.writeString(1, "OSMWeird")
+    header.writeVarintField(3, 0)
+    val hb = header.toBytes
+    out.write(Array[Byte](0, 0, 0, hb.length.toByte))
+    out.write(hb)
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      OsmPbfFile.index(f.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("OSMWeird"))
+  }
+}
