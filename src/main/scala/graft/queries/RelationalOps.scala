@@ -479,8 +479,59 @@ object RelationalOps {
 
   /** Full analytics headliners (TPC-H-style): exercise the engine the
     * way a warehouse would — multi-agg pricing summary, selective
-    * star-join revenue, two-sided nation-colocated revenue. */
+    * star-join revenue, two-sided nation-colocated revenue. Plus the
+    * generic grouping-sets / ranking / distinct-agg capabilities the
+    * reference lacks but a warehouse surface needs (SURVEY §2.4 note).
+    */
   def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE grouping sets with explicit grouping flags; partial+final
+    // aggregation is automatic (HashAggregateExec expands grouping sets
+    // map-side — one shuffle).
+    "a8_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ROLLUP hierarchy totals over the star join.
+    "a8_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // exact + distinct aggregation in one pass.
+    "a9_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ranking windows: rank/dense_rank stay deterministic under ties by
+    // construction; ntile gets a complete order.
+    "w4_ranks" -> ((s, dir) => {
+      val byQty = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc)
+      val complete = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rnk", rank().over(byQty))
+        .withColumn("drnk", dense_rank().over(byQty))
+        .withColumn("nt", ntile(4).over(complete))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "rnk", "drnk", "nt")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    }),
 
     "tpch_q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -542,6 +593,32 @@ object RelationalOps {
     }))
 
   def analyticsOracle: Map[String, String] = Map(
+    "a8_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "a8_rollup" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, o_orderstatus)
+         ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "a9_distinct_agg" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w4_ranks" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+                ntile(4) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS nt
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""",
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
