@@ -114,28 +114,38 @@ object OsmPbfFile {
     } finally in.close()
   }
 
-  /** Blob payload extraction: raw(1) / raw_size(2) / zlib_data(3)
-    * (reference headers.py:33-78; like the reference, only raw + zlib —
-    * other codecs are rejected, headers.py:84-85, block.py:20-23). */
+  /** Blob payload extraction: raw(1) / raw_size(2) / zlib_data(3) /
+    * lz4_data(6) / zstd_data(7). The reference detects but only
+    * implements zlib (headers.py:33-78, block.py:20-23, quirk Q5); we
+    * additionally support lz4 + zstd via the JVM codecs Spark already
+    * ships (lz4-java, zstd-jni). lzma(4) / obsolete bzip2(5) rejected. */
   def decodeBlob(blob: Array[Byte]): Array[Byte] = {
     val r = new PbfReader(blob)
     var raw: Array[Byte] = null
     var rawSize = -1
     var zlib: Array[Byte] = null
+    var lz4: Array[Byte] = null
+    var zstd: Array[Byte] = null
     while (r.hasMore) {
       val tag = r.readTag()
       (tag >> 3) match {
         case 1 => raw = r.readBytes()
         case 2 => rawSize = r.readVarint().toInt
         case 3 => zlib = r.readBytes()
-        case f if f >= 4 && f <= 7 =>
+        case 6 => lz4 = r.readBytes()
+        case 7 => zstd = r.readBytes()
+        case f if f == 4 || f == 5 =>
           throw new UnsupportedOperationException(
-            s"unsupported blob compression (field $f); only raw/zlib")
+            s"unsupported blob compression (field $f); only raw/zlib/lz4/zstd")
         case _ => r.skip(tag & 7)
       }
     }
     if (raw != null) raw
     else if (zlib != null) Zlib.inflate(zlib, rawSize)
+    else if (zstd != null) com.github.luben.zstd.Zstd.decompress(zstd, rawSize)
+    else if (lz4 != null)
+      net.jpountz.lz4.LZ4Factory.fastestInstance()
+        .fastDecompressor().decompress(lz4, rawSize)
     else throw new IllegalArgumentException("empty blob")
   }
 

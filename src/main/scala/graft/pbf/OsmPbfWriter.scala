@@ -19,16 +19,18 @@ object OsmPbfWriter {
   final case class R(id: Long, members: Seq[(String, Long, Byte)], // (role, ref, type 0/1/2)
       tags: Seq[(String, String)] = Nil, info: Option[Info] = None) extends Elem
 
-  /** One block per element seq; nodes encoded dense when denseNodes=true. */
+  /** One block per element seq; nodes encoded dense when denseNodes=true.
+    * codec ∈ raw | zlib | lz4 | zstd (blob fields 1/3/6/7). */
   def write(path: String, blocks: Seq[Seq[Elem]], denseNodes: Boolean = true,
       granularity: Long = 100, latOffset: Long = 0, lonOffset: Long = 0,
-      dateGranularity: Long = 1000): Unit = {
+      dateGranularity: Long = 1000, codec: String = "zlib"): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path))
     try {
-      writeFrame(out, "OSMHeader", headerBlock())
+      writeFrame(out, "OSMHeader", headerBlock(), codec)
       blocks.foreach { es =>
         writeFrame(out, "OSMData",
-          primitiveBlock(es, denseNodes, granularity, latOffset, lonOffset, dateGranularity))
+          primitiveBlock(es, denseNodes, granularity, latOffset, lonOffset, dateGranularity),
+          codec)
       }
     } finally out.close()
   }
@@ -41,11 +43,23 @@ object OsmPbfWriter {
   }
 
   private def writeFrame(out: java.io.OutputStream, blobType: String,
-      payload: Array[Byte]): Unit = {
-    val compressed = Zlib.deflate(payload)
+      payload: Array[Byte], codec: String): Unit = {
     val blob = new PbfWriter
-    blob.writeVarintField(2, payload.length)
-    blob.writeBytes(3, compressed)
+    codec match {
+      case "raw" =>
+        blob.writeBytes(1, payload)
+      case "zlib" =>
+        blob.writeVarintField(2, payload.length)
+        blob.writeBytes(3, Zlib.deflate(payload))
+      case "lz4" =>
+        blob.writeVarintField(2, payload.length)
+        blob.writeBytes(6,
+          net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(payload))
+      case "zstd" =>
+        blob.writeVarintField(2, payload.length)
+        blob.writeBytes(7, com.github.luben.zstd.Zstd.compress(payload))
+      case other => throw new IllegalArgumentException(s"unknown codec '$other'")
+    }
     val blobBytes = blob.toBytes
     val header = new PbfWriter
     header.writeString(1, blobType)

@@ -3,17 +3,20 @@ package graft.pbf
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Framing/codec error semantics (reference headers.py:33-121:
-  * unsupported codecs and features raise; Q5 — only raw + zlib). */
+  * unsupported codecs and features raise). We extend Q5: raw/zlib/lz4/
+  * zstd supported, lzma(4) + obsolete bzip2(5) rejected. */
 class ErrorPathSpec extends AnyFunSuite {
 
-  test("unsupported blob compression is rejected") {
-    val blob = new PbfWriter
-    blob.writeVarintField(2, 10) // raw_size
-    blob.writeBytes(4, Array[Byte](1, 2, 3)) // lzma_data field
-    val e = intercept[UnsupportedOperationException] {
-      OsmPbfFile.decodeBlob(blob.toBytes)
+  test("unsupported blob compression (lzma, bzip2) is rejected") {
+    Seq(4, 5).foreach { field =>
+      val blob = new PbfWriter
+      blob.writeVarintField(2, 10) // raw_size
+      blob.writeBytes(field, Array[Byte](1, 2, 3))
+      val e = intercept[UnsupportedOperationException] {
+        OsmPbfFile.decodeBlob(blob.toBytes)
+      }
+      assert(e.getMessage.contains("compression"))
     }
-    assert(e.getMessage.contains("compression"))
   }
 
   test("empty blob is rejected") {

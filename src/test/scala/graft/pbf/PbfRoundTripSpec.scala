@@ -118,6 +118,30 @@ class OsmPbfRoundTripSpec extends AnyFunSuite {
     assert(got.head.tagKeys.toSeq === Seq("type"))
   }
 
+  test("raw/zlib/lz4/zstd blob codecs round-trip identically") {
+    val blocks = Seq(Seq(
+      N(1, 43.51, 5.41, Seq("amenity" -> "cafe")),
+      N(2, 43.52, 5.42)),
+      Seq(W(10, Seq(1L, 2L), Seq("highway" -> "path"))))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val byCodec = Seq("raw", "zlib", "lz4", "zstd").map { codec =>
+      val f = java.io.File.createTempFile(s"codec-$codec", ".osm.pbf")
+      f.deleteOnExit()
+      write(f.getAbsolutePath, blocks, codec = codec)
+      val decoded = OsmPbfFile.index(f.getAbsolutePath).flatMap { b =>
+        BlockDecoder.decode(OsmPbfFile.readBlob(b, conf),
+          Array(true, true, true), DecodeNeeds.all).toSeq
+      }
+      codec -> decoded.map(d => (d.id, d.etype, d.lat, d.lon,
+        d.tagKeys.toSeq, d.tagVals.toSeq, d.refs.toSeq))
+    }
+    val expected = byCodec.head._2
+    assert(expected.map(_._1) === Seq(1L, 2L, 10L))
+    byCodec.tail.foreach { case (codec, got) =>
+      assert(got === expected, s"codec $codec differs from raw")
+    }
+  }
+
   test("multi-block file + type pushdown skips groups") {
     val blocks = Seq(
       Seq(N(1, 0.0, 0.0), N(2, 1.0, 1.0)),
