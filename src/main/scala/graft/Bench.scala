@@ -25,7 +25,7 @@ object Bench {
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
-    "vec_topk_bruteforce", "vec_ann_lsh",
+    "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "mm_features", "pipe_clean_corpus",
     // osm fixture end-to-end + 2M-node scale probes

@@ -43,6 +43,19 @@ object PipelineOps {
       EventsStream.sessionize(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
 
+    // dedup-on-ingest, batch form: first event (by event time) per
+    // (user_id, event_type); EventsStream.dedupStream is the
+    // state-store streaming twin (EventsStreamSpec)
+    "ev_dedup_first" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    }),
+
     // multimodal: binary media column → batched mapPartitions feature
     // extraction (oracle covers the byte stats; the stubbed decode path
     // and fingerprint are pinned in MultimodalSpec)
@@ -127,6 +140,13 @@ object PipelineOps {
                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
          FROM f ORDER BY user_id, event_id""",
+    "ev_dedup_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rk
+           FROM events) t
+         WHERE rk = 1 ORDER BY user_id, event_type""",
     "mm_features" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
                 len(list_distinct(string_split(text, ''))) AS n_distinct_bytes

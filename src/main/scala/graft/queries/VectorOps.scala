@@ -42,6 +42,10 @@ object VectorOps {
   /** Query set: vec_id < 5 — stands in for an external query batch. */
   private val QueryIds = 5
   private val TopK = 10
+  /** IVF coarse quantizer: one centroid per `CentroidStep` ids (~17
+    * lists at sf0.01, ~65 at sf0.1); queries probe `NProbe` lists. */
+  private val CentroidStep = 31
+  private val NProbe = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -83,7 +87,14 @@ object VectorOps {
     // bits; candidates share a signature bucket; top-k within bucket.
     // Approximate by construction — no SQL oracle (rows-only; recall
     // vs brute force asserted in ScalaTest).
-    "vec_ann_lsh" -> ((s, dir) => annLsh(s, dir, 8)))
+    "vec_ann_lsh" -> ((s, dir) => annLsh(s, dir, 8)),
+
+    // IVF (inverted-file) ANN: deterministic coarse quantizer
+    // (centroids = vectors with vec_id % step == 0, so centroid count
+    // scales with the corpus), every vector assigned to its nearest
+    // centroid's list, queries probe the nprobe nearest lists and score
+    // exactly inside them. Fully deterministic ⇒ full SQL oracle.
+    "vec_ann_ivf" -> ((s, dir) => annIvf(s, dir, CentroidStep, NProbe)))
 
   /** Random-hyperplane LSH ANN, parameterized by plane count (bucket
     * granularity: 2^planes buckets — tune to corpus size). */
@@ -131,6 +142,46 @@ object VectorOps {
     }
   }
 
+  /** IVF ANN. Scale path (100 TB): the centroid table is tiny (corpus
+    * count / step) and broadcast twice — list assignment is a narrow
+    * broadcast join + per-row argmax (no shuffle of the corpus beyond
+    * the final per-query top-k), and search touches only the
+    * nprobe/K fraction of the corpus that shares a probed list. On a
+    * real deployment the assigned table is written out partitioned by
+    * `cid`, so probing prunes partitions at the source.
+    */
+  def annIvf(s: SparkSession, dir: String, centroidStep: Int, nprobe: Int): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val cents = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    // build the inverted lists: nearest centroid per vector
+    // (ties broken by centroid id — deterministic, mirrored in the oracle)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("csim", round(cosine(col("cv"), col("v"), col("cn"), col("norm")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    // queries probe their nprobe nearest lists
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("csim", round(cosine(col("cv"), col("va"), col("cn"), col("na")), 6))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("va"), col("na"), col("cid"))
+    // exact scoring inside the probed lists only
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("va"), col("v"), col("na"), col("norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   private val dotSql =
     """sum(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
                CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0"""
@@ -151,6 +202,59 @@ object VectorOps {
           scored AS (
             SELECT query_id, match_id,
                    round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk""",
+    "vec_ann_ivf" ->
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+          norms AS (
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+                    WHERE vec_id % $CentroidStep = 0),
+          cdots AS (
+            SELECT v.vec_id, c.cid,
+                   sum(round(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) *
+                             CAST(c.cemb[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0 AS dot
+            FROM embeddings v CROSS JOIN cents c CROSS JOIN idx
+            GROUP BY 1, 2),
+          csims AS (
+            SELECT cd.vec_id, cd.cid, round(cd.dot / (nv.nrm * nc.nrm), 6) AS csim
+            FROM cdots cd
+            JOIN norms nv ON nv.vec_id = cd.vec_id
+            JOIN norms nc ON nc.vec_id = cd.cid),
+          assigned AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid ASC) AS crk
+              FROM csims) t WHERE crk = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid ASC) AS crk
+              FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+          cand AS (
+            SELECT p.query_id, a.vec_id AS match_id
+            FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+          dots AS (
+            SELECT c.query_id, c.match_id, $dotSql AS dot
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.match_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
             FROM dots
             JOIN norms na ON na.vec_id = query_id
             JOIN norms nb ON nb.vec_id = match_id),

@@ -57,6 +57,22 @@ object EventsStream {
       .toDF("event_id", "user_id", "session_id")
   }
 
+  /** Streaming exact dedup on (user_id, event_type) — dedup-on-ingest,
+    * the streaming form of the batch `dedup_exact_hash`/`ev_dedup_first`
+    * operators. State-store keyed dedup with watermark-bounded state
+    * eviction (`dropDuplicatesWithinWatermark`), so state stays bounded
+    * on an unbounded stream — plain `dropDuplicates` would grow state
+    * forever at 100 TB/day ingest. Emits the first *arrival* per key;
+    * arrival order across partitions is nondeterministic, so the batch
+    * twin defines first by event time and the spec checks key-set
+    * equality + membership rather than exact row identity. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("event_id", "user_id", "event_type")
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

@@ -64,4 +64,20 @@ class LshParitySpec extends AnyFunSuite {
       assert(math.abs(bf((q, m)) - s) < 1e-9, s"score mismatch for ($q,$m)")
     }
   }
+
+  test("IVF ANN recalls most brute-force top-10 with identical scores") {
+    val bf = VectorOps.queries("vec_topk_bruteforce")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = VectorOps.queries("vec_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // probing 4 of ~17 lists must not touch the whole corpus's worth of
+    // candidates, and every recalled pair carries the exact cosine
+    val hits = ivf.count(a => bf.contains((a._1, a._2)))
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+    ivf.filter(a => bf.contains((a._1, a._2))).foreach { case (q, m, s) =>
+      assert(math.abs(bf((q, m)) - s) < 1e-9, s"score mismatch for ($q,$m)")
+    }
+  }
 }

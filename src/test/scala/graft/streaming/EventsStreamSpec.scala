@@ -72,6 +72,37 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps exactly one event per (user, type) key") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val expectedKeys = batchDf.select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // valid event ids per key (arrival order in the stream is
+    // nondeterministic, so any member of the key group may survive)
+    val members = batchDf.select("event_id", "user_id", "event_type")
+      .collect().map(r => (r.getLong(1), r.getString(2)) -> r.getLong(0))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+
+    val streamDir = java.nio.file.Files.createTempDirectory("evdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val sin = spark.readStream.schema(batchDf.schema).parquet(streamDir.toString)
+    val q = EventsStream.dedupStream(sin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => ((r.getLong(1), r.getString(2)), r.getLong(0)))
+      assert(got.map(_._1).toSet === expectedKeys, "key sets differ")
+      assert(got.length === expectedKeys.size, "more than one row for some key")
+      got.foreach { case (k, eid) =>
+        assert(members(k).contains(eid), s"emitted $eid is not an event of key $k")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps") {
     import spark.implicits._
     val h = 3600L * 1000000000L
