@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   * math is `zip_with`/`aggregate` over array columns in doubles —
   * codegen'd, no UDFs.
   */
-object VectorOps {
+object VectorOps extends Serializable {
 
   // Products are quantized to the 2^-20 binary grid before summation:
   // each term becomes an integer-valued double (|p·2^20| < 2^31), so
@@ -142,35 +142,82 @@ object VectorOps {
     }
   }
 
-  /** IVF ANN. Scale path (100 TB): the centroid table is tiny (corpus
-    * count / step) and broadcast twice — list assignment is a narrow
-    * broadcast join + per-row argmax (no shuffle of the corpus beyond
-    * the final per-query top-k), and search touches only the
-    * nprobe/K fraction of the corpus that shares a probed list. On a
-    * real deployment the assigned table is written out partitioned by
-    * `cid`, so probing prunes partitions at the source.
+  /** round(x, 0) with Spark/DuckDB HALF_UP semantics, branch-free fast
+    * path: .5 fractions round away from zero (math.rint would round to
+    * even — a silent oracle mismatch at exact-half products). */
+  private def r0(x: Double): Double = {
+    val f = math.floor(x)
+    val d = x - f
+    if (d > 0.5) f + 1 else if (d < 0.5) f else if (x >= 0) f + 1 else f
+  }
+
+  /** round(x, 6) exactly as Spark's Round / DuckDB round: decimal
+    * HALF_UP on the double's shortest decimal representation. Off the
+    * per-term hot path (one call per (vector, centroid) pair). */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** IVF ANN. Scale path (100 TB): the coarse quantizer is small
+    * relative to the corpus (1/step here; ~sqrt(N) trained centroids in
+    * production — identical plumbing), so it is collected and broadcast;
+    * list assignment is then a narrow per-partition JVM argmax — no
+    * join, no shuffle of the corpus before the final per-query top-k —
+    * and search touches only the nprobe/K fraction of the corpus
+    * sharing a probed list. On a real deployment the assigned table is
+    * written out partitioned by `cid`, so probing prunes partitions at
+    * the source. The quantized arithmetic (per-term round(x·y·2^20),
+    * exact integer sum, round to 6) is bit-identical to the Column-expr
+    * cosine and the SQL oracle.
     */
   def annIvf(s: SparkSession, dir: String, centroidStep: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
-    val cents = e.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    // build the inverted lists: nearest centroid per vector
-    // (ties broken by centroid id — deterministic, mirrored in the oracle)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = e.join(broadcast(cents))
-      .withColumn("csim", round(cosine(col("cv"), col("v"), col("cn"), col("norm")), 6))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
-    // queries probe their nprobe nearest lists
-    val q = e.filter(col("vec_id") < QueryIds)
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = q.join(broadcast(cents))
-      .withColumn("csim", round(cosine(col("cv"), col("va"), col("cn"), col("na")), 6))
-      .withColumn("crk", row_number().over(wProbe))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("va"), col("na"), col("cid"))
+    val cents: Array[(Long, Array[Double], Double)] =
+      e.filter(col("vec_id") % centroidStep === 0)
+        .as[(Long, Seq[Double], Double)].collect()
+        .map { case (id, v, n) => (id, v.toArray, n) }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val qids = QueryIds
+
+    // rounded csim to every centroid — shared by the distributed argmax
+    // and the driver-side probe ranking
+    def centroidSims(arr: Array[Double], norm: Double,
+        cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
+      val sims = new Array[Double](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)._2
+        var acc = 0.0
+        var d = 0
+        while (d < arr.length) { acc += r0(arr(d) * cv(d) * Q); d += 1 }
+        sims(ci) = r6(acc / Q / (norm * cs(ci)._3))
+        ci += 1
+      }
+      sims
+    }
+
+    // one narrow pass over the corpus: nearest list per vector (ties →
+    // lower cid, since cents is id-sorted and comparison is strict)
+    val assigned = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v, norm) =>
+        val sims = centroidSims(v.toArray, norm, cs)
+        var best = 0
+        var ci = 1
+        while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+        (id, v, norm, cs(best)._1)
+      }
+    }.toDF("vec_id", "v", "norm", "cid")
+
+    // the query batch is small by definition (external queries) —
+    // rank its probe lists on the driver, no second corpus pass
+    val probes = e.filter(col("vec_id") < qids)
+      .as[(Long, Seq[Double], Double)].collect()
+      .flatMap { case (id, v, norm) =>
+        val sims = centroidSims(v.toArray, norm, cents)
+        cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
+          .map(i => (id, v, norm, cents(i)._1))
+      }.toSeq.toDF("query_id", "va", "na", "cid")
     // exact scoring inside the probed lists only
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
