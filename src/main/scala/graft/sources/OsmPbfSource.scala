@@ -21,10 +21,12 @@ import graft.pbf._
   * Design (SURVEY §1.4, §3.1): the reference reads blobs sequentially on
   * one thread (reference osmdata.py:95-125); here the driver only frames
   * the file (4-byte length + ~50-byte BlobHeader per 1-32 MB blob, via
-  * seeks) and each OSMData blob becomes one InputPartition, so
-  * decompression + protobuf decode run fully parallel across executors.
-  * At 100 TB the framing pass reads ~3 MB per 100 GB file and the scan
-  * scales with the number of blobs (~8k elements each).
+  * seeks) and OSMData blobs are packed into InputPartitions with
+  * Spark's FilePartition split formula (maxPartitionBytes cap,
+  * openCost padding, bytes-per-core floor), so decompression + decode
+  * run fully parallel across executors without creating one task per
+  * blob — a 100 TB corpus plans ~128 MB splits, not ~6M tasks.
+  * At 100 TB the framing pass reads ~3 MB per 100 GB file.
   *
   * Pushdown:
   *  - `SupportsPushDownRequiredColumns` — skips protobuf field decode for
@@ -156,7 +158,19 @@ class OsmPbfScan(path: String, required: StructType,
             if (n && wantTypes(0)) || (w && wantTypes(1)) || (r && wantTypes(2)) => b
         }
       }
-    pruned.map(b => OsmPbfPartition(b.path, b.dataOffset, b.dataLen): InputPartition).toArray
+    // Pack blobs into splits with Spark's FilePartition formula: a
+    // 100 TB corpus is ~6M blobs — one task per blob would swamp the
+    // scheduler, so consecutive blobs coalesce up to maxSplitBytes,
+    // while the openCost padding keeps small files on separate tasks
+    // (full parallelism for a single city extract on local[32]).
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = conf.filesOpenCostInBytes
+    val bytesPerCore =
+      pruned.map(_.dataLen.toLong + openCost).sum /
+        math.max(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism, 1)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    OsmPbfScan.packBlobs(pruned, maxSplit, openCost)
+      .map(bs => OsmPbfPartition(bs.toArray): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -164,7 +178,31 @@ class OsmPbfScan(path: String, required: StructType,
       idFilter.map(_.toArray).orNull)
 }
 
-case class OsmPbfPartition(path: String, offset: Long, len: Int) extends InputPartition
+object OsmPbfScan {
+  /** Greedy split packing, same semantics as Spark's
+    * `FilePartition.getFilePartitions`: close the current split when
+    * the next blob would exceed maxSplit; each blob contributes its
+    * length plus openCost (so many tiny blobs don't collapse into one
+    * task, and large ones coalesce toward maxSplit). */
+  def packBlobs(blobs: Seq[BlobInfo], maxSplit: Long, openCost: Long): Seq[Seq[BlobInfo]] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[BlobInfo]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[BlobInfo]
+    var size = 0L
+    blobs.foreach { b =>
+      if (cur.nonEmpty && size + b.dataLen > maxSplit) {
+        parts += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer.empty[BlobInfo]
+        size = 0L
+      }
+      cur += b
+      size += b.dataLen + openCost
+    }
+    if (cur.nonEmpty) parts += cur.toSeq
+    parts.toSeq
+  }
+}
+
+case class OsmPbfPartition(blobs: Array[BlobInfo]) extends InputPartition
 
 /** Driver-side cache of per-blob element-type stats, built once per
   * file by a parallel Spark job (inflate + field-tag walk only — no
@@ -209,9 +247,12 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     coords = fieldNames.exists(f => f == "lat" || f == "lon"))
 
   private val iter: Iterator[Decoded] = {
-    val block = OsmPbfFile.readBlob(BlobInfo(p.path, p.offset, p.len), new Configuration())
-    val base = BlockDecoder.decode(block, wantTypes, needs)
-    if (idFilter == null) base else base.filter(d => idFilter.contains(d.id))
+    val conf = new Configuration()
+    p.blobs.iterator.flatMap { b =>
+      val block = OsmPbfFile.readBlob(b, conf)
+      val base = BlockDecoder.decode(block, wantTypes, needs)
+      if (idFilter == null) base else base.filter(d => idFilter.contains(d.id))
+    }
   }
 
   private var current: Decoded = _

@@ -61,6 +61,22 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 3)
   }
 
+  test("split packing follows the FilePartition formula") {
+    def b(len: Int) = graft.pbf.BlobInfo("f", 0L, len)
+    // large blobs coalesce toward maxSplit
+    val packed = OsmPbfScan.packBlobs(Seq.fill(8)(b(40)), maxSplit = 100, openCost = 0)
+    assert(packed.map(_.size) === Seq(2, 2, 2, 2))
+    // openCost padding keeps tiny blobs on separate tasks (parallelism
+    // for a single small extract)
+    val tiny = OsmPbfScan.packBlobs(Seq.fill(3)(b(10)), maxSplit = 100, openCost = 100)
+    assert(tiny.map(_.size) === Seq(1, 1, 1))
+    // order is preserved and nothing is dropped
+    val mixed = OsmPbfScan.packBlobs(
+      Seq(b(10), b(90), b(150), b(10), b(10)), maxSplit = 100, openCost = 0)
+    assert(mixed.flatten.size === 5)
+    assert(mixed.map(_.map(_.dataLen)) === Seq(Seq(10, 90), Seq(150), Seq(10, 10)))
+  }
+
   test("type and id filters are pushed into the scan") {
     val df = spark.read.format("osmpbf").load(fixture())
     val plan = df.filter(col("type") === 1).queryExecution.executedPlan.toString
