@@ -61,6 +61,18 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 3)
   }
 
+  test("SQL DDL surface: CREATE TEMPORARY VIEW ... USING osmpbf") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW osm_sql
+          USING osmpbf OPTIONS (path '${fixture()}')""")
+    val cafes = spark.sql(
+      "SELECT id, tags['amenity'] AS amenity FROM osm_sql WHERE type = 0 AND tags['amenity'] IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(cafes.toSeq.contains((1L, "cafe")))
+    assert(spark.sql("SELECT count(*) AS n FROM osm_sql").head().getLong(0) === 6L)
+    spark.sql("DROP VIEW osm_sql")
+  }
+
   test("split packing follows the FilePartition formula") {
     def b(len: Int) = graft.pbf.BlobInfo("f", 0L, len)
     // large blobs coalesce toward maxSplit
