@@ -30,7 +30,15 @@ object TextOps {
           "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))"))
           .as("gram"))
 
-  /** Exact pairwise character-3gram Jaccard ≥ minJ, ids ordered a<b. */
+  /** Exact pairwise character-3gram Jaccard ≥ minJ, ids ordered a<b.
+    *
+    * Join strategy is deliberately left to Catalyst: its gram-table
+    * size estimate scales with the parquet input, so small corpora get
+    * broadcast gram joins (fast locally) while a 100 TB corpus exceeds
+    * the autoBroadcast threshold and falls back to shuffled joins,
+    * with AQE re-planning from runtime stats. Forced broadcast hints
+    * on the candidate side measured slower here (extra materialization
+    * barriers) without changing the at-scale plan. */
   private def jaccardOn(cands: DataFrame, grams: DataFrame, minJ: Double): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ga = grams.select(col("doc_id").as("ida"), col("gram"))
