@@ -409,47 +409,52 @@ object Topology {
 
   def build(spark: SparkSession, el: DataFrame, nodes: DataFrame): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
 
     val ways = el.filter(col("type") === graft.sources.OsmPbfSource.TypeWay)
-    // posexplode's position is already 0-based within the way, so the
-    // endpoint flags come from `size(refs)` carried through the explode
-    // — no per-way window (and its shuffle) needed.
     val exploded = ways
-      .select(col("id").as("way"), size(col("refs")).as("n_refs"),
-        posexplode(col("refs")).as(Seq("pos", "node")))
+      .select(col("id").as("way"), posexplode(col("refs")).as(Seq("pos", "node")))
 
     // junction = node occurring more than once across all exploded rows
-    // (reference _frame.py:272 pandas duplicated(keep=False))
+    // (reference _frame.py:272 pandas duplicated(keep=False)). The
+    // degree count and the coordinate lookup (J1) both key on `node`,
+    // so they are fused into ONE keyed table: the nodes join lands on
+    // the count aggregation's partitioning instead of adding a shuffle.
     val counts = exploded.groupBy("node").agg(count(lit(1)).as("n_occ"))
-    val rows = exploded.join(counts, "node")
-      .withColumn("is_first", col("pos") === 0)
-      .withColumn("is_last", col("pos") === col("n_refs") - 1)
-      .withColumn("junction", col("n_occ") >= 2)
+    val nodesPlus = counts.join(nodes, col("node") === col("nid"))
+      .select(col("node"), col("lon"), col("lat"), (col("n_occ") >= 2).as("junction"))
+    val rows = exploded.join(nodesPlus, "node")
+      .select(col("way"), col("pos"), col("node"), col("lon"), col("lat"), col("junction"))
 
-    val interior = col("junction") && !col("is_first") && !col("is_last")
-    val dup = rows.withColumn("c",
-      explode(when(interior, array(lit(0), lit(1))).otherwise(array(lit(0)))))
-    val wOrd = Window.partitionBy("way").orderBy("pos", "c")
-    val cum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seg = dup
-      .withColumn("start", when(col("is_first") || (interior && col("c") === 1), 1).otherwise(0))
-      .withColumn("seg_ix", sum(col("start")).over(cum) - 1)
-      .join(nodes, col("node") === col("nid"))
-      .select(col("way"), col("seg_ix"), col("pos"), col("c"),
-        col("node"), col("lon"), col("lat"))
-
-    val segGeoms = seg.as[(Long, Long, Int, Int, Long, Double, Double)]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long, Double, Double)]) =>
-        val rows = it.toArray.sortBy(r => (r._3, r._4))
-        val coords = rows.map(r => Coord(r._6, r._7)).toSeq
-        (key._1, key._2, rows.head._5, rows.last._5,
-          Wkb.lineString(coords), "LineString", rows.length)
+    // One shuffle on `way` replaces the former window + junction-row
+    // explode + per-segment regroup: a way is ≤ 2000 nodes (OSM cap),
+    // so the whole chain walks in memory — interior junctions close
+    // the running segment and start the next one at the same node
+    // (reference _frame.py:267-296 semantics; segments with < 2 nodes
+    // dropped as before).
+    val segGeoms = rows.as[(Long, Int, Long, Double, Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (way: Long, it: Iterator[(Long, Int, Long, Double, Double, Boolean)]) =>
+        val ns = it.toArray.sortBy(_._2)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Array[Byte], String)]
+        var segIx = 0L
+        var start = 0
+        var i = 1
+        while (i < ns.length) {
+          val boundary = i == ns.length - 1 || ns(i)._6 // last node or interior junction
+          if (boundary) {
+            if (i > start) {
+              val coords = (start to i).map(j => Coord(ns(j)._4, ns(j)._5))
+              out += ((way, segIx, ns(start)._3, ns(i)._3,
+                Wkb.lineString(coords), "LineString"))
+              segIx += 1
+            }
+            start = i
+          }
+          i += 1
+        }
+        out.result().iterator
       }
-      .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type", "n_nodes")
-      .filter(col("n_nodes") >= 2)
-      .drop("n_nodes")
+      .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type")
 
     ways.join(segGeoms, ways("id") === segGeoms("way"))
       .drop("way")
