@@ -30,15 +30,44 @@ object TextOps {
           "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))"))
           .as("gram"))
 
-  /** Exact pairwise character-3gram Jaccard ≥ minJ, ids ordered a<b.
-    *
-    * Join strategy is deliberately left to Catalyst: its gram-table
-    * size estimate scales with the parquet input, so small corpora get
-    * broadcast gram joins (fast locally) while a 100 TB corpus exceeds
-    * the autoBroadcast threshold and falls back to shuffled joins,
-    * with AQE re-planning from runtime stats. Forced broadcast hints
-    * on the candidate side measured slower here (extra materialization
-    * barriers) without changing the at-scale plan. */
+  /** Exact per-pair 3-gram Jaccard for an OUTPUT-BOUNDED candidate set
+    * (the LSH path): attach both texts with two joins against the
+    * (doc_id, text) table, then compute the exact string-gram Jaccard
+    * per pair in the JVM — no corpus-wide gram explosion, shuffle, or
+    * aggregation at all. Integer intersection/union make the division
+    * exact, so the HALF_UP 6-digit round matches the SQL oracle
+    * bit-for-bit. */
+  private def jaccardPairsExact(s: SparkSession, cands: DataFrame, d: DataFrame,
+      minJ: Double): DataFrame = {
+    import s.implicits._
+    val texts = d.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(texts.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .select(col("ida"), col("idb"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (ida, idb, ta, tb) =>
+        val ga = graft.functions.Num.gramSet(ta)
+        val gb = graft.functions.Num.gramSet(tb)
+        var i = 0
+        val it = ga.iterator()
+        while (it.hasNext) if (gb.contains(it.next())) i += 1
+        (ida, idb,
+          graft.functions.Num.roundHalfUp(i.toDouble / (ga.size + gb.size - i), 6))
+      })
+      .toDF("ida", "idb", "jac")
+      .filter(col("jac") >= minJ)
+      .orderBy("ida", "idb")
+  }
+
+  /** Exact pairwise character-3gram Jaccard ≥ minJ, ids ordered a<b,
+    * via corpus-wide gram join — the verification form for candidate
+    * sets that may approach the corpus size (the exact all-pairs
+    * baseline). Join strategy is deliberately left to Catalyst: its
+    * gram-table size estimate scales with the parquet input, so small
+    * corpora get broadcast gram joins (fast locally) while a 100 TB
+    * corpus exceeds the autoBroadcast threshold and falls back to
+    * shuffled joins, with AQE re-planning from runtime stats. */
   private def jaccardOn(cands: DataFrame, grams: DataFrame, minJ: Double): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ga = grams.select(col("doc_id").as("ida"), col("gram"))
@@ -146,7 +175,7 @@ object TextOps {
           }
         }
         .toDF("ida", "idb")
-      jaccardOn(cands, gramTable(d), 0.8)
+      jaccardPairsExact(s, cands, d, 0.8)
     }),
 
     // SimHash (64-bit) over word tokens: per-bit majority vote of

@@ -142,20 +142,10 @@ object VectorOps extends Serializable {
     }
   }
 
-  /** round(x, 0) with Spark/DuckDB HALF_UP semantics, branch-free fast
-    * path: .5 fractions round away from zero (math.rint would round to
-    * even — a silent oracle mismatch at exact-half products). */
-  private def r0(x: Double): Double = {
-    val f = math.floor(x)
-    val d = x - f
-    if (d > 0.5) f + 1 else if (d < 0.5) f else if (x >= 0) f + 1 else f
-  }
-
-  /** round(x, 6) exactly as Spark's Round / DuckDB round: decimal
-    * HALF_UP on the double's shortest decimal representation. Off the
-    * per-term hot path (one call per (vector, centroid) pair). */
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // Spark/DuckDB-parity rounding (graft.functions.Num): HALF_UP fast
+  // path per term, decimal HALF_UP for the 6-digit score.
+  private def r0(x: Double): Double = graft.functions.Num.round0(x)
+  private def r6(x: Double): Double = graft.functions.Num.roundHalfUp(x, 6)
 
   /** IVF ANN. Scale path (100 TB): the coarse quantizer is small
     * relative to the corpus (1/step here; ~sqrt(N) trained centroids in
