@@ -252,7 +252,38 @@ object TextOps {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), xxhash64(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sampling: per-language rates via a
+    // portable multiplicative hash of doc_id (reproducible across
+    // engines and runs — no rand()). The narrow filter keeps sampling
+    // embarrassingly parallel at 100 TB; rates live in a small CASE
+    // (broadcast-join a rates dim at more strata).
+    "pipe_sample_stratified" -> ((s, dir) => {
+      val bucket = (col("doc_id") * lit(48271L)) % 65536L % 100L
+      val rate = when(col("lang") === "en", 20).otherwise(50)
+      docs(s, dir)
+        .filter(bucket < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary building: top-k tokens by global frequency with a
+    // complete deterministic order (count desc, token asc). Partial
+    // (map-side) aggregation makes the token histogram a single
+    // shuffle of the distinct-token set, not the token stream.
+    "text_vocab_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("token").asc)))
+        .filter(col("rk") <= 100)
+        .select("rk", "token", "n")
+        .orderBy("rk")
+    })
   )
 
   /** Portable word-count in ANSI SQL: pad + double the separators so
@@ -279,6 +310,18 @@ object TextOps {
        SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"""
 
   def oracle: Map[String, String] = Map(
+    "pipe_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 48271) % 65536 % 100 <
+               CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+         ORDER BY doc_id""",
+    "text_vocab_topk" ->
+      """WITH c AS (
+           SELECT t.token, count(*) AS n
+           FROM documents, unnest(string_split(text, ' ')) AS t(token)
+           GROUP BY t.token)
+         SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rk, token, n
+         FROM c QUALIFY rk <= 100 ORDER BY rk""",
     "dedup_exact_hash" ->
       """SELECT md5(substr(text, 1, 40)) AS key_hash,
                 min(doc_id) AS canonical_id, count(*) AS n_dups
