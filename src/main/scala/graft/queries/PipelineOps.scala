@@ -43,6 +43,13 @@ object PipelineOps {
       EventsStream.sessionize(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
 
+    // stream-stream interval join, batch form: views paired with the
+    // user's clicks within the following hour (EventsStream
+    // .viewClickJoin runs the same plan under readStream)
+    "ev_view_click_join" -> ((s, dir) =>
+      EventsStream.viewClickJoin(t(s, dir, "events"))
+        .orderBy("view_id", "click_id")),
+
     // dedup-on-ingest, batch form: first event (by event time) per
     // (user_id, event_type); EventsStream.dedupStream is the
     // state-store streaming twin (EventsStreamSpec)
@@ -140,6 +147,14 @@ object PipelineOps {
                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
          FROM f ORDER BY user_id, event_id""",
+    "ev_view_click_join" ->
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+         FROM events v JOIN events c
+           ON c.user_id = v.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND epoch_ns(c.ts) > epoch_ns(v.ts)
+          AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 3600000000000
+         ORDER BY view_id, click_id""",
     "ev_dedup_first" ->
       """SELECT user_id, event_type, event_id FROM (
            SELECT user_id, event_type, event_id,

@@ -73,6 +73,36 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("event_id", "user_id", "event_type")
 
+  /** Stream-stream interval join: pair each user's 'view' event with
+    * the 'click' events that follow it within one hour — the
+    * impression→conversion enrichment shape. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * sides, so Spark can evict join state (unbounded state otherwise).
+    * In batch mode the same plan is a plain range join (oracle:
+    * ev_view_click_join). */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val base = events
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("ts_ts").as("view_time"))
+      .withWatermark("view_time", "10 minutes")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"), col("ts_ts").as("click_time"))
+      .withWatermark("click_time", "10 minutes")
+    // membership is decided by the exact nanosecond bounds; the
+    // micro-truncated time-column bounds are a superset (floor is
+    // monotone), present so the stream planner can evict join state
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_time") >= col("view_time") &&
+        col("click_time") <= col("view_time") + expr("INTERVAL 1 HOUR") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + lit(3600L * 1000000000L))
+      .select("view_id", "click_id", "user_id")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

@@ -103,6 +103,29 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream view-click join matches the batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val expected = EventsStream.viewClickJoin(batchDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain view->click pairs")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("evssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val sin = spark.readStream.schema(batchDf.schema).parquet(streamDir.toString)
+    val q = EventsStream.viewClickJoin(sin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps") {
     import spark.implicits._
     val h = 3600L * 1000000000L
