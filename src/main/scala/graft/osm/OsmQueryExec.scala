@@ -126,15 +126,36 @@ object OsmQueryExec {
 
   // ------------------------------------------------------------------
 
-  def run(spark: SparkSession, path: String, q: OsmQuery): DataFrame =
-    run(spark, scan(spark, path), q)
+  def run(spark: SparkSession, path: String, q: OsmQuery): DataFrame = {
+    val all = scan(spark, path)
+    // must-tag pushdown (F3): the filtered-element branch decodes only
+    // elements whose keys intersect the query's must set — the check
+    // runs on string ids inside the blob decoder, and blobs whose
+    // string table lacks every key are skipped outright. The node
+    // coordinate / member-way branches keep the unfiltered scan. The
+    // Column-level must predicate still re-checks (free, and keeps the
+    // cached-DataFrame path semantics identical).
+    val elSource =
+      if (q.mustTags.nonEmpty)
+        spark.read.format("osmpbf")
+          .option("mustTagKeys", q.mustTags.mkString("\u0001")).load(path)
+      else all
+    runImpl(spark, elSource, all, q)
+  }
 
   /** Run against a pre-built element DataFrame — pass a `.persist()`ed
     * scan to get the reference's cache semantics (one decode, many
     * queries; reference osmdata.py caches, SURVEY §4.3 delta 2): every
     * branch (filtered elements, node coords, member ways) derives from
     * the same source, so a persisted source is decoded exactly once. */
-  def run(spark: SparkSession, all: DataFrame, q: OsmQuery): DataFrame = {
+  def run(spark: SparkSession, all: DataFrame, q: OsmQuery): DataFrame =
+    runImpl(spark, all, all, q)
+
+  /** @param elSource the scan feeding the filtered-element branch (may
+    *   carry must-tag pushdown); `all` feeds the coordinate and
+    *   member-way branches. */
+  private def runImpl(spark: SparkSession, elSource: DataFrame, all: DataFrame,
+      q: OsmQuery): DataFrame = {
 
     val typeCond = {
       val wanted = Seq(TypeNode -> q.nodes, TypeWay -> q.ways, TypeRelation -> q.relations)
@@ -160,7 +181,7 @@ object OsmQueryExec {
       case None => lit(true)
     }
 
-    var el = all.filter(typeCond && idCond && relTypeCond && tagPredicate(q, col("tags")))
+    var el = elSource.filter(typeCond && idCond && relTypeCond && tagPredicate(q, col("tags")))
     // min-points way filter (reference primitives.py:76-78) — geometry
     // queries drop degenerate ways before the coordinate join
     if (q.geometry) el = el.filter(col("type") =!= TypeWay || size(col("refs")) >= 2)

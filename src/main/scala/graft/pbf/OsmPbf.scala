@@ -218,9 +218,15 @@ object BlockDecoder {
 
   /** @param wantTypes which of node(0)/way(1)/relation(2) to emit —
     *   type pushdown skips decoding whole primitive groups
-    *   (reference osmquery.py:242-247). */
+    *   (reference osmquery.py:242-247).
+    * @param mustTagKeys when non-null, emit only elements whose tag-key
+    *   set intersects these keys (F3 ∃ semantics). The check runs on
+    *   block-local string IDS before any string materialization — the
+    *   reference's abort-parse-on-tag-mismatch pushdown
+    *   (primitives.py:23-27) plus its unsatisfiable-filter block skip
+    *   (osmquery.py:311-323) when no key occurs in the string table. */
   def decode(block: Array[Byte], wantTypes: Array[Boolean],
-             needs: DecodeNeeds): Iterator[Decoded] = {
+             needs: DecodeNeeds, mustTagKeys: Array[String] = null): Iterator[Decoded] = {
     val root = new PbfReader(block)
     var strings: Array[String] = null
     val groupSpans = ArrayBuffer.empty[(Int, Int)]
@@ -251,34 +257,60 @@ object BlockDecoder {
       }
     }
     val strs = if (strings == null) emptyS else strings
+    // must-tag keys → block-local string-id membership (the reference's
+    // strmap, osmquery.py:249-251); an empty map means no element in
+    // this block can match — skip the whole block
+    var isMust: Array[Boolean] = null
+    if (mustTagKeys != null) {
+      val keySet = mustTagKeys.toSet
+      isMust = new Array[Boolean](strs.length)
+      var any = false
+      var i = 0
+      while (i < strs.length) {
+        if (keySet.contains(strs(i))) { isMust(i) = true; any = true }
+        i += 1
+      }
+      if (!any) return Iterator.empty
+    }
     val out = ArrayBuffer.empty[Decoded]
     groupSpans.foreach { case (s, e) =>
-      decodeGroup(new PbfReader(root.buf, s, e), strs, wantTypes, needs,
+      decodeGroup(new PbfReader(root.buf, s, e), strs, wantTypes, needs, isMust,
         granularity, latOffset, lonOffset, dateGranularity, out)
     }
     out.iterator
   }
 
+  /** any key id flagged in isMust? (integer check, pre-materialization) */
+  private def keysMatch(keys: Array[Long], isMust: Array[Boolean]): Boolean = {
+    if (isMust == null) return true
+    var i = 0
+    while (i < keys.length) {
+      if (isMust(keys(i).toInt)) return true
+      i += 1
+    }
+    false
+  }
+
   private def decodeGroup(g: PbfReader, strings: Array[String],
-      wantTypes: Array[Boolean], needs: DecodeNeeds,
+      wantTypes: Array[Boolean], needs: DecodeNeeds, isMust: Array[Boolean],
       gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
       out: ArrayBuffer[Decoded]): Unit = {
     while (g.hasMore) {
       val tag = g.readTag()
       (tag >> 3) match {
         case 1 => // Node
-          if (wantTypes(0)) decodeNode(g.readMessage(), strings, needs,
+          if (wantTypes(0)) decodeNode(g.readMessage(), strings, needs, isMust,
             gran, latOff, lonOff, dateGran, out)
           else g.skip(2)
         case 2 => // DenseNodes
-          if (wantTypes(0)) decodeDense(g.readMessage(), strings, needs,
+          if (wantTypes(0)) decodeDense(g.readMessage(), strings, needs, isMust,
             gran, latOff, lonOff, dateGran, out)
           else g.skip(2)
         case 3 => // Way
-          if (wantTypes(1)) decodeWay(g.readMessage(), strings, needs, dateGran, out)
+          if (wantTypes(1)) decodeWay(g.readMessage(), strings, needs, isMust, dateGran, out)
           else g.skip(2)
         case 4 => // Relation
-          if (wantTypes(2)) decodeRelation(g.readMessage(), strings, needs, dateGran, out)
+          if (wantTypes(2)) decodeRelation(g.readMessage(), strings, needs, isMust, dateGran, out)
           else g.skip(2)
         case _ => g.skip(tag & 7)
       }
@@ -303,6 +335,7 @@ object BlockDecoder {
   }
 
   private def decodeNode(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      isMust: Array[Boolean],
       gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
       out: ArrayBuffer[Decoded]): Unit = {
     var id = 0L
@@ -330,6 +363,7 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
+    if (!keysMatch(keys, isMust)) return
     val (tk, tv) = lookupTags(keys, vals, strings)
     out += Decoded(id, 0,
       1e-9 * (latOff + gran * lat), 1e-9 * (lonOff + gran * lon), needs.coords,
@@ -339,6 +373,7 @@ object BlockDecoder {
   /** Vectorized DenseNodes incl. the 0-delimited keys_vals splitter
     * (reference dense.py:8-50, protobuf.pyx:74-106). */
   private def decodeDense(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
+      isMust: Array[Boolean],
       gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
       out: ArrayBuffer[Decoded]): Unit = {
     var ids = emptyL
@@ -378,30 +413,43 @@ object BlockDecoder {
     while (i < ids.length) {
       var tk = emptyS
       var tv = emptyS
+      var matched = isMust == null
       if (kvs.nonEmpty && kvPos < kvs.length) {
-        val ks = ArrayBuffer.empty[String]
-        val vs = ArrayBuffer.empty[String]
-        while (kvPos < kvs.length && kvs(kvPos) != 0L) {
-          ks += strings(kvs(kvPos).toInt)
-          vs += strings(kvs(kvPos + 1).toInt)
-          kvPos += 2
+        // pass 1 — span + must-key match on raw string ids (no string
+        // materialization for filtered-out nodes)
+        var p = kvPos
+        while (p < kvs.length && kvs(p) != 0L) {
+          if (!matched && isMust(kvs(p).toInt)) matched = true
+          p += 2
         }
-        kvPos += 1 // consume the 0 delimiter
-        if (ks.nonEmpty) { tk = ks.toArray; tv = vs.toArray }
+        if (matched && p > kvPos) {
+          val n = (p - kvPos) / 2
+          tk = new Array[String](n)
+          tv = new Array[String](n)
+          var j = 0
+          while (j < n) {
+            tk(j) = strings(kvs(kvPos + 2 * j).toInt)
+            tv(j) = strings(kvs(kvPos + 2 * j + 1).toInt)
+            j += 1
+          }
+        }
+        kvPos = p + 1 // consume the 0 delimiter
       }
-      out += Decoded(ids(i), 0,
-        1e-9 * (latOff + gran * lats(i)), 1e-9 * (lonOff + gran * lons(i)),
-        needs.coords, tk, tv, emptyL, emptyS, emptyL, emptyB,
-        if (versions.nonEmpty) versions(i).toInt else -1,
-        if (tss.nonEmpty) tss(i) * dateGran else 0L,
-        if (css.nonEmpty) css(i) else 0L,
-        hasInfo)
+      if (matched) {
+        out += Decoded(ids(i), 0,
+          1e-9 * (latOff + gran * lats(i)), 1e-9 * (lonOff + gran * lons(i)),
+          needs.coords, tk, tv, emptyL, emptyS, emptyL, emptyB,
+          if (versions.nonEmpty) versions(i).toInt else -1,
+          if (tss.nonEmpty) tss(i) * dateGran else 0L,
+          if (css.nonEmpty) css(i) else 0L,
+          hasInfo)
+      }
       i += 1
     }
   }
 
   private def decodeWay(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
-      dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
+      isMust: Array[Boolean], dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
     var id = 0L
     var keys = emptyL
     var vals = emptyL
@@ -425,13 +473,14 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
+    if (!keysMatch(keys, isMust)) return
     val (tk, tv) = lookupTags(keys, vals, strings)
     out += Decoded(id, 1, 0.0, 0.0, hasCoord = false,
       tk, tv, refs, emptyS, emptyL, emptyB, version, ts, cs, hasInfo)
   }
 
   private def decodeRelation(r: PbfReader, strings: Array[String], needs: DecodeNeeds,
-      dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
+      isMust: Array[Boolean], dateGran: Long, out: ArrayBuffer[Decoded]): Unit = {
     var id = 0L
     var keys = emptyL
     var vals = emptyL
@@ -459,6 +508,7 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
+    if (!keysMatch(keys, isMust)) return
     val (tk, tv) = lookupTags(keys, vals, strings)
     val roles = if (roleSids.nonEmpty) roleSids.map(strings(_)) else emptyS
     val mtypes = if (types.nonEmpty) types.map(_.toByte) else emptyB

@@ -74,10 +74,12 @@ class OsmPbfTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OsmPbfScanBuilder(path)
+    new OsmPbfScanBuilder(path,
+      Option(options.get("mustTagKeys"))
+        .map(_.split('\u0001').filter(_.nonEmpty)).orNull)
 }
 
-class OsmPbfScanBuilder(path: String)
+class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = OsmPbfSource.schema
@@ -128,18 +130,21 @@ class OsmPbfScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new OsmPbfScan(path, required, wantTypes, idFilter)
+    new OsmPbfScan(path, required, wantTypes, idFilter, mustTagKeys)
 }
 
 class OsmPbfScan(path: String, required: StructType,
-    wantTypes: Array[Boolean], idFilter: Option[Set[Long]]) extends Scan with Batch {
+    wantTypes: Array[Boolean], idFilter: Option[Set[Long]],
+    mustTagKeys: Array[String] = null) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val types = Seq("node", "way", "relation").zip(wantTypes)
       .collect { case (n, true) => n }.mkString(",")
-    s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")})"
+    val must = if (mustTagKeys == null) ""
+      else s", mustTags=${mustTagKeys.mkString("|")}"
+    s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")}$must)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -175,7 +180,7 @@ class OsmPbfScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfReaderFactory(required.fieldNames, wantTypes,
-      idFilter.map(_.toArray).orNull)
+      idFilter.map(_.toArray).orNull, mustTagKeys)
 }
 
 object OsmPbfScan {
@@ -226,17 +231,19 @@ object OsmPbfStats {
 }
 
 class OsmPbfReaderFactory(fieldNames: Array[String], wantTypes: Array[Boolean],
-    idFilterArr: Array[Long]) extends PartitionReaderFactory {
+    idFilterArr: Array[Long], mustTagKeys: Array[String] = null)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmPbfPartition]
     new OsmPbfPartitionReader(p, fieldNames, wantTypes,
-      if (idFilterArr == null) null else idFilterArr.toSet)
+      if (idFilterArr == null) null else idFilterArr.toSet, mustTagKeys)
   }
 }
 
 class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
-    wantTypes: Array[Boolean], idFilter: Set[Long])
+    wantTypes: Array[Boolean], idFilter: Set[Long],
+    mustTagKeys: Array[String] = null)
     extends PartitionReader[InternalRow] {
 
   private val needs = DecodeNeeds(
@@ -250,7 +257,7 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     val conf = new Configuration()
     p.blobs.iterator.flatMap { b =>
       val block = OsmPbfFile.readBlob(b, conf)
-      val base = BlockDecoder.decode(block, wantTypes, needs)
+      val base = BlockDecoder.decode(block, wantTypes, needs, mustTagKeys)
       if (idFilter == null) base else base.filter(d => idFilter.contains(d.id))
     }
   }

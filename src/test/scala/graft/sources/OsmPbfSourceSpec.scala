@@ -73,6 +73,21 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     spark.sql("DROP VIEW osm_sql")
   }
 
+  test("mustTagKeys scan option filters inside the decoder") {
+    val df = spark.read.format("osmpbf")
+      .option("mustTagKeys", "amenity").load(fixture())
+    val got = df.collect()
+    // only elements carrying an 'amenity' key survive the decode
+    assert(got.nonEmpty)
+    assert(got.forall(r =>
+      r.getMap[String, String](r.fieldIndex("tags")).contains("amenity")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mustTags=amenity"), s"plan:\n$plan")
+    // a key absent from every string table yields nothing (block skip)
+    assert(spark.read.format("osmpbf")
+      .option("mustTagKeys", "no_such_key").load(fixture()).count() === 0L)
+  }
+
   test("split packing follows the FilePartition formula") {
     def b(len: Int) = graft.pbf.BlobInfo("f", 0L, len)
     // large blobs coalesce toward maxSplit
