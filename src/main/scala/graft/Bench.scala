@@ -27,7 +27,8 @@ object Bench {
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf",
     // events / multimodal / integrated pipeline
-    "ev_window_agg", "ev_sessionize", "mm_features", "pipe_clean_corpus",
+    "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
+    "mm_features", "pipe_clean_corpus", "pipe_sample_stratified", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes
     "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 
@@ -35,6 +36,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

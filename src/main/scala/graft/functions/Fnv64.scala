@@ -70,5 +70,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Fnv64].getName, "fnv64"),
       (children: Seq[Expression]) => Fnv64(children.head)))
+    // extension point (c) optimizer rule: tag-key-existence filters on
+    // an osmpbf relation gain the decoder-level mustTagKeys pushdown
+    e.injectOptimizerRule(_ => graft.plans.MustTagPushdown)
   }
 }

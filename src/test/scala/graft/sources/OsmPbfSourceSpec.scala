@@ -9,6 +9,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -86,6 +87,33 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     // a key absent from every string table yields nothing (block skip)
     assert(spark.read.format("osmpbf")
       .option("mustTagKeys", "no_such_key").load(fixture()).count() === 0L)
+  }
+
+  test("MustTagPushdown rule injects the scan option for plain filters") {
+    val base = spark.read.format("osmpbf").load(fixture())
+    // map_contains_key form
+    val expected = base.collect()
+      .filter(_.getMap[String, String](4).contains("amenity"))
+      .map(_.getLong(0)).toSet
+    val d1 = base.filter(expr("map_contains_key(tags, 'amenity')"))
+    assert(d1.queryExecution.executedPlan.toString.contains("mustTags=amenity"))
+    assert(d1.collect().map(_.getLong(0)).toSet === expected && expected.nonEmpty)
+    // tags['k'] IS NOT NULL form, via SQL
+    base.createOrReplaceTempView("osm_rule")
+    val d2 = spark.sql("SELECT id FROM osm_rule WHERE tags['highway'] IS NOT NULL")
+    assert(d2.queryExecution.executedPlan.toString.contains("mustTags=highway"))
+    // arrays_overlap form picks the literal key set
+    val d3 = base.filter(expr(
+      "arrays_overlap(map_keys(tags), array('shop', 'amenity'))"))
+    assert(d3.queryExecution.executedPlan.toString.contains("mustTags="))
+    assert(d3.count() >= expected.size)
+    // value-equality form implies the key too
+    val d4 = base.filter(col("tags")("amenity") === "cafe")
+    assert(d4.queryExecution.executedPlan.toString.contains("mustTags=amenity"))
+    assert(d4.count() === 1)
+    // non-tag filters leave the scan alone
+    val d5 = base.filter(col("id") > 0)
+    assert(!d5.queryExecution.executedPlan.toString.contains("mustTags="))
   }
 
   test("split packing follows the FilePartition formula") {
