@@ -1,5 +1,7 @@
 package graft.osm
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geom.Wkb
@@ -451,29 +453,42 @@ object Topology {
     // so the whole chain walks in memory — interior junctions close
     // the running segment and start the next one at the same node
     // (reference _frame.py:267-296 semantics; segments with < 2 nodes
-    // dropped as before).
-    val segGeoms = rows.as[(Long, Int, Long, Double, Double, Boolean)]
-      .groupByKey(_._1)
-      .flatMapGroups { (way: Long, it: Iterator[(Long, Int, Long, Double, Double, Boolean)]) =>
-        val ns = it.toArray.sortBy(_._2)
-        val out = Seq.newBuilder[(Long, Long, Long, Long, Array[Byte], String)]
-        var segIx = 0L
-        var start = 0
-        var i = 1
-        while (i < ns.length) {
-          val boundary = i == ns.length - 1 || ns(i)._6 // last node or interior junction
-          if (boundary) {
-            if (i > start) {
-              val coords = (start to i).map(j => Coord(ns(j)._4, ns(j)._5))
-              out += ((way, segIx, ns(start)._3, ns(i)._3,
-                Wkb.lineString(coords), "LineString"))
-              segIx += 1
+    // dropped as before). repartition+sortWithinPartitions then a
+    // streaming per-way walk does the same grouping as groupByKey with
+    // one sort and no per-group iterator machinery (~20M rows at the
+    // 7M-node scale — object overhead is the binding cost here).
+    val segGeoms = rows
+      .repartition(col("way"))
+      .sortWithinPartitions("way", "pos")
+      .as[(Long, Int, Long, Double, Double, Boolean)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[Seq[(Long, Long, Long, Long, Array[Byte], String)]] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): Seq[(Long, Long, Long, Long, Array[Byte], String)] = {
+            val way = in.head._1
+            val ns = ArrayBuffer.empty[(Long, Int, Long, Double, Double, Boolean)]
+            while (in.hasNext && in.head._1 == way) ns += in.next()
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Array[Byte], String)]
+            var segIx = 0L
+            var start = 0
+            var i = 1
+            while (i < ns.length) {
+              val boundary = i == ns.length - 1 || ns(i)._6 // last node or interior junction
+              if (boundary) {
+                if (i > start) {
+                  val coords = (start to i).map(j => Coord(ns(j)._4, ns(j)._5))
+                  out += ((way, segIx, ns(start)._3, ns(i)._3,
+                    Wkb.lineString(coords), "LineString"))
+                  segIx += 1
+                }
+                start = i
+              }
+              i += 1
             }
-            start = i
+            out.result()
           }
-          i += 1
-        }
-        out.result().iterator
+        }.flatten
       }
       .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type")
 
