@@ -30,6 +30,40 @@ object TextOps {
           "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))"))
           .as("gram"))
 
+  /** 64-bit SimHash fingerprints of the documents. */
+  private[graft] def simhashes(d: DataFrame): DataFrame =
+    d.withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+           acc | if(aggregate(hashes, 0L,
+                     (v, h) -> v + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
+                   shiftleft(1L, b), 0L))"""))
+      .select("doc_id", "simhash")
+
+  /** SimHash pairs within `maxHamming` (< 4): banded candidate join +
+    * exact xor-popcount check — lossless by pigeonhole over four
+    * 16-bit bands. */
+  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-band pigeonhole covers hamming <= 3")
+    val sh = simhashes(d)
+    val bandCols = array((0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(bandCols).as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("ida"), col("simhash").as("sha"))
+    val b = banded.select(col("band"), col("bval"),
+      col("doc_id").as("idb"), col("simhash").as("shb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands
+      .orderBy("ida", "idb")
+  }
+
   /** Exact per-pair 3-gram Jaccard for an OUTPUT-BOUNDED candidate set
     * (the LSH path): attach both texts with two joins against the
     * (doc_id, text) table, then compute the exact string-gram Jaccard
@@ -192,6 +226,15 @@ object TextOps {
                      shiftleft(1L, b), 0L))"""))
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
+
+    // SimHash near-dup PAIRS at hamming distance ≤ 3, banded scale
+    // path: by pigeonhole, two 64-bit fingerprints within 3 bits share
+    // at least one of four 16-bit bands, so candidates come from an
+    // equi-join on (band, band value) — never an all-pairs compare —
+    // and the xor-popcount check inside candidates is EXACT (the
+    // banding loses nothing; proven equal to brute force in
+    // SimHashPairsSpec). Fingerprint is engine-internal → rows-only.
+    "dedup_simhash_pairs" -> ((s, dir) => simhashPairs(docs(s, dir), 3)),
 
     // Language id: per-language marker-token counts, argmax with a
     // deterministic preference order; 'und' when no marker fires.

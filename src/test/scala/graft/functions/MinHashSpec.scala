@@ -65,6 +65,22 @@ class LshParitySpec extends AnyFunSuite {
     }
   }
 
+  test("banded SimHash pairs equal brute-force xor-popcount (pigeonhole is lossless)") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = TextOps.simhashes(d)
+    val a = sh.select(col("doc_id").as("ida"), col("simhash").as("sha"))
+    val b = sh.select(col("doc_id").as("idb"), col("simhash").as("shb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = TextOps.simhashPairs(d, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute)
+  }
+
   test("IVF ANN recalls most brute-force top-10 with identical scores") {
     val bf = VectorOps.queries("vec_topk_bruteforce")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
