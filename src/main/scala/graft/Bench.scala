@@ -63,8 +63,12 @@ object Bench {
         val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val dt = reps.map(_._1).min
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=${reps.head._2}")
+      // a failed rep's fast error path must not pollute the min, and
+      // rows should come from a successful rep when one exists
+      val ok = reps.filter(_._2 >= 0)
+      val dt = (if (ok.nonEmpty) ok else reps).map(_._1).min
+      val rows = if (ok.nonEmpty) ok.head._2 else -1L
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$rows")
       name -> dt
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -442,9 +442,16 @@ object Topology {
     // degree count and the coordinate lookup (J1) both key on `node`,
     // so they are fused into ONE keyed table: the nodes join lands on
     // the count aggregation's partitioning instead of adding a shuffle.
+    // LEFT join so refs to nodes absent from the extract (clipped
+    // extracts) keep their row — and their junction flag — with NaN
+    // coordinates; the walk splits at them but drops them from segment
+    // geometry, so no segment ever spans a missing junction.
     val counts = exploded.groupBy("node").agg(count(lit(1)).as("n_occ"))
-    val nodesPlus = counts.join(nodes, col("node") === col("nid"))
-      .select(col("node"), col("lon"), col("lat"), (col("n_occ") >= 2).as("junction"))
+    val nodesPlus = counts.join(nodes, col("node") === col("nid"), "left")
+      .select(col("node"),
+        coalesce(col("lon"), lit(Double.NaN)).as("lon"),
+        coalesce(col("lat"), lit(Double.NaN)).as("lat"),
+        (col("n_occ") >= 2).as("junction"))
     val rows = exploded.join(nodesPlus, "node")
       .select(col("way"), col("pos"), col("node"), col("lon"), col("lat"), col("junction"))
 
@@ -477,10 +484,16 @@ object Topology {
               val boundary = i == ns.length - 1 || ns(i)._6 // last node or interior junction
               if (boundary) {
                 if (i > start) {
-                  val coords = (start to i).map(j => Coord(ns(j)._4, ns(j)._5))
-                  out += ((way, segIx, ns(start)._3, ns(i)._3,
-                    Wkb.lineString(coords), "LineString"))
-                  segIx += 1
+                  // nodes missing from the extract (NaN coords) are
+                  // dropped from the geometry; a segment needs >= 2
+                  // present nodes to exist
+                  val present = (start to i).filter(j => !ns(j)._4.isNaN)
+                  if (present.length >= 2) {
+                    val coords = present.map(j => Coord(ns(j)._4, ns(j)._5))
+                    out += ((way, segIx, ns(present.head)._3, ns(present.last)._3,
+                      Wkb.lineString(coords), "LineString"))
+                    segIx += 1
+                  }
                 }
                 start = i
               }

@@ -84,7 +84,11 @@ object MustTagPushdown extends Rule[LogicalPlan] with PredicateHelper {
       Some(elems.collect { case Literal(s: UTF8String, StringType) => s.toString })
         .filter(_.size == elems.size)
     case Literal(a: ArrayData, ArrayType(StringType, _)) if a.numElements() > 0 =>
-      Some((0 until a.numElements()).map(i => a.getUTF8String(i).toString))
+      // a folded array literal may carry null slots — drop them (a null
+      // key matches nothing, so it cannot be a required key)
+      val ss = (0 until a.numElements())
+        .map(a.getUTF8String).filter(_ != null).map(_.toString)
+      if (ss.nonEmpty) Some(ss) else None
     case _ => None
   }
 }

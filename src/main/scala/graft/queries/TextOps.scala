@@ -216,16 +216,7 @@ object TextOps {
     // xxhash64(token); emitted as the fingerprint plus the number of
     // tokens — no SQL oracle (hash function internal), rows-only.
     "dedup_simhash" -> ((s, dir) =>
-      docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-             acc | if(aggregate(hashes, 0L,
-                       (v, h) -> v + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
-                     shiftleft(1L, b), 0L))"""))
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")),
+      simhashes(docs(s, dir)).orderBy("doc_id")),
 
     // SimHash near-dup PAIRS at hamming distance ≤ 3, banded scale
     // path: by pigeonhole, two 64-bit fingerprints within 3 bits share

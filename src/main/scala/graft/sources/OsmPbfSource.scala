@@ -247,7 +247,9 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     extends PartitionReader[InternalRow] {
 
   private val needs = DecodeNeeds(
-    tags = fieldNames.contains("tags"),
+    // the must-tag check reads key ids, so tags must decode even when
+    // the tags column itself is pruned (e.g. .select("id") or count())
+    tags = fieldNames.contains("tags") || mustTagKeys != null,
     refs = fieldNames.contains("refs"),
     members = fieldNames.contains("members"),
     info = fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),

@@ -36,6 +36,29 @@ class MinHashSpec extends AnyFunSuite {
   }
 }
 
+class NumSpec extends AnyFunSuite {
+  test("gramSet slices by code points (SQL substring parity on non-BMP text)") {
+    // "a𝄞b" is 3 code points / 4 UTF-16 units: SQL sees ONE 3-char gram
+    val s = "a𝄞b"
+    val got = Num.gramSet(s)
+    assert(got.size === 1 && got.contains(s))
+    // short strings degrade to the text itself
+    assert(Num.gramSet("ab").contains("ab"))
+    import scala.jdk.CollectionConverters._
+    assert(Num.gramSet("abcd").asScala === Set("abc", "bcd"))
+  }
+
+  test("roundHalfUp matches Spark Round semantics incl. non-finite inputs") {
+    assert(Num.roundHalfUp(2.5, 0) === 3.0)
+    assert(Num.roundHalfUp(-2.5, 0) === -3.0)
+    assert(Num.roundHalfUp(1.2345675, 6) === 1.234568)
+    assert(Num.roundHalfUp(Double.NaN, 6).isNaN)
+    assert(Num.roundHalfUp(Double.PositiveInfinity, 6).isPosInfinity)
+    assert(Num.round0(2.5) === 3.0 && Num.round0(-2.5) === -3.0)
+    assert(Num.round0(2.4) === 2.0 && Num.round0(-2.6) === -3.0)
+  }
+}
+
 class LshParitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"

@@ -131,6 +131,26 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(rows.toSet === Set((101L, 20L, 21L), (101L, 21L, 22L), (102L, 21L, 24L)))
   }
 
+  test("topology: refs to nodes missing from the extract never bridge a junction") {
+    val f = java.io.File.createTempFile("clippbf", ".osm.pbf")
+    f.deleteOnExit()
+    // node 9 is a junction (on ways 201 and 202) but ABSENT from the
+    // extract (clipped); nodes 1,2,3 present
+    write(f.getAbsolutePath, Seq(
+      Seq(N(1, 0.0, 0.0), N(2, 0.0, 2.0), N(3, 1.0, 1.0)),
+      Seq(
+        W(201, Seq(1L, 9L, 2L), Seq("highway" -> "residential")),
+        W(202, Seq(9L, 3L), Seq("highway" -> "residential")))))
+    val q = OsmQuery.highways.copy(geometry = true, topology = true)
+    val rows = q.run(spark, f.getAbsolutePath).collect()
+      .map(r => (r.getAs[Long]("osmid"), r.getAs[Long]("source"), r.getAs[Long]("target")))
+    // way 201 splits at missing junction 9: both halves have a single
+    // present node -> dropped; way 202's only segment loses node 9 ->
+    // single present node -> dropped. Crucially NO segment 1->2 exists
+    // (that would fabricate an edge across the missing junction).
+    assert(rows.isEmpty, s"expected no segments, got ${rows.mkString(",")}")
+  }
+
   test("metadata columns surfaced when requested") {
     val f = java.io.File.createTempFile("metapbf", ".osm.pbf")
     f.deleteOnExit()

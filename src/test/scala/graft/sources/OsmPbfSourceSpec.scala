@@ -89,6 +89,17 @@ class OsmPbfSourceSpec extends AnyFunSuite {
       .option("mustTagKeys", "no_such_key").load(fixture()).count() === 0L)
   }
 
+  test("mustTagKeys still filters when the tags column is pruned") {
+    val base = spark.read.format("osmpbf")
+      .option("mustTagKeys", "amenity").load(fixture())
+    val full = base.collect().map(_.getLong(0)).toSet
+    assert(full.nonEmpty)
+    // pruned projection (and count) must see the same elements — the
+    // decoder keeps reading tag keys for the check
+    assert(base.select("id").collect().map(_.getLong(0)).toSet === full)
+    assert(base.count() === full.size)
+  }
+
   test("MustTagPushdown rule injects the scan option for plain filters") {
     val base = spark.read.format("osmpbf").load(fixture())
     // map_contains_key form
