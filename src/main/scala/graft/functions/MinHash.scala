@@ -24,19 +24,25 @@ object MinHash {
     * exact-verification gram table: substring(text, i, 3), i = 1..n-2;
     * a short string contributes its single truncated gram). */
   def gramHashes(text: String): Array[Long] = {
-    val n = math.max(text.length - 2, 1)
+    // code-point shingles, consistent with Num.gramSet / SQL substring
+    // (UTF-16-unit slices would make the signature estimate a slightly
+    // different Jaccard than the exact verifier measures on non-BMP text)
+    val cps = text.codePointCount(0, text.length)
+    val n = math.max(cps - 2, 1)
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
     val out = new Array[Long](n)
     var m = 0
     var i = 0
+    var charStart = 0
     while (i < n) {
       var h = 0L
-      var j = i
-      val end = math.min(i + 3, text.length)
+      var j = charStart
+      val end = text.offsetByCodePoints(charStart, math.min(3, cps - i))
       while (j < end) { h = h * 131L + text.charAt(j); j += 1 }
       val g = splitmix64(h)
       if (seen.add(g)) { out(m) = g; m += 1 }
       i += 1
+      if (i < n) charStart = text.offsetByCodePoints(charStart, 1)
     }
     java.util.Arrays.copyOf(out, m)
   }
