@@ -23,6 +23,13 @@ object MinHash {
   /** Distinct char-3gram base hashes of a string (same shingling as the
     * exact-verification gram table: substring(text, i, 3), i = 1..n-2;
     * a short string contributes its single truncated gram). */
+  // Gram-hash base: a multiplier larger than any UTF-16 unit (the FNV
+  // prime) so equal-length grams cannot collide via structured digit
+  // deltas (base 131 < Char.MaxValue admitted (x, c+1, d) == (x, c,
+  // d+131), which merged distinct grams and skewed the signature's
+  // Jaccard estimate vs the exact verifier on non-ASCII text).
+  private val GramBase = 0x100000001b3L
+
   def gramHashes(text: String): Array[Long] = {
     // code-point shingles, consistent with Num.gramSet / SQL substring
     // (UTF-16-unit slices would make the signature estimate a slightly
@@ -32,17 +39,40 @@ object MinHash {
     val seen = new java.util.HashSet[java.lang.Long](n * 2)
     val out = new Array[Long](n)
     var m = 0
-    var i = 0
-    var charStart = 0
-    while (i < n) {
-      var h = 0L
-      var j = charStart
-      val end = text.offsetByCodePoints(charStart, math.min(3, cps - i))
-      while (j < end) { h = h * 131L + text.charAt(j); j += 1 }
-      val g = splitmix64(h)
-      if (seen.add(g)) { out(m) = g; m += 1 }
-      i += 1
-      if (i < n) charStart = text.offsetByCodePoints(charStart, 1)
+    if (cps == text.length) {
+      // all-BMP fast path (the common corpus): direct char indexing
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = i
+        val end = math.min(i + 3, text.length)
+        while (j < end) { h = h * GramBase + text.charAt(j); j += 1 }
+        val g = splitmix64(h)
+        if (seen.add(g)) { out(m) = g; m += 1 }
+        i += 1
+      }
+    } else {
+      // one scan builds the code-point start offsets; grams then slice
+      // by table lookup (no per-gram offsetByCodePoints re-walks)
+      val starts = new Array[Int](cps + 1)
+      var ci = 0
+      var off = 0
+      while (ci < cps) {
+        starts(ci) = off
+        off += Character.charCount(text.codePointAt(off))
+        ci += 1
+      }
+      starts(cps) = text.length
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = starts(i)
+        val end = starts(math.min(i + 3, cps))
+        while (j < end) { h = h * GramBase + text.charAt(j); j += 1 }
+        val g = splitmix64(h)
+        if (seen.add(g)) { out(m) = g; m += 1 }
+        i += 1
+      }
     }
     java.util.Arrays.copyOf(out, m)
   }

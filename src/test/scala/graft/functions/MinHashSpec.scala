@@ -37,6 +37,20 @@ class MinHashSpec extends AnyFunSuite {
 }
 
 class NumSpec extends AnyFunSuite {
+  test("gramHashes shingles by code points and matches gramSet's gram count") {
+    // "a𝄞b" = 3 code points → exactly one gram; the BMP fast path and
+    // the offset-table path must agree with Num.gramSet cardinality
+    assert(MinHash.gramHashes("a𝄞b").length === 1)
+    for (s <- Seq("", "a", "ab", "abcd", "abcabc", "café 𝄞 café")) {
+      assert(MinHash.gramHashes(s).length === Num.gramSet(s).size, s"text '$s'")
+    }
+    // structured base-collision class from base 131 must not merge
+    // distinct grams: (x, c+1, d) vs (x, c, d+131)
+    val g1 = MinHash.gramHashes(new String(Array('x', 2.toChar, 69.toChar)))
+    val g2 = MinHash.gramHashes(new String(Array('x', 1.toChar, 200.toChar)))
+    assert(g1.head !== g2.head)
+  }
+
   test("gramSet slices by code points (SQL substring parity on non-BMP text)") {
     // "a𝄞b" is 3 code points / 4 UTF-16 units: SQL sees ONE 3-char gram
     val s = "a𝄞b"
