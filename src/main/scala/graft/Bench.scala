@@ -22,7 +22,7 @@ object Bench {
     // topology
     "g10_topo_segments",
     // text pipeline
-    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf",

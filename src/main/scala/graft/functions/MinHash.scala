@@ -13,6 +13,42 @@ object MinHash {
 
   final val Golden = 0x9E3779B97F4A7C15L
 
+  /** Spark-identical xxhash64 of a string (seed 42, UTF-8 bytes) —
+    * lets JVM kernels produce the same fingerprints as the
+    * `xxhash64(...)` SQL expression. */
+  def xxhash64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * xxhash64(token). Bit-identical to the interpreted HOF expression
+    * `aggregate(sequence(0,63), ...)` it replaces (higher-order
+    * functions don't codegen — this kernel is the hot path). Token
+    * split matches Spark `split(text, " ")` (trailing empties kept). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val toks = text.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val h = xxhash64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   @inline def splitmix64(z0: Long): Long = {
     var z = z0 + Golden
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -30,16 +30,19 @@ object TextOps {
           "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))"))
           .as("gram"))
 
-  /** 64-bit SimHash fingerprints of the documents. */
-  private[graft] def simhashes(d: DataFrame): DataFrame =
-    d.withColumn("toks", split(col("text"), " "))
-      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-           acc | if(aggregate(hashes, 0L,
-                     (v, h) -> v + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
-                   shiftleft(1L, b), 0L))"""))
-      .select("doc_id", "simhash")
+  /** 64-bit SimHash fingerprints of the documents — JVM kernel
+    * ([[graft.functions.MinHash.simhash64]]); bit-identical to the
+    * equivalent HOF expression, which is interpreted (no codegen) and
+    * was ~60x slower (SimhashExprParitySpec pins the equivalence). */
+  private[graft] def simhashes(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.functions.MinHash.simhash64(text))
+      })
+      .toDF("doc_id", "simhash")
+  }
 
   /** SimHash pairs within `maxHamming` (< 4): banded candidate join +
     * exact xor-popcount check — lossless by pigeonhole over four

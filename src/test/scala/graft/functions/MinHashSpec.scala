@@ -73,6 +73,30 @@ class NumSpec extends AnyFunSuite {
   }
 }
 
+class SimhashExprParitySpec extends AnyFunSuite {
+  private lazy val spark = graft.sources.SparkTestSession.spark
+
+  test("JVM simhash64 is bit-identical to the SQL HOF expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the quick brown fox", "a", "", "double  space",
+      "trailing space ", "café 𝄞 emoji")
+    val viaExpr = texts.toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+           acc | if(aggregate(hashes, 0L,
+                     (v, h) -> v + if((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
+                   shiftleft(1L, b), 0L))"""))
+      .select("text", "simhash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t =>
+      assert(MinHash.simhash64(t) === viaExpr(t), s"text '$t'")
+    }
+  }
+}
+
 class LshParitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
