@@ -45,6 +45,10 @@ object OsmQueryExec {
     "place" -> Seq("no"),
     "public_transport" -> Seq("no"),
     "ruins" -> Seq("no"),
+    // "shops" (not "shop") is faithful to the reference table
+    // (defaults.py:24 has "shops" in NOT_AREA while defaults.py:54 has
+    // "shop" in IS_AREA_KEY) — the shop=no demotion never fires there
+    // either; kept for parity.
     "shops" -> Seq("no"),
     "tourism" -> Seq("no"))
 
@@ -67,7 +71,19 @@ object OsmQueryExec {
   // ------------------------------------------------------------------
 
   private def scan(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("osmpbf").load(path)
+    dedupMultiFile(spark.read.format("osmpbf").load(path), path)
+
+  /** Adjacent region extracts duplicate border elements; a multi-file
+    * corpus therefore dedups on the stable (type, id) key (copies are
+    * identical, so arbitrary-wins is exact) — otherwise a way present
+    * in two files doubles its geometry vertices and turns every one of
+    * its nodes into a topology junction. Single-file scans (the common
+    * case) skip the shuffle entirely. */
+  private def dedupMultiFile(df: DataFrame, path: String): DataFrame =
+    if (graft.pbf.OsmPbfFile.expand(path,
+        df.sparkSession.sparkContext.hadoopConfiguration).size > 1)
+      df.dropDuplicates("type", "id")
+    else df
 
   /** keep/exclude pair+key match over the tags map — one side of the
     * `_validate_tagval` truth table (reference primitives.py:186-215).
@@ -139,8 +155,8 @@ object OsmQueryExec {
     // cached-DataFrame path semantics identical).
     val elSource =
       if (q.mustTags.nonEmpty)
-        spark.read.format("osmpbf")
-          .option("mustTagKeys", q.mustTags.mkString("\u0001")).load(path)
+        dedupMultiFile(spark.read.format("osmpbf")
+          .option("mustTagKeys", q.mustTags.mkString("\u0001")).load(path), path)
       else all
     runImpl(spark, elSource, all, q)
   }
@@ -303,9 +319,13 @@ object GeometryBuilder {
       .filter(col("type") === TypeWay)
       .select(col("id").as("wid"), col("refs"))
 
+    // distinct member-way ids, shared by the semi-join below and the
+    // J6 anti-join (one plan, not two copies of the explode+distinct)
+    val memberWayIds = members.select(col("wref")).distinct()
+
     // per-way ordered node sequence with coordinates
     val wayNodeSeq = allWays
-      .join(members.select(col("wref")).distinct(), col("wid") === col("wref"), "left_semi")
+      .join(memberWayIds, col("wid") === col("wref"), "left_semi")
       .select(col("wid"), posexplode(col("refs")).as(Seq("pos", "ref")))
       .join(nodes, col("ref") === col("nid"))
       .select(col("wid"), col("pos"), col("ref"), col("lon"), col("lat"))
@@ -338,7 +358,6 @@ object GeometryBuilder {
 
     // J6 — drop standalone result ways that are members of result
     // geometry relations (reference _frame.py:27-28 anti-join)
-    val memberWayIds = members.select(col("wref")).distinct()
     if (q.ways)
       branches += wayRows.join(memberWayIds,
         wayRows("id") === memberWayIds("wref"), "left_anti")

@@ -44,17 +44,27 @@ object DecodeNeeds {
 object OsmPbfFile {
 
   /** Expand a path / directory / glob into concrete `.osm.pbf` files —
-    * a 100 TB corpus is a directory of extracts, not one file. */
+    * a 100 TB corpus is a directory of extracts, not one file.
+    * Directories matched by a glob contribute their `.pbf` files (one
+    * level; no silent drop); an empty directory is a clean error. */
   def expand(pathStr: String, conf: Configuration = new Configuration()): Seq[String] = {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
-    val statuses =
-      if (fs.isDirectory(path)) fs.listStatus(path).toSeq
-      else Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+    def pbfFilesUnder(dir: Path): Seq[String] =
+      fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".pbf"))
     val files =
-      if (statuses.isEmpty) Seq(pathStr) // plain single file
-      else statuses.filter(_.isFile).map(_.getPath.toString)
-        .filter(p => p.endsWith(".pbf") || statuses.size == 1)
+      if (fs.isDirectory(path)) pbfFilesUnder(path)
+      else {
+        val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+        if (matched.isEmpty) Seq(pathStr) // plain single file (any extension)
+        else if (matched.size == 1 && matched.head.isFile)
+          Seq(matched.head.getPath.toString) // exact single-file match
+        else matched.flatMap { st =>
+          if (st.isFile) Seq(st.getPath.toString).filter(_.endsWith(".pbf"))
+          else pbfFilesUnder(st.getPath)
+        }
+      }
     require(files.nonEmpty, s"no .pbf files under $pathStr")
     files.sorted
   }
@@ -141,6 +151,9 @@ object OsmPbfFile {
       }
     }
     if (raw != null) raw
+    else if (rawSize < 0)
+      throw new IllegalArgumentException(
+        "compressed blob is missing its raw_size field")
     else if (zlib != null) Zlib.inflate(zlib, rawSize)
     else if (zstd != null) com.github.luben.zstd.Zstd.decompress(zstd, rawSize)
     else if (lz4 != null)
@@ -402,8 +415,8 @@ object BlockDecoder {
               }
             }
           } else r.skip(2)
-        case 8 => lats = r.readPackedLongs(zigzag = true, delta = true)
-        case 9 => lons = r.readPackedLongs(zigzag = true, delta = true)
+        case 8 => if (needs.coords) lats = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
+        case 9 => if (needs.coords) lons = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
         case 10 => if (needs.tags) kvs = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
         case _ => r.skip(tag & 7)
       }
@@ -437,7 +450,8 @@ object BlockDecoder {
       }
       if (matched) {
         out += Decoded(ids(i), 0,
-          1e-9 * (latOff + gran * lats(i)), 1e-9 * (lonOff + gran * lons(i)),
+          if (lats.isEmpty) 0.0 else 1e-9 * (latOff + gran * lats(i)),
+          if (lons.isEmpty) 0.0 else 1e-9 * (lonOff + gran * lons(i)),
           needs.coords, tk, tv, emptyL, emptyS, emptyL, emptyB,
           if (versions.nonEmpty) versions(i).toInt else -1,
           if (tss.nonEmpty) tss(i) * dateGran else 0L,

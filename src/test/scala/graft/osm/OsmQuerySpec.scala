@@ -151,6 +151,28 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(rows.isEmpty, s"expected no segments, got ${rows.mkString(",")}")
   }
 
+  test("multi-file corpus dedups border elements shared by adjacent extracts") {
+    val dir = java.nio.file.Files.createTempDirectory("borderpbf")
+    // the border way 300 and its nodes appear in BOTH extracts
+    val borderNodes = Seq(N(50, 0.0, 0.0), N(51, 0.0, 1.0), N(52, 1.0, 1.0))
+    val borderWay = W(300, Seq(50L, 51L, 52L), Seq("highway" -> "residential"))
+    write(dir.resolve("a.osm.pbf").toString,
+      Seq(borderNodes :+ N(60, 2.0, 2.0), Seq(borderWay)))
+    write(dir.resolve("b.osm.pbf").toString,
+      Seq(borderNodes :+ N(61, 3.0, 3.0), Seq(borderWay)))
+    // geometry: one linestring with 3 vertices, not 6
+    val geo = OsmQuery.highways.copy(geometry = true)
+      .run(spark, dir.toString).collect()
+    assert(geo.map(_.getAs[Long]("osmid")).toSeq === Seq(300L))
+    assert(Wkb.readLineString(geo.head.getAs[Array[Byte]]("geometry")).length === 3)
+    // topology: interior node 51 is NOT a junction (degree comes from
+    // the deduped way set), so the way stays one segment
+    val topo = OsmQuery.highways.copy(geometry = true, topology = true)
+      .run(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("osmid"), r.getAs[Long]("source"), r.getAs[Long]("target")))
+    assert(topo.toSeq === Seq((300L, 50L, 52L)))
+  }
+
   test("metadata columns surfaced when requested") {
     val f = java.io.File.createTempFile("metapbf", ".osm.pbf")
     f.deleteOnExit()
