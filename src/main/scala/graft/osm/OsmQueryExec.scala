@@ -413,7 +413,11 @@ object GeometryBuilder {
 
   /** Greedy end-to-end chaining with reversal (reference _frame.py:181-215):
     * matching is by node id; the shared junction node of consecutive
-    * ways is emitted once (G9). */
+    * ways is emitted once (G9). Like the reference, the chain extends
+    * only at the TAIL (forward `_s == node` or reversed `_t == node`)
+    * — complete for closed rings; an open route whose member order
+    * starts mid-route may split into extra parts, exactly as the
+    * reference's greedy does. */
   private[osm] def chain(ms: Array[Member], close: Boolean): Seq[Seq[(Long, Double, Double)]] = {
     val seqs = ms.map(m => m.nodeIds.zip(m.xs.zip(m.ys))
       .map { case (n, (x, y)) => (n, x, y) }.toSeq)
