@@ -26,6 +26,7 @@ object MultimodalOps {
       * pixels/samples. Real decoders plug in here. */
     def decodeStub(media: Array[Byte]): Array[Int] = {
       val hist = new Array[Int](256)
+      if (media == null) return hist // null payloads decode to nothing
       var i = 0
       while (i < media.length) { hist(media(i) & 0xff) += 1; i += 1 }
       hist
@@ -33,7 +34,7 @@ object MultimodalOps {
 
     def features(id: Long, media: Array[Byte]): MediaFeatures = {
       val hist = decodeStub(media)
-      val n = media.length
+      val n = if (media == null) 0 else media.length
       var distinct = 0
       var entropy = 0.0
       var fp = 0xcbf29ce484222325L // FNV-1a 64 over the histogram
@@ -72,17 +73,21 @@ object MultimodalOps {
     * source bytes at a fixed stride). Output schema carries the new
     * size metadata the way an image pipeline would. */
   def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     import spark.implicits._
     media.select("id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val out = new Array[Byte](targetBytes)
-        val n = math.max(bytes.length, 1)
-        var i = 0
-        while (i < targetBytes) {
-          out(i) = bytes((i.toLong * n / targetBytes).toInt % n)
-          i += 1
+        // null/empty payloads resize to an all-zero target
+        if (bytes != null && bytes.length > 0) {
+          val n = bytes.length
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = bytes((i.toLong * n / targetBytes).toInt % n)
+            i += 1
+          }
         }
-        (id, out, targetBytes, bytes.length)
+        (id, out, targetBytes, if (bytes == null) 0 else bytes.length)
       })
       .toDF("id", "media", "n_bytes", "orig_bytes")
   }
@@ -93,10 +98,12 @@ object MultimodalOps {
     * frames + positions). */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     media.select("id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val nFrames = bytes.length / frameBytes
+        val nFrames = if (bytes == null) 0 else bytes.length / frameBytes
         (0 until nFrames by stride).map { f =>
           val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes)
           (id, f, frame)

@@ -20,17 +20,30 @@ object SkewJoin {
 
   /** Inner equi-join `left(leftKey) = right(rightKey)` with the right
     * side replicated `salts` ways. The salt is derived from the hash of
-    * the whole left row — deterministic, no RNG in the plan. */
+    * the left row's hashable columns — deterministic, no RNG in the
+    * plan. The salt column name is chosen to avoid clobbering any user
+    * column, and unhashable column types (maps) are excluded from the
+    * salt hash rather than failing analysis. */
   def saltedInner(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
-    val saltedRight = right.withColumn("__salt",
+    var saltCol = "__graft_salt"
+    while (left.columns.contains(saltCol) || right.columns.contains(saltCol))
+      saltCol += "_"
+    // MapType cannot appear in a hash expression; hashing the remaining
+    // columns still spreads same-key rows (degrades only if the key is
+    // the sole hashable column)
+    val hashable = left.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    require(hashable.nonEmpty, "left side has no hashable columns to salt on")
+    val saltedLeft = left.withColumn(saltCol,
+      pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int"))
+    val saltedRight = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(saltedRight,
         saltedLeft(leftKey) === saltedRight(rightKey) &&
-          saltedLeft("__salt") === saltedRight("__salt"))
-      .drop("__salt")
+          saltedLeft(saltCol) === saltedRight(saltCol))
+      .drop(saltCol)
   }
 }

@@ -42,14 +42,21 @@ object EventsStream {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
-          // events within a micro-batch arrive unordered: sort by (ts, id)
+          // events within a micro-batch arrive unordered: sort by (ts, id).
+          // Events OLDER than the committed state (stragglers from an
+          // earlier micro-batch) are dropped — processing them would
+          // regress lastTs and corrupt later session boundaries; the
+          // batch twin `sessionize` over complete data is the reference.
           val evs = it.toArray.sortBy(e => (e._3, e._1))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
-          val out = evs.map { case (eid, uid, ts) =>
-            val sid = if (st.lastTsNs == Long.MinValue || ts - st.lastTsNs > gapNs)
-              st.sessionId + 1 else st.sessionId
-            st = SessionState(ts, sid)
-            SessionOut(eid, uid, sid)
+          val out = evs.flatMap { case (eid, uid, ts) =>
+            if (st.lastTsNs != Long.MinValue && ts < st.lastTsNs) None // late straggler
+            else {
+              val sid = if (st.lastTsNs == Long.MinValue || ts - st.lastTsNs > gapNs)
+                st.sessionId + 1 else st.sessionId
+              st = SessionState(ts, sid)
+              Some(SessionOut(eid, uid, sid))
+            }
           }
           state.update(st)
           out.iterator
