@@ -56,7 +56,10 @@ object Fnv64 {
     * without configuring extensions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv64", exprs => Fnv64(exprs.head), "scala_udf")
+      "fnv64", exprs => {
+        require(exprs.size == 1, s"fnv64 expects exactly 1 argument, got ${exprs.size}")
+        Fnv64(exprs.head)
+      }, "scala_udf")
 }
 
 /** SparkSessionExtensions registration — extension point (c): makes
@@ -69,7 +72,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("fnv64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Fnv64].getName, "fnv64"),
-      (children: Seq[Expression]) => Fnv64(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"fnv64 expects exactly 1 argument, got ${children.size}")
+        Fnv64(children.head)
+      }))
     // extension point (c) optimizer rule: tag-key-existence filters on
     // an osmpbf relation gain the decoder-level mustTagKeys pushdown
     e.injectOptimizerRule(_ => graft.plans.MustTagPushdown)

@@ -36,7 +36,11 @@ object Winnow {
     * minimum wins ties (the standard robust-winnowing rule), deduped. */
   def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
     val hs = rollingHashes(text, k)
-    if (hs.length <= w) return hs.distinct.sorted
+    // strictly fewer hashes than one window: no window exists, degrade
+    // to all hashes (hs.length == w has exactly one window and must go
+    // through the loop — `<=` here skipped it, returning w hashes
+    // instead of the single window minimum)
+    if (hs.length < w) return hs.distinct.sorted
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i + w <= hs.length) {

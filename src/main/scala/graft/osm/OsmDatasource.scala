@@ -23,41 +23,56 @@ class OsmDatasource(
     geofabrikIndexUrl: String = OsmDatasource.GeofabrikIndex,
     bbbikeCsvUrl: String = OsmDatasource.BbbikeIndex) {
 
-  /** name (normalized) → candidate URLs, Geofabrik first. */
+  /** name (normalized) → candidate URLs, Geofabrik first. One source
+    * failing is survivable (warned, the other still serves); BOTH
+    * failing surfaces the underlying error instead of an empty index
+    * that would misreport every place as unknown. */
   lazy val index: Map[String, Seq[String]] = {
-    val geo = Try(parseGeofabrik(new String(fetch(geofabrikIndexUrl), "UTF-8")))
-      .getOrElse(Map.empty)
-    val bb = Try(parseBbbike(new String(fetch(bbbikeCsvUrl), "UTF-8")))
-      .getOrElse(Map.empty)
-    (geo.keySet ++ bb.keySet).map { k =>
-      k -> (geo.getOrElse(k, Nil) ++ bb.getOrElse(k, Nil))
-    }.toMap
+    val geoT = Try(parseGeofabrik(new String(fetch(geofabrikIndexUrl), "UTF-8")))
+    val bbT = Try(parseBbbike(new String(fetch(bbbikeCsvUrl), "UTF-8")))
+    (geoT, bbT) match {
+      case (scala.util.Failure(e1), scala.util.Failure(_)) =>
+        throw new IllegalStateException("could not fetch any extract index", e1)
+      case _ =>
+        Seq(geoT, bbT).collect { case scala.util.Failure(e) =>
+          System.err.println(s"[OsmDatasource] index source failed: ${e.getMessage}")
+        }
+        val geo = geoT.getOrElse(Map.empty[String, Seq[String]])
+        val bb = bbT.getOrElse(Map.empty[String, Seq[String]])
+        (geo.keySet ++ bb.keySet).map { k =>
+          k -> (geo.getOrElse(k, Nil) ++ bb.getOrElse(k, Nil))
+        }.toMap
+    }
   }
 
   def places: Seq[String] = index.keys.toSeq.sorted
 
   /** Download extracts for the given place names into `dir`; tries each
     * candidate URL in order (reference datasource.py:33-50 fallback).
-    * Returns place → written file. */
-  def download(dir: String, places: Seq[String])(
+    * Places normalizing to the same key share ONE download (never two
+    * concurrent writers on one file). Returns place → written file. */
+  def download(dir: String, places: Seq[String],
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Inf)(
       implicit ec: ExecutionContext = ExecutionContext.global): Map[String, Path] = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val futures = places.map { p =>
-      val key = OsmDatasource.normalizeName(p)
+    val byKey = places.map(p => OsmDatasource.normalizeName(p) -> p)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val futures = byKey.toSeq.map { case (key, ps) =>
       val urls = index.getOrElse(key,
-        throw new NoSuchElementException(s"unknown place '$p'"))
+        throw new NoSuchElementException(s"unknown place '${ps.head}'"))
       Future {
         val bytes = urls.view.map(u => Try(fetch(u))).collectFirst {
           case scala.util.Success(b) => b
-        }.getOrElse(throw new RuntimeException(s"all URLs failed for '$p'"))
+        }.getOrElse(throw new RuntimeException(s"all URLs failed for '${ps.head}'"))
         val out = d.resolve(s"$key.osm.pbf")
         Files.write(out, bytes)
-        p -> out
+        ps.map(_ -> out)
       }
     }
-    import scala.concurrent.duration._
-    scala.concurrent.Await.result(Future.sequence(futures), 1.hour).toMap
+    scala.concurrent.Await.result(Future.sequence(futures), timeout)
+      .flatten.toMap
   }
 
   /** Geofabrik index.json: features[].properties.{name, urls.pbf}
@@ -90,9 +105,11 @@ object OsmDatasource {
   val BbbikeIndex = "https://download.bbbike.org/osm/bbbike/cities.txt"
   val BbbikeUrlPattern = "https://download.bbbike.org/osm/bbbike/{city}/{city}.osm.pbf"
 
-  /** upper + NFC + apostrophe strip (reference datasource.py:184-191). */
+  /** upper + NFC + apostrophe strip (reference datasource.py:184-191).
+    * Locale.ROOT: the default locale's casing (e.g. Turkish dotted İ)
+    * must not change which index keys match. */
   def normalizeName(s: String): String =
-    Normalizer.normalize(s.toUpperCase, Normalizer.Form.NFC)
+    Normalizer.normalize(s.toUpperCase(java.util.Locale.ROOT), Normalizer.Form.NFC)
       .replace("'", "").replace("’", "")
 
   def httpFetch(url: String): Array[Byte] = {
