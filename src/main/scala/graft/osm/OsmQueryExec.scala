@@ -68,6 +68,11 @@ object OsmQueryExec {
   val RelationLine: Seq[String] = Seq("route")
   val RelationArea: Seq[String] = Seq("multipolygon", "boundary")
 
+  /** Above this many ids, F2 id-set lookup switches from literal
+    * `isin` (scan-pushable, but a plan-exploding In expression at
+    * scale) to a broadcast left-semi join. */
+  private[osm] val LargeIdSetThreshold = 1000
+
   // ------------------------------------------------------------------
 
   private def scan(spark: SparkSession, path: String): DataFrame =
@@ -181,16 +186,19 @@ object OsmQueryExec {
       require(wanted.nonEmpty, "query must select at least one of nodes/ways/relations")
       col("type").isin(wanted.map(t => t: Any): _*)
     }
+    val idSets = Seq(q.nodeIds.map(TypeNode -> _), q.wayIds.map(TypeWay -> _)).flatten
+    val smallIdSets = idSets.forall(_._2.size <= LargeIdSetThreshold)
     val idCond = {
-      val conds = Seq(
-        q.nodeIds.map(ids => col("type") === TypeNode && col("id").isin(ids.map(i => i: Any): _*)),
-        q.wayIds.map(ids => col("type") === TypeWay && col("id").isin(ids.map(i => i: Any): _*)))
-        .flatten
-      if (conds.isEmpty) lit(true)
+      // F2 small-set path: literal isin, pushed into the scan. Large
+      // sets switch to a broadcast semi-join below (a million-literal
+      // In expression explodes the plan; SURVEY §2.2 F2).
+      if (idSets.isEmpty || !smallIdSets) lit(true)
       else {
+        val conds = idSets.map { case (t, ids) =>
+          col("type") === t && col("id").isin(ids.map(i => i: Any): _*)
+        }
         // element types without an id set stay unrestricted
-        val restricted = Seq(q.nodeIds.map(_ => TypeNode), q.wayIds.map(_ => TypeWay)).flatten
-        conds.reduce(_ || _) || !col("type").isin(restricted.map(t => t: Any): _*)
+        conds.reduce(_ || _) || !col("type").isin(idSets.map(_._1: Any): _*)
       }
     }
     val relTypeCond = q.relationType match {
@@ -200,6 +208,21 @@ object OsmQueryExec {
     }
 
     var el = elSource.filter(typeCond && idCond && relTypeCond && tagPredicate(q, col("tags")))
+    if (idSets.nonEmpty && !smallIdSets) {
+      // F2 large-set path: broadcast left-semi join on (type, id) for
+      // the restricted types; unrestricted types pass through
+      import spark.implicits._
+      val idsDf = broadcast(
+        idSets.flatMap { case (t, ids) => ids.map(id => (id, t)) }
+          .toDF("id", "type"))
+      val restrictedTypes = idSets.map(_._1)
+      val restricted = el
+        .filter(col("type").isin(restrictedTypes.map(t => t: Any): _*))
+        .join(idsDf, Seq("id", "type"), "left_semi")
+      val unrestricted = el
+        .filter(!col("type").isin(restrictedTypes.map(t => t: Any): _*))
+      el = restricted.unionByName(unrestricted)
+    }
     // min-points way filter (reference primitives.py:76-78) — geometry
     // queries drop degenerate ways before the coordinate join
     if (q.geometry) el = el.filter(col("type") =!= TypeWay || size(col("refs")) >= 2)

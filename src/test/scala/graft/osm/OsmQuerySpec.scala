@@ -227,6 +227,18 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(ids.filter(_._2 == 0).map(_._1) === Seq(1L, 2L))
     assert(ids.count(_._2 == 1) === 9)
   }
+
+  test("large id sets switch to the semi-join path with identical results") {
+    // pad the set far past the isin threshold with nonexistent ids —
+    // results must match the small-set literal path exactly
+    val big = Seq(1L, 2L) ++ (1000000L to 1000000L + OsmQueryExec.LargeIdSetThreshold)
+    val q = OsmQuery(nodes = true, ways = true, keepFirst = false,
+      nodeIds = Some(big))
+    val ids = q.run(spark, world).orderBy("osmid").collect()
+      .map(r => (r.getAs[Long]("osmid"), r.getAs[Byte]("osmtype"))).toSeq
+    assert(ids.filter(_._2 == 0).map(_._1) === Seq(1L, 2L))
+    assert(ids.count(_._2 == 1) === 9) // ways stay unrestricted
+  }
 }
 
 class WkbSpec extends AnyFunSuite {
