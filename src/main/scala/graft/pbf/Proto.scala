@@ -15,12 +15,18 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   @inline def hasMore: Boolean = pos < end
 
-  /** varint64 (reference protobuf.pyx:320-360). */
+  @inline private def overrun(what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"malformed pbf: $what runs past the message boundary (pos=$pos, end=$end)")
+
+  /** varint64 (reference protobuf.pyx:320-360); a truncated varint is a
+    * framing error, not a silent read into sibling bytes. */
   def readVarint(): Long = {
     var shift = 0
     var result = 0L
     var b = 0L
     do {
+      if (pos >= end) overrun("varint")
       b = buf(pos) & 0xffL
       result |= (b & 0x7fL) << shift
       shift += 7
@@ -41,15 +47,22 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   /** skip a field of the given wire type (reference protobuf.pyx:293-317). */
   def skip(wireType: Int): Unit = wireType match {
     case 0 => readVarint()
-    case 1 => pos += 8
-    case 2 => val len = readVarint().toInt; pos += len
-    case 5 => pos += 4
+    case 1 => if (pos + 8 > end) overrun("fixed64"); pos += 8
+    case 2 =>
+      val len = readVarint().toInt
+      checkLen(len, "skipped field")
+      pos += len
+    case 5 => if (pos + 4 > end) overrun("fixed32"); pos += 4
     case w => throw new IllegalArgumentException(s"unsupported wire type $w at $pos")
   }
+
+  @inline private def checkLen(len: Int, what: String): Unit =
+    if (len < 0 || pos + len > end) overrun(s"$what of length $len")
 
   /** length-delimited payload: returns a sub-reader over the span. */
   def readMessage(): PbfReader = {
     val len = readVarint().toInt
+    checkLen(len, "sub-message")
     val r = new PbfReader(buf, pos, pos + len)
     pos += len
     r
@@ -57,6 +70,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   def readBytes(): Array[Byte] = {
     val len = readVarint().toInt
+    checkLen(len, "bytes field")
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
     pos += len
     out
@@ -64,6 +78,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   def readString(): String = {
     val len = readVarint().toInt
+    checkLen(len, "string field")
     val s = new String(buf, pos, len, "UTF-8")
     pos += len
     s
@@ -73,6 +88,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     * (reference protobuf.pyx:177-287 `packed`/`large_packed`). */
   def readPackedLongs(zigzag: Boolean, delta: Boolean): Array[Long] = {
     val len = readVarint().toInt
+    checkLen(len, "packed field")
     val limit = pos + len
     var n = 0
     // count first (varints are self-delimiting; quick scan of high bits)
@@ -86,6 +102,7 @@ final class PbfReader(val buf: Array[Byte], var pos: Int, val end: Int) {
       var v = 0L
       var b = 0L
       do {
+        if (pos >= limit) overrun("packed varint")
         b = buf(pos) & 0xffL
         v |= (b & 0x7fL) << shift
         shift += 7
@@ -158,9 +175,21 @@ object Zlib {
     val out = new Array[Byte](rawSize)
     var off = 0
     while (off < rawSize && !inf.finished()) {
-      off += inf.inflate(out, off, rawSize - off)
+      val n = inf.inflate(out, off, rawSize - off)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        // truncated stream: no more input but not finished — fail
+        // instead of spinning forever / silently zero-padding
+        inf.end()
+        throw new IllegalArgumentException(
+          s"truncated zlib stream: got $off of $rawSize declared bytes")
+      }
+      off += n
     }
+    val short = off < rawSize && inf.finished()
     inf.end()
+    if (short)
+      throw new IllegalArgumentException(
+        s"zlib stream ended early: got $off of $rawSize declared bytes")
     out
   }
 

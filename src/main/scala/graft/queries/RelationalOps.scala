@@ -31,7 +31,7 @@ object RelationalOps {
     "s13_scan_project" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     // F1 — osm-type selector ⇔ isin filter, pushed to the scan
     // (reference osmquery.py:242-247).
@@ -39,14 +39,14 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("A", "R"))
         .select("l_orderkey", "l_linenumber", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")),
 
     // F2 — small id-set lookup → In pushdown (reference osmquery.py:262-276).
     "f2_idset_small" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey").isin(1L, 7L, 42L, 999L, 4242L))
         .select("l_orderkey", "l_linenumber", "l_partkey")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
     // F2b — large id-set → broadcast left-semi join (reference dense.py:107-112).
     "f2_idset_semi" -> ((s, dir) => {
@@ -150,7 +150,7 @@ object RelationalOps {
       li.join(p, li("l_partkey") === p("p_partkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
           col("p_retailprice"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "p_name", "p_retailprice")
     }),
 
     // J2 — member attach join + star-schema broadcast dims
@@ -178,7 +178,7 @@ object RelationalOps {
       o.join(li, o("o_orderkey") === li("l_orderkey"))
         .join(p, li("l_partkey") === p("p_partkey"))
         .select(col("o_orderkey"), col("l_linenumber"), col("p_brand"))
-        .orderBy("o_orderkey", "l_linenumber")
+        .orderBy("o_orderkey", "l_linenumber", "p_brand")
     }),
 
     // J4 — left outer attach (reference _frame.py:126-127).
@@ -239,7 +239,7 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .withColumn("pos", row_number().over(w) - 1)
         .select("l_orderkey", "l_linenumber", "pos")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "pos")
     }),
 
     // A4/A5-adjacent — min/max/avg aggregate (reference _frame.py:120,135).
@@ -385,7 +385,7 @@ object RelationalOps {
         .withColumn("coord",
           (lit(100L) + lit(50L) * col("l_partkey")).cast("double") * lit(1e-9))
         .select("l_orderkey", "l_linenumber", "coord")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "coord")),
 
     // R4 — timestamp scaling to epoch millis (reference primitives.py:163-167).
     // ts arrives as raw nanosecond longs (see Verify session config);
@@ -530,7 +530,7 @@ object RelationalOps {
         .withColumn("drnk", dense_rank().over(byQty))
         .withColumn("nt", ntile(4).over(complete))
         .select("l_orderkey", "l_linenumber", "l_returnflag", "rnk", "drnk", "nt")
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "rnk", "drnk", "nt")
     }),
 
     "tpch_q1_pricing" -> ((s, dir) =>
@@ -618,7 +618,7 @@ object RelationalOps {
                 dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
                 ntile(4) OVER (PARTITION BY l_returnflag
                                ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS nt
-         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, rnk, drnk, nt""",
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -663,13 +663,15 @@ object RelationalOps {
   def oracle: Map[String, String] = Map(
     "s13_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "f1_type_filter" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-         WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber""",
+         WHERE l_returnflag IN ('A','R')
+         ORDER BY l_orderkey, l_linenumber, l_returnflag""",
     "f2_idset_small" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
-         WHERE l_orderkey IN (1,7,42,999,4242) ORDER BY l_orderkey, l_linenumber""",
+         WHERE l_orderkey IN (1,7,42,999,4242)
+         ORDER BY l_orderkey, l_linenumber, l_partkey""",
     "f2_idset_semi" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders
@@ -698,7 +700,7 @@ object RelationalOps {
     "j1_ref_coord_join" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, p_name, p_retailprice""",
     "j2_star_broadcast" ->
       """SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
          FROM orders
@@ -712,7 +714,7 @@ object RelationalOps {
          JOIN lineitem ON o_orderkey = l_orderkey
          JOIN part ON l_partkey = p_partkey
          WHERE o_orderpriority = '1-URGENT'
-         ORDER BY o_orderkey, l_linenumber""",
+         ORDER BY o_orderkey, l_linenumber, p_brand""",
     "j4_left_join" ->
       """SELECT o_orderkey, c_name
          FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
@@ -739,7 +741,7 @@ object RelationalOps {
     "a3_cumcount" ->
       """SELECT l_orderkey, l_linenumber,
                 row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, pos""",
     "a4_minmax" ->
       """SELECT l_returnflag, max(l_quantity) AS max_qty, min(l_quantity) AS min_qty,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
@@ -810,7 +812,7 @@ object RelationalOps {
     "r3_dequantize" ->
       """SELECT l_orderkey, l_linenumber,
                 CAST(100 + 50 * l_partkey AS DOUBLE) * 1e-9 AS coord
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, coord""",
     "r4_ts_epoch" ->
       """SELECT event_id, epoch_ms(ts) AS ms FROM events ORDER BY event_id""",
     "r5_json_expand" ->

@@ -19,6 +19,30 @@ class ErrorPathSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated zlib stream errors instead of hanging or zero-padding") {
+    val full = Zlib.deflate("hello pbf world, have some bytes".getBytes("UTF-8"))
+    val truncated = java.util.Arrays.copyOf(full, full.length / 2)
+    val e = intercept[IllegalArgumentException] {
+      Zlib.inflate(truncated, 32)
+    }
+    assert(e.getMessage.contains("zlib"))
+  }
+
+  test("reader enforces message bounds on malformed input") {
+    // varint whose continuation bit never clears within the buffer
+    intercept[IllegalArgumentException] {
+      new PbfReader(Array[Byte](0x80.toByte, 0x80.toByte)).readVarint()
+    }
+    // length-delimited field longer than the remaining buffer
+    val w = new PbfWriter
+    w.writeTag(1, 2)
+    w.writeVarint(100) // declared length >> actual
+    w.writeVarint(7)
+    val r = new PbfReader(w.toBytes)
+    r.readTag()
+    intercept[IllegalArgumentException] { r.readBytes() }
+  }
+
   test("empty blob is rejected") {
     val blob = new PbfWriter
     blob.writeVarintField(2, 10)
