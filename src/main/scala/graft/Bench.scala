@@ -63,10 +63,11 @@ object Bench {
         val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      // a failed rep's fast error path must not pollute the min, and
-      // rows should come from a successful rep when one exists
+      // a failed rep's fast error path must not pollute the min; if no
+      // rep succeeded, emit a -1.0 sentinel so a failure can never
+      // masquerade as a fast measurement in the benchmark JSON
       val ok = reps.filter(_._2 >= 0)
-      val dt = (if (ok.nonEmpty) ok else reps).map(_._1).min
+      val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
       val rows = if (ok.nonEmpty) ok.head._2 else -1L
       System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$rows")
       name -> dt

@@ -30,11 +30,12 @@ object SkewJoin {
     var saltCol = "__graft_salt"
     while (left.columns.contains(saltCol) || right.columns.contains(saltCol))
       saltCol += "_"
-    // MapType cannot appear in a hash expression; hashing the remaining
-    // columns still spreads same-key rows (degrades only if the key is
-    // the sole hashable column)
+    // MapType cannot appear in a hash expression — at any nesting depth
+    // (array<map<...>>, struct fields containing maps); hashing the
+    // remaining columns still spreads same-key rows (degrades only if
+    // the key is the sole hashable column)
     val hashable = left.schema.fields
-      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name))
     require(hashable.nonEmpty, "left side has no hashable columns to salt on")
     val saltedLeft = left.withColumn(saltCol,
@@ -45,5 +46,15 @@ object SkewJoin {
         saltedLeft(leftKey) === saltedRight(rightKey) &&
           saltedLeft(saltCol) === saltedRight(saltCol))
       .drop(saltCol)
+  }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
   }
 }

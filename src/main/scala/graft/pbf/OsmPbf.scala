@@ -298,10 +298,21 @@ object BlockDecoder {
     if (isMust == null) return true
     var i = 0
     while (i < keys.length) {
-      if (isMust(keys(i).toInt)) return true
+      if (isMust(mustIx(keys(i), isMust.length))) return true
       i += 1
     }
     false
+  }
+
+  /** bounds-checked string-table id for the must-key test: a corrupt
+    * block with a key id outside the string table raises the same
+    * 'malformed pbf' framing error as the Proto.scala overrun guards
+    * instead of an ArrayIndexOutOfBoundsException. */
+  private def mustIx(id: Long, n: Int): Int = {
+    if (id < 0L || id >= n)
+      throw new IllegalArgumentException(
+        s"malformed pbf: tag key id $id outside string table (size=$n)")
+    id.toInt
   }
 
   private def decodeGroup(g: PbfReader, strings: Array[String],
@@ -432,7 +443,7 @@ object BlockDecoder {
         // materialization for filtered-out nodes)
         var p = kvPos
         while (p < kvs.length && kvs(p) != 0L) {
-          if (!matched && isMust(kvs(p).toInt)) matched = true
+          if (!matched && isMust(mustIx(kvs(p), isMust.length))) matched = true
           p += 2
         }
         if (matched && p > kvPos) {

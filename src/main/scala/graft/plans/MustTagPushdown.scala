@@ -69,11 +69,15 @@ object MustTagPushdown extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** `tags['k']` in either its GetMapValue or ElementAt form. */
+  /** `tags['k']` in either its GetMapValue or ElementAt form. ElementAt
+    * is only matched when failOnError=false (try_element_at / non-ANSI):
+    * under ANSI mode element_at throws MAP_KEY_DOES_NOT_EXIST for
+    * elements lacking the key, and the scan-side pre-filter would
+    * silence that error — an observable semantics divergence. */
   private def mapKeyOf(e: Expression, tags: Attribute): Option[String] = e match {
     case GetMapValue(t, Literal(k: UTF8String, StringType)) if t.semanticEquals(tags) =>
       Some(k.toString)
-    case ElementAt(t, Literal(k: UTF8String, StringType), _, _)
+    case ElementAt(t, Literal(k: UTF8String, StringType), _, false)
         if t.dataType.isInstanceOf[MapType] && t.semanticEquals(tags) =>
       Some(k.toString)
     case _ => None

@@ -144,8 +144,8 @@ object PipelineOps {
                   CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END AS ns
            FROM g)
          SELECT event_id, user_id,
-                sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
          FROM f ORDER BY user_id, event_id""",
     "ev_view_click_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id

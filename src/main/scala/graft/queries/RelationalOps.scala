@@ -774,8 +774,8 @@ object RelationalOps {
                   CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS flag
            FROM o)
          SELECT event_id, user_id,
-                sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+                CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS run_id
          FROM f ORDER BY user_id, event_id""",
     "w3_group_head" ->
       """SELECT user_id, event_id, event_type FROM (
@@ -803,11 +803,11 @@ object RelationalOps {
          FROM part ORDER BY p_partkey""",
     "r1_pivot" ->
       """SELECT o_orderstatus,
-                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
-                sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
-                sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
-                sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
-                sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM",
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "r3_dequantize" ->
       """SELECT l_orderkey, l_linenumber,
@@ -856,9 +856,9 @@ object RelationalOps {
            WHERE u.c = 0 OR (r.junction AND NOT r.is_first AND NOT r.is_last)),
          seg AS (
            SELECT *,
-                  sum(CASE WHEN is_first OR (junction AND NOT is_first AND NOT is_last AND c = 1)
+                  CAST(sum(CASE WHEN is_first OR (junction AND NOT is_first AND NOT is_last AND c = 1)
                            THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY way ORDER BY pos, c ROWS UNBOUNDED PRECEDING) - 1 AS seg_ix
+                    OVER (PARTITION BY way ORDER BY pos, c ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg_ix
            FROM exploded)
          SELECT way, seg_ix,
                 arg_min(node, pos * 2 + c) AS source,

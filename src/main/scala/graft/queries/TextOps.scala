@@ -308,13 +308,23 @@ object TextOps {
     // Vocabulary building: top-k tokens by global frequency with a
     // complete deterministic order (count desc, token asc). Partial
     // (map-side) aggregation makes the token histogram a single
-    // shuffle of the distinct-token set, not the token stream.
+    // shuffle of the distinct-token set, not the token stream; each
+    // post-agg partition then keeps only its local top-100 (a superset
+    // of any global top-100 member — counts are final after the agg),
+    // so the single-partition ranking window sees ≤ 100×numPartitions
+    // rows instead of the whole distinct-token set.
     "text_vocab_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val counts = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
-      counts
+      val localTop = counts
+        .sortWithinPartitions(col("n").desc, col("token").asc)
+        .as[(String, Long)]
+        .mapPartitions(_.take(100))
+        .toDF("token", "n")
+      localTop
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n").desc, col("token").asc)))
         .filter(col("rk") <= 100)

@@ -15,6 +15,16 @@ import sys, json, glob, os
 import duckdb
 
 
+def fetch(rel):
+    """Fetch through Arrow (like the driver does) so type-level drift —
+    e.g. DuckDB HUGEINT (sum of ints) arriving as decimal128 instead of
+    int64 — is visible locally instead of only in the driver's gate."""
+    tbl = rel.arrow()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
+
+
 def canon(rows, cols):
     # sort columns by name, then rows lexicographically by repr
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -50,9 +60,7 @@ def main():
             print(f"  {name}: NO RESULT FILES")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        gcols = [c[0] for c in got.description]
-        grows = got.fetchall()
+        gcols, grows = fetch(con.execute(f"SELECT * FROM read_parquet({files!r})"))
         if name not in oracle:
             print(f"  {name}: rows-only check, {len(grows)} rows "
                   f"{'PASS' if len(grows) > 0 else 'FAIL (0 rows)'}")
@@ -60,9 +68,7 @@ def main():
             n_fail += len(grows) == 0
             continue
         try:
-            exp = con.execute(oracle[name])
-            ecols = [c[0] for c in exp.description]
-            erows = exp.fetchall()
+            ecols, erows = fetch(con.execute(oracle[name]))
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}")
             n_fail += 1
