@@ -165,6 +165,17 @@ object PipelineOps {
     "mm_features" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
                 len(list_distinct(string_split(text, ''))) AS n_distinct_bytes
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // resize always emits exactly targetBytes=128 bytes; orig_bytes is
+    // the UTF-8 payload length (strlen counts bytes in DuckDB)
+    "mm_resize" ->
+      """SELECT doc_id, 128 AS n_bytes, strlen(text) AS orig_bytes
+         FROM documents ORDER BY doc_id""",
+    // frames of 32 payload bytes, every 4th kept: frame_ix ∈ range(0,
+    // strlen//32, 4); each emitted frame is exactly 32 bytes
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_ix, 32 AS frame_bytes
+         FROM documents, unnest(range(0, strlen(text) // 32, 4)) AS t(f)
+         ORDER BY doc_id, frame_ix"""
   )
 }
