@@ -23,6 +23,7 @@ object Bench {
     "g10_topo_segments",
     // text pipeline
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_cluster_cc",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf",

@@ -11,9 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated code inlines the byte loop into the stage, no boxing, no
   * closure call per row.
   *
-  * (The production fingerprint path uses built-in `xxhash64`; this
-  * expression exists for rolling-hash-style fingerprints where the
-  * algorithm must be FNV-compatible with external systems.)
+  * It is the engine's content-fingerprint hash (text_fingerprint,
+  * SimHash token hashing, multimodal histogram fingerprints): a pure
+  * byte-fold whose arithmetic a SQL oracle replicates exactly, unlike
+  * block-based xxhash64.
   */
 case class Fnv64(child: Expression) extends UnaryExpression {
 

@@ -13,26 +13,20 @@ object MinHash {
 
   final val Golden = 0x9E3779B97F4A7C15L
 
-  /** Spark-identical xxhash64 of a string (seed 42, UTF-8 bytes) —
-    * lets JVM kernels produce the same fingerprints as the
-    * `xxhash64(...)` SQL expression. */
-  def xxhash64(s: String): Long = {
-    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-  }
-
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * xxhash64(token). Bit-identical to the interpreted HOF expression
-    * `aggregate(sequence(0,63), ...)` it replaces (higher-order
-    * functions don't codegen — this kernel is the hot path). Token
-    * split matches Spark `split(text, " ")` (trailing empties kept). */
+    * fnv64(token) — the engine's own codegen'd hash expression
+    * ([[Fnv64]]), which a SQL oracle can replicate exactly (pure
+    * byte-fold arithmetic, unlike block-based xxhash64). Bit-identical
+    * to the interpreted HOF expression `aggregate(sequence(0,63), ...)`
+    * it replaces (higher-order functions don't codegen — this kernel is
+    * the hot path). Token split matches Spark `split(text, " ")`
+    * (trailing empties kept). */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = text.split(" ", -1)
     var t = 0
     while (t < toks.length) {
-      val h = xxhash64(toks(t))
+      val h = Fnv64.hash(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

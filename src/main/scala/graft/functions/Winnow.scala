@@ -33,7 +33,9 @@ object Winnow {
   }
 
   /** Winnowed fingerprint set: min hash of each w-window, rightmost
-    * minimum wins ties (the standard robust-winnowing rule), deduped. */
+    * minimum wins ties (the standard robust-winnowing rule), deduped.
+    * Hashes are u64 values — the window minimum uses UNSIGNED order
+    * (so a SQL oracle over HUGEINT [0,2^64) reproduces the selection). */
   def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
     val hs = rollingHashes(text, k)
     // strictly fewer hashes than one window: no window exists, degrade
@@ -47,7 +49,7 @@ object Winnow {
       var minIx = i
       var j = i + 1
       while (j < i + w) {
-        if (hs(j) <= hs(minIx)) minIx = j
+        if (java.lang.Long.compareUnsigned(hs(j), hs(minIx)) <= 0) minIx = j
         j += 1
       }
       seen.add(hs(minIx))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation with
+  * pointer jumping — the clustering step of near-duplicate
+  * deduplication (pairs → duplicate groups → one canonical doc per
+  * group).
+  *
+  * Scale design (100 TB): each round is two shuffles on the id key
+  * (neighbor-min join + label-of-label jump); the pointer-jumping step
+  * contracts label chains, so convergence is O(log diameter) rounds
+  * rather than O(diameter) — near-dup clusters are shallow (most are
+  * cliques from a shared source doc), so 2-3 rounds is typical.
+  * `localCheckpoint` truncates the lineage each round, keeping the
+  * plan size constant across iterations (an iterative-join loop
+  * otherwise grows the DAG exponentially and overwhelms Catalyst).
+  * The label table is one row per *vertex that appears in a pair* —
+  * at 100 TB the near-dup pair set is orders of magnitude smaller than
+  * the corpus, so the iteration state is small even when the corpus is
+  * not.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edges as (srcCol, dstCol) rows (any other
+    *   columns ignored); vertices not in any edge are absent from the
+    *   output.
+    * @return (id, cluster_id) — cluster_id = min vertex id reachable
+    *   from id (the component's canonical representative). */
+  def run(spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst"), col("src"))).distinct()
+      .localCheckpoint() // the edge set is reused every round — decouple
+                         // it from the (possibly expensive) pair plan
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min label over neighbors
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy("src").agg(min("lbl").as("nl"))
+      val prop = labels.join(viaEdges, labels("id") === viaEdges("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
+      // pointer jump: also adopt the label of my current label
+      val l2 = prop.select(col("id").as("jid"), col("lbl1").as("jl"))
+      val next = prop.join(l2, prop("lbl1") === l2("jid"), "left")
+        .select(col("id"),
+          least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("nlbl"),
+          col("lbl"))
+        .select(col("id"), col("nlbl").as("lbl"),
+          (col("nlbl") =!= col("lbl")).cast("long").as("chg"))
+        .localCheckpoint()
+      changed = Option(next.agg(sum("chg")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

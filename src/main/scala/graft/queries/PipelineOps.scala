@@ -71,7 +71,7 @@ object PipelineOps {
         .select(col("id").as("doc_id"), col("n_bytes"), col("n_distinct_bytes"))
         .orderBy("doc_id")),
 
-    // full feature row incl. entropy + FNV fingerprint (rows-only)
+    // full feature row incl. entropy + FNV fingerprint
     "mm_features_full" -> ((s, dir) =>
       MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")))
         .select(col("id").as("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
@@ -91,7 +91,8 @@ object PipelineOps {
         .select(col("id").as("doc_id"), col("frame_ix"), length(col("frame")).as("frame_bytes"))
         .orderBy("doc_id", "frame_ix")),
 
-    // winnowing fingerprints (MOSS rolling-hash scheme; rows-only —
+    // winnowing fingerprints (MOSS rolling-hash scheme; oracle
+    // replicates the k-gram hash + rightmost-min window rule in SQL;
     // shared-substring guarantee pinned in WinnowSpec)
     "text_winnow" -> ((s, dir) => {
       import s.implicits._
@@ -176,6 +177,71 @@ object PipelineOps {
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_ix, 32 AS frame_bytes
          FROM documents, unnest(range(0, strlen(text) // 32, 4)) AS t(f)
-         ORDER BY doc_id, frame_ix"""
+         ORDER BY doc_id, frame_ix""",
+    // SQL twin of MediaCodec.features: byte histogram → count/distinct,
+    // Shannon entropy (p·ln p/ln 2, same formula; term margins to the
+    // round-6 boundary are ~1e-3 × 1e-6 on this corpus, 6 orders above
+    // cross-engine libm ULP drift), FNV-1a fold over the ORDERED
+    // 256-bin histogram (zero bins included, exactly like the kernel)
+    "mm_features_full" -> {
+      import OracleSql._
+      s"""WITH chars AS (
+            SELECT doc_id, ord(c) AS b
+            FROM documents, unnest(string_split(text,'')) AS t(c)),
+          hist AS (SELECT doc_id, b, count(*) AS c FROM chars GROUP BY 1, 2),
+          full_hist AS (
+            SELECT d.doc_id, r.b, coalesce(h.c, 0)::HUGEINT AS c
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range(0,256)) AS b) r
+            LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = r.b),
+          fp AS (
+            SELECT doc_id, ${fnvList("list(c ORDER BY b)")} AS f
+            FROM full_hist GROUP BY doc_id),
+          ent AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_distinct_bytes,
+                   -sum((CAST(c AS DOUBLE) / n) * (ln(CAST(c AS DOUBLE) / n) / ln(2.0))) AS entropy
+            FROM (SELECT h.doc_id, h.b, h.c, CAST(strlen(d.text) AS DOUBLE) AS n
+                  FROM hist h JOIN documents d USING (doc_id)) GROUP BY doc_id)
+          SELECT d.doc_id, strlen(d.text) AS n_bytes, e.n_distinct_bytes,
+                 round(e.entropy, 6) AS entropy, ${sb("fp.f")} AS fingerprint
+          FROM documents d
+          JOIN ent e ON e.doc_id = d.doc_id
+          JOIN fp ON fp.doc_id = d.doc_id
+          ORDER BY d.doc_id"""
+    },
+    // SQL twin of Winnow.fingerprints (k=5, w=4): 5-gram polynomial
+    // hash (base 1000003, u64) + splitmix64 finalizer per position,
+    // then per window of 4 the minimum hash with rightmost-tie rule —
+    // encoded as arg_max over the key (2^64-1-h)·2^32 + pos, so larger
+    // key = smaller hash, ties broken toward larger pos.
+    "text_winnow" -> {
+      import OracleSql._
+      val grams =
+        """SELECT doc_id, CAST(g AS INT) AS pos, substr(text, CAST(g AS INT), 5) AS gram,
+                  length(text) - 4 AS m
+           FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(g)"""
+      val steps =
+        Seq("ord(substr(gram,1,1))::HUGEINT" -> "h1") ++
+          (2 to 5).map(i =>
+            uadd(umul(s"h${i - 1}", "1000003::HUGEINT"), s"ord(substr(gram,$i,1))::HUGEINT") -> s"h$i") ++
+          splitmixSteps("h5", "hh")
+      val hashed = nest(grams, steps)
+      val maxU = "18446744073709551615::HUGEINT"
+      s"""WITH sel AS (
+            SELECT doc_id, pos, m, hh,
+                   arg_max(hh, ($maxU - hh) * 4294967296::HUGEINT + CAST(pos AS HUGEINT))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w_h
+            FROM ($hashed))
+          SELECT doc_id,
+            CASE WHEN any_value(m) >= 4
+                 THEN CAST(count(DISTINCT w_h) FILTER (pos <= m - 3) AS INT)
+                 ELSE CAST(count(DISTINCT hh) AS INT) END AS n_fingerprints,
+            CASE WHEN any_value(m) >= 4
+                 THEN min(${sb("w_h")}) FILTER (pos <= m - 3)
+                 ELSE min(${sb("hh")}) END AS min_fp
+          FROM sel GROUP BY doc_id ORDER BY doc_id"""
+    }
   )
 }

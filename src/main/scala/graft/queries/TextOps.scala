@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    hot key; the LSH path caps the join to b buckets per doc, which
   *    is why it is the scale path and the exact gram join is the
   *    verification baseline).
-  *  - all hash functions are Spark-native (`xxhash64`, `md5`) and
-  *    codegen'd; no UDFs on the hot path.
+  *  - all hash functions are codegen'd (built-in `md5`, the native
+  *    fnv64 expression) or tight JVM kernels in mapPartitions; no
+  *    Scala UDFs on the hot path.
   */
 object TextOps {
 
@@ -150,7 +151,7 @@ object TextOps {
       jaccardOn(cands, grams, 0.8)
     }),
 
-    // MinHash + LSH banding: signature of K=128 xxhash64 min-hashes,
+    // MinHash + LSH banding: signature of K=128 permutation min-hashes,
     // B=32 bands of R=4 rows; bucket-join for candidates, then exact
     // Jaccard verification. Same output contract as dedup_ngram_jaccard
     // — the LSH path is the 100TB-scale route (no full gram self-join).
@@ -216,10 +217,22 @@ object TextOps {
     }),
 
     // SimHash (64-bit) over word tokens: per-bit majority vote of
-    // xxhash64(token); emitted as the fingerprint plus the number of
-    // tokens — no SQL oracle (hash function internal), rows-only.
+    // fnv64(token) — oracle replicates the byte-fold + majority vote
+    // in SQL (unsigned-64 arithmetic over HUGEINT).
     "dedup_simhash" -> ((s, dir) =>
       simhashes(docs(s, dir)).orderBy("doc_id")),
+
+    // Near-duplicate CLUSTERING: SimHash pairs → connected components
+    // (min-label propagation + pointer jumping, O(log diameter)
+    // shuffle rounds) → (doc, canonical cluster id). The step after
+    // pair generation in a real dedup pipeline: transitive closure
+    // groups A~B~C even when A-C was never a candidate pair.
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val pairs = simhashPairs(docs(s, dir), 3).select("ida", "idb")
+      graft.operators.ConnectedComponents.run(s, pairs, "ida", "idb")
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    }),
 
     // SimHash near-dup PAIRS at hamming distance ≤ 3, banded scale
     // path: by pigeonhole, two 64-bit fingerprints within 3 bits share
@@ -227,7 +240,8 @@ object TextOps {
     // equi-join on (band, band value) — never an all-pairs compare —
     // and the xor-popcount check inside candidates is EXACT (the
     // banding loses nothing; proven equal to brute force in
-    // SimHashPairsSpec). Fingerprint is engine-internal → rows-only.
+    // SimHashPairsSpec). The oracle skips the banding and checks the
+    // all-pairs hamming semantics directly.
     "dedup_simhash_pairs" -> ((s, dir) => simhashPairs(docs(s, dir), 3)),
 
     // Language id: per-language marker-token counts, argmax with a
@@ -284,11 +298,12 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting: content hash (xxhash64) — engine-internal
-    // hash, rows-only check (unit-tested for stability in ScalaTest).
+    // Document fingerprinting: content hash via the engine's native
+    // fnv64 Catalyst expression (codegen'd byte fold; oracle replicates
+    // the FNV-1a arithmetic in SQL).
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+        .select(col("doc_id"), expr("fnv64(text)").as("fp"))
         .orderBy("doc_id")),
 
     // Deterministic stratified sampling: per-language rates via a
@@ -357,6 +372,40 @@ object TextOps {
        SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"""
 
   def oracle: Map[String, String] = Map(
+    // SQL twin of MinHash.simhash64: FNV-1a per token (u64 HUGEINT
+    // fold), per-bit majority vote — see OracleSql
+    "dedup_simhash" ->
+      s"""WITH ${OracleSql.simhashCte}
+          SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
+    // all-pairs hamming over the same simhash values (the engine's
+    // banding is lossless, so the direct semantics are the oracle)
+    "dedup_simhash_pairs" ->
+      s"""WITH ${OracleSql.simhashCte}
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY ida, idb""",
+    // transitive closure of the simhash pair graph via recursive CTE;
+    // cluster id = min reachable vertex (the Spark side's canonical
+    // label from min-propagation)
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE ${OracleSql.simhashCte},
+          pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT ida AS u, idb AS v FROM pairs
+                    UNION SELECT idb, ida FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+          FROM reach GROUP BY u ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${OracleSql.sb(OracleSql.fnvString("text"))} AS fp
+          FROM documents ORDER BY doc_id""",
     "pipe_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE (doc_id * 48271) % 65536 % 100 <

@@ -85,8 +85,8 @@ object VectorOps extends Serializable {
     // LSH-bucketed ANN: 8 deterministic pseudo-random hyperplanes
     // (coefficients from a hash of (plane, dim)), signature = sign
     // bits; candidates share a signature bucket; top-k within bucket.
-    // Approximate by construction — no SQL oracle (rows-only; recall
-    // vs brute force asserted in ScalaTest).
+    // Approximate-by-construction but fully deterministic (quantized
+    // projections, splitmix-derived coefficients) ⇒ full SQL oracle.
     "vec_ann_lsh" -> ((s, dir) => annLsh(s, dir, 8)),
 
     // IVF (inverted-file) ANN: deterministic coarse quantizer
@@ -116,9 +116,16 @@ object VectorOps extends Serializable {
             var bucket = 0L
             var p = 0
             while (p < planes) {
+              // per-term 2^-20 quantization (same trick as `cosine`):
+              // integer-valued terms sum exactly, so the sign decision
+              // is order-independent and a SQL oracle reproduces the
+              // exact bucket assignment
               var dot = 0.0
               var d = 0
-              while (d < 64) { dot += arr(d) * coef(p)(d); d += 1 }
+              while (d < 64) {
+                dot += graft.functions.Num.round0(arr(d) * coef(p)(d) * Q)
+                d += 1
+              }
               if (dot > 0.0) bucket |= 1L << p
               p += 1
             }
@@ -302,6 +309,55 @@ object VectorOps extends Serializable {
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk""",
+    // SQL twin of annLsh(planes=8): splitmix64-derived hyperplane
+    // coefficients (signed % 1000, matching the JVM's Long % — DuckDB
+    // % also follows the dividend sign), 2^-20-quantized projections
+    // (exact integer sums ⇒ order-independent sign), bucket equi-join,
+    // then the standard quantized-cosine top-k skeleton.
+    "vec_ann_lsh" -> {
+      import OracleSql._
+      val coefBase =
+        "SELECT p.p, d.d FROM (SELECT unnest(range(0,8)) AS p) p, (SELECT unnest(range(0,64)) AS d) d"
+      val coefNested = nest(coefBase, splitmixSteps("CAST(p * 1000003 + d AS HUGEINT)", "sm"))
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+          coef AS (
+            SELECT p, d, CAST(${sb("sm")} % 1000 AS DOUBLE) AS w FROM ($coefNested)),
+          proj AS (
+            SELECT e.vec_id, c.p,
+                   sum(round(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.w * 1048576)) AS dot
+            FROM embeddings e CROSS JOIN coef c GROUP BY 1, 2),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id),
+          norms AS (
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          cand AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS match_id
+            FROM buckets q JOIN buckets b ON q.bucket = b.bucket
+            WHERE q.vec_id < $QueryIds AND b.vec_id <> q.vec_id),
+          dots AS (
+            SELECT c.query_id, c.match_id, $dotSql AS dot
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.match_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
+    },
     "vec_neardup_pairs" ->
       s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (

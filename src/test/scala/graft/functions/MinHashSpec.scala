@@ -83,7 +83,7 @@ class SimhashExprParitySpec extends AnyFunSuite {
       "trailing space ", "café 𝄞 emoji")
     val viaExpr = texts.toDF("text")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("hashes", expr("transform(toks, t -> fnv64(t))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, b) ->
            acc | if(aggregate(hashes, 0L,
