@@ -33,6 +33,26 @@ object Bench {
     // osm fixture end-to-end + 2M-node scale probes
     "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 
+  /** Per-query seconds from the newest committed BENCH_r*.json (empty
+    * on round 1 or outside the repo checkout). */
+  private[graft] def prevRound: Map[String, Double] = {
+    val files = Option(new java.io.File("/root/repo").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    files.lastOption.toSeq.flatMap { f =>
+      val txt = scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
+      """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq.flatMap {
+        _.group(1).split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) => scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+            case _ => None
+          }
+        }
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,7 +96,12 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // per-query times from the previous round's BENCH json, so a round
+    // -over-round regression is visible in the artifact itself instead
+    // of requiring a by-hand diff of two files
+    val prevJson = prevRound.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"prev":$prevJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

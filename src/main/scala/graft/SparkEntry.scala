@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ RelationalOps.analyticsOracle ++
       TextOps.oracle ++ VectorOps.oracle ++
-      PipelineOps.oracle ++ Map(
+      PipelineOps.oracle ++ OsmQueries.oracle ++ Map(
       "q1_agg" -> "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
 }

@@ -12,7 +12,10 @@ object BigWorld {
 
   val BlockSize = 8000
 
-  def generate(path: String, nNodes: Int, nWays: Int): Unit = {
+  /** The deterministic element model — exposed so the oracle-side
+    * fixture tables (graft.queries.OsmOracle) can be derived from the
+    * same generator truth rather than from the engine's read path. */
+  def model(nNodes: Int, nWays: Int): (Seq[Elem], Seq[Elem]) = {
     val rnd = new scala.util.Random(42)
     val amenities = Array("cafe", "bench", "school", "fuel", "bank")
 
@@ -43,6 +46,11 @@ object BigWorld {
       }
     }
 
+    (nodes, ways)
+  }
+
+  def generate(path: String, nNodes: Int, nWays: Int): Unit = {
+    val (nodes, ways) = model(nNodes, nWays)
     val blocks = (nodes.grouped(BlockSize) ++ ways.grouped(BlockSize)).toSeq
     OsmPbfWriter.write(path, blocks)
   }

@@ -6,40 +6,43 @@ import graft.osm.OsmQuery
 
 /** The reference's user-facing query surface exercised end-to-end over
   * the committed fixture pbf (fixtures/mini.pbf). DuckDB cannot read
-  * PBF, so these are rows-only checks in the driver's gate; their
-  * *semantic* correctness is pinned by the golden assertions in
-  * OsmQuerySpec (same world, hand-computed expectations). */
+  * PBF, so each query's oracle ([[OsmOracle]]) runs over parquet
+  * fixture tables derived from the same generator models — selection
+  * and topology re-derived in SQL, geometry bytes from hand-derived
+  * expectations (mirroring OsmQuerySpec's golden assertions). */
 object OsmQueries {
 
   private val fixture = graft.pbf.MiniWorld.path
 
-  private def ensureFixture(): Unit = {
+  private def ensureFixture(s: SparkSession): Unit = {
     val f = new java.io.File(fixture)
     if (!f.exists()) graft.pbf.MiniWorld.generate()
+    OsmOracle.ensureMini(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // raw DSv2 scan: elements per type (S1-S11)
     "osm_scan_counts" -> ((s, _) => {
-      ensureFixture()
+      ensureFixture(s)
       s.read.format("osmpbf").load(fixture)
-        .groupBy("type").agg(count(lit(1)).as("n"))
+        .groupBy(col("type").cast("int").as("type"))
+        .agg(count(lit(1)).as("n"))
         .orderBy("type")
     }),
 
     // default POI query with point geometry (F3, G1)
     "osm_pois" -> ((s, _) => {
-      ensureFixture()
+      ensureFixture(s)
       OsmQuery.pois.copy(geometry = true).run(s, fixture)
-        .select(col("osmid"), col("osmtype"), col("amenity"),
+        .select(col("osmid"), col("osmtype").cast("int").as("osmtype"), col("amenity"),
           hex(col("geometry")).as("wkb_hex"), col("geom_type"))
         .orderBy("osmid")
     }),
 
     // default highway query, linestrings (F4 exclude, G2)
     "osm_highways" -> ((s, _) => {
-      ensureFixture()
+      ensureFixture(s)
       OsmQuery.highways.copy(geometry = true).run(s, fixture)
         .select(col("osmid"), col("highway"),
           hex(col("geometry")).as("wkb_hex"), col("geom_type"))
@@ -48,16 +51,16 @@ object OsmQueries {
 
     // buildings incl. multipolygon relation assembly (G3-G8, J3/J6)
     "osm_buildings" -> ((s, _) => {
-      ensureFixture()
+      ensureFixture(s)
       OsmQuery.buildings.copy(geometry = true).run(s, fixture)
-        .select(col("osmid"), col("osmtype"), col("building"),
+        .select(col("osmid"), col("osmtype").cast("int").as("osmtype"), col("building"),
           hex(col("geometry")).as("wkb_hex"), col("geom_type"))
         .orderBy("osmid")
     }),
 
     // highway topology: source/target per junction-split segment (G10/G11)
     "osm_topology" -> ((s, _) => {
-      ensureFixture()
+      ensureFixture(s)
       OsmQuery.highways.copy(geometry = true, topology = true).run(s, fixture)
         .select(col("osmid"), col("source"), col("target"), col("geom_type"))
         .orderBy("osmid", "source")
@@ -67,6 +70,7 @@ object OsmQueries {
     // blobs → 250 input partitions): parallel decode + POI tag filter
     "osm_big_pois" -> ((s, _) => {
       val p = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+      OsmOracle.ensureBig(s)
       OsmQuery.pois.copy(geometry = true).run(s, p)
         .groupBy("amenity").agg(count(lit(1)).as("n"))
         .orderBy("amenity")
@@ -75,10 +79,13 @@ object OsmQueries {
     // scale probe: highway extraction + junction topology end-to-end
     "osm_big_topology" -> ((s, _) => {
       val p = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+      OsmOracle.ensureBig(s)
       OsmQuery.highways.copy(geometry = true, topology = true).run(s, p)
         .groupBy("geom_type").agg(count(lit(1)).as("n_segments"))
     })
   )
+
+  def oracle: Map[String, String] = OsmOracle.oracle
 
   val BigPath = "/tmp/graft_bigworld.osm.pbf"
 }

@@ -279,15 +279,26 @@ object RelationalOps {
 
     // A7 — union of partial results + deterministic renumbering
     // (reference osmdata.py:231-259 merge; row positions replaced by a
-    // complete-key row_number, SURVEY §4.3 delta 3).
+    // complete-key global rank, SURVEY §4.3 delta 3). A global window
+    // would funnel the whole union through one task; instead: range-
+    // partition + local sort (a distributed total sort), then
+    // zipWithIndex's two-pass rank (per-partition counts → cumulative
+    // offset + local index) — no single-task stage anywhere.
     "a7_union_renumber" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val li = t(s, dir, "lineitem")
       val a = li.filter(col("l_returnflag") === "A")
       val r = li.filter(col("l_returnflag") === "R")
-      val u = a.unionByName(r)
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      u.withColumn("row_pos", row_number().over(w) - 1)
-        .select("row_pos", "l_orderkey", "l_linenumber")
+      val sorted = a.unionByName(r)
+        .select("l_orderkey", "l_linenumber")
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+      val out = sorted.rdd.zipWithIndex.map { case (row, ix) =>
+        Row.fromSeq(ix +: row.toSeq)
+      }
+      s.createDataFrame(out,
+        StructType(StructField("row_pos", LongType, nullable = false) +: sorted.schema.fields))
         .orderBy("row_pos")
     }),
 

@@ -50,21 +50,72 @@ object TextOps {
     * 16-bit bands. */
   private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole covers hamming <= 3")
+    val s = d.sparkSession
+    import s.implicits._
     val sh = simhashes(d)
     val bandCols = array((0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(bandCols).as(Seq("band", "bval")))
-    val a = banded.select(col("band"), col("bval"),
-      col("doc_id").as("ida"), col("simhash").as("sha"))
-    val b = banded.select(col("band"), col("bval"),
-      col("doc_id").as("idb"), col("simhash").as("shb"))
-    a.join(b, Seq("band", "bval"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide in several bands
+    // In-bucket generation instead of a band self-join: a hot 16-bit
+    // band value (constant-ish fingerprints) would make the equi-join
+    // quadratic. Members are grouped by full fingerprint — equal
+    // fingerprints (hamming 0) expand to pairs in band 0 only, the
+    // pairwise hamming check runs over one representative per distinct
+    // fingerprint (capped at MaxBucketGroups), and a pair is emitted
+    // only in its first matching band, which also replaces the old
+    // cross-band `.distinct()` shuffle.
+    val kMax = maxHamming; val kCap = MaxBucketGroups
+    sh.select(col("doc_id"), col("simhash"),
+        posexplode(bandCols).as(Seq("band", "bval")))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
+        val band = key._1
+        val ds = it.toArray.sortBy(_._1)
+        if (ds.length < 2) Iterator.empty
+        else {
+          val groups = scala.collection.mutable.LinkedHashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          ds.foreach(r => groups.getOrElseUpdate(r._2,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += r._1)
+          val gs = groups.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          if (band == 0) gs.foreach { case (_, ids) =>
+            var x = 0
+            while (x < ids.length) {
+              var y = x + 1
+              while (y < ids.length) { out += ((ids(x), ids(y), 0)); y += 1 }
+              x += 1
+            }
+          }
+          val lim = math.min(gs.length, kCap)
+          if (gs.length > kCap)
+            System.err.println(s"[graft] simhash band bucket band=$band has " +
+              s"${gs.length} distinct fingerprints; pairwise compares capped at $kCap")
+          var gi = 0
+          while (gi < lim) {
+            var gj = gi + 1
+            while (gj < lim) {
+              val ha = gs(gi)._1; val hb = gs(gj)._1
+              val ham = java.lang.Long.bitCount(ha ^ hb)
+              if (ham <= kMax) {
+                var fb = 0
+                while (((ha >>> (fb * 16)) & 0xFFFFL) != ((hb >>> (fb * 16)) & 0xFFFFL)) fb += 1
+                if (fb == band) {
+                  gs(gi)._2.foreach { ia =>
+                    gs(gj)._2.foreach { ib =>
+                      out += (if (ia < ib) (ia, ib, ham) else (ib, ia, ham))
+                    }
+                  }
+                }
+              }
+              gj += 1
+            }
+            gi += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("ida", "idb", "hamming")
       .orderBy("ida", "idb")
   }
 
@@ -129,6 +180,16 @@ object TextOps {
   private val R = 4
   private val B = 32
 
+  /** Cap on DISTINCT signatures compared pairwise within one LSH band
+    * bucket. Identical signatures are grouped first (their pairs are
+    * emitted by group expansion, never by pairwise compares), so the
+    * degenerate near-identical-corpus case never goes quadratic; a
+    * bucket with more distinct signatures than this is boilerplate-like
+    * data — the overflow groups are skipped deterministically (by
+    * ascending min doc id) with a stderr note, bounding any single
+    * bucket at cap² signature compares. */
+  private[graft] val MaxBucketGroups = 4096
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup via hash-groupBy: canonical doc per md5 of the
@@ -187,6 +248,16 @@ object TextOps {
         .select(col("band"), col("bh"), col("doc_id"), col("sig8"), col("bhs"))
         .as[(Int, Long, Long, Array[Long], Array[Long])]
       val minMatches = math.ceil(0.72 * K).toInt
+      // In-bucket candidate generation is grouped by FULL signature
+      // before any pairwise work: identical signatures (the degenerate
+      // hot-bucket case — near-identical boilerplate) are expanded to
+      // pairs directly in band 0 (first-matching-band for equal band
+      // hashes) with zero signature compares, and the pairwise loop
+      // runs over one representative per distinct signature, capped at
+      // MaxBucketGroups. Matching representatives expand to member
+      // cross-pairs, so the emitted pair set is IDENTICAL to the
+      // uncapped per-member loop whenever the cap is not hit.
+      val kCap = MaxBucketGroups
       val cands = exploded
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Long])]) =>
@@ -194,20 +265,51 @@ object TextOps {
           if (ds.length < 2) Iterator.empty
           else {
             val band = key._1
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            val groups = scala.collection.mutable.LinkedHashMap
+              .empty[scala.collection.immutable.ArraySeq[Long],
+                scala.collection.mutable.ArrayBuffer[Int]]
             var i = 0
             while (i < ds.length) {
-              var j = i + 1
-              while (j < ds.length) {
-                val a = ds(i); val b = ds(j)
+              groups.getOrElseUpdate(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(ds(i)._4),
+                scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+              i += 1
+            }
+            val gs = groups.values.map(_.toArray).toArray
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            // identical signatures: equal band hashes → first matching
+            // band is 0; all pairs are known full-signature matches
+            if (band == 0) gs.foreach { g =>
+              var x = 0
+              while (x < g.length) {
+                var y = x + 1
+                while (y < g.length) { out += ((ds(g(x))._3, ds(g(y))._3)); y += 1 }
+                x += 1
+              }
+            }
+            val lim = math.min(gs.length, kCap)
+            if (gs.length > kCap)
+              System.err.println(s"[graft] minhash LSH bucket band=$band has " +
+                s"${gs.length} distinct signatures; pairwise compares capped at $kCap")
+            var gi = 0
+            while (gi < lim) {
+              var gj = gi + 1
+              while (gj < lim) {
+                val a = ds(gs(gi)(0)); val b = ds(gs(gj)(0))
                 var fb = 0
                 while (a._5(fb) != b._5(fb)) fb += 1
                 if (fb == band &&
-                    MinHash.packedMatches(a._4, b._4, kK, minMatches) >= minMatches)
-                  out += ((a._3, b._3))
-                j += 1
+                    MinHash.packedMatches(a._4, b._4, kK, minMatches) >= minMatches) {
+                  gs(gi).foreach { xi =>
+                    gs(gj).foreach { yj =>
+                      val ia = ds(xi)._3; val ib = ds(yj)._3
+                      out += (if (ia < ib) (ia, ib) else (ib, ia))
+                    }
+                  }
+                }
+                gj += 1
               }
-              i += 1
+              gi += 1
             }
             out.iterator
           }
