@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench prints ONE machine-read JSON line on stdout; sbt's default
+// logger decorates forked-process output with [info]/[error] prefixes,
+// which breaks the harness's JSON parse (BENCH_r02.json: parsed=null).
+// StdoutOutput passes the child's streams through undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,7 @@ object Bench {
     "dedup_cluster_cc",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
-    "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf",
+    "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified", "text_vocab_topk",
@@ -34,15 +34,25 @@ object Bench {
     "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 
   /** Per-query seconds from the newest committed BENCH_r*.json (empty
-    * on round 1 or outside the repo checkout). */
+    * on round 1 or outside the repo checkout). The harness file may
+    * carry our stdout JSON either parsed, or escaped inside a
+    * truncated "tail" log string — handle both, dropping a trailing
+    * half-entry if the tail was cut mid-number. */
   private[graft] def prevRound: Map[String, Double] = {
     val files = Option(new java.io.File("/root/repo").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     files.lastOption.toSeq.flatMap { f =>
-      val txt = scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
-      """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq.flatMap {
-        _.group(1).split(",").toSeq.flatMap { kv =>
+      val raw = scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
+      val txt = raw.replace("\\\"", "\"")
+      val tag = "\"queries\":{"
+      val ix = txt.indexOf(tag)
+      if (ix < 0) Nil
+      else {
+        val start = ix + tag.length
+        val end0 = txt.indexOf('}', start)
+        val end = if (end0 < 0) txt.length else end0
+        txt.substring(start, end).split(",").toSeq.flatMap { kv =>
           kv.split(":") match {
             case Array(k, v) => scala.util.Try(
               k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
@@ -91,6 +101,11 @@ object Bench {
       val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
       val rows = if (ok.nonEmpty) ok.head._2 else -1L
       System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$rows")
+      // drop blocks a query persisted/checkpointed (cluster-cc rounds,
+      // pipeline dup-id sets): lingering blocks from one query must not
+      // pollute a later query's measurement in this 40-query JVM
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> dt
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

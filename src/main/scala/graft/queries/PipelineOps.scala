@@ -26,8 +26,15 @@ object PipelineOps {
       val quality = docs
         .withColumn("n_tokens", size(toks))
         .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
-      val dupIds = TextOps.queries("dedup_minhash_lsh")(s, dir)
+      // shared LSH stage, unsorted (the standalone query's output sort
+      // would cost an extra full execution for range-bound sampling
+      // here); the dup-id set is tiny → eagerly localCheckpoint it so
+      // the signature+bucket+verify pipeline executes exactly once and
+      // the anti-join plans against materialized blocks (at 100 TB this
+      // is "persist the signature/pair table", same shape)
+      val dupIds = TextOps.minhashNearDupPairs(s, dir)
         .select(col("idb").as("dup_id")).distinct()
+        .localCheckpoint()
       quality.join(dupIds, quality("doc_id") === dupIds("dup_id"), "left_anti")
         .select("doc_id", "n_tokens", "lang")
         .orderBy("doc_id")

@@ -146,7 +146,6 @@ object TextOps {
       })
       .toDF("ida", "idb", "jac")
       .filter(col("jac") >= minJ)
-      .orderBy("ida", "idb")
   }
 
   /** Exact pairwise character-3gram Jaccard ≥ minJ, ids ordered a<b,
@@ -190,7 +189,8 @@ object TextOps {
     * bucket at cap² signature compares. */
   private[graft] val MaxBucketGroups = 4096
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // Exact dedup via hash-groupBy: canonical doc per md5 of the
     // normalized key (here: 40-char prefix), first-wins by doc_id.
@@ -216,7 +216,16 @@ object TextOps {
     // B=32 bands of R=4 rows; bucket-join for candidates, then exact
     // Jaccard verification. Same output contract as dedup_ngram_jaccard
     // — the LSH path is the 100TB-scale route (no full gram self-join).
-    "dedup_minhash_lsh" -> ((s, dir) => {
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashNearDupPairs(s, dir).orderBy("ida", "idb"))) ++ queriesTail
+
+  /** Verified near-dup pairs via MinHash LSH, unsorted — the shared
+    * stage behind `dedup_minhash_lsh` (which only adds the output sort)
+    * and `pipe_clean_corpus` (which consumes the pair set and needs no
+    * sort — a sort here would cost an extra execution pass for range-
+    * bound sampling). */
+  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    locally {
       import s.implicits._
       import graft.functions.MinHash
       val d = docs(s, dir)
@@ -316,7 +325,12 @@ object TextOps {
         }
         .toDF("ida", "idb")
       jaccardPairsExact(s, cands, d, 0.8)
-    }),
+    }
+  }
+
+  /** Continuation of [[queries]] (the Map is split around the shared
+    * LSH stage definition above). */
+  private def queriesTail: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SimHash (64-bit) over word tokens: per-bit majority vote of
     // fnv64(token) — oracle replicates the byte-fold + majority vote

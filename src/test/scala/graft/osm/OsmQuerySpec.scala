@@ -108,6 +108,20 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(!byId.contains(201L))
   }
 
+  test("runPivotTags discovers occurring keys not listed in the query") {
+    // pois' explicit tag list has no "name" or "shop" — the dynamic
+    // pivot must still surface "name" (occurs on poi node 1) and must
+    // NOT surface "shop" (node 3 has no amenity → filtered out)
+    val df = OsmQuery.pois.runPivotTags(spark, world).orderBy("osmid")
+    assert(df.columns.contains("name") && df.columns.contains("amenity"))
+    assert(!df.columns.contains("shop"))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("osmid")).toSeq === Seq(1L, 2L))
+    assert(rows(0).getAs[String]("name") === "c1")
+    assert(rows(1).getAs[String]("name") === null)
+    assert(rows(1).getAs[String]("amenity") === "bench")
+  }
+
   test("route relation: members chained to a single LineString") {
     val q = OsmQuery(relations = true, mustTags = Seq("route"),
       keepFirst = false, geometry = true, tags = Some(Seq("route")))
