@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   */
 object OsmOracle {
 
-  val dir = "/tmp/graft_oracle_v1"
+  // under the repo checkout (not /tmp): the driver's DuckDB phase runs
+  // against the same filesystem as the repo + verify outDir, so this is
+  // the one location guaranteed visible to it; generated on demand,
+  // gitignored
+  val dir = "/root/repo/fixtures/oracle_v1"
 
   private def tbl(name: String): String =
     s"read_parquet('$dir/$name.parquet/*.parquet')"
