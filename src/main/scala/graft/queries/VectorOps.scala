@@ -42,6 +42,51 @@ object VectorOps extends Serializable {
   /** Query set: vec_id < 5 — stands in for an external query batch. */
   private val QueryIds = 5
   private val TopK = 10
+
+  /** Exact per-query top-k of a scored candidate table. A bare
+    * `Window.partitionBy(query_id)` funnels every query's FULL
+    * candidate set through one task — at 100 TB that is one task per
+    * query scanning corpus-sized scores. Instead each input partition
+    * keeps only its local top-k per query via a bounded heap (the
+    * global top-k is a subset of the union of local top-ks), so the
+    * exact ranking window sees ≤ k × nQueries × numPartitions rows.
+    * Heap order mirrors the final tie-break (sim desc, match_id asc)
+    * exactly, so results are identical to the naive window. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val pruned = scored.select(col("query_id"), col("match_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // per-query min-heap of the current k best; head = worst kept
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (sim, id) => (-sim, id)
+        }
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, m, sim) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          if (h.size < k) h.enqueue((sim, m))
+          else {
+            val (wSim, wId) = h.head
+            // better = higher sim, or same sim with lower match_id
+            if (sim > wSim || (sim == wSim && m < wId)) {
+              h.dequeue(); h.enqueue((sim, m))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (sim, m) => (q, m, sim) }
+        }
+      }
+      .toDF("query_id", "match_id", "sim")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("match_id").asc)
+    pruned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "match_id", "sim", "rk")
+      .orderBy("query_id", "rk")
+  }
   /** IVF coarse quantizer: one centroid per `CentroidStep` ids (~17
     * lists at sf0.01, ~65 at sf0.1); queries probe `NProbe` lists. */
   private val CentroidStep = 31
@@ -60,11 +105,7 @@ object VectorOps extends Serializable {
       val scored = c.join(broadcast(q))
         .filter(col("match_id") =!= col("query_id"))
         .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("match_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
-        .select("query_id", "match_id", "sim", "rk")
-        .orderBy("query_id", "rk")
+      rankTopK(scored, TopK)
     }),
 
     // Cosine-threshold near-duplicate pairs (embedding near-dup dedup):
@@ -147,11 +188,7 @@ object VectorOps extends Serializable {
       val scored = c.join(broadcast(q), Seq("bucket"))
         .filter(col("match_id") =!= col("query_id"))
         .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("match_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
-        .select("query_id", "match_id", "sim", "rk")
-        .orderBy("query_id", "rk")
+      rankTopK(scored, TopK)
     }
   }
 
@@ -265,12 +302,55 @@ object VectorOps extends Serializable {
         }
       }
       .toDF("ida", "idb")
+    // cheap sketch prefilter before the expensive vector attach: the
+    // band values ARE the packed sign signature, and for a pair at
+    // cosine s the per-plane flip probability is f = arccos(s)/π, so
+    // signature hamming is Binomial(planes, f) — a one-sided 5σ bound
+    // at the threshold can only drop pairs whose sketch says they are
+    // far below it (recall still pinned == exact by the spec), while
+    // pruning most surviving random candidates (mean planes/2) before
+    // any 64-dim row is materialized. Signatures are planes/8 bytes —
+    // at 100 TB this join is tiny next to the vector attach it gates.
+    val fFlip = math.acos(minSim) / math.Pi
+    val hBound = math.ceil(planes * fFlip +
+      5.0 * math.sqrt(planes * fFlip * (1 - fFlip))).toInt
+    // bit-pack the r-bit band values into 64-bit words (8 bytes per 64
+    // planes) so the prefilter join ships dense signatures, not one
+    // long per band
+    val kR = r
+    val packed = banded.as[(Long, Array[Long])]
+      .map { case (id, bv) =>
+        val words = new Array[Long]((bv.length * kR + 63) >> 6)
+        var i = 0
+        while (i < bv.length) {
+          val bitPos = i * kR
+          val w = bitPos >> 6
+          val off = bitPos & 63
+          words(w) |= bv(i) << off
+          if (off + kR > 64 && w + 1 < words.length) words(w + 1) |= bv(i) >>> (64 - off)
+          i += 1
+        }
+        (id, words)
+      }
+      .toDF("vec_id", "sig")
+    val sigA = packed.select(col("vec_id").as("ida"), col("sig").as("sa"))
+    val sigB = packed.select(col("vec_id").as("idb"), col("sig").as("sb"))
+    val prefiltered = cands.join(sigA, "ida").join(sigB, "idb")
+      .select(col("ida"), col("idb"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (ida, idb, sa, sb) =>
+        var ham = 0
+        var i = 0
+        while (i < sa.length) { ham += java.lang.Long.bitCount(sa(i) ^ sb(i)); i += 1 }
+        if (ham <= hBound) Iterator.single((ida, idb)) else Iterator.empty
+      }
+      .toDF("ida", "idb")
     // exact verification: attach both vectors, quantized cosine in a
     // JVM kernel (bit-identical to the Column-expr `cosine` / the SQL
     // oracle), threshold filter
     val va = e0.select(col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
     val vb = e0.select(col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
-    cands.join(va, "ida").join(vb, "idb")
+    prefiltered.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"), col("va"), col("na"), col("vb"), col("nb"))
       .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
       .mapPartitions(_.map { case (ida, idb, a, na, b, nb) =>
@@ -349,11 +429,8 @@ object VectorOps extends Serializable {
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("v"), col("na"), col("norm")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"), col("rk"))
-      .orderBy("query_id", "rk")
+      .withColumnRenamed("vec_id", "match_id")
+    rankTopK(scored, TopK)
   }
 
   private val dotSql =
