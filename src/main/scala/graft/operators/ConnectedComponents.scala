@@ -30,15 +30,32 @@ object ConnectedComponents {
     *   from id (the component's canonical representative). */
   def run(spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    val sc = spark.sparkContext
+    // localCheckpoint blocks are only freed when the RDD object is
+    // GC'd; a long-running job would accumulate one dead label table
+    // per round. Track each checkpoint's RDD ids (keyset delta around
+    // the eager checkpoint) and free a round's blocks explicitly once
+    // the next round is materialized.
+    def checkpointIds(mk: => DataFrame): (DataFrame, Set[Int]) = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val df = mk
+      (df, sc.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst"), col("src"))).distinct()
-      .localCheckpoint() // the edge set is reused every round — decouple
-                         // it from the (possibly expensive) pair plan
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointIds(
+      e.union(e.select(col("dst"), col("src"))).distinct()
+        .localCheckpoint()) // the edge set is reused every round — decouple
+                            // it from the (possibly expensive) pair plan
+    var (labels, labelIds) = checkpointIds(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint())
     var changed = 1L
     var iter = 0
+    var prevIds = Set.empty[Int]
     while (changed > 0 && iter < maxIter) {
       // min label over neighbors
       val viaEdges = sym.join(labels, sym("dst") === labels("id"))
@@ -48,19 +65,29 @@ object ConnectedComponents {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
       // pointer jump: also adopt the label of my current label
       val l2 = prop.select(col("id").as("jid"), col("lbl1").as("jl"))
-      val next = prop.join(l2, prop("lbl1") === l2("jid"), "left")
-        .select(col("id"),
-          least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("nlbl"),
-          col("lbl"))
-        .select(col("id"), col("nlbl").as("lbl"),
-          (col("nlbl") =!= col("lbl")).cast("long").as("chg"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointIds(
+        prop.join(l2, prop("lbl1") === l2("jid"), "left")
+          .select(col("id"),
+            least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("nlbl"),
+            col("lbl"))
+          .select(col("id"), col("nlbl").as("lbl"),
+            (col("nlbl") =!= col("lbl")).cast("long").as("chg"))
+          .localCheckpoint())
       changed = Option(next.agg(sum("chg")).first().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // the agg action materialized `next` — the previous round's label
+      // blocks are dead now
+      free(prevIds)
+      prevIds = labelIds
+      labelIds = nextIds
       labels = next.select("id", "lbl")
       iter += 1
     }
     require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    // result blocks (labelIds) stay; the edge table and the
+    // second-to-last round are no longer needed
+    free(prevIds)
+    free(symIds)
     labels
   }
 }
