@@ -78,6 +78,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"fnv64 expects exactly 1 argument, got ${children.size}")
         Fnv64(children.head)
       }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("point_wkb"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PointWkb].getName, "point_wkb"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"point_wkb expects exactly 2 arguments, got ${children.size}")
+        PointWkb(children.head, children(1))
+      }))
     // extension point (c) optimizer rule: tag-key-existence filters on
     // an osmpbf relation gain the decoder-level mustTagKeys pushdown
     e.injectOptimizerRule(_ => graft.plans.MustTagPushdown)

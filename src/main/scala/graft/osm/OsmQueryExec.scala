@@ -391,11 +391,15 @@ object GeometryBuilder {
     branches.reduce(_.unionByName(_))
   }
 
-  /** WKB point via a minimal scalar UDF (Spark has no double→IEEE-bits
-    * expression; this is the engine's only scalar UDF — ways/relations
-    * assemble inside typed mapGroups instead). */
-  private val pointUdf = udf((lon: Double, lat: Double) => Wkb.point(lon, lat))
-  private def pointWkb(lon: Column, lat: Column): Column = pointUdf(lon, lat)
+  /** WKB point via the native codegen'd [[graft.functions.PointWkb]]
+    * expression — per-node work (millions of rows on a city extract)
+    * stays inside whole-stage codegen; ways/relations assemble inside
+    * typed mapGroups instead. */
+  private def pointWkb(lon: Column, lat: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.PointWkb(
+      GraftExpressionBridge.expression(lon), GraftExpressionBridge.expression(lat)))
+  }
 
   private[osm] case class Member(role: String, nodeIds: Array[Long],
       xs: Array[Double], ys: Array[Double])

@@ -256,6 +256,18 @@ class OsmQuerySpec extends AnyFunSuite {
 }
 
 class WkbSpec extends AnyFunSuite {
+  test("native point_wkb expression packs identically to Wkb.point") {
+    for ((x, y) <- Seq((5.4, 43.5), (0.0, 0.0), (-1.25, 180.0),
+        (Double.MinPositiveValue, -0.0))) {
+      assert(graft.functions.PointWkb.pack(x, y).toSeq === Wkb.point(x, y).toSeq)
+    }
+    // and through SQL via the session extension
+    val spark = graft.sources.SparkTestSession.spark
+    val hex = spark.sql("SELECT hex(point_wkb(5.4d, 43.5d)) AS h")
+      .collect().head.getString(0)
+    assert(hex === Wkb.point(5.4, 43.5).map("%02X".format(_)).mkString)
+  }
+
   test("point/linestring/polygon byte layout round-trips") {
     val p = Wkb.point(5.4, 43.5)
     assert(p.length === 21 && Wkb.geomType(p) === 1)
