@@ -41,6 +41,10 @@ object ConnectedComponents {
       val df = mk
       (df, sc.getPersistentRDDs.keySet.toSet -- pre)
     }
+    // Spark logs a WARN that an unpersisted localCheckpoint cannot be
+    // recomputed — expected and benign: checkpoints here are eager, so
+    // by the time a round's blocks are freed the next round is fully
+    // materialized and nothing can re-read them.
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 

@@ -165,4 +165,9 @@ class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String,
   /** queries run against the (possibly persisted) element table. */
   def query(q: OsmQuery): org.apache.spark.sql.DataFrame =
     OsmQueryExec.run(spark, elements, q)
+
+  /** query with the dynamic tag pivot (keys resolved at action time;
+    * reference _frame.py:59-68) over the cached element table. */
+  def queryPivoted(q: OsmQuery): org.apache.spark.sql.DataFrame =
+    OsmQueryExec.pivotTags(query(q.copy(tags = None)))
 }

@@ -72,17 +72,8 @@ final case class OsmQuery(
     * filtered selection only (bounded by the tag vocabulary, not the
     * corpus — OSM has ~10⁴ keys in active use), mirroring how the
     * reference materializes whatever keys the block decode produced. */
-  def runPivotTags(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val base = copy(tags = None).run(spark, path)
-    val keys = base.select(explode(map_keys(col("tags"))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
-    val cols = base.columns.toSeq.flatMap {
-      case "tags" => keys.map(k => try_element_at(col("tags"), lit(k)).as(k))
-      case c => Seq(col(c))
-    }
-    base.select(cols: _*)
-  }
+  def runPivotTags(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    OsmQueryExec.pivotTags(copy(tags = None).run(spark, path))
 }
 
 object OsmQuery {

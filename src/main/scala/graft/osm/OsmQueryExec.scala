@@ -237,6 +237,23 @@ object OsmQueryExec {
     project(result, q)
   }
 
+  /** Dynamic tag pivot (reference _frame.py:59-68 unstack semantics):
+    * discover the keys occurring in a result's `tags` map at action
+    * time and project one column per key (sorted) in the map column's
+    * place. The driver-side collect is of distinct key STRINGS of the
+    * already-filtered result only — bounded by the tag vocabulary
+    * (~10⁴ keys in active OSM use), not the corpus. */
+  def pivotTags(base: DataFrame): DataFrame = {
+    require(base.columns.contains("tags"), "pivotTags needs a `tags` map column")
+    val keys = base.select(explode(map_keys(col("tags"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val cols = base.columns.toSeq.flatMap {
+      case "tags" => keys.map(k => try_element_at(col("tags"), lit(k)).as(k))
+      case c => Seq(col(c))
+    }
+    base.select(cols: _*)
+  }
+
   /** The "geometry cache" equivalent: the node coordinate table
     * (reference osmdata.py:127-133) — a pruned parallel scan instead of
     * a driver-RAM array; persist() it for repeated queries. */
