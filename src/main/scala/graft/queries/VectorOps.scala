@@ -52,7 +52,7 @@ object VectorOps extends Serializable {
     * exact ranking window sees ≤ k × nQueries × numPartitions rows.
     * Heap order mirrors the final tie-break (sim desc, match_id asc)
     * exactly, so results are identical to the naive window. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     val pruned = scored.select(col("query_id"), col("match_id"), col("sim"))
