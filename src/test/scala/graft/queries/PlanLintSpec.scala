@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+
+/** Physical-plan lint over the ENTIRE query surface: every
+  * SparkEntry.queries entry is planned at sf0.001 and its executed
+  * plan is checked for operators that should never appear —
+  * CartesianProduct (an unconditioned shuffled cross join) and
+  * BatchEvalPython (a Python UDF). BroadcastNestedLoopJoin is allowed
+  * only where a small broadcast batch against the corpus is the
+  * intended shape (the brute-force scorer). This is the automated form
+  * of the explain-and-iterate discipline: a future edit that
+  * accidentally plans a cross join fails here, not in a 100 TB run. */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // broadcast query-batch × corpus (brute-force scorer) and the
+  // documented exact all-pairs baseline are the designed plans here
+  private val nestedLoopAllowed = Set("vec_topk_bruteforce", "vec_neardup_pairs")
+  // the 2M-node scale probes generate their extract on first touch —
+  // too heavy for a lint pass that only inspects plans
+  private val skip = Set("osm_big_pois", "osm_big_topology")
+
+  test("no CartesianProduct or Python UDF in any query plan") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct"))
+            failures += s"$name: CartesianProduct"
+          if (plan.contains("BatchEvalPython") || plan.contains("PythonUDF"))
+            failures += s"$name: Python UDF"
+          if (plan.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name))
+            failures += s"$name: BroadcastNestedLoopJoin (not whitelisted)"
+        } catch {
+          case e: Throwable => failures += s"$name: planning failed: ${e.getMessage}"
+        }
+      }
+    }
+    assert(failures.isEmpty, s"plan lint failures:\n  ${failures.mkString("\n  ")}")
+  }
+}
