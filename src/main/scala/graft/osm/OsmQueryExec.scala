@@ -310,7 +310,12 @@ object GeometryBuilder {
       .withColumn("geom_type", lit("Point"))
       .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
 
-    // G2/G3 — way geometry: explode refs, join coords, assemble per way
+    // G2/G3 — way geometry: explode refs, join coords, assemble per way.
+    // repartition + sortWithinPartitions + a streaming per-way walk
+    // does the same grouping as groupByKey with one sort and no
+    // per-group iterator machinery (same pattern as Topology.build —
+    // way size is bounded by the 2000-node OSM cap, so a run always
+    // fits in memory).
     if (q.ways || q.relations) {
     val ways = el.filter(col("type") === TypeWay)
     val wayGeoms: DataFrame = {
@@ -320,15 +325,24 @@ object GeometryBuilder {
         .join(nodes, col("ref") === col("nid"))
         .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
       exploded.as[(Long, Boolean, Int, Double, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (wid, it) =>
-          val rows = it.toArray.sortBy(_._3)
-          val coords = rows.map(r => Coord(r._4, r._5)).toSeq
-          val isArea = rows.head._2
-          if (isArea) {
-            val ring = if (coords.head == coords.last) coords else coords :+ coords.head
-            GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
-          } else GeomRow(wid, Wkb.lineString(coords), "LineString")
+        .repartition(col("id"))
+        .sortWithinPartitions("id", "pos")
+        .mapPartitions { it =>
+          val in = it.buffered
+          new Iterator[GeomRow] {
+            override def hasNext: Boolean = in.hasNext
+            override def next(): GeomRow = {
+              val wid = in.head._1
+              val rows = ArrayBuffer.empty[(Long, Boolean, Int, Double, Double)]
+              while (in.hasNext && in.head._1 == wid) rows += in.next()
+              val coords = rows.map(r => Coord(r._4, r._5)).toSeq
+              val isArea = rows.head._2
+              if (isArea) {
+                val ring = if (coords.head == coords.last) coords else coords :+ coords.head
+                GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
+              } else GeomRow(wid, Wkb.lineString(coords), "LineString")
+            }
+          }
         }
         .toDF("id", "geometry", "geom_type")
     }
@@ -363,17 +377,27 @@ object GeometryBuilder {
     // J6 anti-join (one plan, not two copies of the explode+distinct)
     val memberWayIds = members.select(col("wref")).distinct()
 
-    // per-way ordered node sequence with coordinates
+    // per-way ordered node sequence with coordinates (streaming walk
+    // over a sorted run, same rationale as wayGeoms above)
     val wayNodeSeq = allWays
       .join(memberWayIds, col("wid") === col("wref"), "left_semi")
       .select(col("wid"), posexplode(col("refs")).as(Seq("pos", "ref")))
       .join(nodes, col("ref") === col("nid"))
       .select(col("wid"), col("pos"), col("ref"), col("lon"), col("lat"))
       .as[(Long, Int, Long, Double, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (wid, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        (wid, rows.map(_._3), rows.map(_._4), rows.map(_._5))
+      .repartition(col("wid"))
+      .sortWithinPartitions("wid", "pos")
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Array[Long], Array[Double], Array[Double])] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): (Long, Array[Long], Array[Double], Array[Double]) = {
+            val wid = in.head._1
+            val rows = ArrayBuffer.empty[(Long, Int, Long, Double, Double)]
+            while (in.hasNext && in.head._1 == wid) rows += in.next()
+            (wid, rows.map(_._3).toArray, rows.map(_._4).toArray, rows.map(_._5).toArray)
+          }
+        }
       }
       .toDF("wid", "node_ids", "xs", "ys")
 
