@@ -408,11 +408,20 @@ object GeometryBuilder {
 
     val relGeoms = memberWays
       .as[(Long, Int, Int, String, Array[Long], Array[Double], Array[Double])]
-      .groupByKey(_._1)
-      .mapGroups { (relId, it) =>
-        val ms = it.toArray.sortBy(_._3)
-        val gclass = ms.head._2
-        assembleRelation(relId, gclass, ms.map(m => Member(m._4, m._5, m._6, m._7)))
+      .repartition(col("rel_id"))
+      .sortWithinPartitions("rel_id", "mpos")
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[GeomRow] {
+          override def hasNext: Boolean = in.hasNext
+          override def next(): GeomRow = {
+            val relId = in.head._1
+            val ms = ArrayBuffer.empty[(Long, Int, Int, String, Array[Long], Array[Double], Array[Double])]
+            while (in.hasNext && in.head._1 == relId) ms += in.next()
+            assembleRelation(relId, ms.head._2,
+              ms.map(m => Member(m._4, m._5, m._6, m._7)).toArray)
+          }
+        }
       }
       .toDF("id", "geometry", "geom_type")
 
