@@ -134,7 +134,7 @@ object VectorOps extends Serializable {
     // candidate generation + exact verification, same output contract.
     // See [[neardupLsh]] for the honest threshold-vs-pruning math.
     "vec_neardup_lsh" -> ((s, dir) =>
-      neardupLsh(s, dir, 0.4, 6, 85).orderBy("ida", "idb")),
+      neardupLsh(s, dir, 0.4, 5, 102).orderBy("ida", "idb")),
 
     // IVF (inverted-file) ANN: deterministic coarse quantizer
     // (centroids = vectors with vec_id % step == 0, so centroid count
@@ -205,18 +205,21 @@ object VectorOps extends Serializable {
     * self-join), then EXACT quantized-cosine verification, so output
     * precision is always 1.0 and recall is the only approximation.
     *
-    * Honest threshold math (and why the defaults are r=6, bands=85):
+    * Honest threshold math (and why the defaults are r=5, bands=102):
     * for a pair at cosine s the per-plane sign-flip probability is
     * arccos(s)/π — at the 0.4 threshold that is 0.369, leaving only a
-    * 66°-vs-90° gap to random pairs, so full recall forces weak bands
-    * (miss probability (1-(1-0.369)^6)^85 ≈ 1e-5; measured on the
-    * sf0.01/sf0.1 corpora: zero missed pairs, ≈26% of random pairs
-    * pruned before verification — VecNeardupLshSpec pins recall ==
-    * exact baseline). The operator's pruning power grows steeply with
-    * the threshold (at s=0.8, r=16/bands=32 prunes ~99.99%); at 0.4 it
-    * is bench-honest but only modestly better than the all-pairs
-    * baseline — that is a property of the threshold, not of the
-    * implementation. */
+    * 66°-vs-90° gap to random pairs, so banding must be sized for
+    * RECALL, not pruning: per-pair miss (1-(1-0.369)^5)^102 ≈ 2e-5
+    * (r=6/85 was first tried and measurably missed ~1 in 920 true
+    * pairs at sf0.1 — caught by the full-scale oracle sweep; the
+    * weaker bands fixed it, verified zero misses at both sf0.01 and
+    * sf0.1, VecNeardupLshSpec pins recall == exact baseline). At this
+    * threshold nearly all pruning comes from the signature-hamming
+    * prefilter below, not the banding; banding's pruning power grows
+    * steeply with the threshold (at s=0.8, r=16/bands=32 prunes
+    * ~99.99%). At 0.4 the operator is bench-honest but only modestly
+    * better than the all-pairs baseline — a property of the
+    * threshold, not of the implementation. */
   def neardupLsh(s: SparkSession, dir: String, minSim: Double,
       r: Int, bands: Int): DataFrame = {
     import s.implicits._
