@@ -29,7 +29,8 @@ object Bench {
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
-    "mm_features", "pipe_clean_corpus", "pipe_sample_stratified", "text_vocab_topk",
+    "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
+    "pipe_decontaminate", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes
     "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
 

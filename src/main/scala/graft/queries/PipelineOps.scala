@@ -110,6 +110,36 @@ object PipelineOps {
         })
         .toDF("doc_id", "n_fingerprints", "min_fp")
         .orderBy("doc_id")
+    }),
+
+    // Benchmark DECONTAMINATION — the test-set-overlap removal step of
+    // a training pipeline: drop every corpus doc sharing ANY winnowing
+    // fingerprint with the benchmark set (stand-in benchmark: doc_id %
+    // 97 == 0; in production an external table). Winnow fingerprints
+    // catch shared substrings of >= w+k-1 chars regardless of position
+    // (the MOSS guarantee), so verbatim quotation of a benchmark
+    // passage contaminates. Scale: the fingerprint table is
+    // ~len/w rows per doc (narrow map), the benchmark fingerprint set
+    // is small and broadcast into the semi-join, and the final
+    // anti-join keys on doc_id — no all-pairs anything.
+    "pipe_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      // k=20 shingles (w=4 → shared runs of >= 23 chars contaminate):
+      // short shingles collide on common phrases and would flag the
+      // whole corpus; 20 chars is in the spirit of the 13-token
+      // overlap units used for LM benchmark decontamination
+      val fps = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
+        })
+        .toDF("doc_id", "fp")
+      val benchFps = fps.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+      val contaminated = fps.join(benchFps, Seq("fp"), "left_semi")
+        .select("doc_id").distinct()
+      d.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -222,33 +252,57 @@ object PipelineOps {
     // then per window of 4 the minimum hash with rightmost-tie rule —
     // encoded as arg_max over the key (2^64-1-h)·2^32 + pos, so larger
     // key = smaller hash, ties broken toward larger pos.
-    "text_winnow" -> {
-      import OracleSql._
-      val grams =
-        """SELECT doc_id, CAST(g AS INT) AS pos, substr(text, CAST(g AS INT), 5) AS gram,
-                  length(text) - 4 AS m
-           FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(g)"""
-      val steps =
-        Seq("ord(substr(gram,1,1))::HUGEINT" -> "h1") ++
-          (2 to 5).map(i =>
-            uadd(umul(s"h${i - 1}", "1000003::HUGEINT"), s"ord(substr(gram,$i,1))::HUGEINT") -> s"h$i") ++
-          splitmixSteps("h5", "hh")
-      val hashed = nest(grams, steps)
-      val maxU = "18446744073709551615::HUGEINT"
-      s"""WITH sel AS (
-            SELECT doc_id, pos, m, hh,
-                   arg_max(hh, ($maxU - hh) * 4294967296::HUGEINT + CAST(pos AS HUGEINT))
-                     OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w_h
-            FROM ($hashed))
+    "text_winnow" ->
+      s"""WITH sel AS (${winnowSelSql(5)})
           SELECT doc_id,
             CASE WHEN any_value(m) >= 4
                  THEN CAST(count(DISTINCT w_h) FILTER (pos <= m - 3) AS INT)
                  ELSE CAST(count(DISTINCT hh) AS INT) END AS n_fingerprints,
             CASE WHEN any_value(m) >= 4
-                 THEN min(${sb("w_h")}) FILTER (pos <= m - 3)
-                 ELSE min(${sb("hh")}) END AS min_fp
-          FROM sel GROUP BY doc_id ORDER BY doc_id"""
-    }
+                 THEN min(${OracleSql.sb("w_h")}) FILTER (pos <= m - 3)
+                 ELSE min(${OracleSql.sb("hh")}) END AS min_fp
+          FROM sel GROUP BY doc_id ORDER BY doc_id""",
+
+    // decontamination oracle: same winnow hash table; a doc's
+    // fingerprint SET is the window minima (or all hashes when no
+    // window exists), docs sharing any fingerprint with the benchmark
+    // subset are excluded
+    "pipe_decontaminate" ->
+      s"""WITH sel AS (${winnowSelSql(20)}),
+          fps AS (
+            SELECT doc_id, w_h AS fp FROM sel WHERE m >= 4 AND pos <= m - 3
+            UNION
+            SELECT doc_id, hh FROM sel WHERE m < 4),
+          bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+          bad AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bench b ON f.fp = b.fp)
+          SELECT doc_id, lang FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id"""
   )
+
+  /** Per-position winnow hash table (doc_id, pos, m, hh, w_h) — the
+    * SQL twin of Winnow.fingerprints(k, w=4): k-gram polynomial hash
+    * (base 1000003, u64) + splitmix64 finalizer per position, then per
+    * window of 4 the minimum hash with rightmost-tie rule, encoded as
+    * arg_max over the key (2^64-1-h)·2^32 + pos. Shared by the
+    * text_winnow (k=5) and pipe_decontaminate (k=20) oracles. */
+  private def winnowSelSql(k: Int): String = {
+    import OracleSql._
+    val grams =
+      s"""SELECT doc_id, CAST(g AS INT) AS pos, substr(text, CAST(g AS INT), $k) AS gram,
+                length(text) - ${k - 1} AS m
+         FROM documents, unnest(range(1, greatest(length(text) - ${k - 2}, 2))) AS t(g)"""
+    val steps =
+      Seq("ord(substr(gram,1,1))::HUGEINT" -> "h1") ++
+        (2 to k).map(i =>
+          uadd(umul(s"h${i - 1}", "1000003::HUGEINT"), s"ord(substr(gram,$i,1))::HUGEINT") -> s"h$i") ++
+        splitmixSteps(s"h$k", "hh")
+    val hashed = nest(grams, steps)
+    val maxU = "18446744073709551615::HUGEINT"
+    s"""SELECT doc_id, pos, m, hh,
+               arg_max(hh, ($maxU - hh) * 4294967296::HUGEINT + CAST(pos AS HUGEINT))
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w_h
+        FROM ($hashed)"""
+  }
 }
