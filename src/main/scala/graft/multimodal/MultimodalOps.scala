@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * counterpart of a pandas-batch UDF: one buffer reuse per partition,
   * no per-row setup).
   *
-  * The actual media *decode* (image/audio codecs) is STUBBED — the
-  * container has no codec libraries — behind [[MediaCodec.decodeStub]],
-  * a deterministic fake that treats the payload's byte histogram as
-  * "pixels". The Spark-side plumbing (schema, binary columns, batched
-  * partition processing, feature schema) is real and tested; swapping
-  * the stub for a JNI/javacv decoder changes no query shape.
+  * Decode is REAL for uncompressed image formats (24-bit BMP and
+  * binary PGM — [[ImageCodec]], pure byte parsing, no libraries):
+  * features compute over decoded pixels, and [[resizeImages]] is a
+  * genuine nearest-neighbor image resize with BMP re-encode. Payloads
+  * in codec formats (JPEG/PNG/audio) fall back to the deterministic
+  * byte-histogram STUB — the container ships no codec libraries —
+  * and swapping in a JNI/javacv decoder changes no query shape.
   */
 object MultimodalOps {
 
@@ -22,19 +23,24 @@ object MultimodalOps {
       entropy: Double, fingerprint: Long)
 
   object MediaCodec {
-    /** STUB decode: deterministic byte histogram standing in for decoded
-      * pixels/samples. Real decoders plug in here. */
-    def decodeStub(media: Array[Byte]): Array[Int] = {
+    /** Decoded sample bytes: real pixels for BMP/PGM payloads, the raw
+      * payload itself for everything else (deterministic stub). */
+    def sampleBytes(media: Array[Byte]): Array[Byte] =
+      ImageCodec.decode(media).map(_.data).getOrElse(media)
+
+    /** Byte histogram over the decoded samples. */
+    def histogram(media: Array[Byte]): Array[Int] = {
       val hist = new Array[Int](256)
       if (media == null) return hist // null payloads decode to nothing
+      val s = sampleBytes(media)
       var i = 0
-      while (i < media.length) { hist(media(i) & 0xff) += 1; i += 1 }
+      while (i < s.length) { hist(s(i) & 0xff) += 1; i += 1 }
       hist
     }
 
     def features(id: Long, media: Array[Byte]): MediaFeatures = {
-      val hist = decodeStub(media)
-      val n = if (media == null) 0 else media.length
+      val hist = histogram(media)
+      val n = if (media == null) 0 else sampleBytes(media).length
       var distinct = 0
       var entropy = 0.0
       var fp = 0xcbf29ce484222325L // FNV-1a 64 over the histogram
@@ -90,6 +96,24 @@ object MultimodalOps {
         (id, out, targetBytes, if (bytes == null) 0 else bytes.length)
       })
       .toDF("id", "media", "n_bytes", "orig_bytes")
+  }
+
+  /** REAL image resize over decodable payloads (BMP/PGM): decode →
+    * nearest-neighbor scale to (w, h) → re-encode as 24bpp BMP.
+    * Non-image payloads are dropped (a production pipeline routes them
+    * to a dead-letter column); use [[resize]] for codec-free
+    * byte-payload shaping. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.select("id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map { img =>
+          val scaled = ImageCodec.resizeNearest(img, w, h)
+          (id, ImageCodec.encodeBmp(scaled), scaled.width, scaled.height,
+            img.width, img.height)
+        }
+      })
+      .toDF("id", "media", "width", "height", "orig_width", "orig_height")
   }
 
   /** Frame-sampling plumbing: treat the payload as consecutive

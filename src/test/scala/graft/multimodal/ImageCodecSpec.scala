@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.ImageCodec.{decode, encodeBmp, encodePgm, resizeNearest, toGray, Image}
+
+/** The real (library-free) image codec paths: BMP/PGM round-trips,
+  * padding, top-down BMPs, nearest-neighbor resize, and the decode
+  * dispatch inside MediaCodec (pixels for images, raw bytes
+  * otherwise). */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int, c: Int): Image =
+    Image(w, h, c, Array.tabulate(w * h * c)(i => (i * 7 % 251).toByte))
+
+  test("BMP 24bpp round-trips incl. non-multiple-of-4 row widths") {
+    for (w <- Seq(1, 3, 5, 8); h <- Seq(1, 2, 7)) {
+      val img = gradient(w, h, 3)
+      val decoded = decode(encodeBmp(img))
+      assert(decoded.contains(img), s"w=$w h=$h")
+    }
+  }
+
+  test("top-down BMP (negative height) decodes to the same pixels") {
+    val img = gradient(4, 3, 3)
+    val bmp = encodeBmp(img)
+    // flip to top-down: negate height, reorder rows in place
+    val b = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(22, -3)
+    val rowBytes = (4 * 3 + 3) & ~3
+    val rows = (0 until 3).map(r =>
+      java.util.Arrays.copyOfRange(bmp, 54 + r * rowBytes, 54 + (r + 1) * rowBytes))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, bmp, 54 + r * rowBytes, rowBytes)
+    }
+    assert(decode(bmp).contains(img))
+  }
+
+  test("PGM P5 round-trips, with comments and size checks") {
+    val img = gradient(6, 4, 1)
+    assert(decode(encodePgm(img)).contains(img))
+    val withComment = ("P5\n# a comment\n6 4\n255\n").getBytes("US-ASCII") ++ img.data
+    assert(decode(withComment).contains(img))
+    // truncated data → reject
+    assert(decode(encodePgm(img).dropRight(1)).isEmpty)
+  }
+
+  test("non-image payloads are not decoded") {
+    assert(decode("plain text".getBytes("UTF-8")).isEmpty)
+    assert(decode(Array[Byte]('B', 'M')).isEmpty) // too short for a header
+    assert(decode(null).isEmpty)
+  }
+
+  test("nearest-neighbor resize: exact on integer ratios, corners stable") {
+    val img = gradient(4, 4, 3)
+    val up = resizeNearest(img, 8, 8)
+    // each source pixel becomes a 2x2 block
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      assert(up.data((y * 8 + x) * 3 + c) === img.data(((y / 2) * 4 + x / 2) * 3 + c))
+    val down = resizeNearest(up, 4, 4)
+    assert(down === img)
+  }
+
+  test("grayscale conversion bounds and determinism") {
+    val img = gradient(5, 5, 3)
+    val g = toGray(img)
+    assert(g.channels === 1 && g.data.length === 25)
+    assert(toGray(img) === g)
+  }
+
+  test("MediaCodec features compute over decoded pixels for images") {
+    val img = Image(2, 2, 1, Array[Byte](10, 10, 20, 30))
+    val pgm = encodePgm(img)
+    val f = MultimodalOps.MediaCodec.features(1L, pgm)
+    // decoded: 4 pixel bytes, 3 distinct — NOT the header bytes
+    assert(f.n_bytes === 4)
+    assert(f.n_distinct_bytes === 3)
+    // non-image payloads keep the raw-byte stub semantics
+    val f2 = MultimodalOps.MediaCodec.features(2L, "aabb".getBytes("UTF-8"))
+    assert(f2.n_bytes === 4 && f2.n_distinct_bytes === 2)
+  }
+
+  test("resizeImages end-to-end over a mixed DataFrame") {
+    val spark = graft.sources.SparkTestSession.spark
+    import spark.implicits._
+    val img = gradient(6, 6, 3)
+    val rows = Seq(
+      (1L, encodeBmp(img)),
+      (2L, "not an image".getBytes("UTF-8")))
+    val media = rows.toDF("id", "media")
+    val out = MultimodalOps.resizeImages(spark, media, 3, 3).collect()
+    assert(out.length === 1) // the non-image row is dropped
+    val r = out.head
+    assert(r.getAs[Long]("id") === 1L)
+    assert(r.getAs[Int]("width") === 3 && r.getAs[Int]("orig_width") === 6)
+    val back = decode(r.getAs[Array[Byte]]("media"))
+    assert(back.contains(resizeNearest(img, 3, 3)))
+  }
+}
