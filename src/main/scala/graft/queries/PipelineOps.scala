@@ -98,6 +98,27 @@ object PipelineOps {
         .select(col("id").as("doc_id"), col("frame_ix"), length(col("frame")).as("frame_bytes"))
         .orderBy("doc_id", "frame_ix")),
 
+    // REAL image decode in the correctness gate: each doc's first 64
+    // bytes (zero-padded) become an 8x8 grayscale PGM, and features run
+    // through MediaCodec's decode path — so the oracle (which computes
+    // the same statistics directly from the text bytes) pins
+    // encode ∘ decode == identity plus the feature math. A broken
+    // header writer, comment parser, or row copy fails this row.
+    "mm_image_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
+          val pgm = graft.multimodal.ImageCodec.encodePgm(
+            graft.multimodal.ImageCodec.Image(8, 8, 1, px))
+          val f = MultimodalOps.MediaCodec.features(id, pgm)
+          (id, f.n_bytes, f.n_distinct_bytes, f.entropy, f.fingerprint)
+        })
+        .toDF("doc_id", "n_bytes", "n_distinct_bytes", "entropy", "fingerprint")
+        .withColumn("entropy", round(col("entropy"), 6))
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (MOSS rolling-hash scheme; oracle
     // replicates the k-gram hash + rightmost-min window rule in SQL;
     // shared-substring guarantee pinned in WinnowSpec)
@@ -262,6 +283,41 @@ object PipelineOps {
                  THEN min(${OracleSql.sb("w_h")}) FILTER (pos <= m - 3)
                  ELSE min(${OracleSql.sb("hh")}) END AS min_fp
           FROM sel GROUP BY doc_id ORDER BY doc_id""",
+
+    // image round-trip oracle: the decoded 8x8 PGM pixels ARE the first
+    // 64 text bytes zero-padded, so the statistics compute directly
+    // from the text — same hist/entropy/FNV machinery as
+    // mm_features_full, over substr(text,1,64) plus the padding zeros
+    "mm_image_roundtrip" -> {
+      import OracleSql._
+      s"""WITH chars AS (
+            SELECT doc_id, ord(c) AS b
+            FROM (SELECT doc_id, substr(text, 1, 64) AS t64 FROM documents),
+                 unnest(string_split(t64, '')) AS t(c)
+            UNION ALL
+            SELECT doc_id, 0 AS b
+            FROM documents, unnest(range(0, greatest(64 - strlen(text), 0)))),
+          hist AS (SELECT doc_id, b, count(*) AS c FROM chars GROUP BY 1, 2),
+          full_hist AS (
+            SELECT d.doc_id, r.b, coalesce(h.c, 0)::HUGEINT AS c
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range(0,256)) AS b) r
+            LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = r.b),
+          fp AS (
+            SELECT doc_id, ${fnvList("list(c ORDER BY b)")} AS f
+            FROM full_hist GROUP BY doc_id),
+          ent AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_distinct_bytes,
+                   -sum((CAST(c AS DOUBLE) / 64) * (ln(CAST(c AS DOUBLE) / 64) / ln(2.0))) AS entropy
+            FROM hist GROUP BY doc_id)
+          SELECT d.doc_id, 64 AS n_bytes, e.n_distinct_bytes,
+                 round(e.entropy, 6) AS entropy, ${sb("fp.f")} AS fingerprint
+          FROM documents d
+          JOIN ent e ON e.doc_id = d.doc_id
+          JOIN fp ON fp.doc_id = d.doc_id
+          ORDER BY d.doc_id"""
+    },
 
     // decontamination oracle: same winnow hash table; a doc's
     // fingerprint SET is the window minima (or all hashes when no
