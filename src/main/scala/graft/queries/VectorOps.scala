@@ -226,7 +226,11 @@ object VectorOps extends Serializable {
     val planes = r * bands
     val e0 = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     // per-vector band values in one JVM projection pass (planes × 64
-    // quantized mul-adds; exact integer sums ⇒ deterministic signs)
+    // quantized mul-adds; exact integer sums ⇒ deterministic signs).
+    // The table feeds BOTH the bucket explode and the hamming
+    // prefilter — localCheckpoint it so the projection runs once
+    // (n × ~1KB of blocks; the 100 TB form is "persist the signature
+    // table", same shape as the minhash pipeline).
     val banded = e0.as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val coef = Array.tabulate(planes, 64) { (p, d) =>
@@ -250,6 +254,7 @@ object VectorOps extends Serializable {
         }
       }
       .toDF("vec_id", "bvals")
+      .localCheckpoint()
     // first-matching-band in-bucket candidate generation (same shape as
     // the text LSH: identical signatures expand directly in band 0, the
     // pairwise loop runs per distinct signature, capped)
