@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming text-pipeline transforms: the document-side counterpart
+  * of [[EventsStream]]. Decontamination-on-ingest is the natural
+  * streaming form — the benchmark fingerprint set is small and static
+  * (benchmarks are curated), so contamination is a STATELESS per-doc
+  * predicate against a broadcast set: no watermark, no state store,
+  * identical code path for a batch DataFrame and a readStream source
+  * (DocsStreamSpec proves batch/stream parity against
+  * pipe_decontaminate's gate semantics). */
+object DocsStream {
+
+  /** Winnow fingerprint set of a benchmark corpus, for broadcasting.
+    * k=20/w=4 — the same parameters as `pipe_decontaminate`. */
+  def benchmarkFingerprints(bench: DataFrame): java.util.HashSet[java.lang.Long] = {
+    val s = bench.sparkSession
+    import s.implicits._
+    val out = new java.util.HashSet[java.lang.Long]()
+    bench.select(col("text")).as[String].collect()
+      .foreach(t => graft.functions.Winnow.fingerprints(t, 20, 4)
+        .foreach(fp => out.add(fp)))
+    out
+  }
+
+  /** Drop every doc sharing a winnow fingerprint with the (broadcast)
+    * benchmark set. Works unchanged on streaming inputs because it is
+    * a narrow mapPartitions filter. */
+  def decontaminate(docs: DataFrame, benchFps: java.util.HashSet[java.lang.Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(benchFps)
+    docs.select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.filter { case (_, text, _) =>
+          !graft.functions.Winnow.fingerprints(text, 20, 4).exists(set.contains)
+        }
+      }
+      .map { case (id, _, lang) => (id, lang) }
+      .toDF("doc_id", "lang")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SparkTestSession
+
+/** Streaming decontamination parity: the same broadcast-set filter
+  * over a readStream source must keep exactly the docs the batch
+  * `pipe_decontaminate` keeps (benchmark = doc_id % 97 == 0). */
+class DocsStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream decontamination == batch pipe_decontaminate") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val benchFps = DocsStream.benchmarkFingerprints(
+      docs.filter(col("doc_id") % 97 === 0))
+
+    // batch reference: the gate query itself
+    val expected = graft.queries.PipelineOps.queries("pipe_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // batch form of the stream transform
+    val batch = DocsStream.decontaminate(docs, benchFps)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch === expected)
+
+    // streaming form over a file source + memory sink (the file source
+    // needs a directory; the sf table is a single parquet file)
+    val streamDir = java.nio.file.Files.createTempDirectory("docsstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val streamIn = spark.readStream.schema(docs.schema)
+      .parquet(s"$streamDir/*")
+    val q = DocsStream.decontaminate(streamIn, benchFps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontaminated")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decontaminated")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
