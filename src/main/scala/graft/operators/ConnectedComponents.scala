@@ -76,7 +76,10 @@ object ConnectedComponents {
             col("lbl"))
           .select(col("id"), col("nlbl").as("lbl"),
             (col("nlbl") =!= col("lbl")).cast("long").as("chg"))
-          .localCheckpoint())
+          // lazy: the `changed` agg below is the round's single action —
+          // it materializes the checkpoint blocks as it runs (eager
+          // would cost a second job per round for the same result)
+          .localCheckpoint(eager = false))
       changed = Option(next.agg(sum("chg")).first().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       // the agg action materialized `next` — the previous round's label

@@ -34,6 +34,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got === unionFind(300, edges))
   }
 
+  test("superseded checkpoint blocks are freed (only the result persists)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 40-vertex chain needs several pointer-jumping rounds — each
+    // round checkpoints a label table; all but the final one (and the
+    // edge table) must be unpersisted by the time run() returns
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels = ConnectedComponents.run(spark, chain.toDF("a", "b"), "a", "b")
+    assert(labels.count() === 40)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"expected only the result checkpoint to remain, found ${leaked.size} persistent RDDs")
+    leaked.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+  }
+
   test("self-loops and duplicate edges are harmless") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 3L), (2L, 2L))
