@@ -293,6 +293,204 @@ object BlockDecoder {
     out.iterator
   }
 
+  /** Scalar-only block decode for the vectorized scan path: same
+    * semantics as [[decode]] restricted to the scalar columns
+    * (`id, type, lat, lon, version, timestamp, changeset`), but the
+    * DenseNodes fast path converts whole packed arrays into the
+    * [[ScalarBatch]] columns with no per-element allocation — the
+    * JVM analogue of the reference's vectorized dense parser
+    * (reference dense.py:83-180). Non-dense elements are a small
+    * minority per block and reuse the row decoders.
+    *
+    * @param idFilter when non-null, only elements with these ids are
+    *   emitted (the same post-decode filter the row reader applies). */
+  def decodeScalars(block: Array[Byte], wantTypes: Array[Boolean],
+      needs: DecodeNeeds, mustTagKeys: Array[String],
+      idFilter: Set[Long]): ScalarBatch = {
+    val root = new PbfReader(block)
+    var strings: Array[String] = null
+    val groupSpans = ArrayBuffer.empty[(Int, Int)]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000L
+    while (root.hasMore) {
+      val tag = root.readTag()
+      (tag >> 3) match {
+        case 1 =>
+          val st = root.readMessage()
+          val buf = ArrayBuffer.empty[String]
+          while (st.hasMore) {
+            val t2 = st.readTag()
+            if ((t2 >> 3) == 1) buf += st.readString() else st.skip(t2 & 7)
+          }
+          strings = buf.toArray
+        case 2 =>
+          val m = root.readMessage()
+          groupSpans += ((m.pos, m.end))
+        case 17 => granularity = root.readVarint()
+        case 18 => dateGranularity = root.readVarint()
+        case 19 => latOffset = root.readVarint()
+        case 20 => lonOffset = root.readVarint()
+        case _ => root.skip(tag & 7)
+      }
+    }
+    val strs = if (strings == null) emptyS else strings
+    val out = new ScalarBatch()
+    var isMust: Array[Boolean] = null
+    if (mustTagKeys != null) {
+      val keySet = mustTagKeys.toSet
+      isMust = new Array[Boolean](strs.length)
+      var any = false
+      var i = 0
+      while (i < strs.length) {
+        if (keySet.contains(strs(i))) { isMust(i) = true; any = true }
+        i += 1
+      }
+      if (!any) return out
+    }
+    val tmp = ArrayBuffer.empty[Decoded] // row-decoder spill for non-dense elements
+    groupSpans.foreach { case (s, e) =>
+      val g = new PbfReader(root.buf, s, e)
+      while (g.hasMore) {
+        val tag = g.readTag()
+        (tag >> 3) match {
+          case 1 => // Node (plain)
+            if (wantTypes(0)) {
+              tmp.clear()
+              decodeNode(g.readMessage(), strs, needs, isMust,
+                granularity, latOffset, lonOffset, dateGranularity, tmp)
+              spillScalars(tmp, idFilter, out)
+            } else g.skip(2)
+          case 2 => // DenseNodes — the vectorized fast path
+            if (wantTypes(0)) decodeDenseScalars(g.readMessage(), needs, isMust,
+              idFilter, granularity, latOffset, lonOffset, dateGranularity, out)
+            else g.skip(2)
+          case 3 => // Way
+            if (wantTypes(1)) {
+              tmp.clear()
+              decodeWay(g.readMessage(), strs, needs, isMust, dateGranularity, tmp)
+              spillScalars(tmp, idFilter, out)
+            } else g.skip(2)
+          case 4 => // Relation
+            if (wantTypes(2)) {
+              tmp.clear()
+              decodeRelation(g.readMessage(), strs, needs, isMust, dateGranularity, tmp)
+              spillScalars(tmp, idFilter, out)
+            } else g.skip(2)
+          case _ => g.skip(tag & 7)
+        }
+      }
+    }
+    out
+  }
+
+  private def spillScalars(tmp: ArrayBuffer[Decoded], idFilter: Set[Long],
+      out: ScalarBatch): Unit = {
+    var i = 0
+    while (i < tmp.length) {
+      val d = tmp(i)
+      if (idFilter == null || idFilter.contains(d.id))
+        out.add(d.id, d.etype, d.lat, d.lon, d.version,
+          d.timestampMs * 1000L, d.changeset, d.hasInfo)
+      i += 1
+    }
+  }
+
+  /** DenseNodes → ScalarBatch. With no must-tag / id filter the packed
+    * arrays convert to columns in four tight loops (ids copy, two
+    * coordinate de-quantizations, info widening); with filters it falls
+    * back to the same per-node walk as [[decodeDense]] minus string
+    * materialization. */
+  private def decodeDenseScalars(r: PbfReader, needs: DecodeNeeds,
+      isMust: Array[Boolean], idFilter: Set[Long],
+      gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
+      out: ScalarBatch): Unit = {
+    var ids = emptyL
+    var lats = emptyL
+    var lons = emptyL
+    var kvs: Array[Long] = emptyL
+    var versions: Array[Long] = emptyL
+    var tss: Array[Long] = emptyL
+    var css: Array[Long] = emptyL
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => ids = r.readPackedLongs(zigzag = true, delta = true)
+        case 5 =>
+          if (needs.info) {
+            val di = r.readMessage()
+            hasInfo = true
+            while (di.hasMore) {
+              val t2 = di.readTag()
+              (t2 >> 3) match {
+                case 1 => versions = di.readPackedLongs(zigzag = false, delta = false)
+                case 2 => tss = di.readPackedLongs(zigzag = true, delta = true)
+                case 3 => css = di.readPackedLongs(zigzag = true, delta = true)
+                case _ => di.skip(t2 & 7)
+              }
+            }
+          } else r.skip(2)
+        case 8 => if (needs.coords) lats = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
+        case 9 => if (needs.coords) lons = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
+        case 10 => if (isMust != null) kvs = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val m = ids.length
+    val tsScale = dateGran * 1000L // DenseInfo timestamp units → epoch micros
+    if (isMust == null && idFilter == null) {
+      out.ensure(m)
+      val base = out.n
+      System.arraycopy(ids, 0, out.ids, base, m)
+      // types stay 0 (node): fresh ScalarBatch slots are zero-filled
+      if (lats.nonEmpty) {
+        var i = 0
+        while (i < m) { out.lats(base + i) = 1e-9 * (latOff + gran * lats(i)); i += 1 }
+      }
+      if (lons.nonEmpty) {
+        var i = 0
+        while (i < m) { out.lons(base + i) = 1e-9 * (lonOff + gran * lons(i)); i += 1 }
+      }
+      if (versions.nonEmpty) {
+        var i = 0
+        while (i < m) { out.versions(base + i) = versions(i).toInt; i += 1 }
+      } else if (hasInfo) java.util.Arrays.fill(out.versions, base, base + m, -1)
+      if (tss.nonEmpty) {
+        var i = 0
+        while (i < m) { out.tsMicros(base + i) = tss(i) * tsScale; i += 1 }
+      }
+      if (css.nonEmpty) System.arraycopy(css, 0, out.changesets, base, m)
+      if (hasInfo) java.util.Arrays.fill(out.hasInfo, base, base + m, true)
+      out.n = base + m
+    } else {
+      var kvPos = 0
+      var i = 0
+      while (i < m) {
+        var matched = isMust == null
+        if (isMust != null && kvs.nonEmpty && kvPos < kvs.length) {
+          var p = kvPos
+          while (p < kvs.length && kvs(p) != 0L) {
+            if (!matched && isMust(mustIx(kvs(p), isMust.length))) matched = true
+            p += 2
+          }
+          kvPos = p + 1 // consume the 0 delimiter
+        }
+        if (matched && (idFilter == null || idFilter.contains(ids(i)))) {
+          out.add(ids(i), 0,
+            if (lats.isEmpty) 0.0 else 1e-9 * (latOff + gran * lats(i)),
+            if (lons.isEmpty) 0.0 else 1e-9 * (lonOff + gran * lons(i)),
+            if (versions.nonEmpty) versions(i).toInt else -1,
+            if (tss.nonEmpty) tss(i) * tsScale else 0L,
+            if (css.nonEmpty) css(i) else 0L,
+            hasInfo)
+        }
+        i += 1
+      }
+    }
+  }
+
   /** any key id flagged in isMust? (integer check, pre-materialization) */
   private def keysMatch(keys: Array[Long], isMust: Array[Boolean]): Boolean = {
     if (isMust == null) return true
