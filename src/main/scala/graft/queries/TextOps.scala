@@ -47,8 +47,17 @@ object TextOps {
   }
 
   /** SimHash pairs within `maxHamming` (< 4): banded candidate join +
-    * exact xor-popcount check — lossless by pigeonhole over four
-    * 16-bit bands. */
+    * exact xor-popcount check. CANDIDATE-complete by pigeonhole over
+    * four 16-bit bands (a pair within hamming 3 always shares a band),
+    * but subject to the per-bucket distinct-signature cap
+    * ([[graft.operators.LshBuckets]]): a bucket with more than
+    * `spark.graft.lsh.maxBucketGroups` distinct fingerprints skips the
+    * overflow groups — and, because pairs are emitted only in their
+    * first matching band, a pair skipped there is not retried later.
+    * At corpus scale 16-bit bands give only 65536 buckets, so the cap
+    * WILL engage on huge corpora; raise it (or set ≤ 0 to disable) to
+    * trade compute for full recall — every overflow prints a stderr
+    * note. */
   private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole covers hamming <= 3")
     val s = d.sparkSession
@@ -61,60 +70,32 @@ object TextOps {
     // quadratic. Members are grouped by full fingerprint — equal
     // fingerprints (hamming 0) expand to pairs in band 0 only, the
     // pairwise hamming check runs over one representative per distinct
-    // fingerprint (capped at MaxBucketGroups), and a pair is emitted
-    // only in its first matching band, which also replaces the old
-    // cross-band `.distinct()` shuffle.
-    val kMax = maxHamming; val kCap = MaxBucketGroups
+    // fingerprint (capped), and a pair is emitted only in its first
+    // matching band, which also replaces the old cross-band
+    // `.distinct()` shuffle. Pair emission is a LAZY iterator
+    // (LshBuckets.pairs) — nothing pair-shaped is buffered.
+    val kMax = maxHamming
+    val kCap = graft.operators.LshBuckets.maxBucketGroups(s)
     sh.select(col("doc_id"), col("simhash"),
         posexplode(bandCols).as(Seq("band", "bval")))
       .as[(Long, Long, Int, Long)]
       .groupByKey(r => (r._3, r._4))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
         val band = key._1
-        val ds = it.toArray.sortBy(_._1)
-        if (ds.length < 2) Iterator.empty
-        else {
-          val groups = scala.collection.mutable.LinkedHashMap
-            .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-          ds.foreach(r => groups.getOrElseUpdate(r._2,
-            scala.collection.mutable.ArrayBuffer.empty[Long]) += r._1)
-          val gs = groups.toArray
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          if (band == 0) gs.foreach { case (_, ids) =>
-            var x = 0
-            while (x < ids.length) {
-              var y = x + 1
-              while (y < ids.length) { out += ((ids(x), ids(y), 0)); y += 1 }
-              x += 1
-            }
-          }
-          val lim = math.min(gs.length, kCap)
-          if (gs.length > kCap)
-            System.err.println(s"[graft] simhash band bucket band=$band has " +
-              s"${gs.length} distinct fingerprints; pairwise compares capped at $kCap")
-          var gi = 0
-          while (gi < lim) {
-            var gj = gi + 1
-            while (gj < lim) {
-              val ha = gs(gi)._1; val hb = gs(gj)._1
-              val ham = java.lang.Long.bitCount(ha ^ hb)
-              if (ham <= kMax) {
-                var fb = 0
-                while (((ha >>> (fb * 16)) & 0xFFFFL) != ((hb >>> (fb * 16)) & 0xFFFFL)) fb += 1
-                if (fb == band) {
-                  gs(gi)._2.foreach { ia =>
-                    gs(gj)._2.foreach { ib =>
-                      out += (if (ia < ib) (ia, ib, ham) else (ib, ia, ham))
-                    }
-                  }
-                }
-              }
-              gj += 1
-            }
-            gi += 1
-          }
-          out.iterator
-        }
+        val members = it.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        graft.operators.LshBuckets.pairs[Long, (Long, Long, Int)](
+          band, members,
+          groupKey = java.lang.Long.valueOf(_),
+          cap = kCap, tag = "simhash",
+          matchRep = (ha, hb) => {
+            val ham = java.lang.Long.bitCount(ha ^ hb)
+            if (ham <= kMax) {
+              var fb = 0
+              while (((ha >>> (fb * 16)) & 0xFFFFL) != ((hb >>> (fb * 16)) & 0xFFFFL)) fb += 1
+              if (fb == band) Some((ia, ib) => (ia, ib, ham)) else None
+            } else None
+          },
+          equalEmit = (ia, ib) => (ia, ib, 0))
       }
       .toDF("ida", "idb", "hamming")
       .orderBy("ida", "idb")
@@ -139,13 +120,17 @@ object TextOps {
       .mapPartitions { rows =>
         // a doc appears in MANY candidate pairs (on a near-all-pairs
         // corpus, ~n of them): memoize its gram set per partition
-        // instead of re-shingling per pair
-        val cache = new java.util.HashMap[Long, java.util.HashSet[String]]()
+        // instead of re-shingling per pair. The memo is LRU-bounded
+        // (MaxMemoGrams total cached grams, ~50 MB) so a partition
+        // holding candidate pairs over most of a corpus shard can
+        // never accumulate corpus-shaped memory; candidate runs are
+        // clustered by ida after the joins, which is exactly the
+        // access pattern an LRU keeps cheap (GramMemoSpec pins the
+        // bound on an adversarial all-distinct partition).
+        val cache = new GramMemo(MaxMemoGrams)
         rows.map { case (ida, idb, ta, tb) =>
-          var ga = cache.get(ida)
-          if (ga == null) { ga = graft.functions.Num.gramSet(ta); cache.put(ida, ga) }
-          var gb = cache.get(idb)
-          if (gb == null) { gb = graft.functions.Num.gramSet(tb); cache.put(idb, gb) }
+          val ga = cache.get(ida, ta)
+          val gb = cache.get(idb, tb)
           // iterate the smaller set against the larger
           val (sm, lg) = if (ga.size <= gb.size) (ga, gb) else (gb, ga)
           var i = 0
@@ -159,6 +144,45 @@ object TextOps {
       .filter(col("jac") >= minJ)
   }
 
+  /** Per-task budget for [[GramMemo]]: total cached 3-grams across all
+    * memoized docs (≈ 100 bytes per cached gram with String + HashSet
+    * overhead → ~50 MB per task). */
+  private[graft] val MaxMemoGrams: Long = 512L * 1024
+
+  /** LRU-bounded per-partition doc→gram-set memo for the exact-Jaccard
+    * verification pass. Access-ordered; once the total cached gram
+    * count exceeds the budget, least-recently-used entries are evicted
+    * (always keeping the two entries of the in-flight pair, so a
+    * just-returned set is never resident-evicted mid-comparison —
+    * callers hold the reference either way, eviction only drops the
+    * map's pointer). The memo is purely an optimization: a miss
+    * re-shingles, semantics are unchanged. */
+  private[graft] final class GramMemo(maxGrams: Long) {
+    private var total = 0L
+    private val map =
+      new java.util.LinkedHashMap[Long, java.util.HashSet[String]](256, 0.75f, true)
+
+    def get(id: Long, text: String): java.util.HashSet[String] = {
+      var g = map.get(id)
+      if (g == null) {
+        g = graft.functions.Num.gramSet(text)
+        map.put(id, g)
+        total += g.size
+        // evict LRU down to budget; the two most-recent entries (this
+        // pair) are at the access-order tail and never considered
+        while (total > maxGrams && map.size > 2) {
+          val eldest = map.entrySet().iterator().next()
+          total -= eldest.getValue.size
+          map.remove(eldest.getKey)
+        }
+      }
+      g
+    }
+
+    private[graft] def cachedGrams: Long = total
+    private[graft] def entries: Int = map.size
+  }
+
   // MinHash parameters: k = b*r signature; with r=4, b=32 the candidate
   // probability at j=0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8 — effectively exact
   // recall at the 0.8 threshold while only shuffling b band keys per doc.
@@ -166,15 +190,13 @@ object TextOps {
   private val R = 4
   private val B = 32
 
-  /** Cap on DISTINCT signatures compared pairwise within one LSH band
-    * bucket. Identical signatures are grouped first (their pairs are
-    * emitted by group expansion, never by pairwise compares), so the
-    * degenerate near-identical-corpus case never goes quadratic; a
-    * bucket with more distinct signatures than this is boilerplate-like
-    * data — the overflow groups are skipped deterministically (by
-    * ascending min doc id) with a stderr note, bounding any single
-    * bucket at cap² signature compares. */
-  private[graft] val MaxBucketGroups = 4096
+  /** Default cap on DISTINCT signatures compared pairwise within one
+    * LSH band bucket — see [[graft.operators.LshBuckets]] for the full
+    * cap semantics (configurable via `spark.graft.lsh.maxBucketGroups`,
+    * deterministic overflow skip by ascending min doc id, stderr note,
+    * and the documented recall-loss mode when combined with
+    * first-matching-band emission). */
+  private[graft] val MaxBucketGroups = graft.operators.LshBuckets.DefaultMaxBucketGroups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -282,66 +304,33 @@ object TextOps {
       // hot-bucket case — near-identical boilerplate) are expanded to
       // pairs directly in band 0 (first-matching-band for equal band
       // hashes) with zero signature compares, and the pairwise loop
-      // runs over one representative per distinct signature, capped at
-      // MaxBucketGroups. Matching representatives expand to member
+      // runs over one representative per distinct signature, capped
+      // (LshBuckets). Matching representatives expand to member
       // cross-pairs, so the emitted pair set is IDENTICAL to the
-      // uncapped per-member loop whenever the cap is not hit.
-      val kCap = MaxBucketGroups
+      // uncapped per-member loop whenever the cap is not hit — and the
+      // expansion is a LAZY iterator, so a degenerate identical-doc
+      // bucket streams its O(n²) pairs without executor buffering.
+      val kCap = graft.operators.LshBuckets.maxBucketGroups(s)
       val cands = exploded
         .groupByKey(r => (r._1, r._2))
         .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Long])]) =>
-          val ds = it.toArray.sortBy(_._3)
-          if (ds.length < 2) Iterator.empty
-          else {
-            val band = key._1
-            val groups = scala.collection.mutable.LinkedHashMap
-              .empty[scala.collection.immutable.ArraySeq[Long],
-                scala.collection.mutable.ArrayBuffer[Int]]
-            var i = 0
-            while (i < ds.length) {
-              groups.getOrElseUpdate(
-                scala.collection.immutable.ArraySeq.unsafeWrapArray(ds(i)._4),
-                scala.collection.mutable.ArrayBuffer.empty[Int]) += i
-              i += 1
-            }
-            val gs = groups.values.map(_.toArray).toArray
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            // identical signatures: equal band hashes → first matching
-            // band is 0; all pairs are known full-signature matches
-            if (band == 0) gs.foreach { g =>
-              var x = 0
-              while (x < g.length) {
-                var y = x + 1
-                while (y < g.length) { out += ((ds(g(x))._3, ds(g(y))._3)); y += 1 }
-                x += 1
-              }
-            }
-            val lim = math.min(gs.length, kCap)
-            if (gs.length > kCap)
-              System.err.println(s"[graft] minhash LSH bucket band=$band has " +
-                s"${gs.length} distinct signatures; pairwise compares capped at $kCap")
-            var gi = 0
-            while (gi < lim) {
-              var gj = gi + 1
-              while (gj < lim) {
-                val a = ds(gs(gi)(0)); val b = ds(gs(gj)(0))
-                var fb = 0
-                while (a._5(fb) != b._5(fb)) fb += 1
-                if (fb == band &&
-                    MinHash.packedMatches(a._4, b._4, kK, minMatches) >= minMatches) {
-                  gs(gi).foreach { xi =>
-                    gs(gj).foreach { yj =>
-                      val ia = ds(xi)._3; val ib = ds(yj)._3
-                      out += (if (ia < ib) (ia, ib) else (ib, ia))
-                    }
-                  }
-                }
-                gj += 1
-              }
-              gi += 1
-            }
-            out.iterator
-          }
+          val band = key._1
+          // member signature = (packed sig8 for grouping/verify, band
+          // hashes for the first-matching-band test)
+          val members = it.map(r => (r._3, (r._4, r._5))).toArray.sortBy(_._1)
+          graft.operators.LshBuckets.pairs[(Array[Long], Array[Long]), (Long, Long)](
+            band, members,
+            groupKey = m => scala.collection.immutable.ArraySeq.unsafeWrapArray(m._1),
+            cap = kCap, tag = "minhash LSH",
+            matchRep = (a, b) => {
+              var fb = 0
+              while (a._2(fb) != b._2(fb)) fb += 1
+              if (fb == band &&
+                  MinHash.packedMatches(a._1, b._1, kK, minMatches) >= minMatches)
+                Some((ia, ib) => (ia, ib))
+              else None
+            },
+            equalEmit = (ia, ib) => (ia, ib))
         }
         .toDF("ida", "idb")
       jaccardPairsExact(s, cands, d, 0.8)

@@ -201,8 +201,8 @@ object VectorOps extends Serializable {
     * bands of `r` sign bits (same splitmix-derived hyperplane family as
     * [[annLsh]]), candidates = pairs sharing ≥ 1 band value (emitted in
     * their first matching band, in-bucket generation grouped by full
-    * signature with the MaxBucketGroups-style cap — never a bucket
-    * self-join), then EXACT quantized-cosine verification, so output
+    * signature with the [[graft.operators.LshBuckets]] cap — never a
+    * bucket self-join), then EXACT quantized-cosine verification, so output
     * precision is always 1.0 and recall is the only approximation.
     *
     * Honest threshold math (and why the defaults are r=5, bands=102):
@@ -257,57 +257,26 @@ object VectorOps extends Serializable {
       .localCheckpoint()
     // first-matching-band in-bucket candidate generation (same shape as
     // the text LSH: identical signatures expand directly in band 0, the
-    // pairwise loop runs per distinct signature, capped)
-    val kCap = TextOps.MaxBucketGroups
+    // pairwise loop runs per distinct signature, capped). Emission is a
+    // lazy iterator (LshBuckets.pairs) — no executor-side pair buffer.
+    val kCap = graft.operators.LshBuckets.maxBucketGroups(s)
     val cands = banded
       .select(col("vec_id"), col("bvals"), posexplode(col("bvals")).as(Seq("band", "bv")))
       .as[(Long, Array[Long], Int, Long)]
       .groupByKey(t => (t._3, t._4))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Array[Long], Int, Long)]) =>
         val band = key._1
-        val ds = it.toArray.sortBy(_._1)
-        if (ds.length < 2) Iterator.empty
-        else {
-          val groups = scala.collection.mutable.LinkedHashMap
-            .empty[scala.collection.immutable.ArraySeq[Long],
-              scala.collection.mutable.ArrayBuffer[Long]]
-          ds.foreach(t => groups.getOrElseUpdate(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(t._2),
-            scala.collection.mutable.ArrayBuffer.empty[Long]) += t._1)
-          val gs = groups.toArray
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          if (band == 0) gs.foreach { case (_, ids) =>
-            var x = 0
-            while (x < ids.length) {
-              var y = x + 1
-              while (y < ids.length) { out += ((ids(x), ids(y))); y += 1 }
-              x += 1
-            }
-          }
-          val lim = math.min(gs.length, kCap)
-          if (gs.length > kCap)
-            System.err.println(s"[graft] vec LSH bucket band=$band has " +
-              s"${gs.length} distinct signatures; pairwise compares capped at $kCap")
-          var gi = 0
-          while (gi < lim) {
-            var gj = gi + 1
-            while (gj < lim) {
-              val sa = gs(gi)._1; val sb = gs(gj)._1
-              var fb = 0
-              while (sa(fb) != sb(fb)) fb += 1
-              if (fb == band) {
-                gs(gi)._2.foreach { ia =>
-                  gs(gj)._2.foreach { ib =>
-                    out += (if (ia < ib) (ia, ib) else (ib, ia))
-                  }
-                }
-              }
-              gj += 1
-            }
-            gi += 1
-          }
-          out.iterator
-        }
+        val members = it.map(t => (t._1, t._2)).toArray.sortBy(_._1)
+        graft.operators.LshBuckets.pairs[Array[Long], (Long, Long)](
+          band, members,
+          groupKey = scala.collection.immutable.ArraySeq.unsafeWrapArray(_),
+          cap = kCap, tag = "vec LSH",
+          matchRep = (sa, sb) => {
+            var fb = 0
+            while (sa(fb) != sb(fb)) fb += 1
+            if (fb == band) Some((ia, ib) => (ia, ib)) else None
+          },
+          equalEmit = (ia, ib) => (ia, ib))
       }
       .toDF("ida", "idb")
     // cheap sketch prefilter before the expensive vector attach: the

@@ -7,7 +7,9 @@ import graft.sources.SparkTestSession
   * corpus, `vec_neardup_lsh` must produce EXACTLY the all-pairs
   * baseline's result set — precision 1.0 is structural (exact
   * verification), recall 1.0 is the property the banding parameters
-  * (r=6, bands=85) were sized for at the 0.4 threshold. */
+  * (r=5, bands=102 — the r=6/85 first attempt missed ~1/920 true
+  * pairs and was replaced, see VectorOps.neardupLsh) were sized for
+  * at the 0.4 threshold. */
 class VecNeardupLshSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
