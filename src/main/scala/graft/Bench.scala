@@ -15,7 +15,7 @@ object Bench {
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins
-    "j1_ref_coord_join", "j2_star_broadcast", "j6_anti_join", "j7_semi_join",
+    "j1_ref_coord_join", "j1_skew_salted", "j2_star_broadcast", "j6_anti_join", "j7_semi_join",
     // aggregation / window
     "a1_first_last", "a6_group_chain", "w2_run_ids", "o4_dedup_first_wins",
     "r1_pivot",
@@ -48,18 +48,38 @@ object Bench {
       val txt = raw.replace("\\\"", "\"")
       val tag = "\"queries\":{"
       val ix = txt.indexOf(tag)
-      if (ix < 0) Nil
-      else {
-        val start = ix + tag.length
-        val end0 = txt.indexOf('}', start)
-        val end = if (end0 < 0) txt.length else end0
-        txt.substring(start, end).split(",").toSeq.flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) => scala.util.Try(
-              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-            case _ => None
+      val fromBlock =
+        if (ix < 0) Nil
+        else {
+          val start = ix + tag.length
+          val end0 = txt.indexOf('}', start)
+          val end = if (end0 < 0) txt.length else end0
+          txt.substring(start, end).split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => scala.util.Try(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+              case _ => None
+            }
           }
         }
+      if (fromBlock.nonEmpty) fromBlock
+      else {
+        // the harness truncates long stdout from the FRONT, so the
+        // `"queries":{` marker itself can be cut away (BENCH_r05 was).
+        // Fallback: harvest any "name":number pair whose name is a
+        // known headline query. FIRST occurrence of a name wins — in
+        // the emitted line the current round's queries block precedes
+        // the prev block, so a surviving prev duplicate can only fill
+        // names whose current entry was truncated off.
+        val re = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
+        val names = headline.toSet
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        re.findAllMatchIn(txt).foreach { m =>
+          val k = m.group(1)
+          if (names.contains(k) && !seen.contains(k))
+            scala.util.Try(m.group(2).toDouble).foreach(seen(k) = _)
+        }
+        seen.toSeq
       }
     }.toMap
   }
@@ -118,6 +138,12 @@ object Bench {
     val prevJson = prevRound.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"prev":$prevJson,"sf":"$sfDir"}""")
+    // compact repeat WITHOUT the prev block as the FINAL stdout line:
+    // the harness truncates long stdout from the front, so the
+    // artifact-critical fields (total + per-query seconds) must also
+    // arrive in a short tail line that survives truncation whole —
+    // BENCH_r05.json's "parsed": null was the single-giant-line failure
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,8 +6,81 @@ import org.apache.spark.sql.SparkSession
   * 6.97M cached nodes, BASELINE.md): generates a 7M-node / 700k-way
   * synthetic extract, then times full-scan info(), the node coordinate
   * table build (the reference's "geometry cache"), the POI query and
-  * highway topology. Prints one JSON line. */
+  * highway topology. A second phase splits the same world into 3
+  * region files with duplicated border blobs (the adjacent-extract
+  * corpus shape) and re-runs the headliners on the directory — results
+  * must be IDENTICAL to single-file (`dedupMultiFile` border dedup,
+  * OsmQueryExec.scan). Prints one JSON line. */
 object ScaleProbe {
+
+  /** Split a single-file extract into `nFiles` adjacent "region" files
+    * at blob granularity, duplicating the first `overlap` blobs of each
+    * region into the previous one — adjacent real-world extracts carry
+    * border elements verbatim in both files. Frames are copied
+    * byte-identical (no re-encode); every file gets the OSMHeader.
+    * Returns the number of duplicated blobs. */
+  def splitPbf(src: String, outDir: String, nFiles: Int, overlap: Int): Int = {
+    val dir = new java.io.File(outDir)
+    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    val in = new java.io.RandomAccessFile(src, "r")
+    try {
+      final case class Frame(off: Long, len: Long, isHeader: Boolean)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+      var off = 0L
+      val fileLen = in.length()
+      val lenBuf = new Array[Byte](4)
+      while (off < fileLen) {
+        in.seek(off)
+        in.readFully(lenBuf)
+        val hl = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+          ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+        val hb = new Array[Byte](hl)
+        in.readFully(hb)
+        var btype = ""
+        var dataSize = 0
+        val r = new graft.pbf.PbfReader(hb)
+        while (r.hasMore) {
+          val t = r.readTag()
+          (t >> 3) match {
+            case 1 => btype = r.readString()
+            case 3 => dataSize = r.readVarint().toInt
+            case _ => r.skip(t & 7)
+          }
+        }
+        frames += Frame(off, 4L + hl + dataSize, btype == "OSMHeader")
+        off += 4L + hl + dataSize
+      }
+      require(frames.nonEmpty && frames.head.isHeader, s"$src: no leading OSMHeader")
+      val data = frames.tail.toSeq
+      def copy(out: java.io.OutputStream, f: Frame): Unit = {
+        in.seek(f.off)
+        val buf = new Array[Byte](64 * 1024)
+        var remaining = f.len
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"unexpected EOF copying frame at ${f.off}")
+          out.write(buf, 0, n)
+          remaining -= n
+        }
+      }
+      val outs = (0 until nFiles).map { k =>
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+          new java.io.File(dir, f"part$k%02d.osm.pbf")))
+      }
+      try {
+        outs.foreach(copy(_, frames.head))
+        val assign = data.indices.map(i => (i.toLong * nFiles / data.size).toInt)
+        val starts = assign.zipWithIndex.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+        var dup = 0
+        data.zipWithIndex.foreach { case (f, i) =>
+          val k = assign(i)
+          copy(outs(k), f)
+          if (k > 0 && i - starts(k) < overlap) { copy(outs(k - 1), f); dup += 1 }
+        }
+        dup
+      } finally outs.foreach(_.close())
+    } finally in.close()
+  }
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -39,7 +112,24 @@ object ScaleProbe {
       graft.osm.OsmQuery.highways.copy(geometry = true, topology = true)
         .run(spark, path).count())
 
-    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f}""")
+    // multi-file phase: same world as 3 border-overlapping region files
+    val mfDir = "/tmp/graft_marseille_multifile"
+    val (dupBlobs, tSplit) = timed(splitPbf(path, mfDir, 3, 2))
+    val fm = new graft.osm.OsmFile(spark, mfDir)
+    val (infoM, tInfoM) = timed(fm.info())
+    val (nPoisM, tPoisM) = timed(
+      graft.osm.OsmQuery.pois.copy(geometry = true).run(spark, mfDir).count())
+    val (nTopoM, tTopoM) = timed(
+      graft.osm.OsmQuery.highways.copy(geometry = true, topology = true)
+        .run(spark, mfDir).count())
+    val mfMatch = infoM("nodes") == info("nodes") && infoM("ways") == info("ways") &&
+      nPoisM == nPois && nTopoM == nTopo
+
+    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_results_match":$mfMatch}""")
+    if (!mfMatch)
+      System.err.println(s"[scaleprobe] MULTI-FILE MISMATCH: " +
+        s"nodes ${infoM("nodes")} vs ${info("nodes")}, ways ${infoM("ways")} vs ${info("ways")}, " +
+        s"pois $nPoisM vs $nPois, topo $nTopoM vs $nTopo")
     spark.stop()
   }
 }

@@ -37,10 +37,25 @@ object LshBuckets {
     * resolved once at plan-build time and captured into the executor
     * closure. `<= 0` means unlimited. */
   def maxBucketGroups(s: org.apache.spark.sql.SparkSession): Int = {
-    val v = s.conf.get("spark.graft.lsh.maxBucketGroups",
-      DefaultMaxBucketGroups.toString).toInt
+    val key = "spark.graft.lsh.maxBucketGroups"
+    val raw = s.conf.get(key, DefaultMaxBucketGroups.toString)
+    val v =
+      try raw.trim.toInt
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$raw'", e)
+      }
     if (v <= 0) Int.MaxValue else v
   }
+
+  /** Per-tag cap-overflow counters (JVM-wide): the simhash doc itself
+    * says the cap WILL engage at corpus scale (only 65,536 16-bit
+    * buckets), so an unconditional per-bucket stderr note could emit
+    * hundreds of thousands of lines per job. Noted on a power-of-two
+    * schedule instead: ≤ ~40 lines per tag however many buckets
+    * overflow, with the running count in each line. */
+  private val overflowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   /** Lazily emit candidate pairs for one bucket.
     *
@@ -96,10 +111,15 @@ object LshBuckets {
       }
 
     val lim = math.min(gs.length, cap)
-    if (gs.length > cap)
-      System.err.println(s"[graft] $tag bucket band=$band has ${gs.length} " +
-        s"distinct signatures; pairwise compares capped at $cap " +
-        "(spark.graft.lsh.maxBucketGroups)")
+    if (gs.length > cap) {
+      val n = overflowCounts
+        .computeIfAbsent(tag, _ => new java.util.concurrent.atomic.AtomicLong)
+        .incrementAndGet()
+      if ((n & (n - 1)) == 0L) // 1, 2, 4, 8, … — bounded note volume
+        System.err.println(s"[graft] $tag bucket band=$band has ${gs.length} " +
+          s"distinct signatures; pairwise compares capped at $cap " +
+          s"(spark.graft.lsh.maxBucketGroups); overflow #$n for '$tag' this JVM")
+    }
 
     val crossPairs: Iterator[O] = (0 until lim).iterator.flatMap { gi =>
       val ga = gs(gi)

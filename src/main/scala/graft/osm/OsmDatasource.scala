@@ -135,7 +135,10 @@ class OsmFile(spark: org.apache.spark.sql.SparkSession, path: String,
   import org.apache.spark.sql.functions._
 
   lazy val elements: org.apache.spark.sql.DataFrame = {
-    val df = spark.read.format("osmpbf").load(path)
+    // OsmQueryExec.scan = raw scan + multi-file border dedup, so a
+    // directory of adjacent extracts counts/joins each element once —
+    // the same table the query operators see
+    val df = OsmQueryExec.scan(spark, path)
     if (cache) df.persist() else df
   }
 

@@ -75,7 +75,7 @@ object OsmQueryExec {
 
   // ------------------------------------------------------------------
 
-  private def scan(spark: SparkSession, path: String): DataFrame =
+  private[osm] def scan(spark: SparkSession, path: String): DataFrame =
     dedupMultiFile(spark.read.format("osmpbf").load(path), path)
 
   /** Adjacent region extracts duplicate border elements; a multi-file

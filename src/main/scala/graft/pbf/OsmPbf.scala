@@ -349,35 +349,27 @@ object BlockDecoder {
       }
       if (!any) return out
     }
-    val tmp = ArrayBuffer.empty[Decoded] // row-decoder spill for non-dense elements
     groupSpans.foreach { case (s, e) =>
       val g = new PbfReader(root.buf, s, e)
       while (g.hasMore) {
         val tag = g.readTag()
         (tag >> 3) match {
-          case 1 => // Node (plain)
-            if (wantTypes(0)) {
-              tmp.clear()
-              decodeNode(g.readMessage(), strs, needs, isMust,
-                granularity, latOffset, lonOffset, dateGranularity, tmp)
-              spillScalars(tmp, idFilter, out)
-            } else g.skip(2)
+          case 1 => // Node (plain) — direct scalar decode, no row spill
+            if (wantTypes(0)) decodeNodeScalar(g.readMessage(), isMust, needs,
+              granularity, latOffset, lonOffset, dateGranularity, idFilter, out)
+            else g.skip(2)
           case 2 => // DenseNodes — the vectorized fast path
             if (wantTypes(0)) decodeDenseScalars(g.readMessage(), needs, isMust,
               idFilter, granularity, latOffset, lonOffset, dateGranularity, out)
             else g.skip(2)
-          case 3 => // Way
-            if (wantTypes(1)) {
-              tmp.clear()
-              decodeWay(g.readMessage(), strs, needs, isMust, dateGranularity, tmp)
-              spillScalars(tmp, idFilter, out)
-            } else g.skip(2)
-          case 4 => // Relation
-            if (wantTypes(2)) {
-              tmp.clear()
-              decodeRelation(g.readMessage(), strs, needs, isMust, dateGranularity, tmp)
-              spillScalars(tmp, idFilter, out)
-            } else g.skip(2)
+          case 3 => // Way — direct scalar decode
+            if (wantTypes(1)) decodeWayRelScalar(g.readMessage(), etype = 1,
+              isMust, needs, dateGranularity, idFilter, out)
+            else g.skip(2)
+          case 4 => // Relation — direct scalar decode
+            if (wantTypes(2)) decodeWayRelScalar(g.readMessage(), etype = 2,
+              isMust, needs, dateGranularity, idFilter, out)
+            else g.skip(2)
           case _ => g.skip(tag & 7)
         }
       }
@@ -385,16 +377,71 @@ object BlockDecoder {
     out
   }
 
-  private def spillScalars(tmp: ArrayBuffer[Decoded], idFilter: Set[Long],
-      out: ScalarBatch): Unit = {
-    var i = 0
-    while (i < tmp.length) {
-      val d = tmp(i)
-      if (idFilter == null || idFilter.contains(d.id))
-        out.add(d.id, d.etype, d.lat, d.lon, d.version,
-          d.timestampMs * 1000L, d.changeset, d.hasInfo)
-      i += 1
+  /** Plain-Node scalar decode straight into the batch: tag keys are read
+    * only when a must-key test is active (the scalar columns never need
+    * string materialization), and the element skips the batch entirely
+    * when the must/id filters reject it — the round-4/5 `Decoded`
+    * allocation round-trip is gone. */
+  private def decodeNodeScalar(r: PbfReader, isMust: Array[Boolean],
+      needs: DecodeNeeds, gran: Long, latOff: Long, lonOff: Long,
+      dateGran: Long, idFilter: Set[Long], out: ScalarBatch): Unit = {
+    var id = 0L
+    var lat = 0L
+    var lon = 0L
+    var keys = emptyL
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readZigzag()
+        case 2 => if (isMust != null) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 4 =>
+          if (needs.info) {
+            val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
+            version = v; ts = t; cs = c; hasInfo = true
+          } else r.skip(2)
+        case 8 => lat = r.readZigzag()
+        case 9 => lon = r.readZigzag()
+        case _ => r.skip(tag & 7)
+      }
     }
+    if (!keysMatch(keys, isMust)) return
+    if (idFilter == null || idFilter.contains(id))
+      out.add(id, 0, 1e-9 * (latOff + gran * lat), 1e-9 * (lonOff + gran * lon),
+        version, ts * 1000L, cs, hasInfo)
+  }
+
+  /** Way/Relation scalar decode straight into the batch (the two share
+    * a wire layout for every scalar-relevant field: id(1), keys(2),
+    * info(4); refs/members are skipped — never scalar columns). */
+  private def decodeWayRelScalar(r: PbfReader, etype: Byte,
+      isMust: Array[Boolean], needs: DecodeNeeds, dateGran: Long,
+      idFilter: Set[Long], out: ScalarBatch): Unit = {
+    var id = 0L
+    var keys = emptyL
+    var version = -1
+    var ts = 0L
+    var cs = 0L
+    var hasInfo = false
+    while (r.hasMore) {
+      val tag = r.readTag()
+      (tag >> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => if (isMust != null) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 4 =>
+          if (needs.info) {
+            val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
+            version = v; ts = t; cs = c; hasInfo = true
+          } else r.skip(2)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    if (!keysMatch(keys, isMust)) return
+    if (idFilter == null || idFilter.contains(id))
+      out.add(id, etype, 0.0, 0.0, version, ts * 1000L, cs, hasInfo)
   }
 
   /** DenseNodes → ScalarBatch. With no must-tag / id filter the packed

@@ -85,18 +85,72 @@ object PipelineOps {
           round(col("entropy"), 6).as("entropy"), col("fingerprint"))
         .orderBy("doc_id")),
 
-    // multimodal resize plumbing: fixed-size payloads (stubbed codec;
-    // rows-only — byte layout pinned in MultimodalSpec)
-    "mm_resize" -> ((s, dir) =>
-      MultimodalOps.resize(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")), 128)
-        .select(col("id").as("doc_id"), col("n_bytes"), col("orig_bytes"))
-        .orderBy("doc_id")),
+    // REAL image resize in the correctness gate: each doc's first 63
+    // bytes (zero-padded) become a 7x9 grayscale image — width 7 forces
+    // BMP row padding (21 → 24 bytes/row), height 9 → 4 forces
+    // non-integer nearest-neighbor source mapping — encoded as 24bpp
+    // BMP, resized through ImageCodec.resizeNearest (decode → scale →
+    // re-encode), decoded AGAIN, and reduced to order-sensitive pixel
+    // statistics. The oracle recomputes the same statistics from the
+    // text bytes via the nearest-neighbor index map, so a broken row
+    // stride, padding copy, bottom-up flip, or source-index rounding
+    // fails the hash. (MultimodalOps.resize — the codec-free byte
+    // stub — remains API surface, pinned by WinnowSpec.)
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val bmps = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 63)
+          (id, graft.multimodal.ImageCodec.encodeBmp(
+            graft.multimodal.ImageCodec.Image(7, 9, 1, px)), "image/bmp")
+        }).toDF("id", "media", "kind")
+      MultimodalOps.resizeImages(s, bmps, 5, 4)
+        .select("id", "media").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bmp) =>
+          val img = graft.multimodal.ImageCodec.decode(bmp).get
+          // source was gray expanded to BGR; toGray inverts exactly
+          val g = graft.multimodal.ImageCodec.toGray(img)
+          var sum = 0L
+          var fp = 0xcbf29ce484222325L // FNV-1a 64 over row-major pixels
+          var i = 0
+          while (i < g.data.length) {
+            val b = g.data(i) & 0xff
+            sum += b
+            fp ^= b
+            fp *= 0x100000001b3L
+            i += 1
+          }
+          (id, sum, fp)
+        })
+        .toDF("doc_id", "px_sum", "px_fp")
+        .orderBy("doc_id")
+    }),
 
-    // multimodal frame sampling: every 4th 32-byte "frame" (rows-only)
-    "mm_frame_sample" -> ((s, dir) =>
+    // multimodal frame sampling: every 4th 32-byte "frame", each frame
+    // reduced to content statistics (byte sum + order-sensitive FNV) so
+    // the oracle verifies the frame PAYLOAD — an off-by-one frame
+    // offset or short copy fails the hash, not just a length check
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
       MultimodalOps.sampleFrames(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")), 32, 4)
-        .select(col("id").as("doc_id"), col("frame_ix"), length(col("frame")).as("frame_bytes"))
-        .orderBy("doc_id", "frame_ix")),
+        .select("id", "frame_ix", "frame").as[(Long, Int, Array[Byte])]
+        .mapPartitions(_.map { case (id, ix, frame) =>
+          var sum = 0L
+          var fp = 0xcbf29ce484222325L
+          var i = 0
+          while (i < frame.length) {
+            val b = frame(i) & 0xff
+            sum += b
+            fp ^= b
+            fp *= 0x100000001b3L
+            i += 1
+          }
+          (id, ix, frame.length, sum, fp)
+        })
+        .toDF("doc_id", "frame_ix", "frame_bytes", "frame_sum", "frame_fp")
+        .orderBy("doc_id", "frame_ix")
+    }),
 
     // REAL image decode in the correctness gate: each doc's first 64
     // bytes (zero-padded) become an 8x8 grayscale PGM, and features run
@@ -225,17 +279,46 @@ object PipelineOps {
       """SELECT doc_id, strlen(text) AS n_bytes,
                 len(list_distinct(string_split(text, ''))) AS n_distinct_bytes
          FROM documents ORDER BY doc_id""",
-    // resize always emits exactly targetBytes=128 bytes; orig_bytes is
-    // the UTF-8 payload length (strlen counts bytes in DuckDB)
-    "mm_resize" ->
-      """SELECT doc_id, 128 AS n_bytes, strlen(text) AS orig_bytes
-         FROM documents ORDER BY doc_id""",
+    // pixel-verifying resize oracle: the 7x9 source pixel grid IS the
+    // first 63 text bytes zero-padded (row-major), and nearest-neighbor
+    // 7x9 → 5x4 maps resized (x, y) to source index
+    // ((y*9)//4)*7 + (x*7)//5 — so the resized-pixel byte sum and the
+    // order-sensitive FNV-1a fold compute directly from the text. Any
+    // stride/padding/flip/rounding defect in the BMP encode → decode →
+    // resize → re-encode → decode chain changes px_fp.
+    "mm_resize" -> {
+      import OracleSql._
+      s"""WITH px AS (
+            SELECT doc_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+                   CAST(((y * 9) // 4) * 7 + (x * 7) // 5 AS INT) AS src
+            FROM documents,
+                 unnest(range(0, 4)) AS ty(y), unnest(range(0, 5)) AS tx(x)),
+          vals AS (
+            SELECT p.doc_id, p.y, p.x,
+                   CASE WHEN p.src < strlen(d.text)
+                        THEN ord(substr(d.text, p.src + 1, 1))
+                        ELSE 0 END::HUGEINT AS b
+            FROM px p JOIN documents d USING (doc_id))
+          SELECT doc_id, CAST(sum(b) AS BIGINT) AS px_sum,
+                 ${sb(fnvList("list(b ORDER BY y * 5 + x)"))} AS px_fp
+          FROM vals GROUP BY doc_id ORDER BY doc_id"""
+    },
     // frames of 32 payload bytes, every 4th kept: frame_ix ∈ range(0,
-    // strlen//32, 4); each emitted frame is exactly 32 bytes
-    "mm_frame_sample" ->
-      """SELECT doc_id, CAST(f AS INT) AS frame_ix, 32 AS frame_bytes
-         FROM documents, unnest(range(0, strlen(text) // 32, 4)) AS t(f)
-         ORDER BY doc_id, frame_ix""",
+    // strlen//32, 4); frame content pinned by byte sum + ordered FNV
+    "mm_frame_sample" -> {
+      import OracleSql._
+      s"""WITH frames AS (
+            SELECT doc_id, CAST(f AS INT) AS frame_ix, text
+            FROM documents, unnest(range(0, strlen(text) // 32, 4)) AS t(f)),
+          bytes AS (
+            SELECT doc_id, frame_ix, CAST(j AS INT) AS j,
+                   ord(substr(text, frame_ix * 32 + CAST(j AS INT) + 1, 1))::HUGEINT AS b
+            FROM frames, unnest(range(0, 32)) AS tj(j))
+          SELECT doc_id, frame_ix, 32 AS frame_bytes,
+                 CAST(sum(b) AS BIGINT) AS frame_sum,
+                 ${sb(fnvList("list(b ORDER BY j)"))} AS frame_fp
+          FROM bytes GROUP BY doc_id, frame_ix ORDER BY doc_id, frame_ix"""
+    },
     // SQL twin of MediaCodec.features: byte histogram → count/distinct,
     // Shannon entropy (p·ln p/ln 2, same formula; term margins to the
     // round-6 boundary are ~1e-3 × 1e-6 on this corpus, 6 orders above

@@ -153,6 +153,30 @@ object RelationalOps {
         .orderBy("l_orderkey", "l_linenumber", "p_name", "p_retailprice")
     }),
 
+    // J1b — the same lookup-join shape under HEAVY key skew, routed
+    // through [[graft.operators.SkewJoin.saltedInner]]: ~70 % of
+    // lineitem rows collapse onto one hot key (linenumber ≤ 4 → key 0),
+    // which under plain hash partitioning would send 70 % of the table
+    // to a single task. The salt spreads the hot key over 8 sub-keys;
+    // the merge hint pins a sort-merge join so the probe exercises the
+    // real distributed shape (the 25-row dim would otherwise broadcast
+    // at fixture scale — at 100 TB the right side is a full table and
+    // broadcast is off the table, which is exactly SkewJoin's regime).
+    "j1_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("k",
+          when(col("l_linenumber") <= 4, lit(0L))
+            .otherwise(col("l_orderkey") % 25).cast("long"))
+        .select("k", "l_quantity")
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      graft.operators.SkewJoin.saltedInner(li, n.hint("merge"), "k", "nk", 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("n_name")
+    }),
+
     // J2 — member attach join + star-schema broadcast dims
     // (reference _frame.py:33-40): revenue per region name.
     "j2_star_broadcast" -> ((s, dir) => {
@@ -712,6 +736,16 @@ object RelationalOps {
       """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
          FROM lineitem JOIN part ON l_partkey = p_partkey
          ORDER BY l_orderkey, l_linenumber, p_name, p_retailprice""",
+    // salting is a pure execution-strategy change — the oracle is the
+    // plain skewed-key join
+    "j1_skew_salted" ->
+      """SELECT n_name, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM (SELECT CASE WHEN l_linenumber <= 4 THEN 0
+                           ELSE l_orderkey % 25 END AS k, l_quantity
+               FROM lineitem) t
+         JOIN nation ON k = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "j2_star_broadcast" ->
       """SELECT r_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
          FROM orders

@@ -190,7 +190,13 @@ class OsmPbfScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfReaderFactory(required, wantTypes,
       idFilter.map(_.toArray).orNull, mustTagKeys,
-      columnar = required.fieldNames.forall(OsmPbfSource.scalarCols.contains))
+      // session kill-switch (`spark.graft.pbf.columnar=false`) for the
+      // vectorized path: lets a deployment A/B the two decode paths on
+      // its own workload, and is the gate the scalar path falls back
+      // through if columnar ever loses at a given block shape
+      columnar = required.fieldNames.forall(OsmPbfSource.scalarCols.contains) &&
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.pbf.columnar", "true").trim.equalsIgnoreCase("true"))
 }
 
 object OsmPbfScan {

@@ -14,14 +14,21 @@ import org.apache.spark.sql.functions._
 object DocsStream {
 
   /** Winnow fingerprint set of a benchmark corpus, for broadcasting.
-    * k=20/w=4 — the same parameters as `pipe_decontaminate`. */
+    * k=20/w=4 — the same parameters as `pipe_decontaminate`.
+    * Fingerprinting runs DISTRIBUTED (narrow mapPartitions) and only
+    * the distinct fingerprint longs come back to the driver — the
+    * driver-side footprint is the broadcast set itself, never the
+    * benchmark texts. */
   def benchmarkFingerprints(bench: DataFrame): java.util.HashSet[java.lang.Long] = {
     val s = bench.sparkSession
     import s.implicits._
     val out = new java.util.HashSet[java.lang.Long]()
-    bench.select(col("text")).as[String].collect()
-      .foreach(t => graft.functions.Winnow.fingerprints(t, 20, 4)
-        .foreach(fp => out.add(fp)))
+    bench.select(col("text")).as[String]
+      .mapPartitions(_.flatMap(t =>
+        graft.functions.Winnow.fingerprints(t, 20, 4).iterator))
+      .distinct()
+      .collect()
+      .foreach(fp => out.add(fp))
     out
   }
 

@@ -24,16 +24,25 @@ class LshBucketsSpec extends AnyFunSuite {
 
   test("degenerate 200k identical-signature group: lazy construction + prefix") {
     val members = Array.tabulate(200000)(i => (i.toLong, 42L))
+    // STRUCTURAL laziness pin (wall-clock only as a loose secondary
+    // bound): emit throws past the taken prefix, so any buffered
+    // emission — which would call emit ~2·10^10 times before take()
+    // sees an element — fails deterministically on call #101
+    // regardless of machine speed.
+    val emits = new java.util.concurrent.atomic.AtomicLong
     val t0 = System.nanoTime()
     val it = LshBuckets.pairs[Long, (Long, Long, Int)](
       band = 0, members, groupKey = java.lang.Long.valueOf(_),
       cap = 4096, tag = "spec", matchRep = simhashRep(0, 3),
-      equalEmit = (ia, ib) => (ia, ib, 0))
+      equalEmit = (ia, ib) => {
+        if (emits.incrementAndGet() > 100)
+          throw new IllegalStateException("eager emission: emit called beyond the taken prefix")
+        (ia, ib, 0)
+      })
     val prefix = it.take(100).toArray
     val dt = (System.nanoTime() - t0) / 1e9
-    // ArrayBuffer emission would build ~2e10 tuples before returning;
-    // lazy emission is O(n) construction + O(prefix)
-    assert(dt < 5.0, f"prefix of degenerate group took $dt%.1fs — emission is not lazy")
+    assert(emits.get === 100L, s"emit invoked ${emits.get} times for a 100-element prefix")
+    assert(dt < 30.0, f"prefix of degenerate group took $dt%.1fs — O(n + prefix) contract broken")
     assert(prefix.length === 100)
     // group expansion order: member 0 against 1, 2, 3, ...
     assert(prefix(0) === ((0L, 1L, 0)))
@@ -48,14 +57,28 @@ class LshBucketsSpec extends AnyFunSuite {
     val sigB = sigA ^ 1L
     val members = Array.tabulate(40000)(i =>
       (i.toLong, if (i % 2 == 0) sigA else sigB)).sortBy(_._1)
+    // structural pin, same scheme as above: the wrapped emit throws on
+    // call #1001, so buffered cross-group expansion (~4·10^8 pairs)
+    // cannot pass; matchRep must run exactly once (one group pair, one
+    // representative compare — not per member pair)
+    val emits = new java.util.concurrent.atomic.AtomicLong
+    val reps = new java.util.concurrent.atomic.AtomicLong
+    val rep0 = simhashRep(1, 3)
     val t0 = System.nanoTime()
     val it = LshBuckets.pairs[Long, (Long, Long, Int)](
       band = 1, members, groupKey = java.lang.Long.valueOf(_),
-      cap = 4096, tag = "spec", matchRep = simhashRep(1, 3),
+      cap = 4096, tag = "spec",
+      matchRep = (a, b) => { reps.incrementAndGet(); rep0(a, b).map(emit => (ia: Long, ib: Long) => {
+        if (emits.incrementAndGet() > 1000)
+          throw new IllegalStateException("eager emission: emit called beyond the taken prefix")
+        emit(ia, ib)
+      }) },
       equalEmit = (ia, ib) => (ia, ib, 0))
     val prefix = it.take(1000).toArray
     val dt = (System.nanoTime() - t0) / 1e9
-    assert(dt < 5.0, f"cross-group prefix took $dt%.1fs — emission is not lazy")
+    assert(emits.get === 1000L, s"emit invoked ${emits.get} times for a 1000-element prefix")
+    assert(reps.get === 1L, s"matchRep invoked ${reps.get} times for 2 signature groups")
+    assert(dt < 30.0, f"cross-group prefix took $dt%.1fs — O(n + prefix) contract broken")
     assert(prefix.length === 1000)
     assert(prefix.forall { case (a, b, h) => a < b && h == 1 })
     // band 1 ≠ 0: no equal-signature expansion here
