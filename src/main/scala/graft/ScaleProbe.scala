@@ -97,10 +97,18 @@ object ScaleProbe {
     graft.pbf.BigWorld.ensure(path, 7000000, 700000)
     val tGen = (System.nanoTime() - t0) / 1e9
 
+    // min-of-2 per phase, same steady-state convention as Bench: the
+    // first execution of each plan carries one-time JVM/codegen warmup
+    // (measured ~4s on a cold JVM for the first job regardless of the
+    // plan under test), which a long-lived cluster never re-pays
     def timed[A](f: => A): (A, Double) = {
-      val s = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - s) / 1e9)
+      val s1 = System.nanoTime()
+      val r1 = f
+      val d1 = (System.nanoTime() - s1) / 1e9
+      val s2 = System.nanoTime()
+      f
+      val d2 = (System.nanoTime() - s2) / 1e9
+      (r1, math.min(d1, d2))
     }
 
     val f = new graft.osm.OsmFile(spark, path)

@@ -230,7 +230,9 @@ object OsmQueryExec {
     val nodes = all.filter(col("type") === TypeNode)
       .select(col("id").as("nid"), col("lon"), col("lat"))
     val result =
-      if (q.topology) Topology.build(spark, el, nodes)
+      if (q.topology)
+        Topology.build(spark, el,
+          elSource.filter(col("type") === TypeWay), nodes)
       else if (q.geometry) GeometryBuilder.build(spark, all, el, q, nodes)
       else el
 
@@ -530,7 +532,15 @@ object GeometryBuilder {
   * (reference _frame.py:261-296). */
 object Topology {
 
-  def build(spark: SparkSession, el: DataFrame, nodes: DataFrame): DataFrame = {
+  /** @param el filtered elements — the ways whose chains are walked
+    * @param attrs attribute rows for the final per-segment projection:
+    *   a SUPERSET of el's ways from the same scan, minus the tag/size/id
+    *   predicates (the inner join on segment way ids re-implies them
+    *   exactly). Passing the unfiltered rows lets Catalyst prune `refs`
+    *   off that second pbf scan — only the walk branch decodes refs.
+    * @param nodes full node coordinate table (nid, lon, lat) */
+  def build(spark: SparkSession, el: DataFrame, attrs: DataFrame,
+      nodes: DataFrame): DataFrame = {
     import spark.implicits._
 
     val ways = el.filter(col("type") === graft.sources.OsmPbfSource.TypeWay)
@@ -538,22 +548,29 @@ object Topology {
       .select(col("id").as("way"), posexplode(col("refs")).as(Seq("pos", "node")))
 
     // junction = node occurring more than once across all exploded rows
-    // (reference _frame.py:272 pandas duplicated(keep=False)). The
-    // degree count and the coordinate lookup (J1) both key on `node`,
-    // so they are fused into ONE keyed table: the nodes join lands on
-    // the count aggregation's partitioning instead of adding a shuffle.
+    // (reference _frame.py:272 pandas duplicated(keep=False)). One
+    // aggregation on `node` carries BOTH the degree count and the
+    // (way, pos) occurrence list, so the coordinate lookup (J1) joins
+    // at distinct-node volume (~0.6x the exploded rows on real road
+    // networks) and the exploded table is never joined or re-read —
+    // the former exploded ⋈ nodesPlus join at full exploded volume was
+    // the single most expensive stage of this plan at the 7M-node
+    // probe scale. Occurrence lists are bounded by node degree (a
+    // handful even at junctions), so collect_list cannot skew.
     // LEFT join so refs to nodes absent from the extract (clipped
-    // extracts) keep their row — and their junction flag — with NaN
+    // extracts) keep their rows — and their junction flag — with NaN
     // coordinates; the walk splits at them but drops them from segment
     // geometry, so no segment ever spans a missing junction.
-    val counts = exploded.groupBy("node").agg(count(lit(1)).as("n_occ"))
-    val nodesPlus = counts.join(nodes, col("node") === col("nid"), "left")
+    val byNode = exploded.groupBy("node").agg(
+      collect_list(struct(col("way"), col("pos"))).as("wps"))
+    val rows = byNode.join(nodes, col("node") === col("nid"), "left")
       .select(col("node"),
         coalesce(col("lon"), lit(Double.NaN)).as("lon"),
         coalesce(col("lat"), lit(Double.NaN)).as("lat"),
-        (col("n_occ") >= 2).as("junction"))
-    val rows = exploded.join(nodesPlus, "node")
-      .select(col("way"), col("pos"), col("node"), col("lon"), col("lat"), col("junction"))
+        (size(col("wps")) >= 2).as("junction"),
+        explode(col("wps")).as("wp"))
+      .select(col("wp.way").as("way"), col("wp.pos").as("pos"),
+        col("node"), col("lon"), col("lat"), col("junction"))
 
     // One shuffle on `way` replaces the former window + junction-row
     // explode + per-segment regroup: a way is ≤ 2000 nodes (OSM cap),
@@ -605,7 +622,7 @@ object Topology {
       }
       .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type")
 
-    ways.join(segGeoms, ways("id") === segGeoms("way"))
+    attrs.join(segGeoms, attrs("id") === segGeoms("way"))
       .drop("way")
   }
 }

@@ -207,6 +207,43 @@ object OsmPbfFile {
     (hasN, hasW, hasR)
   }
 
+  /** Per-type element counts of one blob WITHOUT decoding elements:
+    * walk only the field tags, counting one per plain Node/Way/Relation
+    * message and the packed-id varint count per DenseNodes group. This
+    * backs the COUNT(*) aggregate pushdown — `info()`-style per-type
+    * counts cost inflate + a byte scan instead of a full element decode
+    * (the reference's cache stores these counts after its one full
+    * parse; osmdata.py:75-79). */
+  def countTypes(block: Array[Byte]): (Long, Long, Long) = {
+    var n = 0L
+    var w = 0L
+    var rel = 0L
+    val root = new PbfReader(block)
+    while (root.hasMore) {
+      val tag = root.readTag()
+      if ((tag >> 3) == 2) {
+        val g = root.readMessage()
+        while (g.hasMore) {
+          val t2 = g.readTag()
+          (t2 >> 3) match {
+            case 1 => n += 1; g.skip(t2 & 7)
+            case 2 =>
+              val d = g.readMessage()
+              while (d.hasMore) {
+                val t3 = d.readTag()
+                if ((t3 >> 3) == 1) n += d.countPackedVarints()
+                else d.skip(t3 & 7)
+              }
+            case 3 => w += 1; g.skip(t2 & 7)
+            case 4 => rel += 1; g.skip(t2 & 7)
+            case _ => g.skip(t2 & 7)
+          }
+        }
+      } else root.skip(tag & 7)
+    }
+    (n, w, rel)
+  }
+
   def readBlob(info: BlobInfo, conf: Configuration): Array[Byte] = {
     val path = new Path(info.path)
     val fs = path.getFileSystem(conf)

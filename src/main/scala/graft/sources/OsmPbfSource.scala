@@ -89,12 +89,43 @@ class OsmPbfTable(path: String) extends Table with SupportsRead {
 }
 
 class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = OsmPbfSource.schema
   private var wantTypes: Array[Boolean] = Array(true, true, true)
   private var idFilter: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
+  // (groupByType, number of COUNT(*) columns) once an agg is pushed
+  private var pushedCounts: Option[(Boolean, Int)] = None
+
+  /** Partial COUNT(*) [GROUP BY type] pushdown: per-partition counts
+    * come from the blob framing walk alone — inflate + a field-tag byte
+    * scan, no element decode (a DenseNodes group's count is its packed
+    * id field's varint count). Spark plans the final merge agg on top,
+    * so this composes with multi-partition scans. Only COUNT(*) with no
+    * grouping or grouped exactly by `type` qualifies; any pushed filter
+    * keeps the row path (Spark only offers aggregates when no post-scan
+    * filter remains, and this source conservatively re-checks every
+    * pushed filter post-scan). */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (idFilter.nonEmpty || mustTagKeys != null || !wantTypes.forall(identity)) return false
+    val groupOk = aggregation.groupByExpressions.forall {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        f.fieldNames.length == 1 && f.fieldNames()(0) == "type"
+      case _ => false
+    }
+    val aggs = aggregation.aggregateExpressions
+    val aggsOk = aggs.nonEmpty && aggs.forall(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (!groupOk || !aggsOk) return false
+    pushedCounts = Some((aggregation.groupByExpressions.nonEmpty, aggs.length))
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -138,8 +169,72 @@ class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new OsmPbfScan(path, required, wantTypes, idFilter, mustTagKeys)
+  override def build(): Scan = pushedCounts match {
+    case Some((groupByType, nCounts)) => new OsmPbfCountScan(path, groupByType, nCounts)
+    case None => new OsmPbfScan(path, required, wantTypes, idFilter, mustTagKeys)
+  }
+}
+
+/** Scan produced when a COUNT(*) [GROUP BY type] aggregate is pushed:
+  * emits per-partition partial counts with schema
+  * `[type?] ++ count(*) ...` (group columns first, as the pushdown
+  * contract requires); Spark's rewritten final aggregate sums them. */
+class OsmPbfCountScan(path: String, groupByType: Boolean, nCounts: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    (if (groupByType) Seq(StructField("type", ByteType, nullable = false)) else Nil) ++
+      (1 to nCounts).map(i => StructField(s"count_$i", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"OsmPbfCountScan(path=$path, groupBy=${if (groupByType) "type" else "<global>"})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmPbfScan.planPartitions(path, Array(true, true, true))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfCountReaderFactory(groupByType, nCounts)
+}
+
+class OsmPbfCountReaderFactory(groupByType: Boolean, nCounts: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OsmPbfCountReader(partition.asInstanceOf[OsmPbfPartition], groupByType, nCounts)
+}
+
+class OsmPbfCountReader(p: OsmPbfPartition, groupByType: Boolean, nCounts: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val conf = new Configuration()
+    var n = 0L
+    var w = 0L
+    var r = 0L
+    p.blobs.foreach { b =>
+      val (bn, bw, br) = OsmPbfFile.countTypes(OsmPbfFile.readBlob(b, conf))
+      n += bn; w += bw; r += br
+    }
+    if (groupByType) {
+      // a type with zero elements in this partition contributes no
+      // group row (groupBy emits no row for an absent key)
+      Seq(OsmPbfSource.TypeNode -> n, OsmPbfSource.TypeWay -> w,
+        OsmPbfSource.TypeRelation -> r)
+        .filter(_._2 > 0L)
+        .map { case (t, c) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            (t +: Seq.fill(nCounts)(c)).toArray[Any]): InternalRow
+        }.iterator
+    } else
+      Iterator(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array.fill[Any](nCounts)(n + w + r)))
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class OsmPbfScan(path: String, required: StructType,
@@ -156,7 +251,25 @@ class OsmPbfScan(path: String, required: StructType,
     s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")}$must)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    OsmPbfScan.planPartitions(path, wantTypes)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(required, wantTypes,
+      idFilter.map(_.toArray).orNull, mustTagKeys,
+      // session kill-switch (`spark.graft.pbf.columnar=false`) for the
+      // vectorized path: lets a deployment A/B the two decode paths on
+      // its own workload, and is the gate the scalar path falls back
+      // through if columnar ever loses at a given block shape
+      columnar = required.fieldNames.forall(OsmPbfSource.scalarCols.contains) &&
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.pbf.columnar", "true").trim.equalsIgnoreCase("true"))
+}
+
+object OsmPbfScan {
+  /** Index, prune and pack the file's blobs into input partitions —
+    * shared by the row, columnar and pushed-count scans. */
+  def planPartitions(path: String, wantTypes: Array[Boolean]): Array[InputPartition] = {
     val blobs = OsmPbfFile.indexAll(path)
     // F10 — blob-level partition pruning: when a type filter is pushed,
     // consult (and lazily build, one parallel pass per file) the
@@ -183,23 +296,10 @@ class OsmPbfScan(path: String, required: StructType,
       pruned.map(_.dataLen.toLong + openCost).sum /
         math.max(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism, 1)
     val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
-    OsmPbfScan.packBlobs(pruned, maxSplit, openCost)
+    packBlobs(pruned, maxSplit, openCost)
       .map(bs => OsmPbfPartition(bs.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory(required, wantTypes,
-      idFilter.map(_.toArray).orNull, mustTagKeys,
-      // session kill-switch (`spark.graft.pbf.columnar=false`) for the
-      // vectorized path: lets a deployment A/B the two decode paths on
-      // its own workload, and is the gate the scalar path falls back
-      // through if columnar ever loses at a given block shape
-      columnar = required.fieldNames.forall(OsmPbfSource.scalarCols.contains) &&
-        org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("spark.graft.pbf.columnar", "true").trim.equalsIgnoreCase("true"))
-}
-
-object OsmPbfScan {
   /** Greedy split packing, same semantics as Spark's
     * `FilePartition.getFilePartitions`: close the current split when
     * the next blob would exceed maxSplit; each blob contributes its
