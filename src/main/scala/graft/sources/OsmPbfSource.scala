@@ -190,8 +190,15 @@ class OsmPbfCountScan(path: String, groupByType: Boolean, nCounts: Int)
   override def description(): String =
     s"OsmPbfCountScan(path=$path, groupBy=${if (groupByType) "type" else "<global>"})"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    OsmPbfScan.planPartitions(path, Array(true, true, true))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = OsmPbfScan.planPartitions(path, Array(true, true, true))
+    // a header-only file has zero data blobs → zero partitions; the
+    // global COUNT is rewritten to SUM of partials by the pushdown,
+    // and SUM over no rows is null where COUNT must be 0 — keep one
+    // empty partition so exactly one zero partial row is emitted
+    if (parts.isEmpty) Array(OsmPbfPartition(Array.empty))
+    else parts
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfCountReaderFactory(groupByType, nCounts)

@@ -94,6 +94,15 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("empty file (header only, zero data blobs): global count is 0, not null") {
+    val f = java.io.File.createTempFile("emptypbf", ".osm.pbf")
+    f.deleteOnExit()
+    write(f.getAbsolutePath, Seq.empty)
+    val df = spark.read.format("osmpbf").load(f.getAbsolutePath)
+    assert(df.count() === 0L)
+    assert(df.groupBy("type").count().collect().isEmpty)
+  }
+
   test("must-tag pushdown scans never push aggregates") {
     val path = fixture(dense = true)
     val df = spark.read.format("osmpbf").option("mustTagKeys", "amenity")
