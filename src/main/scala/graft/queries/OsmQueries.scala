@@ -25,9 +25,12 @@ object OsmQueries {
     // raw DSv2 scan: elements per type (S1-S11)
     "osm_scan_counts" -> ((s, _) => {
       ensureFixture(s)
+      // group on the raw byte column (the COUNT(*) aggregate pushdown
+      // serves it from the framing walk); cast for the oracle after
       s.read.format("osmpbf").load(fixture)
-        .groupBy(col("type").cast("int").as("type"))
+        .groupBy(col("type"))
         .agg(count(lit(1)).as("n"))
+        .select(col("type").cast("int").as("type"), col("n"))
         .orderBy("type")
     }),
 

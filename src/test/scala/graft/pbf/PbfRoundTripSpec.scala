@@ -173,4 +173,45 @@ class OsmPbfRoundTripSpec extends AnyFunSuite {
       .toSeq.head
     assert(pruned.id === 7L && pruned.tagKeys.isEmpty && pruned.refs.isEmpty)
   }
+
+  test("property: countTypes matches the full decoder on random blocks") {
+    // the count pushdown never decodes an element — its only ground
+    // truth is agreement with the real decoder over arbitrary block
+    // shapes (mixed groups, empty tag sets, optional info, 0-element
+    // blocks, dense and plain encodings)
+    val rnd = new scala.util.Random(4242)
+    (1 to 40).foreach { trial =>
+      val dense = rnd.nextBoolean()
+      val blocks = Seq.fill(1 + rnd.nextInt(3)) {
+        Seq.fill(rnd.nextInt(12)) {
+          rnd.nextInt(3) match {
+            case 0 => N(rnd.nextInt(100000).toLong, rnd.nextDouble() * 80,
+              rnd.nextDouble() * 170,
+              if (rnd.nextBoolean()) Seq("k" -> "v") else Nil,
+              if (rnd.nextBoolean()) Some(Info(1, 1600000000L, 9)) else None)
+            case 1 => W(rnd.nextInt(100000).toLong,
+              Seq.fill(2 + rnd.nextInt(5))(rnd.nextInt(1000).toLong),
+              if (rnd.nextBoolean()) Seq("highway" -> "x") else Nil)
+            case _ => R(rnd.nextInt(100000).toLong,
+              Seq.fill(1 + rnd.nextInt(3))(("outer", rnd.nextInt(1000).toLong, 1.toByte)),
+              if (rnd.nextBoolean()) Seq("type" -> "multipolygon") else Nil)
+          }
+        }
+      }
+      val f = java.io.File.createTempFile(s"ctprop$trial", ".osm.pbf")
+      f.deleteOnExit()
+      write(f.getAbsolutePath, blocks, denseNodes = dense)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      OsmPbfFile.index(f.getAbsolutePath).foreach { b =>
+        val block = OsmPbfFile.readBlob(b, conf)
+        val decoded = BlockDecoder.decode(block, Array(true, true, true), DecodeNeeds.all).toSeq
+        val want = (
+          decoded.count(_.etype == 0).toLong,
+          decoded.count(_.etype == 1).toLong,
+          decoded.count(_.etype == 2).toLong)
+        assert(OsmPbfFile.countTypes(block) === want,
+          s"trial $trial dense=$dense blocks=${blocks.map(_.size)}")
+      }
+    }
+  }
 }
