@@ -33,9 +33,12 @@ object TimeQuery {
     // configurations A/B inside ONE JVM (same warmup, same GC state)
     names.foreach {
       case set if set.startsWith("set:") =>
-        val Array(k, v) = set.stripPrefix("set:").split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-        println(s"[time] -- $k=$v")
+        set.stripPrefix("set:").split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k.trim, v.trim)
+            println(s"[time] -- $k=$v")
+          case _ => sys.error(s"malformed '$set' — expected set:conf.key=value")
+        }
       case name =>
         (1 to reps).foreach { r =>
           // process CPU alongside wall: on a noisy/throttled host the

@@ -622,7 +622,14 @@ object Topology {
       }
       .toDF("way", "seg_ix", "source", "target", "geometry", "geom_type")
 
-    attrs.join(segGeoms, attrs("id") === segGeoms("way"))
+    // dropDuplicates guards the malformed-input edge where one FILE
+    // carries the same way id twice and only one copy passes the tag
+    // filter — without it the unfiltered attrs side would attach both
+    // copies. Arbitrary-wins is exact for the normal identical-copy
+    // case (same doctrine as dedupMultiFile), and the aggregate lands
+    // on the join's own hash(id) exchange, so it costs no extra shuffle.
+    attrs.dropDuplicates("id")
+      .join(segGeoms, attrs("id") === segGeoms("way"))
       .drop("way")
   }
 }

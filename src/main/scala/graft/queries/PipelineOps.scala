@@ -112,16 +112,11 @@ object PipelineOps {
           // source was gray expanded to BGR; toGray inverts exactly
           val g = graft.multimodal.ImageCodec.toGray(img)
           var sum = 0L
-          var fp = 0xcbf29ce484222325L // FNV-1a 64 over row-major pixels
           var i = 0
-          while (i < g.data.length) {
-            val b = g.data(i) & 0xff
-            sum += b
-            fp ^= b
-            fp *= 0x100000001b3L
-            i += 1
-          }
-          (id, sum, fp)
+          while (i < g.data.length) { sum += g.data(i) & 0xff; i += 1 }
+          // order-sensitive fingerprint over row-major pixels — the
+          // shared kernel keeps this in lockstep with the SQL oracle
+          (id, sum, graft.functions.Fnv64.hash(g.data))
         })
         .toDF("doc_id", "px_sum", "px_fp")
         .orderBy("doc_id")
@@ -137,16 +132,9 @@ object PipelineOps {
         .select("id", "frame_ix", "frame").as[(Long, Int, Array[Byte])]
         .mapPartitions(_.map { case (id, ix, frame) =>
           var sum = 0L
-          var fp = 0xcbf29ce484222325L
           var i = 0
-          while (i < frame.length) {
-            val b = frame(i) & 0xff
-            sum += b
-            fp ^= b
-            fp *= 0x100000001b3L
-            i += 1
-          }
-          (id, ix, frame.length, sum, fp)
+          while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+          (id, ix, frame.length, sum, graft.functions.Fnv64.hash(frame))
         })
         .toDF("doc_id", "frame_ix", "frame_bytes", "frame_sum", "frame_fp")
         .orderBy("doc_id", "frame_ix")
