@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count bound under which labels are computed on the driver
+    * (union-find over collected (src, dst) longs) instead of running
+    * the iterative loop. A near-dup pair set routinely fits this even
+    * when the corpus is enormous — and a handful of sequential Spark
+    * rounds costs multiple job latencies that a 16-bytes-per-edge
+    * collect does not. The default (1M symmetric edge rows ≈ 16 MB on
+    * the driver) is a BOUNDED, documented collect in the same doctrine
+    * as the IVF centroid pull; corpora whose pair volume exceeds it
+    * stay fully distributed. */
+  private[operators] def localEdgeThreshold(spark: SparkSession): Long = {
+    val key = "spark.graft.cc.localEdgeThreshold"
+    val raw = spark.conf.get(key, (1L << 20).toString)
+    try raw.trim.toLong
+    catch {
+      case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a long edge count, got '$raw'", e)
+    }
+  }
+
   /** @param edges undirected edges as (srcCol, dstCol) rows (any other
     *   columns ignored); vertices not in any edge are absent from the
     *   output.
@@ -53,6 +73,13 @@ object ConnectedComponents {
       e.union(e.select(col("dst"), col("src"))).distinct()
         .localCheckpoint()) // the edge set is reused every round — decouple
                             // it from the (possibly expensive) pair plan
+    // the count doubles as the checkpoint-materializing action the
+    // label init below otherwise pays for
+    if (sym.count() <= localEdgeThreshold(spark)) {
+      val result = runLocal(spark, sym)
+      free(symIds)
+      return result
+    }
     var (labels, labelIds) = checkpointIds(
       sym.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
@@ -96,5 +123,30 @@ object ConnectedComponents {
     free(prevIds)
     free(symIds)
     labels
+  }
+
+  /** Driver-side union-find over the (already symmetric, deduped) edge
+    * table — linking the larger root under the smaller keeps every
+    * root the component's min vertex id, exactly the distributed
+    * loop's label semantics (equality pinned by property spec). */
+  private def runLocal(spark: SparkSession, sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = sym.select("src", "dst").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // sym carries both directions, so srcs cover every vertex
+    val verts = es.iterator.map(_._1).toArray.distinct
+    verts.toSeq.map(v => (v, find(v))).toDF("id", "lbl")
   }
 }

@@ -6,7 +6,22 @@ import graft.sources.SparkTestSession
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private val ThresholdKey = "spark.graft.cc.localEdgeThreshold"
+
+  /** run with the given local-path threshold, restoring the conf. */
+  private def runWith(threshold: String, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val prev = spark.conf.getOption(ThresholdKey)
+    spark.conf.set(ThresholdKey, threshold)
+    try ConnectedComponents.run(spark, edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally prev match {
+      case Some(v) => spark.conf.set(ThresholdKey, v)
+      case None => spark.conf.unset(ThresholdKey)
+    }
+  }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -20,41 +35,61 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     verts.map(v => v -> find(v)).toMap
   }
 
-  test("labels equal union-find on a random graph (incl. chains and cliques)") {
-    import spark.implicits._
-    val rnd = new scala.util.Random(42)
+  private def randomGraph(seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
     // chains force multi-round convergence; random edges add merges
     val chain = (0L until 40L).sliding(2).map(s => (s(0) + 100, s(1) + 100)).toSeq
     val clique = for (a <- 0 to 5; b <- a + 1 to 5) yield (a.toLong, b.toLong)
     val random = Seq.fill(60)((rnd.nextInt(50).toLong + 200, rnd.nextInt(50).toLong + 200))
-    val edges = chain ++ clique ++ random
-    val got = ConnectedComponents
-      .run(spark, edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === unionFind(300, edges))
+    chain ++ clique ++ random
+  }
+
+  test("distributed loop labels equal union-find on a random graph") {
+    val edges = randomGraph(42)
+    assert(runWith("0", edges) === unionFind(edges))
+  }
+
+  test("driver fast path labels equal union-find on a random graph") {
+    val edges = randomGraph(42)
+    assert(runWith(Long.MaxValue.toString, edges) === unionFind(edges))
+  }
+
+  test("property: driver fast path == distributed loop on random graphs") {
+    (1 to 5).foreach { seed =>
+      val edges = randomGraph(seed)
+      assert(runWith(Long.MaxValue.toString, edges) === runWith("0", edges),
+        s"seed $seed")
+    }
   }
 
   test("superseded checkpoint blocks are freed (only the result persists)") {
     import spark.implicits._
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    // a 40-vertex chain needs several pointer-jumping rounds — each
-    // round checkpoints a label table; all but the final one (and the
-    // edge table) must be unpersisted by the time run() returns
-    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val labels = ConnectedComponents.run(spark, chain.toDF("a", "b"), "a", "b")
-    assert(labels.count() === 40)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.size <= 2,
-      s"expected only the result checkpoint to remain, found ${leaked.size} persistent RDDs")
-    leaked.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
-      .foreach(_.unpersist(blocking = false)))
+    spark.conf.set(ThresholdKey, "0") // force the iterative loop
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      // a 40-vertex chain needs several pointer-jumping rounds — each
+      // round checkpoints a label table; all but the final one (and the
+      // edge table) must be unpersisted by the time run() returns
+      val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val labels = ConnectedComponents.run(spark, chain.toDF("a", "b"), "a", "b")
+      assert(labels.count() === 40)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 2,
+        s"expected only the result checkpoint to remain, found ${leaked.size} persistent RDDs")
+      leaked.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    } finally spark.conf.unset(ThresholdKey)
   }
 
-  test("self-loops and duplicate edges are harmless") {
-    import spark.implicits._
+  test("self-loops and duplicate edges are harmless on both paths") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 3L), (2L, 2L))
-    val got = ConnectedComponents.run(spark, edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    assert(runWith("0", edges) === want)
+    assert(runWith(Long.MaxValue.toString, edges) === want)
+  }
+
+  test("a malformed threshold conf names the key") {
+    val e = intercept[IllegalArgumentException] { runWith("1k", Seq((1L, 2L))) }
+    assert(e.getMessage.contains(ThresholdKey) && e.getMessage.contains("1k"))
   }
 }
