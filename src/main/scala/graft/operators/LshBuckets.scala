@@ -25,8 +25,9 @@ package graft.operators
   * the cap in that band is NOT retried in later shared bands — the cap
   * trades bounded per-bucket compute (cap² signature compares) for
   * recall on boilerplate-shaped buckets. It is configurable via
-  * `spark.graft.lsh.maxBucketGroups` (≤ 0 disables the cap); every
-  * overflow prints a stderr note with the bucket size.
+  * `spark.graft.lsh.maxBucketGroups` (≤ 0 disables the cap); overflows
+  * print a rate-limited stderr note (power-of-two schedule per tag)
+  * with the bucket size and running overflow count.
   */
 object LshBuckets {
 
