@@ -184,6 +184,14 @@ object OsmOracle {
          |  UNION ALL SELECT 2, count(*) FROM ${tbl("mini_rels")}
          |) ORDER BY type""".stripMargin,
 
+    // identical counts, served by the aggregate-pushdown scan
+    "osm_scan_counts_pushdown" ->
+      s"""SELECT type, n FROM (
+         |  SELECT 0 AS type, count(*) AS n FROM ${tbl("mini_nodes")}
+         |  UNION ALL SELECT 1, count(*) FROM ${tbl("mini_ways")}
+         |  UNION ALL SELECT 2, count(*) FROM ${tbl("mini_rels")}
+         |) ORDER BY type""".stripMargin,
+
     "osm_pois" ->
       s"""SELECT t.id AS osmid, 0 AS osmtype, t.value AS amenity, g.wkb_hex, g.geom_type
          | FROM ${tbl("mini_node_tags")} t

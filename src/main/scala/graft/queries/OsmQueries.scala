@@ -25,8 +25,19 @@ object OsmQueries {
     // raw DSv2 scan: elements per type (S1-S11)
     "osm_scan_counts" -> ((s, _) => {
       ensureFixture(s)
-      // group on the raw byte column (the COUNT(*) aggregate pushdown
-      // serves it from the framing walk); cast for the oracle after
+      // grouping on a CAST keeps the COUNT(*) pushdown off: this row
+      // gates the full element-decode path (S1-S11) — its pushdown
+      // twin below shares the oracle
+      s.read.format("osmpbf").load(fixture)
+        .groupBy(col("type").cast("int").as("type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("type")
+    }),
+
+    // same counts served by the COUNT(*) aggregate pushdown (framing
+    // walk, no element decode) — both decode paths stay oracle-gated
+    "osm_scan_counts_pushdown" -> ((s, _) => {
+      ensureFixture(s)
       s.read.format("osmpbf").load(fixture)
         .groupBy(col("type"))
         .agg(count(lit(1)).as("n"))

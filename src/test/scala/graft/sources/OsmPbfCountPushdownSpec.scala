@@ -103,6 +103,17 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
     assert(df.groupBy("type").count().collect().isEmpty)
   }
 
+  test("the osm_scan_counts twins take the intended paths (decode vs pushdown)") {
+    val qs = graft.queries.OsmQueries.queries
+    val decode = qs("osm_scan_counts")(spark, "")
+    val pushed = qs("osm_scan_counts_pushdown")(spark, "")
+    assert(!usesCountScan(decode),
+      "osm_scan_counts must gate the element-decode path (cast-grouped)")
+    assert(usesCountScan(pushed),
+      s"osm_scan_counts_pushdown must use the count scan:\n${pushed.queryExecution.executedPlan}")
+    assert(decode.collect().toSeq.map(_.toSeq) === pushed.collect().toSeq.map(_.toSeq))
+  }
+
   test("must-tag pushdown scans never push aggregates") {
     val path = fixture(dense = true)
     val df = spark.read.format("osmpbf").option("mustTagKeys", "amenity")
