@@ -62,23 +62,34 @@ object ConnectedComponents {
       (df, sc.getPersistentRDDs.keySet.toSet -- pre)
     }
     // Spark logs a WARN that an unpersisted localCheckpoint cannot be
-    // recomputed — expected and benign: checkpoints here are eager, so
-    // by the time a round's blocks are freed the next round is fully
-    // materialized and nothing can re-read them.
+    // recomputed — expected and benign: blocks are only freed after a
+    // later action has fully materialized their successor, so nothing
+    // can re-read them.
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    // parse the conf BEFORE any job: a malformed value must fail before
+    // the symmetrize/checkpoint work, not leak its blocks after it
+    val threshold = localEdgeThreshold(spark)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the driver fast path collects (Long, Long) — any other id type
+    // (or a nullable column) keeps the type-agnostic distributed loop
+    val localEligible = e.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType && !f.nullable)
     val (sym, symIds) = checkpointIds(
       e.union(e.select(col("dst"), col("src"))).distinct()
-        .localCheckpoint()) // the edge set is reused every round — decouple
-                            // it from the (possibly expensive) pair plan
-    // the count doubles as the checkpoint-materializing action the
-    // label init below otherwise pays for
-    if (sym.count() <= localEdgeThreshold(spark)) {
-      val result = runLocal(spark, sym)
-      free(symIds)
-      return result
+        // lazy: the count below (or the loop's label init) is the
+        // checkpoint-materializing action — eager would schedule a
+        // second full pass over the edge partitions for the same blocks
+        .localCheckpoint(eager = false))
+    if (localEligible) {
+      val isSmall =
+        try sym.count() <= threshold
+        catch { case t: Throwable => free(symIds); throw t }
+      if (isSmall) {
+        try return runLocal(spark, sym)
+        finally free(symIds)
+      }
     }
     var (labels, labelIds) = checkpointIds(
       sym.select(col("src").as("id")).distinct()

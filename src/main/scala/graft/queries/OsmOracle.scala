@@ -175,22 +175,19 @@ object OsmOracle {
        |   JOIN mx ON mx.way_id = r.way_id
        |   WHERE r.pos = mx.maxpos OR (o.n >= 2 AND r.pos > 0 AND r.pos < mx.maxpos))""".stripMargin
 
+  private def scanCountsSql: String =
+    s"""SELECT type, n FROM (
+       |  SELECT 0 AS type, count(*) AS n FROM ${tbl("mini_nodes")}
+       |  UNION ALL SELECT 1, count(*) FROM ${tbl("mini_ways")}
+       |  UNION ALL SELECT 2, count(*) FROM ${tbl("mini_rels")}
+       |) ORDER BY type""".stripMargin
+
   def oracle: Map[String, String] = Map(
 
-    "osm_scan_counts" ->
-      s"""SELECT type, n FROM (
-         |  SELECT 0 AS type, count(*) AS n FROM ${tbl("mini_nodes")}
-         |  UNION ALL SELECT 1, count(*) FROM ${tbl("mini_ways")}
-         |  UNION ALL SELECT 2, count(*) FROM ${tbl("mini_rels")}
-         |) ORDER BY type""".stripMargin,
-
-    // identical counts, served by the aggregate-pushdown scan
-    "osm_scan_counts_pushdown" ->
-      s"""SELECT type, n FROM (
-         |  SELECT 0 AS type, count(*) AS n FROM ${tbl("mini_nodes")}
-         |  UNION ALL SELECT 1, count(*) FROM ${tbl("mini_ways")}
-         |  UNION ALL SELECT 2, count(*) FROM ${tbl("mini_rels")}
-         |) ORDER BY type""".stripMargin,
+    // one definition, two gates: the decode-path query and its
+    // aggregate-pushdown twin must verify against the SAME counts
+    "osm_scan_counts" -> scanCountsSql,
+    "osm_scan_counts_pushdown" -> scanCountsSql,
 
     "osm_pois" ->
       s"""SELECT t.id AS osmid, 0 AS osmtype, t.value AS amenity, g.wkb_hex, g.geom_type

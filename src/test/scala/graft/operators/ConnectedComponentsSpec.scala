@@ -88,6 +88,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(runWith(Long.MaxValue.toString, edges) === want)
   }
 
+  test("non-Long ids keep the type-agnostic distributed loop under the default threshold") {
+    import spark.implicits._
+    // IntegerType ids: the driver fast path collects (Long, Long), so
+    // these must take the loop — and keep their IntegerType labels
+    val edges = Seq((1, 2), (2, 3), (10, 11)).toDF("a", "b")
+    val out = ConnectedComponents.run(spark, edges, "a", "b")
+    assert(out.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
   test("a malformed threshold conf names the key") {
     val e = intercept[IllegalArgumentException] { runWith("1k", Seq((1L, 2L))) }
     assert(e.getMessage.contains(ThresholdKey) && e.getMessage.contains("1k"))
