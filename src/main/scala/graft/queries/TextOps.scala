@@ -359,6 +359,20 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Distributed-loop twin of dedup_cluster_cc: identical edges and
+    // oracle, but the driver union-find fast path is bypassed so the
+    // iterative min-label/pointer-jump loop — the path that actually
+    // runs at 100 TB, where pair volume exceeds the local threshold —
+    // keeps its own correctness row and headline bench signal even on
+    // sf-scale fixtures whose pair count is under the threshold.
+    "dedup_cluster_cc_dist" -> ((s, dir) => {
+      val pairs = simhashPairs(docs(s, dir), 3).select("ida", "idb")
+      graft.operators.ConnectedComponents.run(s, pairs, "ida", "idb",
+          forceDistributed = true)
+        .toDF("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup PAIRS at hamming distance ≤ 3, banded scale
     // path: by pigeonhole, two 64-bit fingerprints within 3 bits share
     // at least one of four 16-bit bands, so candidates come from an
@@ -515,6 +529,23 @@ object TextOps {
     // cluster id = min reachable vertex (the Spark side's canonical
     // label from min-propagation)
     "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE ${OracleSql.simhashCte},
+          pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT ida AS u, idb AS v FROM pairs
+                    UNION SELECT idb, ida FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+          FROM reach GROUP BY u ORDER BY doc_id""",
+    // the distributed-loop twin answers to the SAME oracle — the fast
+    // path and the loop are semantically identical (property-pinned),
+    // so both rows must hash-match this closure
+    "dedup_cluster_cc_dist" ->
       s"""WITH RECURSIVE ${OracleSql.simhashCte},
           pairs AS (
             SELECT a.doc_id AS ida, b.doc_id AS idb

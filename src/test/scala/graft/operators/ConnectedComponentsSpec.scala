@@ -104,4 +104,49 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { runWith("1k", Seq((1L, 2L))) }
     assert(e.getMessage.contains(ThresholdKey) && e.getMessage.contains("1k"))
   }
+
+  test("threshold conf above the sanity ceiling is clamped to MaxLocalEdgeThreshold") {
+    // the threshold bounds the driver edge chunks AND the LocalRelation
+    // result (≤ 2×edges vertex rows) — a runaway conf value must not be
+    // honored blindly
+    val prev = spark.conf.getOption(ThresholdKey)
+    spark.conf.set(ThresholdKey, (ConnectedComponents.MaxLocalEdgeThreshold * 4).toString)
+    try assert(ConnectedComponents.localEdgeThreshold(spark) ===
+      ConnectedComponents.MaxLocalEdgeThreshold)
+    finally prev match {
+      case Some(v) => spark.conf.set(ThresholdKey, v)
+      case None => spark.conf.unset(ThresholdKey)
+    }
+  }
+
+  test("forceDistributed bypasses the driver fast path and matches union-find") {
+    import spark.implicits._
+    val edges = randomGraph(7)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // default threshold (1M) would take the fast path for this tiny graph
+    val out = ConnectedComponents.run(spark, edges.toDF("a", "b"), "a", "b",
+      forceDistributed = true)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(edges))
+    // the loop leaves its result checkpoint persisted; the fast path
+    // leaves none — a non-empty delta proves the loop actually ran
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.nonEmpty, "expected the distributed loop's result checkpoint")
+    leaked.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+  }
+
+  test("maxIter exhaustion frees every checkpoint before throwing") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 400-vertex chain cannot converge in one round; the failure path
+    // must not leak the edge table or any round's label checkpoints
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(spark, chain.toDF("a", "b"), "a", "b",
+        maxIter = 1, forceDistributed = true)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked checkpoint RDD ids: $leaked")
+  }
 }
