@@ -99,7 +99,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val path = "/tmp/graft_marseille_scale.osm.pbf"
+    // _v2: model gained multipolygon relations — same versioning rule
+    // as OsmQueries.BigPath (ensure() only checks existence)
+    val path = "/tmp/graft_marseille_scale_v2.osm.pbf"
     val t0 = System.nanoTime()
     graft.pbf.BigWorld.ensure(path, 7000000, 700000)
     val tGen = (System.nanoTime() - t0) / 1e9
@@ -126,6 +128,12 @@ object ScaleProbe {
     val (nTopo, tTopo) = timed(
       graft.osm.OsmQuery.highways.copy(geometry = true, topology = true)
         .run(spark, path).count())
+    // buildings incl. multipolygon assembly: the per-relation
+    // sequential ring-chaining path (G3-G8) — 35k relations + 70k
+    // closed ways at this scale, the one per-group-sequential operator
+    // family that previously had no scale datapoint
+    val (nBldg, tBldg) = timed(
+      graft.osm.OsmQuery.buildings.copy(geometry = true).run(spark, path).count())
 
     // multi-file phase: same world as 3 border-overlapping region files.
     // single-run timing: a raw file copy has no plan/codegen warmup for
@@ -136,7 +144,7 @@ object ScaleProbe {
       val r = f
       (r, (System.nanoTime() - s) / 1e9)
     }
-    val mfDir = "/tmp/graft_marseille_multifile"
+    val mfDir = "/tmp/graft_marseille_multifile_v2"
     val (dupBlobs, tSplit) = timedOnce(splitPbf(path, mfDir, 3, 2))
     val fm = new graft.osm.OsmFile(spark, mfDir)
     val (infoM, tInfoM) = timed(fm.info())
@@ -148,7 +156,7 @@ object ScaleProbe {
     val mfMatch = infoM("nodes") == info("nodes") && infoM("ways") == info("ways") &&
       nPoisM == nPois && nTopoM == nTopo
 
-    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_results_match":$mfMatch}""")
+    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_results_match":$mfMatch}""")
     if (!mfMatch)
       System.err.println(s"[scaleprobe] MULTI-FILE MISMATCH: " +
         s"nodes ${infoM("nodes")} vs ${info("nodes")}, ways ${infoM("ways")} vs ${info("ways")}, " +

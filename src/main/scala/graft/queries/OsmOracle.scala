@@ -32,7 +32,7 @@ object OsmOracle {
   // against the same filesystem as the repo + verify outDir, so this is
   // the one location guaranteed visible to it; generated on demand,
   // gitignored
-  val dir = "/root/repo/fixtures/oracle_v1"
+  val dir = "/root/repo/fixtures/oracle_v2"
 
   private def tbl(name: String): String =
     s"read_parquet('$dir/$name.parquet/*.parquet')"
@@ -125,15 +125,16 @@ object OsmOracle {
       expected.toDF("q", "osmid", "wkb_hex", "geom_type"))
   }
 
-  /** Big-world fixture tables (tags + way refs only — the big queries
-    * aggregate counts, no geometry bytes needed). Idempotent. */
+  /** Big-world fixture tables (tags, way refs, relation tags/members —
+    * the big queries aggregate counts, no geometry bytes needed).
+    * Idempotent. */
   def ensureBig(spark: SparkSession): Unit = synchronized {
     if (done("big_way_refs")) return
     import spark.implicits._
     import graft.pbf.BigWorld
-    import graft.pbf.OsmPbfWriter.{N, W}
+    import graft.pbf.OsmPbfWriter.{N, R, W}
 
-    val (nodes, ways) = BigWorld.model(2000000, 100000)
+    val (nodes, ways, rels) = BigWorld.model(2000000, 100000)
     write(spark, "big_node_tags",
       nodes.collect { case n: N if n.tags.nonEmpty =>
         n.tags.map(t => (n.id, t._1, t._2)) }.flatten.toDF("id", "key", "value"))
@@ -143,6 +144,12 @@ object OsmOracle {
     write(spark, "big_way_refs",
       ws.flatMap(w => w.refs.zipWithIndex.map { case (r, p) => (w.id, p, r) })
         .toDF("way_id", "pos", "ref"))
+    val rs = rels.collect { case r: R => r }
+    write(spark, "big_rel_tags",
+      rs.flatMap(r => r.tags.map(t => (r.id, t._1, t._2))).toDF("id", "key", "value"))
+    write(spark, "big_rel_members",
+      rs.flatMap(r => r.members.zipWithIndex.map { case ((role, ref, mt), p) =>
+        (r.id, p, role, ref, mt.toInt) }).toDF("rel_id", "pos", "role", "ref", "mtype"))
   }
 
   // --------------------------------------------------------------------
@@ -246,6 +253,32 @@ object OsmOracle {
 
     "osm_big_topology" ->
       s"""${topoBounds(tbl("big_way_tags"), tbl("big_way_refs"))}
-         |SELECT 'LineString' AS geom_type, count(*) AS n_segments FROM bounds""".stripMargin
+         |SELECT 'LineString' AS geom_type, count(*) AS n_segments FROM bounds""".stripMargin,
+
+    // scale gate for the per-relation assembly path (G3-G8): the
+    // element-selection semantics (georel qualification, member-way
+    // suppression) are re-derived in SQL; a relation whose ring
+    // chaining fails drops from the engine's output, so the count
+    // gates assembly success at volume. Geometry BYTES are pinned at
+    // mini scale (mini_expected_geom) — every big georel has exactly
+    // one outer ring by construction, hence the constant geom_type.
+    "osm_big_buildings" ->
+      s"""WITH georels AS (
+         |  SELECT rt.id FROM ${tbl("big_rel_tags")} rt
+         |  WHERE rt.key = 'type' AND rt.value IN ('multipolygon','boundary')
+         |    AND EXISTS (SELECT 1 FROM ${tbl("big_rel_members")} m WHERE m.rel_id = rt.id)
+         |    AND NOT EXISTS (SELECT 1 FROM ${tbl("big_rel_members")} m
+         |                    WHERE m.rel_id = rt.id AND m.mtype <> 1)),
+         | b AS (
+         |  SELECT t.id, CAST(1 AS INT) AS osmtype FROM ${tbl("big_way_tags")} t
+         |  WHERE t.key = 'building'
+         |    AND t.id NOT IN (SELECT m.ref FROM ${tbl("big_rel_members")} m
+         |                     JOIN georels g ON m.rel_id = g.id WHERE m.mtype = 1)
+         |  UNION ALL
+         |  SELECT t.id, 2 FROM ${tbl("big_rel_tags")} t
+         |  JOIN georels g ON g.id = t.id
+         |  WHERE t.key = 'building')
+         |SELECT osmtype, 'Polygon' AS geom_type, count(*) AS n FROM b
+         | GROUP BY osmtype ORDER BY osmtype, geom_type""".stripMargin
   )
 }

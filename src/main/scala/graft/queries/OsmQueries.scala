@@ -96,10 +96,27 @@ object OsmQueries {
       OsmOracle.ensureBig(s)
       OsmQuery.highways.copy(geometry = true, topology = true).run(s, p)
         .groupBy("geom_type").agg(count(lit(1)).as("n_segments"))
+    }),
+
+    // scale probe: building extraction incl. multipolygon relation
+    // assembly — the per-relation sequential ring-chaining path (G6)
+    // under 5k relations + 10k closed ways; oracle re-derives the
+    // selection in SQL and the count gates assembly success
+    "osm_big_buildings" -> ((s, _) => {
+      val p = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+      OsmOracle.ensureBig(s)
+      OsmQuery.buildings.copy(geometry = true).run(s, p)
+        .groupBy(col("osmtype").cast("int").as("osmtype"), col("geom_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("osmtype", "geom_type")
     })
   )
 
   def oracle: Map[String, String] = OsmOracle.oracle
 
-  val BigPath = "/tmp/graft_bigworld.osm.pbf"
+  // _v2: the BigWorld model gained multipolygon relations (round 7);
+  // ensure() only checks existence, so a model change MUST version the
+  // path or a stale cached extract from an earlier build silently
+  // disagrees with the freshly derived oracle tables
+  val BigPath = "/tmp/graft_bigworld_v2.osm.pbf"
 }

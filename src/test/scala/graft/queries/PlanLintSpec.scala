@@ -21,7 +21,7 @@ class PlanLintSpec extends AnyFunSuite {
   private val nestedLoopAllowed = Set("vec_topk_bruteforce", "vec_neardup_pairs")
   // the 2M-node scale probes generate their extract on first touch —
   // too heavy for a lint pass that only inspects plans
-  private val skip = Set("osm_big_pois", "osm_big_topology")
+  private val skip = Set("osm_big_pois", "osm_big_topology", "osm_big_buildings")
 
   test("no CartesianProduct or Python UDF in any query plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -41,5 +41,26 @@ class PlanLintSpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, s"plan lint failures:\n  ${failures.mkString("\n  ")}")
+  }
+
+  // plan-shape pins for the COUNT(*) aggregate pushdown twins
+  // (TopologyPlanSpec doctrine): a silent pushdown regression in EITHER
+  // direction — the pushdown twin falling back to full element decode,
+  // or the decode twin being silently served by the framing walk and
+  // losing its oracle power over S1-S11 — must fail CI, not surface as
+  // an unexplained bench shift (or an unguarded decode path) later.
+
+  test("osm_scan_counts_pushdown is served by OsmPbfCountScan") {
+    val plan = graft.SparkEntry.queries("osm_scan_counts_pushdown")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("OsmPbfCountScan"),
+      s"COUNT pushdown did not engage on the pushdown twin:\n$plan")
+  }
+
+  test("osm_scan_counts keeps the full element-decode scan (no OsmPbfCountScan)") {
+    val plan = graft.SparkEntry.queries("osm_scan_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("OsmPbfCountScan"),
+      s"the decode-path twin was unexpectedly served by the count pushdown:\n$plan")
   }
 }
