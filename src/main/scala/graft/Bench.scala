@@ -23,7 +23,7 @@ object Bench {
     "g10_topo_segments",
     // text pipeline
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_cluster_cc",
+    "dedup_cluster_cc", "dedup_cluster_cc_dist",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
@@ -32,7 +32,8 @@ object Bench {
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes
-    "osm_buildings", "osm_topology", "osm_big_pois", "osm_big_topology")
+    "osm_buildings", "osm_topology",
+    "osm_big_pois", "osm_big_topology", "osm_big_buildings")
 
   /** Per-query seconds from the newest committed BENCH_r*.json (empty
     * on round 1 or outside the repo checkout). The harness file may
@@ -106,44 +107,68 @@ object Bench {
     try graft.pbf.BigWorld.ensure(graft.queries.OsmQueries.BigPath, 2000000, 100000)
     catch { case _: Throwable => }
     val qs = SparkEntry.queries
+    // process CPU-seconds alongside wall per rep: on a contended host
+    // the wall clock swings 10-20x with steal while CPU-seconds of
+    // actual work stay comparable (TimeQuery doctrine) — BENCH_r06
+    // recorded a phantom 2.1x "regression" that was pure host noise and
+    // could not be diagnosed from the artifact because only wall was
+    // recorded. The system 1-min load average sampled before each query
+    // is the second sentinel: a polluted run shows load >> this JVM's
+    // own parallelism, making noise self-evident from the JSON alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    final case class QRes(name: String, wall: Double, cpu: Double,
+        load: Double, reps: Seq[(Double, Double)])
     // two timed reps, report the min: single-shot numbers swing ±2x
     // from GC/codegen/scheduler jitter in a 35-query sequence; the min
     // is the steady-state latency the plan actually supports
     val results = headline.filter(qs.contains).map { name =>
+      val load0 = osBean.getSystemLoadAverage
       val reps = (1 to 2).map { _ =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, n)
       }
       // a failed rep's fast error path must not pollute the min; if no
       // rep succeeded, emit a -1.0 sentinel so a failure can never
       // masquerade as a fast measurement in the benchmark JSON
-      val ok = reps.filter(_._2 >= 0)
+      val ok = reps.filter(_._3 >= 0)
       val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
-      val rows = if (ok.nonEmpty) ok.head._2 else -1L
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$rows")
+      val cpu = if (ok.nonEmpty) ok.map(_._2).min else -1.0
+      val rows = if (ok.nonEmpty) ok.head._3 else -1L
+      System.err.println(
+        f"[bench] $name%-24s $dt%8.2fs cpu=$cpu%8.2fs load=$load0%5.1f rows=$rows")
       // drop blocks a query persisted/checkpointed (cluster-cc rounds,
       // pipeline dup-id sets): lingering blocks from one query must not
       // pollute a later query's measurement in this 40-query JVM
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+      QRes(name, dt, cpu, load0, reps.map(r => (r._1, r._2)))
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jmap(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qjson = jmap(results.map(r => r.name -> f"${r.wall}%.3f"))
+    val cjson = jmap(results.map(r => r.name -> f"${r.cpu}%.2f"))
+    val ljson = jmap(results.map(r => r.name -> f"${r.load}%.2f"))
+    val rjson = jmap(results.map(r => r.name ->
+      r.reps.map(p => f"[${p._1}%.3f,${p._2}%.2f]").mkString("[", ",", "]")))
+    val total = results.map(_.wall).sum
+    val loadMax = if (results.nonEmpty) results.map(_.load).max else -1.0
     // per-query times from the previous round's BENCH json, so a round
     // -over-round regression is visible in the artifact itself instead
     // of requiring a by-hand diff of two files
     val prevJson = prevRound.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"prev":$prevJson,"sf":"$sfDir"}""")
-    // compact repeat WITHOUT the prev block as the FINAL stdout line:
-    // the harness truncates long stdout from the front, so the
-    // artifact-critical fields (total + per-query seconds) must also
-    // arrive in a short tail line that survives truncation whole —
-    // BENCH_r05.json's "parsed": null was the single-giant-line failure
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"sf":"$sfDir"}""")
+    // compact repeat WITHOUT the prev/reps blocks as the FINAL stdout
+    // line: the harness truncates long stdout from the FRONT, so the
+    // artifact-critical fields (total, per-query wall AND cpu, load
+    // sentinel) must also arrive in a short tail line that survives
+    // truncation whole — BENCH_r05's "parsed": null was the
+    // single-giant-line failure
+    val loadMaxStr = f"$loadMax%.2f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"cpu":$cjson,"load":$ljson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
