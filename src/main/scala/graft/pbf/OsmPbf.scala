@@ -214,6 +214,21 @@ object OsmPbfFile {
     * counts cost inflate + a byte scan instead of a full element decode
     * (the reference's cache stores these counts after its one full
     * parse; osmdata.py:75-79). */
+  /** Unlike the skip-driven walks (where `skip(tag & 7)` consumes by
+    * whatever wire type arrived), the counting path ASSUMES
+    * length-delimited encoding — `countPackedVarints` on a non-packed
+    * field would misread a varint as a byte length and walk out of
+    * bounds or return garbage counts. Legal-but-unconventional inputs
+    * (e.g. an unpacked repeated id field, wire type 0 per element) must
+    * therefore fail loudly here, not silently disagree with the full
+    * decoder (which shares the packed assumption). */
+  @inline private def requireWire(tag: Int, field: String): Unit =
+    if ((tag & 7) != 2)
+      throw new java.io.IOException(
+        s"malformed PrimitiveBlock: $field must be length-delimited (wire type 2), " +
+          s"got wire type ${tag & 7} — unpacked/non-message encoding is not supported " +
+          "by the COUNT pushdown path")
+
   def countTypes(block: Array[Byte]): (Long, Long, Long) = {
     var n = 0L
     var w = 0L
@@ -222,20 +237,22 @@ object OsmPbfFile {
     while (root.hasMore) {
       val tag = root.readTag()
       if ((tag >> 3) == 2) {
+        requireWire(tag, "primitivegroup")
         val g = root.readMessage()
         while (g.hasMore) {
           val t2 = g.readTag()
           (t2 >> 3) match {
-            case 1 => n += 1; g.skip(t2 & 7)
+            case 1 => requireWire(t2, "Node"); n += 1; g.skip(2)
             case 2 =>
+              requireWire(t2, "DenseNodes")
               val d = g.readMessage()
               while (d.hasMore) {
                 val t3 = d.readTag()
-                if ((t3 >> 3) == 1) n += d.countPackedVarints()
+                if ((t3 >> 3) == 1) { requireWire(t3, "DenseNodes.id"); n += d.countPackedVarints() }
                 else d.skip(t3 & 7)
               }
-            case 3 => w += 1; g.skip(t2 & 7)
-            case 4 => rel += 1; g.skip(t2 & 7)
+            case 3 => requireWire(t2, "Way"); w += 1; g.skip(2)
+            case 4 => requireWire(t2, "Relation"); rel += 1; g.skip(2)
             case _ => g.skip(t2 & 7)
           }
         }

@@ -178,7 +178,15 @@ class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
 /** Scan produced when a COUNT(*) [GROUP BY type] aggregate is pushed:
   * emits per-partition partial counts with schema
   * `[type?] ++ count(*) ...` (group columns first, as the pushdown
-  * contract requires); Spark's rewritten final aggregate sums them. */
+  * contract requires); Spark's rewritten final aggregate sums them.
+  *
+  * Multi-file caveat: on a DIRECTORY of adjacent extracts, bare-scan
+  * counts (`spark.read.format("osmpbf").load(dir).count()`) are RAW —
+  * border elements duplicated across files are counted once per file,
+  * same as the row path's bare-scan semantics have always been.
+  * Deduplication happens ABOVE the scan (which blocks this pushdown):
+  * `OsmFile.info()` and `OsmQueryExec.scan` are the deduped surfaces
+  * for overlapping-extract corpora. */
 class OsmPbfCountScan(path: String, groupByType: Boolean, nCounts: Int)
     extends Scan with Batch {
 

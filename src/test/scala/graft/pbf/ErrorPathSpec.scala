@@ -102,4 +102,15 @@ class ErrorPathSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("OSMWeird"))
   }
+
+  test("countTypes rejects non-length-delimited encodings loudly") {
+    // an UNPACKED repeated DenseNodes.id (wire type 0 per element) is
+    // legal protobuf but violates the packed assumption the counting
+    // walk (and the full decoder) share — countPackedVarints would
+    // misread the varint as a byte length. Hand-craft:
+    // PrimitiveBlock { group(2,len) { DenseNodes(2,len) { id tag=0x08 varint } } }
+    val block = Array[Byte](0x12, 0x04, 0x12, 0x02, 0x08, 0x05)
+    val e = intercept[java.io.IOException] { OsmPbfFile.countTypes(block) }
+    assert(e.getMessage.contains("wire type") && e.getMessage.contains("DenseNodes.id"))
+  }
 }
