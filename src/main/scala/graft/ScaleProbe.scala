@@ -106,18 +106,24 @@ object ScaleProbe {
     graft.pbf.BigWorld.ensure(path, 7000000, 700000)
     val tGen = (System.nanoTime() - t0) / 1e9
 
-    // min-of-2 per phase, same steady-state convention as Bench: the
-    // first execution of each plan carries one-time JVM/codegen warmup
-    // (measured ~4s on a cold JVM for the first job regardless of the
-    // plan under test), which a long-lived cluster never re-pays
+    // min-of-3 per phase (steady-state convention, one rep deeper than
+    // Bench): the heavy per-way walk phases JIT-compile across the
+    // first TWO executions when the file pre-exists — measured on the
+    // 7M topology phase: 13.6 → 4.9 → 4.0 s across reps in a cold JVM,
+    // converging to ~3.3 s; a min-of-2 run whose generation step was
+    // skipped (warm file cache) reported 7.5 s for a plan whose steady
+    // state is 3.5 s. A long-lived cluster never re-pays this warmup.
     def timed[A](f: => A): (A, Double) = {
-      val s1 = System.nanoTime()
-      val r1 = f
-      val d1 = (System.nanoTime() - s1) / 1e9
-      val s2 = System.nanoTime()
-      f
-      val d2 = (System.nanoTime() - s2) / 1e9
-      (r1, math.min(d1, d2))
+      var best = Double.MaxValue
+      var r1: Option[A] = None
+      (1 to 3).foreach { _ =>
+        val s = System.nanoTime()
+        val r = f
+        val d = (System.nanoTime() - s) / 1e9
+        if (r1.isEmpty) r1 = Some(r)
+        if (d < best) best = d
+      }
+      (r1.get, best)
     }
 
     val f = new graft.osm.OsmFile(spark, path)
