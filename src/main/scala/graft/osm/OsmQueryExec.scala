@@ -317,48 +317,60 @@ object GeometryBuilder {
     // does the same grouping as groupByKey with one sort and no
     // per-group iterator machinery (same pattern as Topology.build —
     // way size is bounded by the 2000-node OSM cap, so a run always
-    // fits in memory).
+    // fits in memory). The exploded side hints SHUFFLE_HASH into the
+    // coordinate join: the walk repartitions by way id immediately
+    // after, so a sort-merge join's sort of the multi-million-row node
+    // side (and of the exploded side) is pure waste — build the hash
+    // on the exploded rows, stream the nodes.
     if (q.ways || q.relations) {
     val ways = el.filter(col("type") === TypeWay)
-    val wayGeoms: DataFrame = {
-      val exploded = ways
-        .withColumn("is_area", wayIsArea(col("tags"), col("refs")))
-        .select(col("id"), col("is_area"), posexplode(col("refs")).as(Seq("pos", "ref")))
-        .join(nodes, col("ref") === col("nid"))
-        .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
-      exploded.as[(Long, Boolean, Int, Double, Double)]
-        .repartition(col("id"))
-        .sortWithinPartitions("id", "pos")
-        .mapPartitions { it =>
-          val in = it.buffered
-          new Iterator[GeomRow] {
-            override def hasNext: Boolean = in.hasNext
-            override def next(): GeomRow = {
-              val wid = in.head._1
-              val rows = ArrayBuffer.empty[(Long, Boolean, Int, Double, Double)]
-              while (in.hasNext && in.head._1 == wid) rows += in.next()
-              val coords = rows.map(r => Coord(r._4, r._5)).toSeq
-              val isArea = rows.head._2
-              if (isArea) {
-                val ring = if (coords.head == coords.last) coords else coords :+ coords.head
-                GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
-              } else GeomRow(wid, Wkb.lineString(coords), "LineString")
-            }
-          }
-        }
-        .toDF("id", "geometry", "geom_type")
-    }
-    val wayRows = ways.drop("geometry", "geom_type")
-      .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
-      .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
 
     if (!q.relations) {
-      branches += wayRows
+      // ways-only query: explode the filtered ways' own refs directly
+      val wayGeoms: DataFrame = {
+        val exploded = ways
+          .withColumn("is_area", wayIsArea(col("tags"), col("refs")))
+          .select(col("id"), col("is_area"), posexplode(col("refs")).as(Seq("pos", "ref")))
+          .hint("shuffle_hash")
+          .join(nodes, col("ref") === col("nid"))
+          .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
+        exploded.as[(Long, Boolean, Int, Double, Double)]
+          .repartition(col("id"))
+          .sortWithinPartitions("id", "pos")
+          .mapPartitions { it =>
+            val in = it.buffered
+            new Iterator[GeomRow] {
+              override def hasNext: Boolean = in.hasNext
+              override def next(): GeomRow = {
+                val wid = in.head._1
+                val rows = ArrayBuffer.empty[(Long, Boolean, Int, Double, Double)]
+                while (in.hasNext && in.head._1 == wid) rows += in.next()
+                val coords = rows.map(r => Coord(r._4, r._5)).toSeq
+                val isArea = rows.head._2
+                if (isArea) {
+                  val ring = if (coords.head == coords.last) coords else coords :+ coords.head
+                  GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
+                } else GeomRow(wid, Wkb.lineString(coords), "LineString")
+              }
+            }
+          }
+          .toDF("id", "geometry", "geom_type")
+      }
+      branches += ways.drop("geometry", "geom_type")
+        .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
+        .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
     } else {
     // G5-G8 — relation geometry via member-way expansion (J3: a second
     // pruned scan of ways replaces the reference's second query pass,
-    // reference osmdata.py:194-206)
-    val rels = el.filter(col("type") === TypeRelation)
+    // reference osmdata.py:194-206).
+    // The filtered-element table is consumed ~5× on this path (way
+    // areas, way rows, wanted ids, members, relation rows) and each
+    // consumer re-executes the must-tag scan; it is small by
+    // construction (elements passing the query's must filter), so a
+    // lazy local checkpoint decodes it once.
+    val elC = el.localCheckpoint(eager = false)
+    val elWays = elC.filter(col("type") === TypeWay)
+    val rels = elC.filter(col("type") === TypeRelation)
       .withColumn("gclass", relGeomClass(col("tags"), col("members")))
     val geomRels = rels.filter(col("gclass").isin(2, 3))
 
@@ -379,11 +391,27 @@ object GeometryBuilder {
     // J6 anti-join (one plan, not two copies of the explode+distinct)
     val memberWayIds = members.select(col("wref")).distinct()
 
-    // per-way ordered node sequence with coordinates (streaming walk
-    // over a sorted run, same rationale as wayGeoms above)
-    val wayNodeSeq = allWays
-      .join(memberWayIds, col("wid") === col("wref"), "left_semi")
+    // ONE ordered-node-sequence build serves BOTH the standalone-way
+    // WKB and the relation member assembly: the former plan ran the
+    // explode ⋈ nodes ⋈ walk pipeline twice (el ways and member ways
+    // separately), which cost a second full node-table scan + shuffle
+    // — the single most expensive stage of the buildings query at the
+    // 7M-node probe. Ids are the union of the filtered ways and the
+    // members; refs come from the shared unfiltered way pass. The
+    // result is lazily localCheckpoint'ed below: two consumers of one
+    // DataFrame otherwise re-execute its whole subtree (Catalyst does
+    // not reliably reuse the exchange across the branches — measured
+    // 55 CPU-s vs 35 without the checkpoint at the 2M world), and the
+    // checkpointed table is tiny (one row per wanted way, arrays
+    // bounded by the 2000-node OSM way cap).
+    val wantedWayIds = memberWayIds.select(col("wref").as("wwid"))
+      .union(elWays.select(col("id").as("wwid")))
+      .distinct()
+
+    val waySeqs = allWays
+      .join(wantedWayIds, col("wid") === col("wwid"), "left_semi")
       .select(col("wid"), posexplode(col("refs")).as(Seq("pos", "ref")))
+      .hint("shuffle_hash")
       .join(nodes, col("ref") === col("nid"))
       .select(col("wid"), col("pos"), col("ref"), col("lon"), col("lat"))
       .as[(Long, Int, Long, Double, Double)]
@@ -402,9 +430,30 @@ object GeometryBuilder {
         }
       }
       .toDF("wid", "node_ids", "xs", "ys")
+      .localCheckpoint(eager = false)
+
+    // standalone way WKB from the shared sequences (R7 is_area joined
+    // from the filtered ways; a narrow map — same bytes as the direct
+    // path's walk, pinned by the mini-world WKB oracle)
+    val wayGeoms = elWays
+      .select(col("id").as("aid"), wayIsArea(col("tags"), col("refs")).as("is_area"))
+      .join(waySeqs, col("aid") === col("wid"))
+      .select(col("aid"), col("is_area"), col("xs"), col("ys"))
+      .as[(Long, Boolean, Array[Double], Array[Double])]
+      .map { case (wid, isArea, xs, ys) =>
+        val coords = xs.indices.map(i => Coord(xs(i), ys(i)))
+        if (isArea) {
+          val ring = if (coords.head == coords.last) coords else coords :+ coords.head
+          GeomRow(wid, Wkb.polygon(Seq(ring)), "Polygon")
+        } else GeomRow(wid, Wkb.lineString(coords), "LineString")
+      }
+      .toDF("id", "geometry", "geom_type")
+    val wayRows = elWays.drop("geometry", "geom_type")
+      .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
+      .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
 
     val memberWays = members
-      .join(wayNodeSeq, col("wref") === col("wid"))
+      .join(waySeqs, col("wref") === col("wid"))
       .select(col("rel_id"), col("gclass"), col("mpos"), col("role"),
         col("node_ids"), col("xs"), col("ys"))
 
