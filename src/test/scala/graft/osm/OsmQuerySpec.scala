@@ -44,7 +44,9 @@ class OsmQuerySpec extends AnyFunSuite {
       W(112, Seq(30L, 33L), Nil), // tail-to-tail: needs reversal when chaining
       // inner ring as a single closed way
       W(113, Seq(34L, 35L, 36L, 37L, 34L), Nil),
-      // a building way that is ALSO a relation member → anti-join dedup
+      // a second standalone closed building (NOT a relation member —
+      // it must survive the J6 anti-join; the member-overlap case has
+      // its own dedicated world below)
       W(114, Seq(10L, 11L, 12L, 10L), Seq("building" -> "yes")))
     val rels = Seq(
       R(200, Seq(("outer", 110L, 1.toByte), ("outer", 111L, 1.toByte),
@@ -92,7 +94,7 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(byId(100L).getAs[String]("geom_type") === "Polygon")
     val shell = Wkb.readPolygon(byId(100L).getAs[Array[Byte]]("geometry")).head
     assert(shell.length === 5 && shell.head === shell.last)
-    // way 114 is a member of relation 200? No — members are 110-113; it IS kept
+    // way 114 is not a member of any relation → kept as standalone
     assert(byId.contains(114L))
     // relation 200: outer chained from 3 ways (one reversed) + inner ring
     assert(byId(200L).getAs[String]("geom_type") === "Polygon")
@@ -120,6 +122,35 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("name") === "c1")
     assert(rows(1).getAs[String]("name") === null)
     assert(rows(1).getAs[String]("amenity") === "bench")
+  }
+
+  test("a building-tagged MEMBER way is suppressed standalone (J6) yet assembles in its relation") {
+    // way 113 qualifies the buildings filter on its own AND is the
+    // georel's inner ring: it must appear exactly once in the output —
+    // inside relation 200's polygon — never as a standalone row. This
+    // is the el ∩ members overlap the shared sequence build dedups and
+    // the anti-join then suppresses.
+    val f = java.io.File.createTempFile("j6world", ".osm.pbf")
+    f.deleteOnExit()
+    write(f.getAbsolutePath, Seq(
+      Seq(N(30, 0.0, 0.0), N(31, 0.0, 4.0), N(32, 4.0, 4.0), N(33, 4.0, 0.0),
+        N(34, 1.0, 1.0), N(35, 1.0, 2.0), N(36, 2.0, 2.0), N(37, 2.0, 1.0)),
+      Seq(
+        W(110, Seq(30L, 31L), Nil),
+        W(111, Seq(31L, 32L, 33L), Nil),
+        W(112, Seq(30L, 33L), Nil),
+        W(113, Seq(34L, 35L, 36L, 37L, 34L), Seq("building" -> "yes"))),
+      Seq(R(200, Seq(("outer", 110L, 1.toByte), ("outer", 111L, 1.toByte),
+        ("outer", 112L, 1.toByte), ("inner", 113L, 1.toByte)),
+        Seq("type" -> "multipolygon", "building" -> "yes")))))
+    val rows = OsmQuery.buildings.copy(geometry = true)
+      .run(spark, f.getAbsolutePath).collect()
+    val ids = rows.map(_.getAs[Long]("osmid")).toSet
+    assert(ids === Set(200L), s"member way 113 must be anti-joined away, got $ids")
+    val rings = Wkb.readPolygon(rows.head.getAs[Array[Byte]]("geometry"))
+    assert(rings.length === 2, "outer + building-tagged inner ring")
+    assert(rings(1).map(c => (c.x, c.y)).toSet ===
+      Set((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)))
   }
 
   test("route relation: members chained to a single LineString") {
