@@ -268,10 +268,30 @@ class OsmPbfCountReader(p: OsmPbfPartition, groupByType: Boolean, nCounts: Int)
 
 class OsmPbfScan(path: String, required: StructType,
     wantTypes: Array[Boolean], idFilter: Option[Set[Long]],
-    mustTagKeys: Array[String] = null) extends Scan with Batch {
+    mustTagKeys: Array[String] = null)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Planner statistics from the blob index: without them a DSv2 scan
+    * sizes as `defaultSizeInBytes` (effectively infinite) and Catalyst
+    * can NEVER choose a broadcast join over this source — so a tiny
+    * city extract's node table was shuffle-joined like a 100 TB one.
+    * The estimate is the type-pruned compressed byte count times a
+    * deliberately HIGH expansion factor: overestimation only costs a
+    * broadcast opportunity, underestimation could broadcast something
+    * enormous. Row count stays unknown (computing it costs a decode
+    * pass; sizeInBytes is what the join planner keys on). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = math.max(1L,
+      OsmPbfScan.prunedBlobs(path, wantTypes).map(_.dataLen.toLong).sum *
+        OsmPbfScan.RowBytesPerCompressedByte)
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String = {
     val types = Seq("node", "way", "relation").zip(wantTypes)
       .collect { case (n, true) => n }.mkString(",")
@@ -304,24 +324,37 @@ class OsmPbfScan(path: String, required: StructType,
 }
 
 object OsmPbfScan {
+  /** UnsafeRow bytes per COMPRESSED blob byte assumed by the planner
+    * statistics — deliberately conservative (high): zlib compresses the
+    * delta-packed wire format ~2-4x on real extracts and the wire
+    * format expands another ~3-6x when decoded into rows, so real
+    * expansion is ~8-20x; synthetic grids compress far harder, but
+    * overestimating only suppresses a broadcast (safe) while
+    * underestimating could broadcast a huge side. */
+  val RowBytesPerCompressedByte = 24L
+
+  /** F10 — blob-level pruning: when a type filter is pushed, consult
+    * (and lazily build, one parallel pass per file) the per-blob
+    * element-type stats index and drop blobs that cannot contain
+    * requested types (reference osmquery.py:242-247; the reference's
+    * first-pass cache plays this role, SURVEY §4.1). Shared by
+    * partition planning and the planner statistics. */
+  def prunedBlobs(path: String, wantTypes: Array[Boolean]): Seq[BlobInfo] = {
+    val blobs = OsmPbfFile.indexAll(path)
+    if (wantTypes.forall(identity)) blobs
+    else {
+      val stats = OsmPbfStats.forFile(path, blobs)
+      blobs.zip(stats).collect {
+        case (b, (n, w, r))
+          if (n && wantTypes(0)) || (w && wantTypes(1)) || (r && wantTypes(2)) => b
+      }
+    }
+  }
+
   /** Index, prune and pack the file's blobs into input partitions —
     * shared by the row, columnar and pushed-count scans. */
   def planPartitions(path: String, wantTypes: Array[Boolean]): Array[InputPartition] = {
-    val blobs = OsmPbfFile.indexAll(path)
-    // F10 — blob-level partition pruning: when a type filter is pushed,
-    // consult (and lazily build, one parallel pass per file) the
-    // per-blob element-type stats index and drop blobs that cannot
-    // contain requested types (reference osmquery.py:242-247; the
-    // reference's first-pass cache plays this role, SURVEY §4.1).
-    val pruned =
-      if (wantTypes.forall(identity)) blobs
-      else {
-        val stats = OsmPbfStats.forFile(path, blobs)
-        blobs.zip(stats).collect {
-          case (b, (n, w, r))
-            if (n && wantTypes(0)) || (w && wantTypes(1)) || (r && wantTypes(2)) => b
-        }
-      }
+    val pruned = prunedBlobs(path, wantTypes)
     // Pack blobs into splits with Spark's FilePartition formula: a
     // 100 TB corpus is ~6M blobs — one task per blob would swamp the
     // scheduler, so consecutive blobs coalesce up to maxSplitBytes,

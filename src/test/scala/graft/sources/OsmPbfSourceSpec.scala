@@ -182,4 +182,37 @@ class OsmPbfSourceSpec extends AnyFunSuite {
     assert(scanDesc.contains("cols=id,type"), s"plan:\n$scanDesc")
     assert(df.count() === 6)
   }
+
+  test("scan reports finite planner statistics that shrink under type pruning") {
+    val path = fixture()
+    import org.apache.spark.sql.types.StructType
+    def est(wantTypes: Array[Boolean]): Long =
+      new OsmPbfScan(path, StructType(Nil), wantTypes, None)
+        .estimateStatistics().sizeInBytes.getAsLong
+    val full = est(Array(true, true, true))
+    val relsOnly = est(Array(false, false, true))
+    assert(full > 0L && full < Long.MaxValue / 4,
+      "without reported statistics a DSv2 scan sizes as infinite and can never broadcast")
+    assert(relsOnly < full,
+      "type pruning must shrink the estimate (relation blobs are a fraction of the file)")
+    // conservative direction: at least the compressed payload size
+    assert(full >= OsmPbfScan.prunedBlobs(path, Array(true, true, true))
+      .map(_.dataLen.toLong).sum)
+  }
+
+  test("a tiny extract's scan becomes the broadcast side of an equi-join") {
+    import spark.implicits._
+    // the point of reporting statistics: joins against small extracts
+    // should broadcast the scan instead of shuffling the other side —
+    // with DSv2's default (infinite) size estimate this plans as a
+    // shuffle join regardless of actual file size
+    val nodes = spark.read.format("osmpbf").load(fixture())
+      .filter(col("type") === 0).select(col("id").as("nid"), col("lat"))
+    val probe = (1L to 1000L).toDF("ref")
+    val joined = probe.join(nodes, col("ref") === col("nid"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the KB-sized node scan to broadcast:\n$plan")
+    assert(joined.count() === 3)
+  }
 }
