@@ -53,4 +53,37 @@ class ScaleProbeSplitSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(geomHash(dir) === geomHash(f.getAbsolutePath))
   }
+
+  test("relation assembly is identical across a border-overlapping split") {
+    // the multi-file hazard specific to relations: the relation, its
+    // member ways and their nodes land in DIFFERENT region files, and
+    // border-duplicated member ways (blobs 2 and 4 here) would double
+    // their ring rows without the (type, id) dedup below the assembly.
+    // The inner ring is itself building-tagged — the standalone/member
+    // overlap must resolve the same way on both corpora.
+    val f = java.io.File.createTempFile("splitrel", ".osm.pbf")
+    f.deleteOnExit()
+    write(f.getAbsolutePath, Seq(
+      Seq(N(40, 0.0, 0.0), N(41, 0.0, 3.0), N(42, 3.0, 3.0), N(43, 3.0, 0.0)),
+      Seq(N(44, 1.0, 1.0), N(45, 1.0, 2.0), N(46, 2.0, 2.0), N(47, 2.0, 1.0)),
+      Seq(W(50, Seq(40L, 41L, 42L), Nil)),
+      Seq(W(51, Seq(42L, 43L, 40L), Nil)),
+      Seq(W(52, Seq(44L, 45L, 46L, 47L, 44L), Seq("building" -> "yes"))),
+      Seq(R(60, Seq(("outer", 50L, 1.toByte), ("outer", 51L, 1.toByte),
+        ("inner", 52L, 1.toByte)),
+        Seq("type" -> "multipolygon", "building" -> "yes")))))
+    val dir = java.nio.file.Files.createTempDirectory("splitrelout").toString
+    ScaleProbe.splitPbf(f.getAbsolutePath, dir, 3, 1)
+
+    def bld(p: String) = graft.osm.OsmQuery.buildings.copy(geometry = true)
+      .run(spark, p)
+      .select(col("osmid"), hex(col("geometry")).as("g"), col("geom_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val single = bld(f.getAbsolutePath)
+    assert(bld(dir) === single)
+    // truth: only the relation survives (member 52 anti-joined away),
+    // assembled as one polygon with outer + inner ring
+    assert(single.map(_._1) === Set(60L))
+    assert(single.head._3 === "Polygon")
+  }
 }
