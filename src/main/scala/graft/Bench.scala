@@ -35,57 +35,75 @@ object Bench {
     "osm_buildings", "osm_topology",
     "osm_big_pois", "osm_big_topology", "osm_big_buildings")
 
-  /** Per-query seconds from the newest committed BENCH_r*.json (empty
-    * on round 1 or outside the repo checkout). The harness file may
-    * carry our stdout JSON either parsed, or escaped inside a
-    * truncated "tail" log string — handle both, dropping a trailing
-    * half-entry if the tail was cut mid-number. */
-  private[graft] def prevRound: Map[String, Double] = {
-    val files = Option(new java.io.File("/root/repo").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    files.lastOption.toSeq.flatMap { f =>
-      val raw = scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
-      val txt = raw.replace("\\\"", "\"")
-      val tag = "\"queries\":{"
-      val ix = txt.indexOf(tag)
-      val fromBlock =
-        if (ix < 0) Nil
-        else {
-          val start = ix + tag.length
-          val end0 = txt.indexOf('}', start)
-          val end = if (end0 < 0) txt.length else end0
-          txt.substring(start, end).split(",").toSeq.flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) => scala.util.Try(
-                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-              case _ => None
-            }
-          }
+  /** Extract the per-query wall dict from a JSON-ish string: the first
+    * `"queries":{...}` block. Returns empty when the marker is absent —
+    * deliberately NO free-regex harvest of bare "name":number pairs:
+    * BENCH_r07's tail was truncated just past the wall dict, so the
+    * surviving first-occurrence pairs were the CPU dict, and a regex
+    * fallback would have reported CPU-seconds as "previous wall",
+    * manufacturing phantom 2-10x regressions. Missing prev is honest;
+    * wrong-unit prev is poison. */
+  private[graft] def wallBlock(txt: String): Seq[(String, Double)] = {
+    val tag = "\"queries\":{"
+    val ix = txt.indexOf(tag)
+    if (ix < 0) Nil
+    else {
+      val start = ix + tag.length
+      val end0 = txt.indexOf('}', start)
+      val end = if (end0 < 0) txt.length else end0
+      txt.substring(start, end).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) => scala.util.Try(
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+          case _ => None
         }
-      if (fromBlock.nonEmpty) fromBlock
-      else {
-        // the harness truncates long stdout from the FRONT, so the
-        // `"queries":{` marker itself can be cut away (BENCH_r05 was).
-        // Fallback: harvest any "name":number pair whose name is a
-        // known headline query. FIRST occurrence of a name wins — in
-        // the emitted line the current round's queries block precedes
-        // the prev block, so a surviving prev duplicate can only fill
-        // names whose current entry was truncated off.
-        val re = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
-        val names = headline.toSet
-        val seen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        re.findAllMatchIn(txt).foreach { m =>
-          val k = m.group(1)
-          if (names.contains(k) && !seen.contains(k))
-            scala.util.Try(m.group(2).toDouble).foreach(seen(k) = _)
-        }
-        seen.toSeq
       }
-    }.toMap
+    }
+  }
+
+  /** Per-query wall seconds from the previous round, for the artifact's
+    * `prev` block. Source preference:
+    *  1. the newest committed `bench/bench_r*.json` — written whole by
+    *     this main every run, so it always parses and always carries
+    *     the wall dict;
+    *  2. else the newest harness `BENCH_r*.json`, but ONLY via the
+    *     explicit `"queries":{` marker (see [[wallBlock]] for why the
+    *     old free-regex fallback is gone).
+    * Empty on round 1 / outside the repo checkout. */
+  private[graft] def prevRound(
+      benchDir: String = "/root/repo/bench",
+      repoDir: String = "/root/repo"): Map[String, Double] = {
+    def read(f: java.io.File): String =
+      scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
+    def newest(dir: String, pat: String): Option[java.io.File] =
+      Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches(pat)).sortBy(_.getName).lastOption
+    val committed = newest(benchDir, "bench_r\\d+\\.json")
+      .map(f => wallBlock(read(f))).getOrElse(Nil)
+    val fromHarness =
+      if (committed.nonEmpty) Nil
+      else newest(repoDir, "BENCH_r\\d+\\.json")
+        .map(f => wallBlock(read(f).replace("\\\"", "\""))).getOrElse(Nil)
+    (if (committed.nonEmpty) committed else fromHarness).toMap
+  }
+
+  /** Current round number, derived from the newest harness BENCH file
+    * (BENCH_r07.json present => this run is round 8). Falls back to 0
+    * outside the repo checkout. */
+  private def roundNumber: Int = {
+    Option(new java.io.File("/root/repo").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
+      .sorted.lastOption.map(_ + 1).getOrElse(0)
   }
 
   def main(args: Array[String]): Unit = {
+    // the artifact line must be valid JSON on any host JVM: a default
+    // locale with ',' as decimal separator would make every f"" number
+    // unparseable (ADVICE r7)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -115,20 +133,30 @@ object Bench {
     // recorded. The system 1-min load average sampled before each query
     // is the second sentinel: a polluted run shows load >> this JVM's
     // own parallelism, making noise self-evident from the JSON alone.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // the HotSpot-specific subinterface carries getProcessCpuTime; on a
+    // JVM whose bean doesn't implement it, degrade to -1 CPU sentinels
+    // rather than throwing (ADVICE r7)
+    val baseBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val sunBean = baseBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuNanos(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def loadAvg(): Double = baseBean.getSystemLoadAverage
     final case class QRes(name: String, wall: Double, cpu: Double,
         load: Double, reps: Seq[(Double, Double)])
     // two timed reps, report the min: single-shot numbers swing ±2x
     // from GC/codegen/scheduler jitter in a 35-query sequence; the min
     // is the steady-state latency the plan actually supports
     val results = headline.filter(qs.contains).map { name =>
-      val load0 = osBean.getSystemLoadAverage
+      val load0 = loadAvg()
       val reps = (1 to 2).map { _ =>
-        val c0 = osBean.getProcessCpuTime
+        val c0 = procCpuNanos()
         val t0 = System.nanoTime()
         val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, n)
+        val c1 = procCpuNanos()
+        val cpuS = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, cpuS, n)
       }
       // a failed rep's fast error path must not pollute the min; if no
       // rep succeeded, emit a -1.0 sentinel so a failure can never
@@ -158,17 +186,31 @@ object Bench {
     // per-query times from the previous round's BENCH json, so a round
     // -over-round regression is visible in the artifact itself instead
     // of requiring a by-hand diff of two files
-    val prevJson = prevRound.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val prevJson = prevRound().map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"sf":"$sfDir"}""")
-    // compact repeat WITHOUT the prev/reps blocks as the FINAL stdout
-    // line: the harness truncates long stdout from the FRONT, so the
-    // artifact-critical fields (total, per-query wall AND cpu, load
-    // sentinel) must also arrive in a short tail line that survives
-    // truncation whole — BENCH_r05's "parsed": null was the
-    // single-giant-line failure
     val loadMaxStr = f"$loadMax%.2f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"cpu":$cjson,"load":$ljson,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The full record also goes to a COMMITTED repo file so no future
+    // round depends on the stdout window at all: bench/bench_r{N}.json
+    // is the durable artifact and the preferred `prev` source.
+    try {
+      val dir = new java.io.File("/root/repo/bench")
+      dir.mkdirs()
+      val out = new java.io.File(dir, f"bench_r$roundNumber%d.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(fullJson) finally w.close()
+      System.err.println(s"[bench] full record written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write bench file: $e") }
+    // FINAL stdout line, deliberately slim: the harness keeps only the
+    // LAST 2000 chars of stdout, and r7's three-dict compact line
+    // (~3.5 KB) pushed the wall dict out of the window — the driver
+    // parsed cpu+load and reported `parsed: null`. Wall dict + total +
+    // n_queries + load_max is ~1.3 KB at 46 queries; cpu/load/reps/prev
+    // live on the full line above and in the committed file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,9 +99,10 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // _v2: model gained multipolygon relations — same versioning rule
-    // as OsmQueries.BigPath (ensure() only checks existence)
-    val path = "/tmp/graft_marseille_scale_v2.osm.pbf"
+    // _v3: building-tagged inner rings + forest multipolygons — same
+    // versioning rule as OsmQueries.BigPath (ensure() only checks
+    // existence)
+    val path = "/tmp/graft_marseille_scale_v3.osm.pbf"
     val t0 = System.nanoTime()
     graft.pbf.BigWorld.ensure(path, 7000000, 700000)
     val tGen = (System.nanoTime() - t0) / 1e9
@@ -150,7 +151,7 @@ object ScaleProbe {
       val r = f
       (r, (System.nanoTime() - s) / 1e9)
     }
-    val mfDir = "/tmp/graft_marseille_multifile_v2"
+    val mfDir = "/tmp/graft_marseille_multifile_v3"
     val (dupBlobs, tSplit) = timedOnce(splitPbf(path, mfDir, 3, 2))
     val fm = new graft.osm.OsmFile(spark, mfDir)
     val (infoM, tInfoM) = timed(fm.info())
@@ -159,14 +160,25 @@ object ScaleProbe {
     val (nTopoM, tTopoM) = timed(
       graft.osm.OsmQuery.highways.copy(geometry = true, topology = true)
         .run(spark, mfDir).count())
+    // relation assembly across a border-overlapping split: the border
+    // dedup must keep exactly one copy of every member way / relation
+    // blob or the per-relation chainer sees duplicate or missing
+    // members — ScaleProbeSplitSpec pins this at mini scale only; this
+    // is the at-volume gate (VERDICT r7 task 3)
+    val (nBldgM, tBldgM) = timed(
+      graft.osm.OsmQuery.buildings.copy(geometry = true).run(spark, mfDir).count())
     val mfMatch = infoM("nodes") == info("nodes") && infoM("ways") == info("ways") &&
-      nPoisM == nPois && nTopoM == nTopo
+      nPoisM == nPois && nTopoM == nTopo && nBldgM == nBldg
+    // parity_total_s: the reference's Marseille demo workload (info +
+    // geometry cache + POIs + topology + buildings) as ONE tracked
+    // number, consumed by the README scale table (VERDICT r7 task 7)
+    val parityTotal = tInfo + tGeo + tPois + tTopo + tBldg
 
-    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_results_match":$mfMatch}""")
+    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"parity_total_s":$parityTotal%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_buildings_s":$tBldgM%.1f,"mf_results_match":$mfMatch}""")
     if (!mfMatch)
       System.err.println(s"[scaleprobe] MULTI-FILE MISMATCH: " +
         s"nodes ${infoM("nodes")} vs ${info("nodes")}, ways ${infoM("ways")} vs ${info("ways")}, " +
-        s"pois $nPoisM vs $nPois, topo $nTopoM vs $nTopo")
+        s"pois $nPoisM vs $nPois, topo $nTopoM vs $nTopo, buildings $nBldgM vs $nBldg")
     spark.stop()
   }
 }

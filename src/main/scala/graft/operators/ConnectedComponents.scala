@@ -78,16 +78,30 @@ object ConnectedComponents {
     val sc = spark.sparkContext
     // localCheckpoint blocks are only freed when the RDD object is
     // GC'd; a long-running job would accumulate one dead label table
-    // per round. Track each checkpoint's RDD ids (keyset delta around
-    // the eager checkpoint), plus the union of all live ids, so blocks
-    // are freed explicitly once a successor round is materialized —
-    // and freed wholesale if any action throws (ADVICE r6: the loop
-    // previously leaked on maxIter exhaustion or a mid-round failure).
+    // per round. Track each checkpoint's RDD ids, plus the union of all
+    // live ids, so blocks are freed explicitly once a successor round
+    // is materialized — and freed wholesale if any action throws
+    // (ADVICE r6: the loop previously leaked on maxIter exhaustion or
+    // a mid-round failure). Ids are captured from the checkpointed
+    // DataFrame's OWN RDD lineage (walk toRdd's dependency graph,
+    // intersect with the persistent-RDD registry) — a getPersistentRDDs
+    // keyset delta would also capture blocks a CONCURRENT job in the
+    // same SparkContext persisted meanwhile, and the error-path
+    // free(allLive) would then unpersist a neighbor job's
+    // non-recomputable localCheckpoint blocks (ADVICE r7). The lineage
+    // set is additionally restricted to ids persisted DURING mk: a
+    // caller-cached input table sits in our lineage too, and freeing it
+    // would evict the caller's cache.
     var allLive = Set.empty[Int]
     def checkpointIds(mk: => DataFrame): (DataFrame, Set[Int]) = {
       val pre = sc.getPersistentRDDs.keySet.toSet
       val df = mk
-      val ids = sc.getPersistentRDDs.keySet.toSet -- pre
+      val persistedNow = sc.getPersistentRDDs.keySet.toSet -- pre
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+      walk(df.queryExecution.toRdd)
+      val ids = seen.toSet.intersect(persistedNow)
       allLive ++= ids
       (df, ids)
     }

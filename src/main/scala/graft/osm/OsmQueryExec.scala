@@ -545,32 +545,61 @@ object GeometryBuilder {
     * only at the TAIL (forward `_s == node` or reversed `_t == node`)
     * — complete for closed rings; an open route whose member order
     * starts mid-route may split into extra parts, exactly as the
-    * reference's greedy does. */
+    * reference's greedy does.
+    *
+    * Each greedy pick is "the first still-unused member (in original
+    * member order) whose HEAD matches the chain tail, else the first
+    * whose TAIL matches". Endpoint indexes (node id → ordered unused
+    * member indices) make that pick O(log k) instead of an O(k) scan,
+    * so a pathological 5-10k-member boundary relation — real OSM
+    * admin boundaries get this big — costs O(nodes + k log k) per
+    * relation group rather than O(k²); output order is byte-identical
+    * to the scan form (pinned by RingChainSpec's equivalence
+    * property). The per-relation group remains sequential by
+    * necessity, exactly as the reference's per-relation loop. */
   private[osm] def chain(ms: Array[Member], close: Boolean): Seq[Seq[(Long, Double, Double)]] = {
-    val seqs = ms.map(m => m.nodeIds.zip(m.xs.zip(m.ys))
-      .map { case (n, (x, y)) => (n, x, y) }.toSeq)
-    val unused = scala.collection.mutable.LinkedHashSet(seqs.indices: _*)
+    val seqs: Array[Seq[(Long, Double, Double)]] = ms.map(m =>
+      m.nodeIds.zip(m.xs.zip(m.ys)).map { case (n, (x, y)) => (n, x, y) }.toSeq)
+    val used = new Array[Boolean](seqs.length)
+    val byHead = new java.util.HashMap[Long, java.util.TreeSet[Integer]]()
+    val byLast = new java.util.HashMap[Long, java.util.TreeSet[Integer]]()
+    def put(m: java.util.HashMap[Long, java.util.TreeSet[Integer]], k: Long, i: Int): Unit =
+      m.computeIfAbsent(k, _ => new java.util.TreeSet[Integer]()).add(i)
+    seqs.indices.foreach { i =>
+      if (seqs(i).nonEmpty) { put(byHead, seqs(i).head._1, i); put(byLast, seqs(i).last._1, i) }
+    }
+    // smallest unused index under `k`, pruning spent entries lazily
+    // (an index stays in the OTHER endpoint's set after use)
+    def take(m: java.util.HashMap[Long, java.util.TreeSet[Integer]], k: Long): Int = {
+      val ts = m.get(k)
+      if (ts == null) return -1
+      while (!ts.isEmpty && used(ts.first())) ts.pollFirst()
+      if (ts.isEmpty) { m.remove(k); -1 } else ts.first()
+    }
     val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Double, Double)]]
-    while (unused.nonEmpty) {
-      val start = unused.head
-      unused -= start
-      var ring = seqs(start)
-      var extended = true
-      while (extended && ring.head._1 != ring.last._1) {
-        extended = false
-        val endId = ring.last._1
-        unused.find(i => seqs(i).head._1 == endId) match {
-          case Some(i) =>
-            unused -= i; ring = ring ++ seqs(i).tail; extended = true
-          case None =>
-            unused.find(i => seqs(i).last._1 == endId) match {
-              case Some(i) =>
-                unused -= i; ring = ring ++ seqs(i).reverse.tail; extended = true
-              case None =>
+    var start = 0
+    while (start < seqs.length) {
+      if (!used(start)) {
+        used(start) = true
+        val ring = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+        ring ++= seqs(start)
+        var extended = true
+        while (extended && ring.nonEmpty && ring.head._1 != ring.last._1) {
+          extended = false
+          val endId = ring.last._1
+          val hi = take(byHead, endId)
+          if (hi >= 0) {
+            used(hi) = true; ring ++= seqs(hi).tail; extended = true
+          } else {
+            val li = take(byLast, endId)
+            if (li >= 0) {
+              used(li) = true; ring ++= seqs(li).reverse.tail; extended = true
             }
+          }
         }
+        rings += (if (close) closeRing(ring.toSeq) else ring.toSeq)
       }
-      rings += (if (close) closeRing(ring) else ring)
+      start += 1
     }
     rings.toSeq
   }

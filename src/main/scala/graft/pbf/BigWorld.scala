@@ -49,14 +49,20 @@ object BigWorld {
       }
     }
 
-    // multipolygon building relations over 3x3 grid-cell squares: the
-    // outer ring arrives as TWO open member ways (odd relations carry
-    // the second half in reversed orientation, forcing the greedy
-    // chainer's tail-reversal branch), plus one closed inner ring —
-    // per-relation sequential assembly (G3-G8) at volume. Member ways
-    // are untagged, so POI/highway/closed-building surfaces above are
-    // byte-identical to the pre-relation model (the rels draw from the
-    // rnd stream AFTER nodes+ways, so their content is unchanged too).
+    // multipolygon relations over 3x3 grid-cell squares: the outer ring
+    // arrives as TWO open member ways (odd relations carry the second
+    // half in reversed orientation, forcing the greedy chainer's
+    // tail-reversal branch), plus one closed inner ring — per-relation
+    // sequential assembly (G3-G8) at volume. Outer member ways wa/wb
+    // are untagged, so POI/highway/topology surfaces are unchanged by
+    // the relations (the rels draw from the rnd stream AFTER
+    // nodes+ways, so their content is unchanged too). The inner ring
+    // wc is building-tagged, and every 8th relation is a NON-building
+    // multipolygon (landuse=forest): a buildings query must suppress
+    // wc under a building relation (J6 member anti-join at volume) but
+    // KEEP wc under a forest relation, whose parent never enters the
+    // result set — the two J6 directions the member-suppression
+    // semantics can silently diverge on (ADVICE r7).
     val nRels = nWays / 20
     val ringBase = nNodes.toLong + nWays
     val relBase = ringBase + 3L * nRels
@@ -66,13 +72,16 @@ object BigWorld {
       val aRefs = Seq(nid(0, 0), nid(1, 0), nid(2, 0), nid(3, 0), nid(3, 1), nid(3, 2), nid(3, 3))
       val bRefs0 = Seq(nid(3, 3), nid(2, 3), nid(1, 3), nid(0, 3), nid(0, 2), nid(0, 1), nid(0, 0))
       val bRefs = if (r % 2 == 1) bRefs0.reverse else bRefs0
+      val forest = r % 8 == 7
       val wa = W(ringBase + 3L * r, aRefs)
       val wb = W(ringBase + 3L * r + 1, bRefs)
       val wc = W(ringBase + 3L * r + 2,
-        Seq(nid(1, 1), nid(2, 1), nid(2, 2), nid(1, 2), nid(1, 1)))
+        Seq(nid(1, 1), nid(2, 1), nid(2, 2), nid(1, 2), nid(1, 1)),
+        Seq("building" -> "yes"))
       val rel = R(relBase + r,
         Seq(("outer", wa.id, 1.toByte), ("outer", wb.id, 1.toByte), ("inner", wc.id, 1.toByte)),
-        Seq("type" -> "multipolygon", "building" -> "yes"))
+        if (forest) Seq("type" -> "multipolygon", "landuse" -> "forest")
+        else Seq("type" -> "multipolygon", "building" -> "yes"))
       (wa, wb, wc, rel)
     }
     val ringWays: Seq[Elem] = relElems.flatMap(t => Seq(t._1, t._2, t._3))

@@ -475,7 +475,10 @@ object BlockDecoder {
     if (idFilter == null || idFilter.contains(id)) {
       out.add(id, 0, 1e-9 * (latOff + gran * lat), 1e-9 * (lonOff + gran * lon),
         version, ts * 1000L, cs, hasInfo)
-      if (emitTags && keys.length > 0) out.appendTags(keys, vals)
+      if (emitTags && keys.length > 0) {
+        if (vals.length < keys.length) badKvSpan("Node vals shorter than keys")
+        out.appendTags(keys, vals)
+      }
     }
   }
 
@@ -517,7 +520,10 @@ object BlockDecoder {
     if (idFilter == null || idFilter.contains(id)) {
       out.add(id, etype, 0.0, 0.0, version, ts * 1000L, cs, hasInfo)
       if (refs.length > 0) out.appendRefs(refs)
-      if (emitTags && keys.length > 0) out.appendTags(keys, vals)
+      if (emitTags && keys.length > 0) {
+        if (vals.length < keys.length) badKvSpan("Way/Relation vals shorter than keys")
+        out.appendTags(keys, vals)
+      }
     }
   }
 
@@ -598,6 +604,7 @@ object BlockDecoder {
         while (i < m) {
           var p = kvPos
           while (p < kvs.length && kvs(p) != 0L) {
+            if (p + 1 >= kvs.length) badKvSpan("DenseNodes keys_vals key without value")
             out.pushTagPair(kvs(p).toInt, kvs(p + 1).toInt)
             p += 2
           }
@@ -618,6 +625,7 @@ object BlockDecoder {
           spanStart = kvPos
           var p = kvPos
           while (p < kvs.length && kvs(p) != 0L) p += 2
+          if (p > kvs.length) badKvSpan("DenseNodes keys_vals key without value")
           spanEnd = p
           kvPos = if (p < kvs.length) p + 1 else p
         }
@@ -661,6 +669,14 @@ object BlockDecoder {
     }
     false
   }
+
+  /** Fail-loudly guard for tag key/val wire arrays: a truncated or
+    * odd-length span in a corrupt block must raise the same
+    * 'malformed PrimitiveBlock' IOException as [[requireWire]] /
+    * [[mustIx]], never a raw ArrayIndexOutOfBoundsException. */
+  private def badKvSpan(what: String): Nothing =
+    throw new java.io.IOException(
+      s"malformed PrimitiveBlock: truncated tag key/val span ($what)")
 
   /** bounds-checked string-table id for the must-key test: a corrupt
     * block with a key id outside the string table raises the same
@@ -804,6 +820,7 @@ object BlockDecoder {
           if (!matched && isMust(mustIx(kvs(p), isMust.length))) matched = true
           p += 2
         }
+        if (p > kvs.length) badKvSpan("DenseNodes keys_vals key without value")
         if (matched && p > kvPos) {
           val n = (p - kvPos) / 2
           tk = new Array[String](n)
@@ -903,6 +920,7 @@ object BlockDecoder {
       strings: Array[String]): (Array[String], Array[String]) = {
     if (keys.isEmpty) (emptyS, emptyS)
     else {
+      if (vals.length < keys.length) badKvSpan("Way/Relation vals shorter than keys")
       val tk = new Array[String](keys.length)
       val tv = new Array[String](keys.length)
       var i = 0

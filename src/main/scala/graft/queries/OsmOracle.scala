@@ -32,7 +32,7 @@ object OsmOracle {
   // against the same filesystem as the repo + verify outDir, so this is
   // the one location guaranteed visible to it; generated on demand,
   // gitignored
-  val dir = "/root/repo/fixtures/oracle_v2"
+  val dir = "/root/repo/fixtures/oracle_v3"
 
   private def tbl(name: String): String =
     s"read_parquet('$dir/$name.parquet/*.parquet')"
@@ -220,6 +220,8 @@ object OsmOracle {
       s"""WITH georels AS (
          |  SELECT rt.id FROM ${tbl("mini_rel_tags")} rt
          |  WHERE rt.key = 'type' AND rt.value IN ('multipolygon','boundary')
+         |    AND EXISTS (SELECT 1 FROM ${tbl("mini_rel_tags")} bt
+         |                WHERE bt.id = rt.id AND bt.key = 'building')
          |    AND EXISTS (SELECT 1 FROM ${tbl("mini_rel_members")} m WHERE m.rel_id = rt.id)
          |    AND NOT EXISTS (SELECT 1 FROM ${tbl("mini_rel_members")} m
          |                    WHERE m.rel_id = rt.id AND m.mtype <> 1)),
@@ -262,10 +264,17 @@ object OsmOracle {
     // gates assembly success at volume. Geometry BYTES are pinned at
     // mini scale (mini_expected_geom) — every big georel has exactly
     // one outer ring by construction, hence the constant geom_type.
+    // georels is constrained to relations that PASSED the buildings
+    // filter (bt.key = 'building'): the engine's J6 anti-join only
+    // suppresses members of RESULT relations, so a building-tagged
+    // inner ring under a landuse=forest multipolygon must survive as a
+    // standalone polygon — BigWorld carries both directions (ADVICE r7).
     "osm_big_buildings" ->
       s"""WITH georels AS (
          |  SELECT rt.id FROM ${tbl("big_rel_tags")} rt
          |  WHERE rt.key = 'type' AND rt.value IN ('multipolygon','boundary')
+         |    AND EXISTS (SELECT 1 FROM ${tbl("big_rel_tags")} bt
+         |                WHERE bt.id = rt.id AND bt.key = 'building')
          |    AND EXISTS (SELECT 1 FROM ${tbl("big_rel_members")} m WHERE m.rel_id = rt.id)
          |    AND NOT EXISTS (SELECT 1 FROM ${tbl("big_rel_members")} m
          |                    WHERE m.rel_id = rt.id AND m.mtype <> 1)),

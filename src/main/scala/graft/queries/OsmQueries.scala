@@ -114,9 +114,11 @@ object OsmQueries {
 
   def oracle: Map[String, String] = OsmOracle.oracle
 
-  // _v2: the BigWorld model gained multipolygon relations (round 7);
-  // ensure() only checks existence, so a model change MUST version the
-  // path or a stale cached extract from an earlier build silently
-  // disagrees with the freshly derived oracle tables
-  val BigPath = "/tmp/graft_bigworld_v2.osm.pbf"
+  // _v3: building-tagged inner rings + non-building (landuse=forest)
+  // multipolygons exercising both J6 suppression directions (round 8);
+  // _v2 gained multipolygon relations (round 7). ensure() only checks
+  // existence, so a model change MUST version the path or a stale
+  // cached extract from an earlier build silently disagrees with the
+  // freshly derived oracle tables
+  val BigPath = "/tmp/graft_bigworld_v3.osm.pbf"
 }

@@ -149,4 +149,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked checkpoint RDD ids: $leaked")
   }
+
+  test("error-path cleanup never evicts a caller-cached input (lineage-scoped ids)") {
+    import spark.implicits._
+    // the caller's cached edge table sits in every checkpoint's lineage;
+    // checkpoint-id capture must scope to blocks persisted DURING run()
+    // (ADVICE r7: keyset deltas could grab a concurrent job's blocks;
+    // the lineage fix must not overcorrect into freeing caller caches)
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cached = chain.toDF("a", "b").persist()
+    try {
+      assert(cached.count() === 399)
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.run(spark, cached, "a", "b",
+          maxIter = 1, forceDistributed = true)
+      }
+      assert(cached.storageLevel.useMemory,
+        "run()'s error-path free() evicted the caller's cached input")
+      assert(cached.count() === 399)
+    } finally cached.unpersist(blocking = true)
+  }
 }

@@ -72,4 +72,85 @@ class RingChainSpec extends AnyFunSuite {
     assert(polys.length === 2)
     polys.foreach(p => assert(graft.geom.Wkb.readPolygon(p).length === 1, "no holes"))
   }
+
+  /** The original O(k²) linear-scan greedy, kept verbatim as the
+    * semantics reference for the endpoint-indexed form in
+    * GeometryBuilder.chain (VERDICT r7 task 4). */
+  private def chainScan(ms: Array[Member], close: Boolean): Seq[Seq[Long]] = {
+    val seqs = ms.map(m => m.nodeIds.zip(m.xs.zip(m.ys))
+      .map { case (n, (x, y)) => (n, x, y) }.toSeq)
+    val unused = scala.collection.mutable.LinkedHashSet(seqs.indices: _*)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Double, Double)]]
+    while (unused.nonEmpty) {
+      val start = unused.head
+      unused -= start
+      var ring = seqs(start)
+      var extended = true
+      while (extended && ring.head._1 != ring.last._1) {
+        extended = false
+        val endId = ring.last._1
+        unused.find(i => seqs(i).head._1 == endId) match {
+          case Some(i) =>
+            unused -= i; ring = ring ++ seqs(i).tail; extended = true
+          case None =>
+            unused.find(i => seqs(i).last._1 == endId) match {
+              case Some(i) =>
+                unused -= i; ring = ring ++ seqs(i).reverse.tail; extended = true
+              case None =>
+            }
+        }
+      }
+      rings += (if (close) GeometryBuilder.closeRing(ring) else ring)
+    }
+    rings.toSeq.map(_.map(_._1))
+  }
+
+  test("property: endpoint-indexed chain == linear-scan greedy (order included)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 80).foreach { trial =>
+      // a mix of split rings, closed members, disjoint fragments and
+      // dead ends, shuffled and part-reversed — both forms must emit
+      // the SAME rings in the SAME order
+      val nGroups = 1 + rnd.nextInt(4)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      (0 until nGroups).foreach { g =>
+        val off = 1000L * g
+        val n = 3 + rnd.nextInt(8)
+        val ring = (1L to n).map(_ + off) :+ (1L + off)
+        val nCuts = rnd.nextInt(3)
+        val cuts = Seq.fill(nCuts)(1 + rnd.nextInt(ring.length - 2)).distinct
+        parts ++= split(ring, cuts)
+      }
+      if (rnd.nextBoolean()) parts += Seq(7000L + rnd.nextInt(5), 7100L) // dangling fragment
+      val members = scala.util.Random.shuffle(parts.toList)
+        .map(p => if (rnd.nextBoolean()) p.reverse else p).map(mk("outer", _))
+        .toArray
+      val fast = GeometryBuilder.chain(members, close = true).map(_.map(_._1))
+      val slow = chainScan(members, close = true)
+      assert(fast === slow, s"trial $trial diverged")
+    }
+  }
+
+  test("pathological 5k-member relation chains into one closed ring (VERDICT r7 task 4)") {
+    // a 5001-node admin-boundary-like ring split into 5000 two-node
+    // segments, every third segment reversed — the endpoint-indexed
+    // greedy is O(nodes + k log k); the old scan form was O(k²) here
+    val n = 5000
+    val ring = (1L to n.toLong) :+ 1L
+    val segs = ring.sliding(2).toSeq.zipWithIndex.map { case (s, i) =>
+      if (i % 3 == 2) s.reverse else s
+    }
+    // shuffle member order deterministically so chaining can't ride
+    // the sorted input
+    val members = new scala.util.Random(5).shuffle(segs).map(mk("outer", _)).toArray
+    val t0 = System.nanoTime()
+    val rings = GeometryBuilder.chain(members, close = true)
+    val dt = (System.nanoTime() - t0) / 1e9
+    // each cycle node has degree 2, so the tail-extending greedy must
+    // walk the whole cycle from any start: ONE ring, every node once
+    assert(rings.length === 1, s"expected one ring, got ${rings.length}")
+    assert(rings.map(_.length - 1).sum === n, "every node exactly once")
+    rings.foreach(r => assert(r.head._1 === r.last._1, "ring closed"))
+    assert(dt < 5.0, f"5k-member chain took $dt%.1f s — endpoint index regressed?")
+  }
 }
