@@ -123,4 +123,52 @@ class OsmPbfCountPushdownSpec extends AnyFunSuite {
     assert(df.collect().map(r => r.getByte(0) -> r.getLong(1)).toMap ===
       Map(0.toByte -> 1L))
   }
+
+  test("multi-file split dir: pushed counts are RAW (border blobs counted per file)") {
+    // OsmPbfCountScan documents that bare-scan counts over a directory
+    // of adjacent extracts do NOT dedup border-duplicated elements —
+    // they match the row path's bare-scan semantics, and dedup happens
+    // ABOVE the scan (OsmFile.info / OsmQueryExec.scan). This pins the
+    // documented raw semantics so a future "fix" that silently changes
+    // them fails here first (VERDICT r7 task 5).
+    val f = java.io.File.createTempFile("countsplit", ".osm.pbf")
+    f.deleteOnExit()
+    // 6 blocks so a 3-way split has two interior borders
+    write(f.getAbsolutePath, Seq(
+      Seq(N(1, 1.0, 1.0, Seq("amenity" -> "cafe")), N(2, 1.1, 1.1)),
+      Seq(N(3, 1.2, 1.2), N(4, 1.3, 1.3)),
+      Seq(N(5, 1.4, 1.4), N(6, 1.5, 1.5)),
+      Seq(W(10, Seq(1L, 2L, 3L), Seq("highway" -> "residential"))),
+      Seq(W(11, Seq(4L, 5L), Seq("highway" -> "service"))),
+      Seq(R(20, Seq(("outer", 10L, 1.toByte)), Seq("type" -> "multipolygon")))))
+    val dir = java.nio.file.Files.createTempDirectory("countsplitout").toString
+    val dup = graft.ScaleProbe.splitPbf(f.getAbsolutePath, dir, 3, 1)
+    assert(dup === 2)
+
+    val pushedDir = spark.read.format("osmpbf").load(dir).groupBy("type").count()
+    assert(usesCountScan(pushedDir), "directory scans must still push the count")
+    // ground truth 1: the row path over the same directory (bare-scan
+    // raw semantics — collect and group client-side)
+    val rowTruth = spark.read.format("osmpbf").load(dir).select("type", "id")
+      .collect().groupBy(_.getByte(0)).map { case (t, rs) => t -> rs.length.toLong }
+    val got = pushedDir.collect().map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(got === rowTruth, "pushed dir counts must equal raw row-path dir counts")
+    // ground truth 2: the sum of per-file pushed counts (raw = per-file)
+    val perFile = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".pbf"))
+      .flatMap { pf =>
+        spark.read.format("osmpbf").load(pf.getAbsolutePath)
+          .groupBy("type").count().collect()
+          .map(r => r.getByte(0) -> r.getLong(1))
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    assert(got === perFile)
+    // the duplicated border elements ARE double-counted vs the single file
+    val single = spark.read.format("osmpbf").load(f.getAbsolutePath)
+      .groupBy("type").count().collect().map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(got.values.sum > single.values.sum,
+      "a border-overlapping split must raise the raw count")
+    // ...while the deduped surface above the scan is split-invariant
+    val infoM = new graft.osm.OsmFile(spark, dir).info()
+    val infoS = new graft.osm.OsmFile(spark, f.getAbsolutePath).info()
+    assert(infoM - "blobs" === infoS - "blobs")
+  }
 }
