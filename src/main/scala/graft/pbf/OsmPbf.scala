@@ -349,23 +349,21 @@ object BlockDecoder {
 
   /** Columnar block decode for the vectorized scan path: same semantics
     * as [[decode]] restricted to the scalar columns
-    * (`id, type, lat, lon, version, timestamp, changeset`) plus the CSR
-    * way-`refs` and `tags` columns, with the DenseNodes fast path
-    * converting whole packed arrays into the [[ScalarBatch]] columns
-    * with no per-element allocation — the JVM analogue of the
-    * reference's vectorized dense parser (reference dense.py:83-180).
-    * Tags stay block-local string IDS here (the batch builder encodes
-    * each string-table entry once per block); members remain
-    * row-path-only.
+    * (`id, type, lat, lon, version, timestamp, changeset`), with the
+    * DenseNodes fast path converting whole packed arrays into the
+    * [[ScalarBatch]] columns with no per-element allocation — the JVM
+    * analogue of the reference's vectorized dense parser (reference
+    * dense.py:83-180). Tags/refs/members are row-path-only (a CSR
+    * refs/tags batch tier existed in round 7, retired in round 8 on
+    * warm-JVM parity — README "Columnar refs/tags tier"); tag keys are
+    * still READ here when a must-key check is pushed, as block-local
+    * string ids with no materialization.
     *
     * @param idFilter when non-null, only elements with these ids are
-    *   emitted (the same post-decode filter the row reader applies).
-    * @param emitTags when true, tag pairs decode into the batch's CSR
-    *   tags column (independent of the must-key CHECK, which runs on
-    *   ids whether or not tags are emitted). */
+    *   emitted (the same post-decode filter the row reader applies). */
   def decodeScalars(block: Array[Byte], wantTypes: Array[Boolean],
       needs: DecodeNeeds, mustTagKeys: Array[String],
-      idFilter: Set[Long], emitTags: Boolean = false): ScalarBatch = {
+      idFilter: Set[Long]): ScalarBatch = {
     val root = new PbfReader(block)
     var strings: Array[String] = null
     val groupSpans = ArrayBuffer.empty[(Int, Int)]
@@ -396,7 +394,6 @@ object BlockDecoder {
     }
     val strs = if (strings == null) emptyS else strings
     val out = new ScalarBatch()
-    out.strs = strs
     var isMust: Array[Boolean] = null
     if (mustTagKeys != null) {
       val keySet = mustTagKeys.toSet
@@ -416,19 +413,19 @@ object BlockDecoder {
         (tag >> 3) match {
           case 1 => // Node (plain) — direct scalar decode, no row spill
             if (wantTypes(0)) decodeNodeScalar(g.readMessage(), isMust, needs,
-              granularity, latOffset, lonOffset, dateGranularity, idFilter, emitTags, out)
+              granularity, latOffset, lonOffset, dateGranularity, idFilter, out)
             else g.skip(2)
           case 2 => // DenseNodes — the vectorized fast path
             if (wantTypes(0)) decodeDenseScalars(g.readMessage(), needs, isMust,
-              idFilter, granularity, latOffset, lonOffset, dateGranularity, emitTags, out)
+              idFilter, granularity, latOffset, lonOffset, dateGranularity, out)
             else g.skip(2)
           case 3 => // Way — direct scalar decode
             if (wantTypes(1)) decodeWayRelScalar(g.readMessage(), etype = 1,
-              isMust, needs, dateGranularity, idFilter, emitTags, out)
+              isMust, needs, dateGranularity, idFilter, out)
             else g.skip(2)
           case 4 => // Relation — direct scalar decode
             if (wantTypes(2)) decodeWayRelScalar(g.readMessage(), etype = 2,
-              isMust, needs, dateGranularity, idFilter, emitTags, out)
+              isMust, needs, dateGranularity, idFilter, out)
             else g.skip(2)
           case _ => g.skip(tag & 7)
         }
@@ -444,13 +441,12 @@ object BlockDecoder {
     * allocation round-trip is gone. */
   private def decodeNodeScalar(r: PbfReader, isMust: Array[Boolean],
       needs: DecodeNeeds, gran: Long, latOff: Long, lonOff: Long,
-      dateGran: Long, idFilter: Set[Long], emitTags: Boolean,
+      dateGran: Long, idFilter: Set[Long],
       out: ScalarBatch): Unit = {
     var id = 0L
     var lat = 0L
     var lon = 0L
     var keys = emptyL
-    var vals = emptyL
     var version = -1
     var ts = 0L
     var cs = 0L
@@ -459,8 +455,7 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >> 3) match {
         case 1 => id = r.readZigzag()
-        case 2 => if (isMust != null || emitTags) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
-        case 3 => if (emitTags) vals = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 2 => if (isMust != null) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
         case 4 =>
           if (needs.info) {
             val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
@@ -475,26 +470,19 @@ object BlockDecoder {
     if (idFilter == null || idFilter.contains(id)) {
       out.add(id, 0, 1e-9 * (latOff + gran * lat), 1e-9 * (lonOff + gran * lon),
         version, ts * 1000L, cs, hasInfo)
-      if (emitTags && keys.length > 0) {
-        if (vals.length < keys.length) badKvSpan("Node vals shorter than keys")
-        out.appendTags(keys, vals)
-      }
     }
   }
 
   /** Way/Relation scalar decode straight into the batch (the two share
     * a wire layout for every scalar-relevant field: id(1), keys(2),
-    * info(4)). Way refs (field 8, packed delta-zigzag) decode into the
-    * batch's CSR refs column when requested — the topology scan's hot
-    * column; a Relation's field 8 is roles, never decoded here.
-    * Members stay row-path-only. */
+    * info(4)). Tags/refs/members stay row-path-only — the tag keys are
+    * read here only for the must-key CHECK (string-id test, nothing
+    * materializes). */
   private def decodeWayRelScalar(r: PbfReader, etype: Byte,
       isMust: Array[Boolean], needs: DecodeNeeds, dateGran: Long,
-      idFilter: Set[Long], emitTags: Boolean, out: ScalarBatch): Unit = {
+      idFilter: Set[Long], out: ScalarBatch): Unit = {
     var id = 0L
     var keys = emptyL
-    var vals = emptyL
-    var refs = emptyL
     var version = -1
     var ts = 0L
     var cs = 0L
@@ -503,27 +491,18 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >> 3) match {
         case 1 => id = r.readVarint()
-        case 2 => if (isMust != null || emitTags) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
-        case 3 => if (emitTags) vals = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 2 => if (isMust != null) keys = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
         case 4 =>
           if (needs.info) {
             val (v, t, c) = decodeInfo(r.readMessage(), dateGran)
             version = v; ts = t; cs = c; hasInfo = true
           } else r.skip(2)
-        case 8 =>
-          if (etype == 1 && needs.refs) refs = r.readPackedLongs(zigzag = true, delta = true)
-          else r.skip(tag & 7)
         case _ => r.skip(tag & 7)
       }
     }
     if (!keysMatch(keys, isMust)) return
     if (idFilter == null || idFilter.contains(id)) {
       out.add(id, etype, 0.0, 0.0, version, ts * 1000L, cs, hasInfo)
-      if (refs.length > 0) out.appendRefs(refs)
-      if (emitTags && keys.length > 0) {
-        if (vals.length < keys.length) badKvSpan("Way/Relation vals shorter than keys")
-        out.appendTags(keys, vals)
-      }
     }
   }
 
@@ -535,7 +514,7 @@ object BlockDecoder {
   private def decodeDenseScalars(r: PbfReader, needs: DecodeNeeds,
       isMust: Array[Boolean], idFilter: Set[Long],
       gran: Long, latOff: Long, lonOff: Long, dateGran: Long,
-      emitTags: Boolean, out: ScalarBatch): Unit = {
+      out: ScalarBatch): Unit = {
     var ids = emptyL
     var lats = emptyL
     var lons = emptyL
@@ -564,7 +543,7 @@ object BlockDecoder {
           } else r.skip(2)
         case 8 => if (needs.coords) lats = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
         case 9 => if (needs.coords) lons = r.readPackedLongs(zigzag = true, delta = true) else r.skip(2)
-        case 10 => if (isMust != null || emitTags) kvs = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
+        case 10 => if (isMust != null) kvs = r.readPackedLongs(zigzag = false, delta = false) else r.skip(2)
         case _ => r.skip(tag & 7)
       }
     }
@@ -594,31 +573,12 @@ object BlockDecoder {
       if (css.nonEmpty) System.arraycopy(css, 0, out.changesets, base, m)
       if (hasInfo) java.util.Arrays.fill(out.hasInfo, base, base + m, true)
       out.n = base + m
-      // the bulk write bypassed add(): carry the CSR offsets forward for
-      // these rows (dense nodes never have refs; tags may follow below)
-      java.util.Arrays.fill(out.refOffsets, base + 1, base + m + 1, out.refsLen)
-      java.util.Arrays.fill(out.tagOffsets, base + 1, base + m + 1, out.tagsLen)
-      if (emitTags && kvs.nonEmpty) {
-        var kvPos = 0
-        var i = 0
-        while (i < m) {
-          var p = kvPos
-          while (p < kvs.length && kvs(p) != 0L) {
-            if (p + 1 >= kvs.length) badKvSpan("DenseNodes keys_vals key without value")
-            out.pushTagPair(kvs(p).toInt, kvs(p + 1).toInt)
-            p += 2
-          }
-          kvPos = if (p < kvs.length) p + 1 else p // consume the 0 delimiter
-          out.tagOffsets(base + i + 1) = out.tagsLen
-          i += 1
-        }
-      }
     } else {
       var kvPos = 0
       var i = 0
       while (i < m) {
-        // bound the node's kv span first (must check and emission both
-        // read it; the delimiter is consumed exactly once per node)
+        // bound the node's kv span first (the must check reads it; the
+        // delimiter is consumed exactly once per node)
         var spanStart = 0
         var spanEnd = 0
         if (kvs.nonEmpty && kvPos < kvs.length) {
@@ -645,14 +605,6 @@ object BlockDecoder {
             if (tss.nonEmpty) tss(i) * tsScale else 0L,
             if (css.nonEmpty) css(i) else 0L,
             hasInfo)
-          if (emitTags) {
-            var q = spanStart
-            while (q < spanEnd) {
-              out.pushTagPair(kvs(q).toInt, kvs(q + 1).toInt)
-              q += 2
-            }
-            out.sealTags()
-          }
         }
         i += 1
       }

@@ -43,27 +43,21 @@ object OsmPbfSource {
   val TypeWay: Byte = 1
   val TypeRelation: Byte = 2
 
-  /** Scalar columns of the vectorized (ColumnarBatch) read path. */
+  /** Columns the vectorized (ColumnarBatch) read path emits. Array
+    * columns (`refs`/`tags`/`members`) are row-path-only: the row
+    * reader wraps each decoded long[] zero-copy in a GenericArrayData,
+    * while a batch pays flat-buffer → vector → unsafe-row copies per
+    * element when downstream operators (explode, map access) pull the
+    * arrays back out. A conf-gated CSR refs/tags batch tier existed in
+    * round 7 (default off on a measured ~40 % CPU regression for the
+    * refs-exploding topology walk); round-8 warm-JVM A/Bs (TimeQuery,
+    * both orders, topology/POIs/buildings) showed parity at best, so
+    * the tier was retired — README "Columnar refs/tags tier" has the
+    * numbers. Scalar-only scans (the 7M-row coordinate table, type
+    * counts) keep the batch path, where it eliminates per-element
+    * allocation outright. */
   val scalarCols: Set[String] =
     Set("id", "type", "lat", "lon", "version", "timestamp", "changeset")
-
-  /** Columns the vectorized read path CAN emit: the scalars plus way
-    * `refs` and `tags` (both CSR flat-array + offsets in the batch;
-    * tag strings are block-local string-table ids until the batch is
-    * built, so each table entry UTF-8-encodes once per block, not once
-    * per occurrence). Only `members` (relation assembly) is
-    * row-path-only.
-    *
-    * The array tier is OFF by default (`spark.graft.pbf.columnar
-    * .arrays`): measured on the 2M-node extract (TimeQuery, both A/B
-    * orders, r7), array-bearing scans are at best parity and the
-    * refs-exploding topology walk costs ~40 % MORE CPU columnar
-    * (21 vs 15 CPU-s) — the row path wraps the decoded long[] in a
-    * GenericArrayData zero-copy, while the batch pays flat-buffer →
-    * vector → unsafe-row copies per element. Scalar-only scans keep
-    * the columnar default: there the batch eliminates per-element
-    * allocation outright. */
-  val columnarCols: Set[String] = scalarCols ++ Set("refs", "tags")
 
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -307,16 +301,11 @@ class OsmPbfScan(path: String, required: StructType,
     // session kill-switch (`spark.graft.pbf.columnar=false`) for the
     // vectorized path: lets a deployment A/B the two decode paths on
     // its own workload, and is the gate the scalar path falls back
-    // through if columnar ever loses at a given block shape. The
-    // `.arrays` tier (refs/tags through the batch) defaults OFF — see
-    // OsmPbfSource.columnarCols for the measured reason.
+    // through if columnar ever loses at a given block shape.
     def confOn(key: String, default: String): Boolean =
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString(key, default).trim.equalsIgnoreCase("true")
-    val eligible =
-      required.fieldNames.forall(OsmPbfSource.scalarCols.contains) ||
-        (confOn("spark.graft.pbf.columnar.arrays", "false") &&
-          required.fieldNames.forall(OsmPbfSource.columnarCols.contains))
+    val eligible = required.fieldNames.forall(OsmPbfSource.scalarCols.contains)
     new OsmPbfReaderFactory(required, wantTypes,
       idFilter.map(_.toArray).orNull, mustTagKeys,
       columnar = eligible && confOn("spark.graft.pbf.columnar", "true"))
@@ -440,25 +429,24 @@ class OsmPbfReaderFactory(schema: StructType, wantTypes: Array[Boolean],
 
 /** Vectorized read path: one `ColumnarBatch` per PrimitiveBlock, columns
   * bulk-filled from the decoder's [[graft.pbf.ScalarBatch]] primitive
-  * arrays (scalars always; CSR refs and tags under the conf-gated
-  * `.arrays` tier — see [[OsmPbfSource.columnarCols]] for why that
-  * tier defaults off). Eliminates the two per-element costs of the row
-  * path — `Decoded` allocation and `InternalRow` construction — on the
-  * scalar scans that dominate OSM work (the 7M-row node coordinate
-  * table, type counts), and downstream operators read the vectors
-  * through Spark's codegen'd ColumnarToRow. The reference's equivalent
-  * is its vectorized dense-node parser (reference dense.py:83-180). */
+  * arrays (scalar columns only — see [[OsmPbfSource.scalarCols]] for
+  * why array columns stay on the row path). Eliminates the two
+  * per-element costs of the row path — `Decoded` allocation and
+  * `InternalRow` construction — on the scalar scans that dominate OSM
+  * work (the 7M-row node coordinate table, type counts), and
+  * downstream operators read the vectors through Spark's codegen'd
+  * ColumnarToRow. The reference's equivalent is its vectorized
+  * dense-node parser (reference dense.py:83-180). */
 class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
     wantTypes: Array[Boolean], idFilter: Set[Long],
     mustTagKeys: Array[String])
     extends PartitionReader[ColumnarBatch] {
 
-  // emitTags: materialize the tags column; needs.tags additionally
-  // covers the must-key CHECK (string-id test, no materialization)
-  private val emitTags = schema.fieldNames.contains("tags")
+  // needs.tags covers the must-key CHECK only (string-id test, no
+  // materialization) — the tags column itself is row-path-only
   private val needs = DecodeNeeds(
-    tags = emitTags || mustTagKeys != null,
-    refs = schema.fieldNames.contains("refs"), members = false,
+    tags = mustTagKeys != null,
+    refs = false, members = false,
     info = schema.fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
     coords = schema.fieldNames.exists(f => f == "lat" || f == "lon"))
 
@@ -470,7 +458,7 @@ class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
     if (batch != null) { batch.close(); batch = null }
     while (blobIter.hasNext) {
       val block = OsmPbfFile.readBlob(blobIter.next(), conf)
-      val sb = BlockDecoder.decodeScalars(block, wantTypes, needs, mustTagKeys, idFilter, emitTags)
+      val sb = BlockDecoder.decodeScalars(block, wantTypes, needs, mustTagKeys, idFilter)
       if (sb.n > 0) {
         batch = toBatch(sb)
         return true
@@ -532,51 +520,6 @@ class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
           var r = 0
           while (r < n) {
             if (sb.hasInfo(r)) v.putLong(r, sb.changesets(r)) else v.putNull(r)
-            r += 1
-          }
-        case "refs" =>
-          // CSR → Spark array vector: one bulk copy into the child
-          // long vector, then per-row (offset, length) spans. Non-way
-          // rows have zero-length spans — the row path's empty array,
-          // never null (schema: refs non-nullable)
-          val child = v.getChild(0)
-          child.reserve(sb.refsLen)
-          if (sb.refsLen > 0) child.putLongs(0, sb.refsLen, sb.refsFlat, 0)
-          var r = 0
-          while (r < n) {
-            v.putArray(r, sb.refOffsets(r), sb.refOffsets(r + 1) - sb.refOffsets(r))
-            r += 1
-          }
-        case "tags" =>
-          // CSR string-id pairs → Spark map vector (children: keys,
-          // values; spans shared via putArray). Each string-table entry
-          // UTF-8-encodes ONCE per block and is appended per occurrence
-          // — the row path instead builds a fresh UTF8String per row
-          // per tag. Tag-free rows get empty maps, never null.
-          val kv = v.getChild(0)
-          val vv = v.getChild(1)
-          val utf8 = new Array[Array[Byte]](sb.strs.length)
-          def u8(i: Int): Array[Byte] = {
-            var b = utf8(i)
-            if (b == null) {
-              b = sb.strs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              utf8(i) = b
-            }
-            b
-          }
-          kv.reserve(sb.tagsLen)
-          vv.reserve(sb.tagsLen)
-          var j = 0
-          while (j < sb.tagsLen) {
-            val kb = u8(sb.tagKeyIds(j))
-            kv.putByteArray(j, kb, 0, kb.length)
-            val vb = u8(sb.tagValIds(j))
-            vv.putByteArray(j, vb, 0, vb.length)
-            j += 1
-          }
-          var r = 0
-          while (r < n) {
-            v.putArray(r, sb.tagOffsets(r), sb.tagOffsets(r + 1) - sb.tagOffsets(r))
             r += 1
           }
         case other => throw new IllegalArgumentException(s"unknown columnar column $other")

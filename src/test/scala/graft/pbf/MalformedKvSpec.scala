@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** A corrupt PrimitiveBlock whose tag key/val arrays are truncated or
   * mismatched must raise java.io.IOException("malformed PrimitiveBlock
   * ...") — the same fail-loudly doctrine as requireWire/mustIx — never
-  * a raw ArrayIndexOutOfBoundsException (ADVICE r7). */
+  * a raw ArrayIndexOutOfBoundsException (ADVICE r7). Covers the row
+  * decode (which materializes tags) and the scalar path's must-key
+  * span walk (which reads key ids without materializing). */
 class MalformedKvSpec extends AnyFunSuite {
 
   private val allTypes = Array(true, true, true)
@@ -44,18 +46,10 @@ class MalformedKvSpec extends AnyFunSuite {
     block(g)
   }
 
-  test("scalar dense decode rejects a truncated keys_vals span (unfiltered path)") {
+  test("scalar dense decode rejects a truncated keys_vals span on the must-key walk") {
     val e = intercept[java.io.IOException] {
       BlockDecoder.decodeScalars(denseTruncated, allTypes, DecodeNeeds.all,
-        mustTagKeys = null, idFilter = null, emitTags = true)
-    }
-    assert(e.getMessage.contains("malformed PrimitiveBlock"))
-  }
-
-  test("scalar dense decode rejects a truncated keys_vals span (must-filtered path)") {
-    val e = intercept[java.io.IOException] {
-      BlockDecoder.decodeScalars(denseTruncated, allTypes, DecodeNeeds.all,
-        mustTagKeys = Array("k"), idFilter = null, emitTags = true)
+        mustTagKeys = Array("k"), idFilter = null)
     }
     assert(e.getMessage.contains("malformed PrimitiveBlock"))
   }
@@ -68,14 +62,6 @@ class MalformedKvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed PrimitiveBlock"))
   }
 
-  test("scalar way decode rejects vals shorter than keys") {
-    val e = intercept[java.io.IOException] {
-      BlockDecoder.decodeScalars(wayMismatched, allTypes, DecodeNeeds.all,
-        mustTagKeys = null, idFilter = null, emitTags = true)
-    }
-    assert(e.getMessage.contains("malformed PrimitiveBlock"))
-  }
-
   test("row way decode rejects vals shorter than keys") {
     val e = intercept[java.io.IOException] {
       BlockDecoder.decode(wayMismatched, allTypes, DecodeNeeds.all,
@@ -84,14 +70,17 @@ class MalformedKvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed PrimitiveBlock"))
   }
 
-  test("a well-formed block still decodes after the guards") {
+  test("well-formed blocks still decode on both paths after the guards") {
     val dn = new PbfWriter
     dn.writePackedLongs(1, Seq(7L), zigzag = true, delta = true)
     dn.writePackedLongs(10, Seq(1L, 2L, 0L), zigzag = false, delta = false)
     val g = new PbfWriter
     g.writeMessage(2, dn)
     val batch = BlockDecoder.decodeScalars(block(g), allTypes, DecodeNeeds.all,
-      mustTagKeys = null, idFilter = null, emitTags = true)
-    assert(batch.n === 1 && batch.tagsLen === 1)
+      mustTagKeys = Array("k"), idFilter = null)
+    assert(batch.n === 1)
+    val rows = BlockDecoder.decode(block(g), allTypes, DecodeNeeds.all,
+      mustTagKeys = null).toArray
+    assert(rows.length === 1 && rows.head.tagKeys.toSeq === Seq("k"))
   }
 }

@@ -48,15 +48,6 @@ class OsmPbfColumnarReaderSpec extends AnyFunSuite {
     try f finally spark.conf.unset("spark.graft.pbf.columnar")
   }
 
-  /** Run `f` with the array tier (refs/tags through the batch) enabled
-    * — it defaults OFF after the r7 A/B measured the row path faster
-    * for refs-exploding scans; these tests keep the tier's semantics
-    * pinned so the conf stays safe to flip per workload. */
-  private def arraysColumnar[A](f: => A): A = {
-    spark.conf.set("spark.graft.pbf.columnar.arrays", "true")
-    try f finally spark.conf.unset("spark.graft.pbf.columnar.arrays")
-  }
-
   /** Row-path ground truth: full-schema read under the kill-switch,
     * scalar columns extracted per row. */
   private def rowTruth(path: String, opts: Map[String, String] = Map.empty) = rowPath {
@@ -157,112 +148,29 @@ class OsmPbfColumnarReaderSpec extends AnyFunSuite {
       assert(both.collect().map(_.getLong(0)).toSet === Set(11L))
     }
 
-    test(s"array-bearing projections default to the row path ($label)") {
-      // the .arrays tier is OFF by default (measured slower for
-      // refs-exploding scans) — a silent default flip must fail here
+    test(s"array-bearing projections take the row path ($label)") {
+      // refs/tags/members are row-path-only (the r7 conf-gated batch
+      // tier was retired in r8 on warm-JVM parity) — the row reader
+      // wraps decoded arrays zero-copy; a silent change that routes an
+      // array column through the batch must fail here
       val path = fixture(dense)
       val df = spark.read.format("osmpbf").load(path)
       assert(!isColumnar(df.select("id", "refs")))
       assert(!isColumnar(df.select("id", "tags")))
+      assert(!isColumnar(df.select("id", "members")))
       // scalar-only projections keep their columnar default
       assert(isColumnar(df.select("id", "type")))
-    }
-
-    test(s"refs column agrees with the row path under the arrays tier ($label)") {
-      val path = fixture(dense)
-      val df = spark.read.format("osmpbf").load(path)
-      val truth = rowPath {
-        val t = df.select("id", "refs")
-        assert(!isColumnar(t))
-        t.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
-      }
-      arraysColumnar {
-        val colDf = df.select("id", "refs")
-        assert(isColumnar(colDf),
-          s"id+refs projection must take the columnar path under the arrays tier:\n${colDf.queryExecution.executedPlan}")
-        val got = colDf.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
-        assert(got === truth)
-        // ways keep ref ORDER (delta decode); nodes and relations get the
-        // row path's empty array, never null
-        assert(got.find(_._1 == 10L).get._2 === List(1L, 2L))
-        assert(got.find(_._1 == 11L).get._2 === List(2L, 1L))
-        assert(got.find(_._1 == 20L).get._2 === Nil)
-        assert(got.find(_._1 == 1L).get._2 === Nil)
-      }
-    }
-
-    test(s"exploded refs under type pushdown match the row path ($label)") {
-      val path = fixture(dense)
-      val df = spark.read.format("osmpbf").load(path)
-      arraysColumnar {
-        // the topology chain walk's scan shape: ways only, id + refs
-        val colDf = df.filter(col("type") === 1)
-          .select(col("id"), explode(col("refs")).as("ref"))
-        assert(isColumnar(colDf))
-        assert(colDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
-          Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 1L)))
-      }
-    }
-
-    test(s"tags column agrees with the row path under the arrays tier ($label)") {
-      val path = fixture(dense)
-      val df = spark.read.format("osmpbf").load(path)
-      val truth = rowPath {
-        val t = df.select("id", "tags")
-        assert(!isColumnar(t))
-        t.collect().map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet
-      }
-      arraysColumnar {
-        val colDf = df.select("id", "tags")
-        assert(isColumnar(colDf),
-          s"id+tags projection must take the columnar path under the arrays tier:\n${colDf.queryExecution.executedPlan}")
-        val got = colDf.collect()
-          .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet
-        assert(got === truth)
-        assert(got.find(_._1 == 1L).get._2 === Map("amenity" -> "cafe"))
-        assert(got.find(_._1 == 20L).get._2 === Map("type" -> "multipolygon", "amenity" -> "x"))
-        // tag-free elements get empty maps, never null
-        assert(got.find(_._1 == 2L).get._2 === Map.empty[String, String])
-        assert(got.find(_._1 == 11L).get._2 === Map.empty[String, String])
-      }
-    }
-
-    test(s"the full row-minus-members projection matches rows under the arrays tier ($label)") {
-      val path = fixture(dense)
-      val cols = Seq("id", "type", "lat", "lon", "tags", "refs", "version", "changeset")
-      val df = spark.read.format("osmpbf").load(path)
-      def snap(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
-        (r.getLong(0), r.getByte(1), Option(r.get(2)), Option(r.get(3)),
-          r.getMap[String, String](4).toMap, r.getSeq[Long](5).toList,
-          Option(r.get(6)), Option(r.get(7)))
-      }.toSet
-      val truth = rowPath {
-        val t = df.select(cols.map(col): _*)
-        assert(!isColumnar(t))
-        snap(t)
-      }
-      arraysColumnar {
-        val colDf = df.select(cols.map(col): _*)
-        assert(isColumnar(colDf),
-          "every column except members must be servable by the columnar path")
-        assert(snap(colDf) === truth)
-      }
-    }
-
-    test(s"tags under the mustTagKeys gate match the row path ($label)") {
-      val path = fixture(dense)
-      val df = spark.read.format("osmpbf").option("mustTagKeys", "amenity").load(path)
-      val truth = rowPath {
-        df.select("id", "tags").collect()
-          .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet
-      }
-      arraysColumnar {
-        val colDf = df.select("id", "tags")
-        assert(isColumnar(colDf))
-        assert(colDf.collect()
-          .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSet === truth)
-        assert(truth.map(_._1) === Set(1L, 20L))
-      }
+      // row-path array semantics: ways keep ref ORDER (delta decode);
+      // refs-free and tag-free elements get empty arrays/maps, not null
+      val refs = df.select("id", "refs").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      assert(refs(10L) === List(1L, 2L) && refs(11L) === List(2L, 1L))
+      assert(refs(20L) === Nil && refs(1L) === Nil)
+      val tags = df.select("id", "tags").collect()
+        .map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toMap
+      assert(tags(1L) === Map("amenity" -> "cafe"))
+      assert(tags(20L) === Map("type" -> "multipolygon", "amenity" -> "x"))
+      assert(tags(2L) === Map.empty[String, String])
     }
 
     test(s"mustTagKeys gate matches the row path under columnar reads ($label)") {
