@@ -273,6 +273,34 @@ object OsmPbfFile {
   }
 }
 
+/** Per-partition blob reader: one open stream per FILE for the
+  * partition's lifetime, with positioned reads per blob —
+  * [[OsmPbfFile.readBlob]] opens and closes per BLOB, which is noise
+  * on a local filesystem but a metadata round-trip (HEAD + GET) per
+  * 8k-element block on the object stores a 100 TB corpus lives on.
+  * A partition's blobs are consecutive within a file (split packing
+  * preserves index order), so the map holds at most a handful of
+  * streams. Not thread-safe; each Spark task owns its reader. */
+final class BlobReader(conf: Configuration) extends AutoCloseable {
+  private val streams =
+    scala.collection.mutable.HashMap.empty[String, org.apache.hadoop.fs.FSDataInputStream]
+
+  def read(info: BlobInfo): Array[Byte] = {
+    val in = streams.getOrElseUpdate(info.path, {
+      val p = new Path(info.path)
+      p.getFileSystem(conf).open(p)
+    })
+    val buf = new Array[Byte](info.dataLen)
+    in.readFully(info.dataOffset, buf, 0, info.dataLen)
+    OsmPbfFile.decodeBlob(buf)
+  }
+
+  override def close(): Unit = {
+    streams.values.foreach(s => try s.close() catch { case _: java.io.IOException => })
+    streams.clear()
+  }
+}
+
 /** PrimitiveBlock → elements decoder (reference block.py:8-130,
   * primitives.py:9-147, dense.py:8-80 — but emitting real strings and
   * maps immediately; the reference's global string dictionary is

@@ -230,14 +230,14 @@ class OsmPbfCountReader(p: OsmPbfPartition, groupByType: Boolean, nCounts: Int)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val conf = new Configuration()
     var n = 0L
     var w = 0L
     var r = 0L
-    p.blobs.foreach { b =>
-      val (bn, bw, br) = OsmPbfFile.countTypes(OsmPbfFile.readBlob(b, conf))
+    val blobReader = new graft.pbf.BlobReader(new Configuration())
+    try p.blobs.foreach { b =>
+      val (bn, bw, br) = OsmPbfFile.countTypes(blobReader.read(b))
       n += bn; w += bw; r += br
-    }
+    } finally blobReader.close()
     if (groupByType) {
       // a type with zero elements in this partition contributes no
       // group row (groupBy emits no row for an absent key)
@@ -450,14 +450,14 @@ class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
     info = schema.fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
     coords = schema.fieldNames.exists(f => f == "lat" || f == "lon"))
 
-  private val conf = new Configuration()
+  private val blobReader = new graft.pbf.BlobReader(new Configuration())
   private val blobIter = p.blobs.iterator
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
     while (blobIter.hasNext) {
-      val block = OsmPbfFile.readBlob(blobIter.next(), conf)
+      val block = blobReader.read(blobIter.next())
       val sb = BlockDecoder.decodeScalars(block, wantTypes, needs, mustTagKeys, idFilter)
       if (sb.n > 0) {
         batch = toBatch(sb)
@@ -469,7 +469,10 @@ class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
 
   override def get(): ColumnarBatch = batch
 
-  override def close(): Unit = if (batch != null) { batch.close(); batch = null }
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    blobReader.close()
+  }
 
   private def toBatch(sb: ScalarBatch): ColumnarBatch = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -544,14 +547,13 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     info = fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
     coords = fieldNames.exists(f => f == "lat" || f == "lon"))
 
-  private val iter: Iterator[Decoded] = {
-    val conf = new Configuration()
+  private val blobReader = new graft.pbf.BlobReader(new Configuration())
+  private val iter: Iterator[Decoded] =
     p.blobs.iterator.flatMap { b =>
-      val block = OsmPbfFile.readBlob(b, conf)
+      val block = blobReader.read(b)
       val base = BlockDecoder.decode(block, wantTypes, needs, mustTagKeys)
       if (idFilter == null) base else base.filter(d => idFilter.contains(d.id))
     }
-  }
 
   private var current: Decoded = _
 
@@ -603,5 +605,5 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = blobReader.close()
 }
