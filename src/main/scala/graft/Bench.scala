@@ -147,10 +147,15 @@ object Bench {
         load: Double, reps: Seq[(Double, Double)])
     // two timed reps, report the min: single-shot numbers swing ±2x
     // from GC/codegen/scheduler jitter in a 35-query sequence; the min
-    // is the steady-state latency the plan actually supports
+    // is the steady-state latency the plan actually supports. The
+    // heavy per-way-walk probes JIT across the first TWO executions
+    // (r7's "96 CPU-s" osm_big_buildings was min-of-2 catching the
+    // warmup rep of a ~20 CPU-s steady state; isolated reps ran
+    // 90 → 24 → 21 → 20), so osm_big_* get a third rep.
     val results = headline.filter(qs.contains).map { name =>
       val load0 = loadAvg()
-      val reps = (1 to 2).map { _ =>
+      val nReps = if (name.startsWith("osm_big_")) 3 else 2
+      val reps = (1 to nReps).map { _ =>
         val c0 = procCpuNanos()
         val t0 = System.nanoTime()
         val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
