@@ -29,6 +29,7 @@ object Bench {
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
+    "ev_asof_join", "ev_range_join",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes

@@ -57,6 +57,69 @@ object PipelineOps {
       EventsStream.viewClickJoin(t(s, dir, "events"))
         .orderBy("view_id", "click_id")),
 
+    // AS-OF (backward) join: each click paired with the user's latest
+    // view at-or-before it. Spark has no ASOF JOIN operator; the scale
+    // shape is NOT a join at all — union both sides into one stream,
+    // ONE shuffle on user_id, and `last(_, ignoreNulls)` over an
+    // ordered running window carries the most recent view forward.
+    // Wall-clock and shuffle volume are that of a single window
+    // aggregation regardless of how skewed the view/click ratio is,
+    // where a per-click range probe would degenerate. Clicks before
+    // any view keep a NULL view_id (left-join semantics). Order within
+    // equal timestamps is (ts, event_id) — total, so both engines
+    // resolve ties identically.
+    "ev_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("vid", when(col("event_type") === "view", col("event_id")))
+        .withColumn("vts", when(col("event_type") === "view", col("ts")))
+        .withColumn("view_id", last(col("vid"), ignoreNulls = true).over(w))
+        .withColumn("last_vts", last(col("vts"), ignoreNulls = true).over(w))
+        // µs resolution with per-value truncation: DuckDB reads the
+        // ns-precision parquet timestamps as µs TIMESTAMP, so an
+        // ns-resolution gap cannot be reproduced by the oracle
+        .withColumn("gap_us", expr("ts div 1000 - last_vts div 1000"))
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("view_id"), col("gap_us"))
+        .orderBy("click_id")
+    }),
+
+    // range join: every 200th event is a "probe" owning the half-open
+    // 30-minute window [ts, ts+30min); count + sum all events falling
+    // in each window. Spark's built-in strategies would plan the raw
+    // inequality join as a broadcast nested loop; the scale shape is
+    // bucketization — each probe explodes into the hour buckets its
+    // window covers (≤ 2 here), events key by their own bucket, and an
+    // EQUI-join on bucket carries the residual range predicate. The
+    // all-pairs comparison space shrinks to per-bucket cells and every
+    // stage shuffles on a key, so the plan survives both sides growing
+    // 100x. Overlap factor = window/bucket width + 1, a 2x row
+    // expansion of the (small) probe side only.
+    "ev_range_join" -> ((s, dir) => {
+      // µs domain throughout (ts div 1000): the oracle engine truncates
+      // the ns timestamps to µs, and mixing ns buckets with µs range
+      // predicates could miss an event within 1 µs of a bucket boundary
+      val bucketUs = 3600L * 1000000L
+      val winUs = 1800L * 1000000L
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val probes = ev.filter(col("event_id") % 200 === 0)
+        .select(col("event_id").as("probe_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + winUs).as("end_us"))
+        .withColumn("bucket", explode(sequence(
+          expr(s"start_us div $bucketUs"), expr(s"(end_us - 1) div $bucketUs"))))
+      val byBucket = ev.withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      probes.join(byBucket, Seq("bucket"))
+        .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_events"),
+          // decimal accumulation: exact, engine-order-independent
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("probe_id")
+    }),
+
     // dedup-on-ingest, batch form: first event (by event time) per
     // (user_id, event_type); EventsStream.dedupStream is the
     // state-store streaming twin (EventsStreamSpec)
@@ -256,6 +319,31 @@ object PipelineOps {
           AND epoch_ns(c.ts) > epoch_ns(v.ts)
           AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 3600000000000
          ORDER BY view_id, click_id""",
+    "ev_asof_join" ->
+      """WITH u AS (
+           SELECT event_id, user_id, ts, event_type,
+                  CASE WHEN event_type = 'view' THEN event_id END AS vid,
+                  CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS vts
+           FROM events),
+         w AS (
+           SELECT event_id, user_id, event_type,
+                  last_value(vid IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+                  epoch_us(ts) - last_value(vts IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_us
+           FROM u)
+         SELECT event_id AS click_id, user_id, view_id, gap_us
+         FROM w WHERE event_type = 'click' ORDER BY click_id""",
+    "ev_range_join" ->
+      """SELECT p.event_id AS probe_id, count(*) AS n_events,
+                CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events p JOIN events e
+           ON epoch_us(e.ts) >= epoch_us(p.ts)
+          AND epoch_us(e.ts) < epoch_us(p.ts) + 1800000000
+         WHERE p.event_id % 200 = 0
+         GROUP BY probe_id ORDER BY probe_id""",
     "ev_dedup_first" ->
       """SELECT user_id, event_type, event_id FROM (
            SELECT user_id, event_type, event_id,
