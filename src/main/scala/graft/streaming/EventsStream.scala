@@ -110,6 +110,57 @@ object EventsStream {
       .select("view_id", "click_id", "user_id")
   }
 
+  /** Streaming as-of join: the stateful twin of the batch
+    * `ev_asof_join` operator — each click is paired with the user's
+    * latest view at-or-before it. Per-user GroupState carries only
+    * (last event ts, latest view id, latest view ts): O(1) state per
+    * user regardless of stream length, versus the unbounded two-sided
+    * buffer a stream-stream join would need for an unbounded "any
+    * prior view" lookback. Same straggler rule as [[sessionizeStream]]:
+    * events older than the committed state are dropped (a late view
+    * cannot retroactively re-answer an already-emitted click); the
+    * batch twin over complete data is the reference semantics. */
+  final case class AsofState(lastTsNs: Long, viewId: Long, viewTsNs: Long)
+  final case class AsofOut(click_id: Long, user_id: Long,
+      view_id: Option[Long], gap_us: Option[Long])
+
+  def asofStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val NoView = Long.MinValue
+    events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[AsofState]) =>
+          // micro-batch arrival order is nondeterministic: sort by the
+          // batch twin's (ts, event_id) order — a view at the same ts
+          // as a click but a smaller id precedes it, exactly as batch
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(AsofState(Long.MinValue, NoView, 0L))
+          val out = evs.flatMap { case (eid, uid, ts, typ) =>
+            if (st.lastTsNs != Long.MinValue && ts < st.lastTsNs) None // late straggler
+            else {
+              st = st.copy(lastTsNs = ts)
+              typ match {
+                case "view" =>
+                  st = st.copy(viewId = eid, viewTsNs = ts); None
+                case "click" =>
+                  val hit = st.viewId != NoView
+                  Some(AsofOut(eid, uid,
+                    if (hit) Some(st.viewId) else None,
+                    if (hit) Some(ts / 1000 - st.viewTsNs / 1000) else None))
+                case _ => None
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("click_id", "user_id", "view_id", "gap_us")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

@@ -76,6 +76,52 @@ class EventJoinSpec extends AnyFunSuite {
     assert(got === Seq(Row(200L, 4L, 23.0))) // probe itself + ids 1, 2, 4
   }
 
+  test("as-of join matches a brute-force per-click scan on random events (seeded)") {
+    val rnd = new scala.util.Random(0xa50f)
+    val types = Array("view", "click", "purchase")
+    // deliberately coarse ts grid so same-(user, ts) collisions occur
+    // and the (ts, event_id) tie order is exercised
+    val evs = (1L to 600L).map { id =>
+      (id, (rnd.nextInt(40) * 25L) * us, rnd.nextInt(20).toLong + 1L,
+        types(rnd.nextInt(types.length)), 0.0)
+    }
+    val expected = evs.filter(_._4 == "click").sortBy(_._1).map { c =>
+      val prior = evs.filter(v => v._4 == "view" && v._3 == c._3 &&
+        (v._2 < c._2 || (v._2 == c._2 && v._1 < c._1)))
+      val best = if (prior.isEmpty) None else Some(prior.maxBy(v => (v._2, v._1)))
+      (c._1, best.map(_._1), best.map(v => c._2 / 1000 - v._2 / 1000))
+    }
+    val got = PipelineOps.queries("ev_asof_join")(spark, eventsDir(evs)).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._2.isEmpty) && expected.exists(_._2.nonEmpty),
+      "seeded frame must exercise both the matched and the no-prior-view branch")
+  }
+
+  test("asofStream (stateful streaming twin) matches the batch as-of join") {
+    import graft.streaming.EventsStream
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val expected = PipelineOps.queries("ev_asof_join")(spark, dir)
+      .collect().toSeq
+
+    val streamDir = java.nio.file.Files.createTempDirectory("asofstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val sin = spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+    val q = EventsStream.asofStream(spark, sin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("asof_out").orderBy("click_id").collect().toSeq
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("as-of join plans as a single window aggregation — no join operator") {
     val dir = eventsDir(Seq((10L, 100L * us, 1L, "view", 0.0),
       (11L, 200L * us, 1L, "click", 0.0)))
