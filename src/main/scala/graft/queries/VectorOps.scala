@@ -153,13 +153,12 @@ object VectorOps extends Serializable {
       // evaluation on the hot path)
       val e0 = emb(s, dir)
       val bucketed = e0.select(col("vec_id"), col("v"), col("norm"))
-        .as[(Long, Seq[Double], Double)]
+        .as[(Long, Array[Double], Double)]
         .mapPartitions { it =>
           val coef = Array.tabulate(planes, 64) { (p, d) =>
             (graft.functions.MinHash.splitmix64(p * 1000003L + d) % 1000L).toDouble
           }
-          it.map { case (id, v, norm) =>
-            val arr = v.toArray
+          it.map { case (id, arr, norm) =>
             var bucket = 0L
             var p = 0
             while (p < planes) {
@@ -176,7 +175,7 @@ object VectorOps extends Serializable {
               if (dot > 0.0) bucket |= 1L << p
               p += 1
             }
-            (id, v, norm, bucket)
+            (id, arr, norm, bucket)
           }
         }
       val e = bucketed.toDF("vec_id", "v", "norm", "bucket")
@@ -227,17 +226,15 @@ object VectorOps extends Serializable {
     val e0 = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     // per-vector band values in one JVM projection pass (planes × 64
     // quantized mul-adds; exact integer sums ⇒ deterministic signs).
-    // The table feeds BOTH the bucket explode and the hamming
-    // prefilter — localCheckpoint it so the projection runs once
-    // (n × ~1KB of blocks; the 100 TB form is "persist the signature
-    // table", same shape as the minhash pipeline).
-    val banded = e0.as[(Long, Seq[Double], Double)]
+    // Sole consumer is the bucket explode below (the hamming prefilter
+    // runs inside the bucket loop on these same band values), so no
+    // checkpoint is needed — the projection executes once per run.
+    val banded = e0.as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
         val coef = Array.tabulate(planes, 64) { (p, d) =>
           (graft.functions.MinHash.splitmix64(p * 1000003L + d) % 1000L).toDouble
         }
-        it.map { case (id, v, _) =>
-          val arr = v.toArray
+        it.map { case (id, arr, _) =>
           val bvals = new Array[Long](bands)
           var p = 0
           while (p < planes) {
@@ -254,13 +251,28 @@ object VectorOps extends Serializable {
         }
       }
       .toDF("vec_id", "bvals")
-      .localCheckpoint()
+    // sketch-hamming prefilter bound, applied INSIDE the bucket loop:
+    // for a pair at cosine s the per-plane flip probability is
+    // f = arccos(s)/π, so signature hamming is Binomial(planes, f) — a
+    // one-sided 5σ bound at the threshold can only drop pairs whose
+    // sketch says they are far below it (recall still pinned == exact
+    // by the spec), while pruning most surviving random candidates
+    // (mean planes/2) before any 64-dim row is materialized. At this
+    // recall-sized banding nearly every pair shares a band, so emitting
+    // the raw candidate set and re-joining signatures onto it would
+    // materialize ~all-pairs rows just to throw 85%+ away — matchRep
+    // already holds both members' band values (the sign signature,
+    // r bits per long), so the hamming test runs right there and only
+    // survivors ever become rows.
+    val fFlip = math.acos(minSim) / math.Pi
+    val hBound = math.ceil(planes * fFlip +
+      5.0 * math.sqrt(planes * fFlip * (1 - fFlip))).toInt
     // first-matching-band in-bucket candidate generation (same shape as
     // the text LSH: identical signatures expand directly in band 0, the
     // pairwise loop runs per distinct signature, capped). Emission is a
     // lazy iterator (LshBuckets.pairs) — no executor-side pair buffer.
     val kCap = graft.operators.LshBuckets.maxBucketGroups(s)
-    val cands = banded
+    val prefiltered = banded
       .select(col("vec_id"), col("bvals"), posexplode(col("bvals")).as(Seq("band", "bv")))
       .as[(Long, Array[Long], Int, Long)]
       .groupByKey(t => (t._3, t._4))
@@ -274,64 +286,32 @@ object VectorOps extends Serializable {
           matchRep = (sa, sb) => {
             var fb = 0
             while (sa(fb) != sb(fb)) fb += 1
-            if (fb == band) Some((ia, ib) => (ia, ib)) else None
+            if (fb != band) None
+            else {
+              // hamming over the per-band sign bits: each long holds r
+              // bits, so Σ popcount(xor) over bands ≡ hamming over the
+              // packed planes-bit signature
+              var ham = 0
+              var i = 0
+              while (i < sa.length && ham <= hBound) {
+                ham += java.lang.Long.bitCount(sa(i) ^ sb(i)); i += 1
+              }
+              if (ham <= hBound) Some((ia, ib) => (ia, ib)) else None
+            }
           },
           equalEmit = (ia, ib) => (ia, ib))
       }
       .toDF("ida", "idb")
-    // cheap sketch prefilter before the expensive vector attach: the
-    // band values ARE the packed sign signature, and for a pair at
-    // cosine s the per-plane flip probability is f = arccos(s)/π, so
-    // signature hamming is Binomial(planes, f) — a one-sided 5σ bound
-    // at the threshold can only drop pairs whose sketch says they are
-    // far below it (recall still pinned == exact by the spec), while
-    // pruning most surviving random candidates (mean planes/2) before
-    // any 64-dim row is materialized. Signatures are planes/8 bytes —
-    // at 100 TB this join is tiny next to the vector attach it gates.
-    val fFlip = math.acos(minSim) / math.Pi
-    val hBound = math.ceil(planes * fFlip +
-      5.0 * math.sqrt(planes * fFlip * (1 - fFlip))).toInt
-    // bit-pack the r-bit band values into 64-bit words (8 bytes per 64
-    // planes) so the prefilter join ships dense signatures, not one
-    // long per band
-    val kR = r
-    val packed = banded.as[(Long, Array[Long])]
-      .map { case (id, bv) =>
-        val words = new Array[Long]((bv.length * kR + 63) >> 6)
-        var i = 0
-        while (i < bv.length) {
-          val bitPos = i * kR
-          val w = bitPos >> 6
-          val off = bitPos & 63
-          words(w) |= bv(i) << off
-          if (off + kR > 64 && w + 1 < words.length) words(w + 1) |= bv(i) >>> (64 - off)
-          i += 1
-        }
-        (id, words)
-      }
-      .toDF("vec_id", "sig")
-    val sigA = packed.select(col("vec_id").as("ida"), col("sig").as("sa"))
-    val sigB = packed.select(col("vec_id").as("idb"), col("sig").as("sb"))
-    val prefiltered = cands.join(sigA, "ida").join(sigB, "idb")
-      .select(col("ida"), col("idb"), col("sa"), col("sb"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .flatMap { case (ida, idb, sa, sb) =>
-        var ham = 0
-        var i = 0
-        while (i < sa.length) { ham += java.lang.Long.bitCount(sa(i) ^ sb(i)); i += 1 }
-        if (ham <= hBound) Iterator.single((ida, idb)) else Iterator.empty
-      }
-      .toDF("ida", "idb")
     // exact verification: attach both vectors, quantized cosine in a
     // JVM kernel (bit-identical to the Column-expr `cosine` / the SQL
-    // oracle), threshold filter
+    // oracle), threshold filter. Array[Double] encoder: primitive
+    // deserialization, no per-element boxing on the verify hot path.
     val va = e0.select(col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
     val vb = e0.select(col("vec_id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
     prefiltered.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"), col("va"), col("na"), col("vb"), col("nb"))
-      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
-      .mapPartitions(_.map { case (ida, idb, a, na, b, nb) =>
-        val aa = a.toArray; val bb = b.toArray
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .mapPartitions(_.map { case (ida, idb, aa, na, bb, nb) =>
         var acc = 0.0
         var d = 0
         while (d < aa.length) { acc += r0(aa(d) * bb(d) * Q); d += 1 }
@@ -358,8 +338,8 @@ object VectorOps extends Serializable {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val cents: Array[(Long, Array[Double], Double)] =
       e.filter(col("vec_id") % centroidStep === 0)
-        .as[(Long, Seq[Double], Double)].collect()
-        .map { case (id, v, n) => (id, v.toArray, n) }.sortBy(_._1)
+        .as[(Long, Array[Double], Double)].collect()
+        .sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     val qids = QueryIds
 
@@ -382,10 +362,10 @@ object VectorOps extends Serializable {
 
     // one narrow pass over the corpus: nearest list per vector (ties →
     // lower cid, since cents is id-sorted and comparison is strict)
-    val assigned = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
+    val assigned = e.as[(Long, Array[Double], Double)].mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, v, norm) =>
-        val sims = centroidSims(v.toArray, norm, cs)
+        val sims = centroidSims(v, norm, cs)
         var best = 0
         var ci = 1
         while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
@@ -396,9 +376,9 @@ object VectorOps extends Serializable {
     // the query batch is small by definition (external queries) —
     // rank its probe lists on the driver, no second corpus pass
     val probes = e.filter(col("vec_id") < qids)
-      .as[(Long, Seq[Double], Double)].collect()
+      .as[(Long, Array[Double], Double)].collect()
       .flatMap { case (id, v, norm) =>
-        val sims = centroidSims(v.toArray, norm, cents)
+        val sims = centroidSims(v, norm, cents)
         cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
           .map(i => (id, v, norm, cents(i)._1))
       }.toSeq.toDF("query_id", "va", "na", "cid")
