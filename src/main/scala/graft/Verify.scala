@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 rejects it
-      // unless read as raw nanosecond longs (queries use `ts div 1e6` etc.)
+      // backward compat: a TIMESTAMP(NANOS) events.parquet (an earlier
+      // testdata generation) reads as raw ns longs, which EventTime.tsUs
+      // adapts; current timestamp[us] data is untouched by this conf
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -70,17 +70,17 @@ object PipelineOps {
     // resolve ties identically.
     "ev_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      // µs domain via the schema-adaptive adapter — the precision the
+      // oracle engine reads the parquet timestamps at (epoch_us)
+      ev.withColumn("ts_us", graft.streaming.EventTime.tsUs(ev))
         .withColumn("vid", when(col("event_type") === "view", col("event_id")))
-        .withColumn("vts", when(col("event_type") === "view", col("ts")))
+        .withColumn("vts", when(col("event_type") === "view", col("ts_us")))
         .withColumn("view_id", last(col("vid"), ignoreNulls = true).over(w))
         .withColumn("last_vts", last(col("vts"), ignoreNulls = true).over(w))
-        // µs resolution with per-value truncation: DuckDB reads the
-        // ns-precision parquet timestamps as µs TIMESTAMP, so an
-        // ns-resolution gap cannot be reproduced by the oracle
-        .withColumn("gap_us", expr("ts div 1000 - last_vts div 1000"))
+        .withColumn("gap_us", col("ts_us") - col("last_vts"))
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("view_id"), col("gap_us"))
@@ -99,12 +99,13 @@ object PipelineOps {
     // 100x. Overlap factor = window/bucket width + 1, a 2x row
     // expansion of the (small) probe side only.
     "ev_range_join" -> ((s, dir) => {
-      // µs domain throughout (ts div 1000): the oracle engine truncates
-      // the ns timestamps to µs, and mixing ns buckets with µs range
-      // predicates could miss an event within 1 µs of a bucket boundary
+      // µs domain throughout (EventTime.tsUs): the oracle engine reads
+      // the timestamps at µs precision, and mixing domains could miss
+      // an event within 1 µs of a bucket boundary
       val bucketUs = 3600L * 1000000L
       val winUs = 1800L * 1000000L
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", graft.streaming.EventTime.tsUs(ev0))
       val probes = ev.filter(col("event_id") % 200 === 0)
         .select(col("event_id").as("probe_id"), col("ts_us").as("start_us"),
           (col("ts_us") + winUs).as("end_us"))
@@ -294,18 +295,18 @@ object PipelineOps {
            AND doc_id NOT IN (SELECT dup_id FROM dups)
          ORDER BY doc_id""",
     "ev_window_agg" ->
-      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
                 event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""",
     "ev_sessionize" ->
       """WITH g AS (
            SELECT event_id, user_id, ts,
-                  epoch_ns(ts) - lag(epoch_ns(ts))
+                  epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
            FROM events),
          f AS (
            SELECT event_id, user_id, ts,
-                  CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END AS ns
+                  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS ns
            FROM g)
          SELECT event_id, user_id,
                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -316,8 +317,8 @@ object PipelineOps {
          FROM events v JOIN events c
            ON c.user_id = v.user_id
           AND v.event_type = 'view' AND c.event_type = 'click'
-          AND epoch_ns(c.ts) > epoch_ns(v.ts)
-          AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 3600000000000
+          AND epoch_us(c.ts) > epoch_us(v.ts)
+          AND epoch_us(c.ts) <= epoch_us(v.ts) + 3600000000
          ORDER BY view_id, click_id""",
     "ev_asof_join" ->
       """WITH u AS (

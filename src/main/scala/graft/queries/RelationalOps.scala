@@ -423,12 +423,14 @@ object RelationalOps {
         .orderBy("l_orderkey", "l_linenumber", "coord")),
 
     // R4 — timestamp scaling to epoch millis (reference primitives.py:163-167).
-    // ts arrives as raw nanosecond longs (see Verify session config);
+    // Schema-adaptive via EventTime.tsUs (ns BIGINT or TIMESTAMP(_NTZ));
     // integer `div` keeps full precision (a double would lose it at 1.7e18).
-    "r4_ts_epoch" -> ((s, dir) =>
-      t(s, dir, "events")
-        .select(col("event_id"), expr("ts div 1000000").as("ms"))
-        .orderBy("event_id")),
+    "r4_ts_epoch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"), graft.streaming.EventTime.tsUs(ev).as("us"))
+        .select(col("event_id"), expr("us div 1000").as("ms"))
+        .orderBy("event_id")
+    }),
 
     // R5 — JSON expansion (reference datasource.py:153-182): from_json on
     // the events props payload.

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * batch DataFrame (for the DuckDB oracle) and a readStream source
   * (proven in EventsStreamSpec with a memory sink).
   *
-  * `ts` arrives as raw nanosecond longs (see Verify session config).
+  * All event-time arithmetic is µs-domain via [[EventTime.tsUs]] —
+  * `ts` may arrive as ns BIGINT or TIMESTAMP(_NTZ) (schema drift armor).
   */
 object EventsStream {
 
@@ -18,7 +19,7 @@ object EventsStream {
     * match the oracle's epoch-bucket arithmetic exactly. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", timestamp_micros(EventTime.tsUs(events)))
       .withWatermark("ts_ts", "10 minutes")
       .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -30,14 +31,15 @@ object EventsStream {
     * counterpart of [[sessionize]] (same gap rule). Use with
     * `ds.groupByKey(_.user_id).flatMapGroupsWithState(...)` — see
     * [[sessionizeStream]]. */
-  final case class SessionState(lastTsNs: Long, sessionId: Long)
+  final case class SessionState(lastTsUs: Long, sessionId: Long)
   final case class SessionOut(event_id: Long, user_id: Long, session_id: Long)
 
   def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapNs = 30L * 60 * 1000000000L
-    events.select(col("event_id"), col("user_id"), col("ts"))
+    val gapUs = 30L * 60 * 1000000L
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"))
       .as[(Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -50,9 +52,9 @@ object EventsStream {
           val evs = it.toArray.sortBy(e => (e._3, e._1))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L))
           val out = evs.flatMap { case (eid, uid, ts) =>
-            if (st.lastTsNs != Long.MinValue && ts < st.lastTsNs) None // late straggler
+            if (st.lastTsUs != Long.MinValue && ts < st.lastTsUs) None // late straggler
             else {
-              val sid = if (st.lastTsNs == Long.MinValue || ts - st.lastTsNs > gapNs)
+              val sid = if (st.lastTsUs == Long.MinValue || ts - st.lastTsUs > gapUs)
                 st.sessionId + 1 else st.sessionId
               st = SessionState(ts, sid)
               Some(SessionOut(eid, uid, sid))
@@ -75,7 +77,7 @@ object EventsStream {
     * equality + membership rather than exact row identity. */
   def dedupStream(events: DataFrame): DataFrame =
     events
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", timestamp_micros(EventTime.tsUs(events)))
       .withWatermark("ts_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("event_id", "user_id", "event_type")
@@ -89,24 +91,25 @@ object EventsStream {
     * ev_view_click_join). */
   def viewClickJoin(events: DataFrame): DataFrame = {
     val base = events
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", EventTime.tsUs(events))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
     val views = base.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        col("ts").as("view_ts"), col("ts_ts").as("view_time"))
+        col("ts_us").as("view_us"), col("ts_ts").as("view_time"))
       .withWatermark("view_time", "10 minutes")
     val clicks = base.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-        col("ts").as("click_ts"), col("ts_ts").as("click_time"))
+        col("ts_us").as("click_us"), col("ts_ts").as("click_time"))
       .withWatermark("click_time", "10 minutes")
-    // membership is decided by the exact nanosecond bounds; the
-    // micro-truncated time-column bounds are a superset (floor is
-    // monotone), present so the stream planner can evict join state
+    // membership is decided by the exact µs bounds; the time-column
+    // bounds are a (non-strict) superset, present so the stream
+    // planner can evict join state on both sides
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_time") >= col("view_time") &&
         col("click_time") <= col("view_time") + expr("INTERVAL 1 HOUR") &&
-        col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + lit(3600L * 1000000000L))
+        col("click_us") > col("view_us") &&
+        col("click_us") <= col("view_us") + lit(3600L * 1000000L))
       .select("view_id", "click_id", "user_id")
   }
 
@@ -120,7 +123,7 @@ object EventsStream {
     * events older than the committed state are dropped (a late view
     * cannot retroactively re-answer an already-emitted click); the
     * batch twin over complete data is the reference semantics. */
-  final case class AsofState(lastTsNs: Long, viewId: Long, viewTsNs: Long)
+  final case class AsofState(lastTsUs: Long, viewId: Long, viewTsUs: Long)
   final case class AsofOut(click_id: Long, user_id: Long,
       view_id: Option[Long], gap_us: Option[Long])
 
@@ -128,7 +131,8 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val NoView = Long.MinValue
-    events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -140,17 +144,17 @@ object EventsStream {
           val evs = it.toArray.sortBy(e => (e._3, e._1))
           var st = state.getOption.getOrElse(AsofState(Long.MinValue, NoView, 0L))
           val out = evs.flatMap { case (eid, uid, ts, typ) =>
-            if (st.lastTsNs != Long.MinValue && ts < st.lastTsNs) None // late straggler
+            if (st.lastTsUs != Long.MinValue && ts < st.lastTsUs) None // late straggler
             else {
-              st = st.copy(lastTsNs = ts)
+              st = st.copy(lastTsUs = ts)
               typ match {
                 case "view" =>
-                  st = st.copy(viewId = eid, viewTsNs = ts); None
+                  st = st.copy(viewId = eid, viewTsUs = ts); None
                 case "click" =>
                   val hit = st.viewId != NoView
                   Some(AsofOut(eid, uid,
                     if (hit) Some(st.viewId) else None,
-                    if (hit) Some(ts / 1000 - st.viewTsNs / 1000) else None))
+                    if (hit) Some(ts - st.viewTsUs) else None))
                 case _ => None
               }
             }
@@ -166,13 +170,14 @@ object EventsStream {
     * is the stateful streaming counterpart). */
   def sessionize(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapNs = 30L * 60 * 1000000000L
+    val gapUs = 30L * 60 * 1000000L
     events
-      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("ts_us", EventTime.tsUs(events))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .withColumn("new_session",
-        when(col("gap").isNull || col("gap") > gapNs, 1).otherwise(0))
+        when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(cum) - 1)
       .select("event_id", "user_id", "session_id")
   }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+import graft.queries.PipelineOps
+
+/** The schema-drift armor demanded by the round-8 post-mortem: the SAME
+  * event set written in BOTH physical ts forms — raw nanosecond BIGINT
+  * and parquet timestamp[us] (Spark TIMESTAMP_NTZ) — must produce
+  * byte-identical results from every event-time operator. A regression
+  * to either hard-coded form goes red here, not in the driver's
+  * post-round verify. */
+class EventTimeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val min = 60L * 1000000000L // 1 min in ns
+
+  /** One fixture, two physical schemas. Rows: (event_id, ts_ns, user_id,
+    * event_type, value, props). */
+  private lazy val (nsDir, tsDir): (String, String) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xe7b1)
+    val types = Array("view", "click", "purchase")
+    val rows = (1L to 400L).map { id =>
+      (id, rnd.nextInt(6000) * min / 100, rnd.nextInt(12).toLong + 1L,
+        types(rnd.nextInt(types.length)), rnd.nextInt(100) / 10.0, """{"k":1}""")
+    } :+ (0L, 1800L * 1000000000L, 99L, "view", 0.0, "{}") // %200 probe
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("evtime").toString
+    df.write.parquet(s"$base/ns/events.parquet")
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .write.parquet(s"$base/ts/events.parquet")
+    (s"$base/ns", s"$base/ts")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("fixture really carries the two physical schemas") {
+    import org.apache.spark.sql.types._
+    assert(spark.read.parquet(s"$nsDir/events.parquet").schema("ts").dataType === LongType)
+    assert(spark.read.parquet(s"$tsDir/events.parquet").schema("ts").dataType === TimestampNTZType)
+  }
+
+  test("every event-time query is schema-invariant (ns BIGINT == timestamp[us])") {
+    val names = Seq("ev_window_agg", "ev_sessionize", "ev_view_click_join",
+      "ev_asof_join", "ev_range_join", "ev_dedup_first")
+    names.foreach { n =>
+      val a = rows(PipelineOps.queries(n)(spark, nsDir))
+      val b = rows(PipelineOps.queries(n)(spark, tsDir))
+      assert(a.nonEmpty, s"$n: degenerate fixture")
+      assert(a === b, s"$n differs between ts schemas")
+    }
+    // r4_ts_epoch lives in RelationalOps
+    val a = rows(graft.queries.RelationalOps.queries("r4_ts_epoch")(spark, nsDir))
+    val b = rows(graft.queries.RelationalOps.queries("r4_ts_epoch")(spark, tsDir))
+    assert(a.nonEmpty && a === b, "r4_ts_epoch differs between ts schemas")
+  }
+
+  test("streaming twins consume the adapter under the timestamp schema") {
+    val events = spark.read.parquet(s"$tsDir/events.parquet")
+    val sess = EventsStream.sessionizeStream(spark, events)
+      .orderBy("user_id", "event_id")
+    val batch = EventsStream.sessionize(events).orderBy("user_id", "event_id")
+    // batch-mode flatMapGroupsWithState sees each group once, so the
+    // stateful twin must agree with the window-based batch form exactly
+    assert(rows(sess) === rows(batch))
+  }
+
+  test("adapter rejects an unsupported ts type loudly") {
+    import spark.implicits._
+    val bad = Seq(("x", 1)).toDF("ts", "v")
+    val e = intercept[IllegalArgumentException](EventTime.tsUs(bad))
+    assert(e.getMessage.contains("unsupported event-time type"))
+  }
+}
