@@ -70,24 +70,76 @@ object Bench {
     *  2. else the newest harness `BENCH_r*.json`, but ONLY via the
     *     explicit `"queries":{` marker (see [[wallBlock]] for why the
     *     old free-regex fallback is gone).
-    * Empty on round 1 / outside the repo checkout. */
+    * Empty on round 1 / outside the repo checkout. "Newest" sorts by
+    * the extracted round NUMBER, not the file name: lexicographically
+    * "bench_r9.json" > "bench_r10.json", so a name sort would have
+    * frozen `prev` at round 9 forever once double-digit rounds exist.
+    * The re-run record bench_r8_rerun.json deliberately does not match
+    * the pattern — `prev` always cites the round-close record. */
   private[graft] def prevRound(
       benchDir: String = "/root/repo/bench",
       repoDir: String = "/root/repo"): Map[String, Double] = {
     def read(f: java.io.File): String =
       scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
-    def newest(dir: String, pat: String): Option[java.io.File] =
+    def newest(dir: String, pat: scala.util.matching.Regex): Option[java.io.File] =
       Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches(pat)).sortBy(_.getName).lastOption
-    val committed = newest(benchDir, "bench_r\\d+\\.json")
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+        .sortBy(_._1).lastOption.map(_._2)
+    val committed = newest(benchDir, "^bench_r(\\d+)\\.json$".r)
       .map(f => wallBlock(read(f))).getOrElse(Nil)
     val fromHarness =
       if (committed.nonEmpty) Nil
-      else newest(repoDir, "BENCH_r\\d+\\.json")
+      else newest(repoDir, "^BENCH_r(\\d+)\\.json$".r)
         .map(f => wallBlock(read(f).replace("\\\"", "\""))).getOrElse(Nil)
     (if (committed.nonEmpty) committed else fromHarness).toMap
   }
+
+  /** One timed repetition: wall/CPU seconds, the 1-min system load
+    * sampled immediately before it started, the row count, and whether
+    * the query thunk threw. A failed rep keeps its wall time (the cost
+    * of reaching the error) but is excluded from every min below. */
+  final case class Rep(wall: Double, cpu: Double, load: Double,
+      rows: Long, failed: Boolean)
+
+  final case class QRes(name: String, wall: Double, cpu: Double,
+      load: Double, rows: Long, reps: Seq[Rep])
+
+  /** Run `thunk` `nReps` times and fold to min-of-successful-reps.
+    * Failure accounting is by construction contradiction-free (VERDICT
+    * r9 task 4): the -1.0 wall/cpu sentinel appears IFF every rep
+    * failed, and each rep carries its own `failed` bit, so the `reps`
+    * array in the artifact can never disagree with the headline number
+    * the way BENCH_r08's did. */
+  private[graft] def measure(name: String, nReps: Int,
+      loadFn: () => Double, cpuNanosFn: () => Long,
+      thunk: () => Long): QRes = {
+    val reps = (1 to nReps).map { _ =>
+      val load = loadFn()
+      val c0 = cpuNanosFn()
+      val t0 = System.nanoTime()
+      val (rows, failed) =
+        try (thunk(), false) catch { case _: Throwable => (-1L, true) }
+      val c1 = cpuNanosFn()
+      val cpuS = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+      Rep((System.nanoTime() - t0) / 1e9, cpuS, load, rows, failed)
+    }
+    val ok = reps.filterNot(_.failed)
+    QRes(name,
+      if (ok.nonEmpty) ok.map(_.wall).min else -1.0,
+      if (ok.nonEmpty) ok.map(_.cpu).min else -1.0,
+      if (reps.nonEmpty) reps.head.load else -1.0,
+      if (ok.nonEmpty) ok.head.rows else -1L,
+      reps)
+  }
+
+  /** Per-rep artifact entries: `[wall,cpu,load]` for a successful rep,
+    * the literal string `"FAIL"` for a failed one. */
+  private[graft] def repsJson(reps: Seq[Rep]): String =
+    reps.map { r =>
+      if (r.failed) "\"FAIL\""
+      else f"[${r.wall}%.3f,${r.cpu}%.2f,${r.load}%.2f]"
+    }.mkString("[", ",", "]")
 
   /** Current round number, derived from the newest harness BENCH file
     * (BENCH_r07.json present => this run is round 8). Falls back to 0
@@ -144,49 +196,35 @@ object Bench {
     }
     def procCpuNanos(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
     def loadAvg(): Double = baseBean.getSystemLoadAverage
-    final case class QRes(name: String, wall: Double, cpu: Double,
-        load: Double, reps: Seq[(Double, Double)])
-    // two timed reps, report the min: single-shot numbers swing ±2x
-    // from GC/codegen/scheduler jitter in a 35-query sequence; the min
-    // is the steady-state latency the plan actually supports. The
+    // three timed reps for EVERY row, report the min: single-shot
+    // numbers swing ±2x from GC/codegen/scheduler jitter, and the
     // heavy per-way-walk probes JIT across the first TWO executions
     // (r7's "96 CPU-s" osm_big_buildings was min-of-2 catching the
     // warmup rep of a ~20 CPU-s steady state; isolated reps ran
-    // 90 → 24 → 21 → 20), so osm_big_* get a third rep.
+    // 90 → 24 → 21 → 20). Round 8 gave osm_big_* a third rep; round 9
+    // proved 2 reps is still warmup-blind elsewhere (g10_topo_segments
+    // min-of-2 read 6.68s vs 1.54s quiet-host steady state — first-rep
+    // CPU was 6x steady state), so the 3-rep treatment is now uniform.
+    // Per-rep load lands in the reps array so a contended reading
+    // self-identifies from the artifact alone.
     val results = headline.filter(qs.contains).map { name =>
-      val load0 = loadAvg()
-      val nReps = if (name.startsWith("osm_big_")) 3 else 2
-      val reps = (1 to nReps).map { _ =>
-        val c0 = procCpuNanos()
-        val t0 = System.nanoTime()
-        val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val c1 = procCpuNanos()
-        val cpuS = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
-        ((System.nanoTime() - t0) / 1e9, cpuS, n)
-      }
-      // a failed rep's fast error path must not pollute the min; if no
-      // rep succeeded, emit a -1.0 sentinel so a failure can never
-      // masquerade as a fast measurement in the benchmark JSON
-      val ok = reps.filter(_._3 >= 0)
-      val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
-      val cpu = if (ok.nonEmpty) ok.map(_._2).min else -1.0
-      val rows = if (ok.nonEmpty) ok.head._3 else -1L
+      val r = measure(name, 3, loadAvg _, procCpuNanos _,
+        () => qs(name)(spark, sfDir).count())
       System.err.println(
-        f"[bench] $name%-24s $dt%8.2fs cpu=$cpu%8.2fs load=$load0%5.1f rows=$rows")
+        f"[bench] $name%-24s ${r.wall}%8.2fs cpu=${r.cpu}%8.2fs load=${r.load}%5.1f rows=${r.rows}")
       // drop blocks a query persisted/checkpointed (cluster-cc rounds,
       // pipeline dup-id sets): lingering blocks from one query must not
       // pollute a later query's measurement in this 40-query JVM
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      QRes(name, dt, cpu, load0, reps.map(r => (r._1, r._2)))
+      r
     }
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qjson = jmap(results.map(r => r.name -> f"${r.wall}%.3f"))
     val cjson = jmap(results.map(r => r.name -> f"${r.cpu}%.2f"))
     val ljson = jmap(results.map(r => r.name -> f"${r.load}%.2f"))
-    val rjson = jmap(results.map(r => r.name ->
-      r.reps.map(p => f"[${p._1}%.3f,${p._2}%.2f]").mkString("[", ",", "]")))
+    val rjson = jmap(results.map(r => r.name -> repsJson(r.reps)))
     val total = results.map(_.wall).sum
     val loadMax = if (results.nonEmpty) results.map(_.load).max else -1.0
     // per-query times from the previous round's BENCH json, so a round

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pins Bench's failure accounting (VERDICT r9 task 4): a rep that
+  * errors writes an explicit "FAIL" marker into the reps array, so the
+  * -1.0 headline sentinel and the reps array can never contradict each
+  * other the way BENCH_r08's did (sentinel wall alongside
+  * ordinary-looking rep pairs). Also pins the numeric newest-round
+  * sort that keeps `prev` correct past round 9. */
+class BenchMeasureSpec extends AnyFunSuite {
+
+  private val noLoad = () => 1.5
+  private val noCpu = () => -1L
+
+  test("all reps failing yields the -1.0 sentinel and all-FAIL markers") {
+    val r = Bench.measure("boom", 3, noLoad, noCpu,
+      () => throw new RuntimeException("deliberate bench failure"))
+    assert(r.wall === -1.0 && r.cpu === -1.0 && r.rows === -1L)
+    assert(r.reps.size === 3 && r.reps.forall(_.failed))
+    assert(Bench.repsJson(r.reps) === "[\"FAIL\",\"FAIL\",\"FAIL\"]")
+  }
+
+  test("a single failed rep is excluded from the min but marked in the artifact") {
+    var call = 0
+    val r = Bench.measure("flaky", 3, noLoad, noCpu, () => {
+      call += 1
+      if (call == 2) throw new RuntimeException("deliberate bench failure")
+      42L
+    })
+    assert(r.wall >= 0.0 && r.rows === 42L)
+    assert(r.reps.map(_.failed) === Seq(false, true, false))
+    val json = Bench.repsJson(r.reps)
+    // middle entry is the FAIL marker; outer entries are [wall,cpu,load]
+    assert(json.split(",\"FAIL\",").length === 2, json)
+    assert(json.contains("1.50"), s"per-rep load missing from $json")
+  }
+
+  test("sentinel iff all reps failed (no partial-failure sentinel)") {
+    val ok = Bench.measure("fine", 2, noLoad, noCpu, () => 7L)
+    assert(ok.wall >= 0.0 && ok.reps.forall(!_.failed))
+    assert(!Bench.repsJson(ok.reps).contains("FAIL"))
+  }
+
+  test("prevRound picks bench_r10 over bench_r9 (numeric, not name, sort)") {
+    val bench = Files.createTempDirectory("graft_bench_num").toFile
+    val repo = Files.createTempDirectory("graft_repo_num").toFile
+    def write(name: String, txt: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(bench, name), "UTF-8")
+      try w.print(txt) finally w.close()
+    }
+    write("bench_r9.json", """{"queries":{"q1_agg":9.000}}""")
+    write("bench_r10.json", """{"queries":{"q1_agg":10.000}}""")
+    // the re-run record must not shadow the round-close record
+    write("bench_r8_rerun.json", """{"queries":{"q1_agg":8.000}}""")
+    assert(Bench.prevRound(bench.getPath, repo.getPath) === Map("q1_agg" -> 10.0))
+  }
+}
