@@ -28,13 +28,16 @@ object PipelineOps {
         .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
       // shared LSH stage, unsorted (the standalone query's output sort
       // would cost an extra full execution for range-bound sampling
-      // here); the dup-id set is tiny → eagerly localCheckpoint it so
-      // the signature+bucket+verify pipeline executes exactly once and
-      // the anti-join plans against materialized blocks (at 100 TB this
-      // is "persist the signature/pair table", same shape)
+      // here); the dup-id set is tiny → localCheckpoint it LAZILY so
+      // the signature+bucket+verify pipeline executes exactly once, at
+      // first action, and the anti-join reuses the materialized blocks
+      // (at 100 TB this is "persist the signature/pair table", same
+      // shape). Lazy, not eager: building this DataFrame must not run
+      // the LSH job — SchemaDriftSpec analyzes every query without
+      // executing it (ADVICE r9).
       val dupIds = TextOps.minhashNearDupPairs(s, dir)
         .select(col("idb").as("dup_id")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       quality.join(dupIds, quality("doc_id") === dupIds("dup_id"), "left_anti")
         .select("doc_id", "n_tokens", "lang")
         .orderBy("doc_id")
@@ -123,11 +126,16 @@ object PipelineOps {
 
     // dedup-on-ingest, batch form: first event (by event time) per
     // (user_id, event_type); EventsStream.dedupStream is the
-    // state-store streaming twin (EventsStreamSpec)
+    // state-store streaming twin (EventsStreamSpec). Ordering is
+    // µs-domain (ts_us, event_id) like every other event-time window
+    // in this family — one ordering domain across both engines, so
+    // sub-µs timestamp ties (legacy ns fixtures) cannot tie-break
+    // differently between Spark and the oracle (ADVICE r9).
     "ev_dedup_first" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-      t(s, dir, "events")
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val ev = t(s, dir, "events")
+      ev.withColumn("ts_us", graft.streaming.EventTime.tsUs(ev))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("user_id", "event_type", "event_id")
@@ -302,14 +310,14 @@ object PipelineOps {
       """WITH g AS (
            SELECT event_id, user_id, ts,
                   epoch_us(ts) - lag(epoch_us(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
            FROM events),
          f AS (
            SELECT event_id, user_id, ts,
                   CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS ns
            FROM g)
          SELECT event_id, user_id,
-                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
          FROM f ORDER BY user_id, event_id""",
     "ev_view_click_join" ->
@@ -329,10 +337,10 @@ object PipelineOps {
          w AS (
            SELECT event_id, user_id, event_type,
                   last_value(vid IGNORE NULLS) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
                   epoch_us(ts) - last_value(vts IGNORE NULLS) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_us
            FROM u)
          SELECT event_id AS click_id, user_id, view_id, gap_us
@@ -349,7 +357,7 @@ object PipelineOps {
       """SELECT user_id, event_type, event_id FROM (
            SELECT user_id, event_type, event_id,
                   row_number() OVER (PARTITION BY user_id, event_type
-                                     ORDER BY ts, event_id) AS rk
+                                     ORDER BY epoch_us(ts), event_id) AS rk
            FROM events) t
          WHERE rk = 1 ORDER BY user_id, event_type""",
     "mm_features" ->

@@ -69,6 +69,16 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows(sess) === rows(batch))
   }
 
+  test("ns longs truncate toward zero at non-µs-aligned values") {
+    import spark.implicits._
+    // every fixture ts above is a 600ms multiple, so the ns branch's
+    // `div 1000` is never exercised on a non-aligned value there; pin
+    // the truncation (floor on the positive epoch domain) directly
+    val df = Seq(1234567L, 999L, 1000L, 1001L, 0L).toDF("ts")
+    val got = df.select(EventTime.tsUs(df).as("us")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1234L, 0L, 1L, 1L, 0L))
+  }
+
   test("adapter rejects an unsupported ts type loudly") {
     import spark.implicits._
     val bad = Seq(("x", 1)).toDF("ts", "v")
