@@ -7,19 +7,22 @@ import graft.sources.SparkTestSession
 import graft.queries.PipelineOps
 
 /** The schema-drift armor demanded by the round-8 post-mortem: the SAME
-  * event set written in BOTH physical ts forms — raw nanosecond BIGINT
-  * and parquet timestamp[us] (Spark TIMESTAMP_NTZ) — must produce
+  * event set written in ALL THREE physical ts forms — raw nanosecond
+  * BIGINT, parquet timestamp[us] (Spark TIMESTAMP_NTZ), and tz-aware
+  * parquet timestamp[us, tz=UTC] (Spark TIMESTAMP) — must produce
   * byte-identical results from every event-time operator. A regression
-  * to either hard-coded form goes red here, not in the driver's
-  * post-round verify. */
+  * to any hard-coded form goes red here, not in the driver's
+  * post-round verify. No shipped testdata generation has ever carried
+  * the tz-aware form, so this fixture is the only full-query-path
+  * exercise of EventTime.tsUs's TimestampType arm (VERDICT r9 task 5). */
 class EventTimeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private val min = 60L * 1000000000L // 1 min in ns
 
-  /** One fixture, two physical schemas. Rows: (event_id, ts_ns, user_id,
-    * event_type, value, props). */
-  private lazy val (nsDir, tsDir): (String, String) = {
+  /** One fixture, three physical schemas. Rows: (event_id, ts_ns,
+    * user_id, event_type, value, props). */
+  private lazy val (nsDir, tsDir, tzDir): (String, String, String) = {
     import spark.implicits._
     val rnd = new scala.util.Random(0xe7b1)
     val types = Array("view", "click", "purchase")
@@ -32,41 +35,52 @@ class EventTimeSpec extends AnyFunSuite {
     df.write.parquet(s"$base/ns/events.parquet")
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       .write.parquet(s"$base/ts/events.parquet")
-    (s"$base/ns", s"$base/ts")
+    // tz-aware TIMESTAMP: parquet timestamp[us] with isAdjustedToUTC;
+    // sessions run in UTC so the underlying micros are identical
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.parquet(s"$base/tz/events.parquet")
+    (s"$base/ns", s"$base/ts", s"$base/tz")
   }
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
 
-  test("fixture really carries the two physical schemas") {
+  test("fixture really carries the three physical schemas") {
     import org.apache.spark.sql.types._
     assert(spark.read.parquet(s"$nsDir/events.parquet").schema("ts").dataType === LongType)
     assert(spark.read.parquet(s"$tsDir/events.parquet").schema("ts").dataType === TimestampNTZType)
+    assert(spark.read.parquet(s"$tzDir/events.parquet").schema("ts").dataType === TimestampType)
   }
 
-  test("every event-time query is schema-invariant (ns BIGINT == timestamp[us])") {
+  test("every event-time query is schema-invariant (ns BIGINT == timestamp[us] == timestamp[us,tz=UTC])") {
     val names = Seq("ev_window_agg", "ev_sessionize", "ev_view_click_join",
       "ev_asof_join", "ev_range_join", "ev_dedup_first")
     names.foreach { n =>
       val a = rows(PipelineOps.queries(n)(spark, nsDir))
       val b = rows(PipelineOps.queries(n)(spark, tsDir))
+      val c = rows(PipelineOps.queries(n)(spark, tzDir))
       assert(a.nonEmpty, s"$n: degenerate fixture")
-      assert(a === b, s"$n differs between ts schemas")
+      assert(a === b, s"$n differs between ns and ntz schemas")
+      assert(a === c, s"$n differs between ns and tz-aware schemas")
     }
     // r4_ts_epoch lives in RelationalOps
     val a = rows(graft.queries.RelationalOps.queries("r4_ts_epoch")(spark, nsDir))
     val b = rows(graft.queries.RelationalOps.queries("r4_ts_epoch")(spark, tsDir))
-    assert(a.nonEmpty && a === b, "r4_ts_epoch differs between ts schemas")
+    val c = rows(graft.queries.RelationalOps.queries("r4_ts_epoch")(spark, tzDir))
+    assert(a.nonEmpty && a === b, "r4_ts_epoch differs between ns and ntz schemas")
+    assert(a === c, "r4_ts_epoch differs between ns and tz-aware schemas")
   }
 
-  test("streaming twins consume the adapter under the timestamp schema") {
-    val events = spark.read.parquet(s"$tsDir/events.parquet")
-    val sess = EventsStream.sessionizeStream(spark, events)
-      .orderBy("user_id", "event_id")
-    val batch = EventsStream.sessionize(events).orderBy("user_id", "event_id")
-    // batch-mode flatMapGroupsWithState sees each group once, so the
-    // stateful twin must agree with the window-based batch form exactly
-    assert(rows(sess) === rows(batch))
+  test("streaming twins consume the adapter under both timestamp schemas") {
+    Seq(tsDir, tzDir).foreach { dir =>
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      val sess = EventsStream.sessionizeStream(spark, events)
+        .orderBy("user_id", "event_id")
+      val batch = EventsStream.sessionize(events).orderBy("user_id", "event_id")
+      // batch-mode flatMapGroupsWithState sees each group once, so the
+      // stateful twin must agree with the window-based batch form exactly
+      assert(rows(sess) === rows(batch), s"twin mismatch under $dir")
+    }
   }
 
   test("ns longs truncate toward zero at non-µs-aligned values") {
