@@ -143,8 +143,9 @@ object Bench {
 
   /** Current round number, derived from the newest harness BENCH file
     * (BENCH_r07.json present => this run is round 8). Falls back to 0
-    * outside the repo checkout. */
-  private def roundNumber: Int = {
+    * outside the repo checkout. Shared with ScaleProbe so the committed
+    * scale artifact carries the same round stamp as the bench record. */
+  private[graft] def roundNumber: Int = {
     Option(new java.io.File("/root/repo").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)

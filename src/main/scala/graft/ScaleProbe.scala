@@ -89,6 +89,7 @@ object ScaleProbe {
     } finally in.close()
   }
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -134,6 +135,16 @@ object ScaleProbe {
       }
       (r1.get, best)
     }
+
+    // process CPU-seconds across the whole probe (same doctrine as
+    // Bench: on a contended host wall swings with steal while CPU of
+    // actual work stays comparable)
+    val cpuBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuNanos(): Long = cpuBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    val cpu0 = cpuNanos()
 
     val f = new graft.osm.OsmFile(spark, path)
     val (info, tInfo) = timed(f.info())
@@ -181,8 +192,26 @@ object ScaleProbe {
     // geometry cache + POIs + topology + buildings) as ONE tracked
     // number, consumed by the README scale table (VERDICT r7 task 7)
     val parityTotal = tInfo + tGeo + tPois + tTopo + tBldg
+    val cpuTotal = if (cpu0 < 0) -1.0 else (cpuNanos() - cpu0) / 1e9
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
-    println(f"""{"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"parity_total_s":$parityTotal%.1f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_buildings_s":$tBldgM%.1f,"mf_results_match":$mfMatch}""")
+    val line = f"""{"round":${Bench.roundNumber},"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"parity_total_s":$parityTotal%.1f,"cpu_total_s":$cpuTotal%.1f,"load":$load%.2f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_buildings_s":$tBldgM%.1f,"mf_results_match":$mfMatch}"""
+    println(line)
+    // committed per-round artifact (VERDICT r9 task 3): scale tracking
+    // must not depend on README prose diffs or the stdout window —
+    // bench/scale_r{N}.json is the durable record, same convention as
+    // bench_r{N}.json. mf_results_match IS the oracle-gate bit at this
+    // scale (single-file vs border-overlapping multi-file identity).
+    try {
+      val dir = new java.io.File("/root/repo/bench")
+      dir.mkdirs()
+      val out = new java.io.File(dir, s"scale_r${Bench.roundNumber}.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[scaleprobe] record written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[scaleprobe] WARNING: could not write scale file: $e") }
     if (!mfMatch)
       System.err.println(s"[scaleprobe] MULTI-FILE MISMATCH: " +
         s"nodes ${infoM("nodes")} vs ${info("nodes")}, ways ${infoM("ways")} vs ${info("ways")}, " +
