@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+
+/** Adversarial micro-batch boundary armor for the stateful streaming
+  * twins (VERDICT r9 task 6). EventsStreamSpec proves batch/stream
+  * parity on the fixture's natural single-batch split; here the SAME
+  * events are re-chunked into randomized (seeded) micro-batch
+  * boundaries — cutting the time-ordered stream at arbitrary points,
+  * including a cut that splits a view from the click it must answer —
+  * and the asofStream / sessionizeStream outputs must be invariant:
+  * byte-equal to the batch twins no matter where the boundaries fall,
+  * because GroupState carries exactly the information a boundary can
+  * sever. A straggler older than committed state is separately pinned
+  * to the documented drop rule. Seeds are fixed constants below so a
+  * failure reproduces. */
+class MicroBatchSplitSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val fixtureDir = "/root/testdata/sf0.001"
+
+  /** Fixture rows in the twins' canonical (ts_us, event_id) order. */
+  private lazy val ordered: (Array[Row], org.apache.spark.sql.types.StructType) = {
+    val df = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val rows = df.withColumn("__us", EventTime.tsUs(df))
+      .orderBy("__us", "event_id").drop("__us").collect()
+    (rows, df.schema)
+  }
+
+  /** Feed `chunks` as successive micro-batches (one parquet file +
+    * processAllAvailable per chunk) through `twin`, return the sink. */
+  private def runChunked(name: String, chunks: Seq[Seq[Row]],
+      twin: DataFrame => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = ordered._2
+    val dir = java.nio.file.Files.createTempDirectory(s"mbs_$name").toString
+    val sin = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = twin(sin).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.asJava, schema)
+          .coalesce(1).write.parquet(s"$dir/b$i")
+        q.processAllAvailable()
+      }
+      spark.table(name)
+    } finally q.stop()
+  }
+
+  private def cutAt(rows: Array[Row], cuts: Seq[Int]): Seq[Seq[Row]] = {
+    val bounds = (0 +: cuts.distinct.sorted :+ rows.length).distinct
+    bounds.sliding(2).map { case Seq(a, b) => rows.slice(a, b).toSeq }.toSeq
+  }
+
+  private def sessRows(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def asofRows(df: DataFrame): Seq[String] =
+    df.orderBy("click_id").collect().map(_.toString).toSeq
+
+  test("seeded random micro-batch boundaries leave both stateful twins invariant") {
+    val (rows, _) = ordered
+    val batchDf = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val sessExpected = sessRows(EventsStream.sessionize(batchDf))
+    val asofExpected = asofRows(
+      graft.queries.PipelineOps.queries("ev_asof_join")(spark, fixtureDir)
+        .select(col("click_id"), col("user_id"), col("view_id"), col("gap_us")))
+    assert(sessExpected.nonEmpty && asofExpected.nonEmpty, "degenerate fixture")
+
+    Seq(0xA11CE, 0xBEEF5, 0x5EED0).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4) // 4-7 micro-batches
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1)))
+      val sess = sessRows(runChunked(s"mbs_sess_$seed", chunks,
+        df => EventsStream.sessionizeStream(spark, df)))
+      assert(sess === sessExpected, s"sessionizeStream not invariant under seed 0x${seed.toHexString}")
+      val asof = asofRows(runChunked(s"mbs_asof_$seed", chunks,
+        df => EventsStream.asofStream(spark, df)))
+      assert(asof === asofExpected, s"asofStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
+
+  test("a view and its answering click split across batches still join through state") {
+    val (rows, _) = ordered
+    // find a view whose user's NEXT event in stream order (not
+    // necessarily adjacent globally) is a click — then cut the stream
+    // immediately after the view, severing the pair across batches
+    val cut = rows.indices.find { i =>
+      val r = rows(i)
+      r.getAs[String]("event_type") == "view" && {
+        val uid = r.getAs[Long]("user_id")
+        rows.drop(i + 1).find(_.getAs[Long]("user_id") == uid)
+          .exists(_.getAs[String]("event_type") == "click")
+      }
+    }.map(_ + 1)
+    assume(cut.isDefined, "fixture carries no view->click sequence")
+    val viewRow = rows(cut.get - 1)
+    val viewId = viewRow.getAs[Long]("event_id")
+    val uid = viewRow.getAs[Long]("user_id")
+    val clickId = rows.drop(cut.get).find(r =>
+      r.getAs[Long]("user_id") == uid && r.getAs[String]("event_type") == "click")
+      .get.getAs[Long]("event_id")
+
+    val got = runChunked("mbs_split_pair", cutAt(rows, Seq(cut.get)),
+      df => EventsStream.asofStream(spark, df))
+      .filter(col("click_id") === clickId).collect()
+    assert(got.length === 1)
+    // the click's latest-view answer may be the severed view itself or
+    // a LATER view arriving between them — recompute from the prefix
+    val expectView = rows.slice(0, rows.indexWhere(
+        r => r.getAs[Long]("event_id") == clickId))
+      .filter(r => r.getAs[Long]("user_id") == uid &&
+        r.getAs[String]("event_type") == "view")
+      .last.getAs[Long]("event_id")
+    assert(got.head.getAs[Long]("view_id") === expectView,
+      s"cross-batch as-of lost the view committed before the boundary (view $viewId)")
+  }
+
+  test("a straggler older than committed state is dropped, everything else invariant") {
+    import scala.jdk.CollectionConverters._
+    val (rows, schema) = ordered
+    val batchDf = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val sessExpected = sessRows(EventsStream.sessionize(batchDf))
+    // pick a user with >= 2 distinct event times; the straggler clones
+    // the user's FIRST event with a fresh id — strictly older than the
+    // committed lastTs once every real event has been processed
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val (uid, uRows) = byUser.find(_._2.length >= 2).get
+    val stragglerId = rows.map(_.getAs[Long]("event_id")).max + 1000L
+    val straggler = Row.fromSeq(uRows.head.toSeq.updated(
+      schema.fieldIndex("event_id"), stragglerId))
+
+    val sess = runChunked("mbs_straggler",
+      Seq(rows.toSeq, Seq(straggler)),
+      df => EventsStream.sessionizeStream(spark, df))
+    assert(!sess.collect().exists(_.getLong(0) == stragglerId),
+      s"straggler $stragglerId (user $uid) leaked past committed state")
+    assert(sessRows(sess) === sessExpected,
+      "straggler processing disturbed the committed session assignment")
+  }
+}
