@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale probe of the simhash bucket-cap behavior (VERDICT r9
+  * task 2): 1M synthetic documents with boilerplate-heavy duplicate
+  * clusters sized to OVERFLOW the per-bucket distinct-signature cap
+  * (16 template clusters × 8192 docs vs the default cap of 4096 —
+  * every cluster's hot band buckets must sub-split), plus unique
+  * background docs. Runs the full text→simhash→banded-pairs path twice
+  * — default cap vs cap disabled — and compares the pair sets by count
+  * and order-independent checksum. With the recursive sub-splitting
+  * fix (graft.operators.SimHashBuckets) the two runs must be
+  * IDENTICAL: the cap engages (sub-split counter > 0) but no longer
+  * costs recall. Writes the committed artifact
+  * bench/simhash_probe_r{N}.json. */
+object SimhashCapProbe {
+
+  /** Deterministic 1M-doc corpus. Cluster docs share a 60-token
+    * template with 1-3 seeded token substitutions (fingerprints
+    * cluster within a few bits of the template's — the boilerplate
+    * shape); background docs are fully random. */
+  def corpus(spark: SparkSession, nDocs: Long, nClusters: Int,
+      clusterSize: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val boiler = nClusters.toLong * clusterSize
+    spark.range(0L, nDocs, 1L, 64).map { id =>
+      val sb = new java.lang.StringBuilder(512)
+      if (id < boiler) {
+        val c = (id / clusterSize).toInt
+        val tmpl = new scala.util.Random(0xB01L * (c + 1))
+        val toks = Array.fill(60)("t" + tmpl.nextInt(50000))
+        val rnd = new scala.util.Random(id * 2654435761L + 17)
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          toks(rnd.nextInt(60)) = "m" + rnd.nextInt(50000)
+        }
+        toks.foreach { t => if (sb.length > 0) sb.append(' '); sb.append(t) }
+      } else {
+        val rnd = new scala.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+        (0 until 60).foreach { i =>
+          if (i > 0) sb.append(' '); sb.append("u").append(rnd.nextInt(5000000))
+        }
+      }
+      (id, sb.toString)
+    }.toDF("doc_id", "text")
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "1000000").toLong
+    val nClusters = 16
+    val clusterSize = 8192
+    val d = corpus(spark, nDocs, nClusters, clusterSize)
+      .localCheckpoint() // one materialization; both runs read the same blocks
+
+    /** (pairs, checksum, wall_s) of the banded pair path under `cap`. */
+    def run(cap: String): (Long, java.math.BigDecimal, Double) = {
+      spark.conf.set("spark.graft.lsh.maxBucketGroups", cap)
+      try {
+        val t0 = System.nanoTime()
+        val row = graft.queries.TextOps.simhashPairs(d, 3)
+          .agg(count(lit(1)).as("n"),
+            // order-independent, overflow-proof set checksum
+            sum(xxhash64(col("ida"), col("idb"), col("hamming"))
+              .cast("decimal(38,0)")).as("chk"))
+          .head()
+        ((System.nanoTime() - t0) / 1e9, row) match {
+          case (w, r) => (r.getLong(0), r.getDecimal(1), w)
+        }
+      } finally spark.conf.unset("spark.graft.lsh.maxBucketGroups")
+    }
+
+    graft.operators.SimHashBuckets.subSplits.set(0L)
+    val (nCap, chkCap, wCap) = run(graft.operators.LshBuckets.DefaultMaxBucketGroups.toString)
+    val splitsCapped = graft.operators.SimHashBuckets.subSplits.get()
+    val (nUn, chkUn, wUn) = run("0")
+    val splitsTotal = graft.operators.SimHashBuckets.subSplits.get()
+
+    val matches = nCap == nUn && chkCap == chkUn
+    val line =
+      f"""{"round":${Bench.roundNumber},"n_docs":$nDocs,"clusters":$nClusters,"cluster_size":$clusterSize,"default_cap":${graft.operators.LshBuckets.DefaultMaxBucketGroups},"cap_engaged":${splitsCapped > 0},"sub_splits_capped":$splitsCapped,"sub_splits_uncapped":${splitsTotal - splitsCapped},"pairs_capped":$nCap,"pairs_uncapped":$nUn,"checksum_capped":$chkCap,"checksum_uncapped":$chkUn,"capped_equals_uncapped":$matches,"wall_capped_s":$wCap%.1f,"wall_uncapped_s":$wUn%.1f}"""
+    println(line)
+    try {
+      val dir = new java.io.File("/root/repo/bench")
+      dir.mkdirs()
+      val out = new java.io.File(dir, s"simhash_probe_r${Bench.roundNumber}.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[simhashprobe] record written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[simhashprobe] WARNING: could not write probe file: $e") }
+    if (!matches) {
+      System.err.println(s"[simhashprobe] MISMATCH: capped run lost pairs")
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+}

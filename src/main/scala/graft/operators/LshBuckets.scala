@@ -1,8 +1,11 @@
 package graft.operators
 
-/** Shared in-bucket LSH candidate generation used by the three banded
-  * near-dup paths (MinHash text LSH, SimHash banding, hyperplane vector
-  * LSH — TextOps / VectorOps).
+/** Shared in-bucket LSH candidate generation used by the banded
+  * near-dup paths whose guarantee is probabilistic (MinHash text LSH,
+  * hyperplane vector LSH — TextOps / VectorOps). The SimHash path,
+  * whose 4×16-bit pigeonhole guarantee is exact, uses
+  * [[SimHashBuckets]] instead: its overflowing buckets sub-split
+  * losslessly rather than engage this cap's skip.
   *
   * Members of one (band, bandValue) bucket are grouped by FULL
   * signature first: identical signatures are known matches and expand

@@ -49,15 +49,17 @@ object TextOps {
   /** SimHash pairs within `maxHamming` (< 4): banded candidate join +
     * exact xor-popcount check. CANDIDATE-complete by pigeonhole over
     * four 16-bit bands (a pair within hamming 3 always shares a band),
-    * but subject to the per-bucket distinct-signature cap
-    * ([[graft.operators.LshBuckets]]): a bucket with more than
-    * `spark.graft.lsh.maxBucketGroups` distinct fingerprints skips the
-    * overflow groups — and, because pairs are emitted only in their
-    * first matching band, a pair skipped there is not retried later.
-    * At corpus scale 16-bit bands give only 65536 buckets, so the cap
-    * WILL engage on huge corpora; raise it (or set ≤ 0 to disable) to
-    * trade compute for full recall — every overflow prints a stderr
-    * note. */
+    * and — unlike the MinHash path — EXACT even on overflowing
+    * buckets: 16-bit bands give only 65,536 buckets per band, so a
+    * boilerplate cluster larger than `spark.graft.lsh.maxBucketGroups`
+    * distinct fingerprints WILL overflow at corpus scale, and instead
+    * of skipping overflow groups (the old documented recall loss) the
+    * bucket is recursively SUB-SPLIT on the fingerprint's free bits
+    * ([[graft.operators.SimHashBuckets]]) — the same pigeonhole
+    * argument one level down, so capped output ≡ uncapped output with
+    * pairwise width ≤ cap² at every level. The committed
+    * bench/simhash_probe artifact (graft.SimhashCapProbe) pins the
+    * identity at 1M docs with the cap engaged. */
   private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole covers hamming <= 3")
     val s = d.sparkSession
@@ -70,10 +72,10 @@ object TextOps {
     // quadratic. Members are grouped by full fingerprint — equal
     // fingerprints (hamming 0) expand to pairs in band 0 only, the
     // pairwise hamming check runs over one representative per distinct
-    // fingerprint (capped), and a pair is emitted only in its first
-    // matching band, which also replaces the old cross-band
-    // `.distinct()` shuffle. Pair emission is a LAZY iterator
-    // (LshBuckets.pairs) — nothing pair-shaped is buffered.
+    // fingerprint (sub-split past the cap), and a pair is emitted only
+    // in its first matching band, which also replaces the old
+    // cross-band `.distinct()` shuffle. Pair emission is a LAZY
+    // iterator — nothing pair-shaped is buffered.
     val kMax = maxHamming
     val kCap = graft.operators.LshBuckets.maxBucketGroups(s)
     sh.select(col("doc_id"), col("simhash"),
@@ -81,21 +83,8 @@ object TextOps {
       .as[(Long, Long, Int, Long)]
       .groupByKey(r => (r._3, r._4))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
-        val band = key._1
         val members = it.map(r => (r._1, r._2)).toArray.sortBy(_._1)
-        graft.operators.LshBuckets.pairs[Long, (Long, Long, Int)](
-          band, members,
-          groupKey = java.lang.Long.valueOf(_),
-          cap = kCap, tag = "simhash",
-          matchRep = (ha, hb) => {
-            val ham = java.lang.Long.bitCount(ha ^ hb)
-            if (ham <= kMax) {
-              var fb = 0
-              while (((ha >>> (fb * 16)) & 0xFFFFL) != ((hb >>> (fb * 16)) & 0xFFFFL)) fb += 1
-              if (fb == band) Some((ia, ib) => (ia, ib, ham)) else None
-            } else None
-          },
-          equalEmit = (ia, ib) => (ia, ib, 0))
+        graft.operators.SimHashBuckets.pairs(key._1, members, kMax, kCap)
       }
       .toDF("ida", "idb", "hamming")
       .orderBy("ida", "idb")
@@ -193,9 +182,10 @@ object TextOps {
   /** Default cap on DISTINCT signatures compared pairwise within one
     * LSH band bucket — see [[graft.operators.LshBuckets]] for the full
     * cap semantics (configurable via `spark.graft.lsh.maxBucketGroups`,
-    * deterministic overflow skip by ascending min doc id, stderr note,
-    * and the documented recall-loss mode when combined with
-    * first-matching-band emission). */
+    * deterministic overflow skip by ascending min doc id, stderr note;
+    * the recall-loss overflow mode applies only to the probabilistic
+    * MinHash/vector paths — SimHash sub-splits exactly instead,
+    * [[graft.operators.SimHashBuckets]]). */
   private[graft] val MaxBucketGroups = graft.operators.LshBuckets.DefaultMaxBucketGroups
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
