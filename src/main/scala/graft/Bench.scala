@@ -32,9 +32,12 @@ object Bench {
     "ev_asof_join", "ev_range_join",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "text_vocab_topk",
-    // osm fixture end-to-end + 2M-node scale probes
+    // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
+    // = same workload over a two-shard border-overlapping split: the
+    // multi-file border-dedup shuffle's round-over-round signal)
     "osm_buildings", "osm_topology",
-    "osm_big_pois", "osm_big_topology", "osm_big_buildings")
+    "osm_big_pois", "osm_big_topology", "osm_big_buildings",
+    "osm_split_topology")
 
   /** Extract the per-query wall dict from a JSON-ish string: the first
     * `"queries":{...}` block. Returns empty when the marker is absent —

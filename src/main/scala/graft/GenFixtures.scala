@@ -12,5 +12,7 @@ object GenFixtures {
     println(s"wrote ${graft.pbf.MiniWorld.path}")
     graft.pbf.BigWorld.ensure(graft.queries.OsmQueries.BigPath, 2000000, 100000)
     println(s"ensured ${graft.queries.OsmQueries.BigPath}")
+    graft.queries.OsmQueries.ensureSplit()
+    println(s"ensured ${graft.queries.OsmQueries.SplitDir}")
   }
 }

@@ -257,6 +257,12 @@ object OsmOracle {
       s"""${topoBounds(tbl("big_way_tags"), tbl("big_way_refs"))}
          |SELECT 'LineString' AS geom_type, count(*) AS n_segments FROM bounds""".stripMargin,
 
+    // the two-shard split world answers to the SAME topology counts —
+    // the border-overlap dedup must be invisible in the result
+    "osm_split_topology" ->
+      s"""${topoBounds(tbl("big_way_tags"), tbl("big_way_refs"))}
+         |SELECT 'LineString' AS geom_type, count(*) AS n_segments FROM bounds""".stripMargin,
+
     // scale gate for the per-relation assembly path (G3-G8): the
     // element-selection semantics (georel qualification, member-way
     // suppression) are re-derived in SQL; a relation whose ring

@@ -98,6 +98,22 @@ object OsmQueries {
         .groupBy("geom_type").agg(count(lit(1)).as("n_segments"))
     }),
 
+    // scale probe: the SAME topology workload over the BigWorld split
+    // into two border-overlapping region files (adjacent real-world
+    // extracts carry border elements verbatim in both files). Gated by
+    // the IDENTICAL oracle as osm_big_topology: the multi-file border
+    // dedup (dedupMultiFile) must make the split world's result
+    // byte-equal to the single file's, and the bench row gives that
+    // dedup shuffle a round-over-round signal (VERDICT r9 task 7;
+    // ScaleProbeSplitSpec pins the same identity at mini scale, the
+    // 7M three-shard form lives in ScaleProbe's mf_* phases)
+    "osm_split_topology" -> ((s, _) => {
+      val p = ensureSplit()
+      OsmOracle.ensureBig(s)
+      OsmQuery.highways.copy(geometry = true, topology = true).run(s, p)
+        .groupBy("geom_type").agg(count(lit(1)).as("n_segments"))
+    }),
+
     // scale probe: building extraction incl. multipolygon relation
     // assembly — the per-relation sequential ring-chaining path (G6)
     // under 5k relations + 10k closed ways; oracle re-derives the
@@ -121,4 +137,20 @@ object OsmQueries {
   // cached extract from an earlier build silently disagrees with the
   // freshly derived oracle tables
   val BigPath = "/tmp/graft_bigworld_v3.osm.pbf"
+
+  /** Two-shard border-overlapping split of [[BigPath]] (same _v3
+    * versioning rule). Idempotent: re-split only when the shards are
+    * missing or older than the source extract. */
+  val SplitDir = "/tmp/graft_bigworld_split_v3"
+
+  def ensureSplit(): String = synchronized {
+    val src = graft.pbf.BigWorld.ensure(BigPath, 2000000, 100000)
+    val dir = new java.io.File(SplitDir)
+    val shards = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".osm.pbf"))
+    val srcMtime = new java.io.File(src).lastModified()
+    if (shards.length != 2 || shards.exists(_.lastModified() < srcMtime))
+      graft.ScaleProbe.splitPbf(src, SplitDir, 2, 2)
+    SplitDir
+  }
 }
