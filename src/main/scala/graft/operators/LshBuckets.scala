@@ -52,12 +52,13 @@ object LshBuckets {
     if (v <= 0) Int.MaxValue else v
   }
 
-  /** Per-tag cap-overflow counters (JVM-wide): the simhash doc itself
-    * says the cap WILL engage at corpus scale (only 65,536 16-bit
-    * buckets), so an unconditional per-bucket stderr note could emit
-    * hundreds of thousands of lines per job. Noted on a power-of-two
-    * schedule instead: ≤ ~40 lines per tag however many buckets
-    * overflow, with the running count in each line. */
+  /** Per-tag cap-overflow counters (JVM-wide): a boilerplate-heavy
+    * corpus can overflow many buckets in one job, so an unconditional
+    * per-bucket stderr note could emit hundreds of thousands of lines.
+    * Noted on a power-of-two schedule instead: ≤ ~40 lines per tag
+    * however many buckets overflow, with the running count in each
+    * line. (SimHashBuckets keeps its own counter with the same
+    * schedule for its lossless sub-split events.) */
   private val overflowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
