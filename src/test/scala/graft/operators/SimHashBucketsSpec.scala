@@ -102,7 +102,10 @@ class SimHashBucketsSpec extends AnyFunSuite {
         .collect().map(_.toString).toSeq
       finally spark.conf.unset("spark.graft.lsh.maxBucketGroups")
     }
+    val splits0 = SimHashBuckets.subSplits.get()
     val capped = run("2") // force sub-splitting in every non-trivial bucket
+    assert(SimHashBuckets.subSplits.get() > splits0,
+      "cap=2 run never sub-split — the capped path was not exercised")
     val uncapped = run("0")
     assert(capped === uncapped)
     assert(uncapped.nonEmpty, "degenerate fixture")
