@@ -2,12 +2,18 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL image decode/encode for the two formats that need no codec
-  * library: uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) and
-  * binary PGM (P5, maxval ≤ 255). This upgrades the multimodal decode
-  * seam from "deterministic stub only" to real pixels for
-  * uncompressed payloads; compressed codecs (JPEG/PNG/audio) stay
-  * stubbed because the container ships no codec libraries.
+/** REAL image decode/encode. Two tiers:
+  *
+  *  - pure byte parsing, no libraries: uncompressed 24-bit BMP
+  *    (BITMAPINFOHEADER, BI_RGB) and binary PGM (P5, maxval ≤ 255);
+  *  - `javax.imageio` (the JDK's own `java.desktop` module — present
+  *    in this JVM, zero external dependencies): PNG, JPEG, GIF
+  *    (VERDICT r10 task 3). PNG is lossless, so decode ∘ encode is
+  *    bit-deterministic and safe for the DuckDB oracle
+  *    (`mm_png_decode`); JPEG IDCT output is decoder-dependent, so
+  *    JPEG stays out of the cross-engine oracle and is pinned by a
+  *    tolerance-based golden spec instead (ImageCodecSpec). Audio
+  *    codecs remain stubbed — no decoder ships with the JDK.
   *
   * Pixel layout: row-major, top-down; `channels` ∈ 1 (gray) or 3
   * (BGR, as stored by BMP).
@@ -27,13 +33,113 @@ object ImageCodec {
       ((width * 31 + height) * 31 + channels) * 31 + java.util.Arrays.hashCode(data)
   }
 
-  /** Decode if the payload is a supported uncompressed image. */
+  /** Decode if the payload is a supported image format (magic-number
+    * dispatch: BMP/PGM via the byte parsers, PNG/JPEG/GIF via
+    * `javax.imageio`). */
   def decode(bytes: Array[Byte]): Option[Image] = {
-    if (bytes == null || bytes.length < 2) None
+    if (bytes == null || bytes.length < 3) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == 'P' && bytes(1) == '5') decodePgm(bytes)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N')
+      decodeImageIO(bytes) // PNG
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff)
+      decodeImageIO(bytes) // JPEG
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      decodeImageIO(bytes) // GIF
     else None
   }
+
+  // ---- PNG / JPEG / GIF via javax.imageio ----------------------------
+
+  /** Decode through the JDK's ImageIO, normalizing to this object's
+    * Image layout. Samples are read band-wise off the RASTER (no
+    * ColorModel/ICC conversion path), so an 8-bit gray or RGB PNG
+    * round-trips bit-exactly — PNG is lossless. A 1-band raster maps
+    * to gray; anything else goes through per-band reads into BGR. */
+  private[multimodal] def decodeImageIO(bytes: Array[Byte]): Option[Image] =
+    try {
+      val bi0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (bi0 == null) None
+      else {
+        // palette-indexed images (GIF, palette PNG) carry palette
+        // INDICES in their 1-band raster — expand to true color first
+        // (exact lookup, no resampling) so the band reads below see
+        // real sample values
+        val bi =
+          if (!bi0.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) bi0
+          else {
+            val c = new java.awt.image.BufferedImage(bi0.getWidth, bi0.getHeight,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val gr = c.createGraphics()
+            try gr.drawImage(bi0, 0, 0, null) finally gr.dispose()
+            c
+          }
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val raster = bi.getRaster
+        if (raster.getNumBands == 1) {
+          val samples = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
+          val data = new Array[Byte](w * h)
+          var i = 0
+          while (i < data.length) { data(i) = samples(i).toByte; i += 1 }
+          Some(Image(w, h, 1, data))
+        } else {
+          // band order in the raster follows the color model: 0=R 1=G
+          // 2=B (alpha, if present, is dropped); our layout is BGR
+          val r = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
+          val g = raster.getSamples(0, 0, w, h, 1, null: Array[Int])
+          val b = raster.getSamples(0, 0, w, h, 2, null: Array[Int])
+          val data = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            data(i * 3) = b(i).toByte
+            data(i * 3 + 1) = g(i).toByte
+            data(i * 3 + 2) = r(i).toByte
+            i += 1
+          }
+          Some(Image(w, h, 3, data))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  private def toBufferedImage(img: Image): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    if (img.channels == 1) {
+      val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_BYTE_GRAY)
+      bi.getRaster.setDataElements(0, 0, img.width, img.height, img.data)
+      bi
+    } else {
+      val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_3BYTE_BGR)
+      // setDataElements takes per-pixel BAND-ordered tuples (R,G,B) —
+      // ComponentSampleModel routes obj[i] through bandOffsets[i] —
+      // not raw storage order, so our BGR layout must swap here
+      val rgb = new Array[Byte](img.data.length)
+      var i = 0
+      while (i < img.width * img.height) {
+        rgb(i * 3) = img.data(i * 3 + 2)
+        rgb(i * 3 + 1) = img.data(i * 3 + 1)
+        rgb(i * 3 + 2) = img.data(i * 3)
+        i += 1
+      }
+      bi.getRaster.setDataElements(0, 0, img.width, img.height, rgb)
+      bi
+    }
+  }
+
+  private def encodeImageIO(img: Image, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(toBufferedImage(img), format, out),
+      s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Encode as PNG (lossless: decode(encodePng(img)) == img). */
+  def encodePng(img: Image): Array[Byte] = encodeImageIO(img, "png")
+
+  /** Encode as JPEG (LOSSY and decoder-dependent — never feed the
+    * result into a cross-engine oracle; golden-spec only). */
+  def encodeJpeg(img: Image): Array[Byte] = encodeImageIO(img, "jpg")
 
   // ---- BMP (24bpp, BI_RGB, BITMAPINFOHEADER) -------------------------
 

@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * counterpart of a pandas-batch UDF: one buffer reuse per partition,
   * no per-row setup).
   *
-  * Decode is REAL for uncompressed image formats (24-bit BMP and
-  * binary PGM — [[ImageCodec]], pure byte parsing, no libraries):
-  * features compute over decoded pixels, and [[resizeImages]] is a
-  * genuine nearest-neighbor image resize with BMP re-encode. Payloads
-  * in codec formats (JPEG/PNG/audio) fall back to the deterministic
-  * byte-histogram STUB — the container ships no codec libraries —
-  * and swapping in a JNI/javacv decoder changes no query shape.
+  * Decode is REAL for image formats ([[ImageCodec]]): 24-bit BMP and
+  * binary PGM via pure byte parsing, PNG/JPEG/GIF via the JDK's own
+  * `javax.imageio` (zero external dependencies) — features compute
+  * over decoded pixels, and [[resizeImages]] is a genuine
+  * nearest-neighbor image resize with BMP re-encode. Audio payloads
+  * fall back to the deterministic byte-histogram STUB (the JDK ships
+  * no audio decoder); swapping in a JNI/javacv decoder changes no
+  * query shape.
   */
 object MultimodalOps {
 
@@ -23,8 +24,9 @@ object MultimodalOps {
       entropy: Double, fingerprint: Long)
 
   object MediaCodec {
-    /** Decoded sample bytes: real pixels for BMP/PGM payloads, the raw
-      * payload itself for everything else (deterministic stub). */
+    /** Decoded sample bytes: real pixels for decodable image payloads
+      * (BMP/PGM/PNG/JPEG/GIF), the raw payload itself for everything
+      * else (deterministic stub). */
     def sampleBytes(media: Array[Byte]): Array[Byte] =
       ImageCodec.decode(media).map(_.data).getOrElse(media)
 
@@ -98,8 +100,8 @@ object MultimodalOps {
       .toDF("id", "media", "n_bytes", "orig_bytes")
   }
 
-  /** REAL image resize over decodable payloads (BMP/PGM): decode →
-    * nearest-neighbor scale to (w, h) → re-encode as 24bpp BMP.
+  /** REAL image resize over decodable payloads (BMP/PGM/PNG/JPEG/GIF):
+    * decode → nearest-neighbor scale to (w, h) → re-encode as 24bpp BMP.
     * Non-image payloads are dropped (a production pipeline routes them
     * to a dead-letter column); use [[resize]] for codec-free
     * byte-payload shaping. */

@@ -1,12 +1,12 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.ImageCodec.{decode, encodeBmp, encodePgm, resizeNearest, toGray, Image}
+import graft.multimodal.ImageCodec.{decode, encodeBmp, encodeJpeg, encodePgm, encodePng, resizeNearest, toGray, Image}
 
-/** The real (library-free) image codec paths: BMP/PGM round-trips,
-  * padding, top-down BMPs, nearest-neighbor resize, and the decode
-  * dispatch inside MediaCodec (pixels for images, raw bytes
-  * otherwise). */
+/** The real image codec paths: BMP/PGM round-trips (pure byte
+  * parsing), PNG/JPEG/GIF via the JDK's javax.imageio, padding,
+  * top-down BMPs, nearest-neighbor resize, and the decode dispatch
+  * inside MediaCodec (pixels for images, raw bytes otherwise). */
 class ImageCodecSpec extends AnyFunSuite {
 
   private def gradient(w: Int, h: Int, c: Int): Image =
@@ -77,6 +77,69 @@ class ImageCodecSpec extends AnyFunSuite {
     // non-image payloads keep the raw-byte stub semantics
     val f2 = MultimodalOps.MediaCodec.features(2L, "aabb".getBytes("UTF-8"))
     assert(f2.n_bytes === 4 && f2.n_distinct_bytes === 2)
+  }
+
+  test("PNG round-trips bit-exactly, gray and BGR (lossless codec)") {
+    // gray: raster samples must survive encode → zlib → PNG filters →
+    // decode untouched; every byte value 0-255 appears in a 16x16 ramp
+    val gray = Image(16, 16, 1, Array.tabulate(256)(_.toByte))
+    assert(decode(encodePng(gray)).contains(gray))
+    // BGR: band-ordered raster read must reassemble our interleaved
+    // layout exactly
+    val bgr = gradient(7, 5, 3) // odd width: no stride alignment luck
+    assert(decode(encodePng(bgr)).contains(bgr))
+    // double round-trip (the mm_png_decode pipeline shape)
+    assert(decode(encodePng(decode(encodePng(bgr)).get)).contains(bgr))
+  }
+
+  test("JPEG decodes via ImageIO: right shape, pixels near the source") {
+    // JPEG is lossy and its IDCT output is decoder-dependent, so this
+    // is a tolerance pin, NOT an oracle: a flat mid-gray image must
+    // come back flat and close (DCT is exact on constant blocks up to
+    // rounding), and a smooth gradient must come back within a small
+    // per-pixel error.
+    val flat = Image(16, 16, 1, Array.fill(256)(119.toByte))
+    val df = decode(encodeJpeg(flat)).get
+    assert(df.width === 16 && df.height === 16 && df.channels === 1)
+    assert(df.data.forall(b => math.abs((b & 0xff) - 119) <= 2))
+    val smooth = Image(16, 16, 3,
+      Array.tabulate(16 * 16 * 3)(i => ((i / 3 / 16) * 12 + 40).toByte))
+    val ds = decode(encodeJpeg(smooth)).get
+    assert(ds.width === 16 && ds.height === 16 && ds.channels === 3)
+    val maxErr = ds.data.zip(smooth.data)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 16, s"JPEG round-trip drifted $maxErr levels on a smooth ramp")
+  }
+
+  test("GIF (palette-indexed) decodes to true color, not palette indices") {
+    // write a 2-color GIF through ImageIO from an indexed image: if
+    // decode returned raster samples directly it would yield indices
+    // 0/1 — the palette expansion must yield the actual colors
+    val bi = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+      new java.awt.image.IndexColorModel(1, 2,
+        Array[Byte](10.toByte, 200.toByte), // r
+        Array[Byte](20.toByte, 210.toByte), // g
+        Array[Byte](30.toByte, 220.toByte))) // b
+    for (x <- 0 until 4; y <- 0 until 2)
+      bi.setRGB(x, y, if ((x + y) % 2 == 0) bi.getColorModel.getRGB(0)
+        else bi.getColorModel.getRGB(1))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", out))
+    val img = decode(out.toByteArray).get
+    assert(img.channels === 3 && img.width === 4 && img.height === 2)
+    val p0 = (img.data(0) & 0xff, img.data(1) & 0xff, img.data(2) & 0xff)
+    assert(p0 === ((30, 20, 10)), s"expected BGR of palette color 0, got $p0")
+    val p1 = (img.data(3) & 0xff, img.data(4) & 0xff, img.data(5) & 0xff)
+    assert(p1 === ((220, 210, 200)), s"expected BGR of palette color 1, got $p1")
+  }
+
+  test("MediaCodec features see decoded pixels for PNG payloads") {
+    val img = Image(2, 2, 1, Array[Byte](10, 10, 20, 30))
+    val f = MultimodalOps.MediaCodec.features(1L, encodePng(img))
+    // identical to the PGM case: 4 pixel bytes, 3 distinct — NOT the
+    // compressed PNG container bytes
+    assert(f.n_bytes === 4 && f.n_distinct_bytes === 3)
   }
 
   test("resizeImages end-to-end over a mixed DataFrame") {
