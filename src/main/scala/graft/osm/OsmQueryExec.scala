@@ -239,16 +239,50 @@ object OsmQueryExec {
     project(result, q)
   }
 
+  /** Hard ceiling on the number of distinct tag keys [[pivotTags]] will
+    * collect to the driver, configurable via
+    * `spark.graft.pivot.maxKeys`. The vocabulary-bounded argument below
+    * holds for curated queries, but a hostile or dirty extract
+    * (real planet files carry `tiger:*`/`gnis:*` per-element key
+    * explosions) can make distinct-key cardinality O(elements); the cap
+    * turns a silent driver OOM into a loud, actionable error
+    * (VERDICT r10 task 4). */
+  private[graft] val DefaultPivotMaxKeys = 10000
+
   /** Dynamic tag pivot (reference _frame.py:59-68 unstack semantics):
     * discover the keys occurring in a result's `tags` map at action
     * time and project one column per key (sorted) in the map column's
     * place. The driver-side collect is of distinct key STRINGS of the
     * already-filtered result only — bounded by the tag vocabulary
-    * (~10⁴ keys in active OSM use), not the corpus. */
+    * (~10⁴ keys in active OSM use), not the corpus — and defensively
+    * capped at `spark.graft.pivot.maxKeys` (default 10k): keys are
+    * collected through a `limit(cap + 1)`, so a key-explosion extract
+    * fails fast with at most cap+1 strings on the driver instead of
+    * OOMing it. */
   def pivotTags(base: DataFrame): DataFrame = {
     require(base.columns.contains("tags"), "pivotTags needs a `tags` map column")
-    val keys = base.select(explode(map_keys(col("tags"))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val maxKeys = {
+      val raw = base.sparkSession.conf
+        .get("spark.graft.pivot.maxKeys", DefaultPivotMaxKeys.toString)
+      val v =
+        try raw.trim.toInt
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.pivot.maxKeys must be an integer, got '$raw'", e)
+        }
+      if (v <= 0) Int.MaxValue else v
+    }
+    // collect THROUGH a limit of maxKeys+1: driver memory stays bounded
+    // by the cap even when the extract carries millions of distinct
+    // keys, and overflow detection costs no second job
+    val collected = base.select(explode(map_keys(col("tags"))).as("k"))
+      .distinct().limit(maxKeys + 1).collect()
+    if (collected.length > maxKeys) throw new IllegalStateException(
+      s"pivotTags: result has more than $maxKeys distinct tag keys — " +
+        "pivoting would create that many columns and collect every key " +
+        "string to the driver. Filter tags first (keep/exclude/tag " +
+        "projection) or raise spark.graft.pivot.maxKeys explicitly.")
+    val keys = collected.map(_.getString(0)).sorted
     val cols = base.columns.toSeq.flatMap {
       case "tags" => keys.map(k => try_element_at(col("tags"), lit(k)).as(k))
       case c => Seq(col(c))

@@ -124,6 +124,33 @@ class OsmQuerySpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("amenity") === "bench")
   }
 
+  test("pivotTags fails loudly on a tag-key explosion instead of OOMing the driver") {
+    // hostile/dirty-extract shape (VERDICT r10 task 4): 100k distinct
+    // tag keys — real planet files carry tiger:*/gnis:* explosions.
+    // The collect runs through limit(cap+1), so this test holds at
+    // most 10,001 key strings on the driver, never 100k.
+    val explosion = spark.range(0L, 100000L)
+      .select(map(concat(lit("k"), col("id")), lit("v")).as("tags"))
+    val e = intercept[IllegalStateException] {
+      OsmQueryExec.pivotTags(explosion)
+    }
+    assert(e.getMessage.contains("distinct tag keys") &&
+      e.getMessage.contains("spark.graft.pivot.maxKeys"))
+    // an explicitly raised cap admits a wider frame; a lowered cap
+    // rejects a frame the default admits — the conf is live
+    spark.conf.set("spark.graft.pivot.maxKeys", "64")
+    try {
+      val mid = spark.range(0L, 65L)
+        .select(lit(1L).as("osmid"),
+          map(concat(lit("k"), format_string("%03d", col("id"))), lit("v")).as("tags"))
+      intercept[IllegalStateException] { OsmQueryExec.pivotTags(mid) }
+      spark.conf.set("spark.graft.pivot.maxKeys", "65")
+      val cols = OsmQueryExec.pivotTags(mid).columns
+      assert(cols.length === 66 && cols.head === "osmid" && cols.contains("k064"))
+      assert(!cols.contains("tags"))
+    } finally spark.conf.unset("spark.graft.pivot.maxKeys")
+  }
+
   test("a building-tagged MEMBER way is suppressed standalone (J6) yet assembles in its relation") {
     // way 113 qualifies the buildings filter on its own AND is the
     // georel's inner ring: it must appear exactly once in the output —
