@@ -47,8 +47,12 @@ object Bench {
     * fallback would have reported CPU-seconds as "previous wall",
     * manufacturing phantom 2-10x regressions. Missing prev is honest;
     * wrong-unit prev is poison. */
-  private[graft] def wallBlock(txt: String): Seq[(String, Double)] = {
-    val tag = "\"queries\":{"
+  private[graft] def wallBlock(txt: String): Seq[(String, Double)] =
+    dictBlock(txt, "queries")
+
+  /** Extract the first `"<key>":{...}` flat string→number dict. */
+  private[graft] def dictBlock(txt: String, key: String): Seq[(String, Double)] = {
+    val tag = "\"" + key + "\":{"
     val ix = txt.indexOf(tag)
     if (ix < 0) Nil
     else {
@@ -65,38 +69,68 @@ object Bench {
     }
   }
 
-  /** Per-query wall seconds from the previous round, for the artifact's
-    * `prev` block. Source preference:
-    *  1. the newest committed `bench/bench_r*.json` — written whole by
-    *     this main every run, so it always parses and always carries
-    *     the wall dict;
+  /** The record's own `"load_max"` stamp; Double.MaxValue when absent
+    * (an unstamped record never wins a quiet-preference comparison). */
+  private[graft] def loadMaxOf(txt: String): Double =
+    "\"load_max\"\\s*:\\s*(-?[0-9.]+)".r.findFirstMatchIn(txt)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .getOrElse(Double.MaxValue)
+
+  /** Previous-round record: per-query wall + CPU seconds and the source
+    * file name, for the artifact's `prev` block and the taint check.
+    * Source preference:
+    *  1. the QUIETEST committed record of the newest round: among
+    *     `bench/{bench,judge_probe}_r{N}[_suffix].json` files sharing
+    *     the highest round number, the one with the lowest recorded
+    *     `load_max` wins (VERDICT r10 task 5 — round-over-round deltas
+    *     must compare quiet-to-quiet, not quiet-to-contended; r9 and
+    *     r10 both lost judge attention to phantom regressions measured
+    *     at load 5-8);
     *  2. else the newest harness `BENCH_r*.json`, but ONLY via the
     *     explicit `"queries":{` marker (see [[wallBlock]] for why the
     *     old free-regex fallback is gone).
     * Empty on round 1 / outside the repo checkout. "Newest" sorts by
     * the extracted round NUMBER, not the file name: lexicographically
     * "bench_r9.json" > "bench_r10.json", so a name sort would have
-    * frozen `prev` at round 9 forever once double-digit rounds exist.
-    * The re-run record bench_r8_rerun.json deliberately does not match
-    * the pattern — `prev` always cites the round-close record. */
-  private[graft] def prevRound(
+    * frozen `prev` at round 9 forever once double-digit rounds exist. */
+  final case class PrevRecord(wall: Map[String, Double],
+      cpu: Map[String, Double], source: String)
+
+  private[graft] def prevRecord(
       benchDir: String = "/root/repo/bench",
-      repoDir: String = "/root/repo"): Map[String, Double] = {
+      repoDir: String = "/root/repo"): PrevRecord = {
     def read(f: java.io.File): String =
       scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
-    def newest(dir: String, pat: scala.util.matching.Regex): Option[java.io.File] =
-      Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
-        .sortBy(_._1).lastOption.map(_._2)
-    val committed = newest(benchDir, "^bench_r(\\d+)\\.json$".r)
-      .map(f => wallBlock(read(f))).getOrElse(Nil)
-    val fromHarness =
-      if (committed.nonEmpty) Nil
-      else newest(repoDir, "^BENCH_r(\\d+)\\.json$".r)
-        .map(f => wallBlock(read(f).replace("\\\"", "\""))).getOrElse(Nil)
-    (if (committed.nonEmpty) committed else fromHarness).toMap
+    val pat = "^(?:bench|judge_probe)_r(\\d+)(?:_[A-Za-z0-9]+)?\\.json$".r
+    val candidates = Option(new java.io.File(benchDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+    val newestRound = candidates.map(_._1).maxOption
+    val committed = newestRound.toSeq.flatMap { rn =>
+      candidates.filter(_._1 == rn).map { case (_, f) =>
+        val txt = read(f)
+        (loadMaxOf(txt), f.getName, wallBlock(txt), dictBlock(txt, "cpu"))
+      }.filter(_._3.nonEmpty).sortBy(_._1).headOption
+    }
+    committed.headOption match {
+      case Some((_, name, wall, cpu)) =>
+        PrevRecord(wall.toMap, cpu.toMap, name)
+      case None =>
+        val harness = Option(new java.io.File(repoDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+            .map(m => (m.group(1).toInt, f)))
+          .sortBy(_._1).lastOption
+        harness.map(h => PrevRecord(
+          wallBlock(read(h._2).replace("\\\"", "\"")).toMap, Map.empty, h._2.getName))
+          .getOrElse(PrevRecord(Map.empty, Map.empty, ""))
+    }
   }
+
+  private[graft] def prevRound(
+      benchDir: String = "/root/repo/bench",
+      repoDir: String = "/root/repo"): Map[String, Double] =
+    prevRecord(benchDir, repoDir).wall
 
   /** One timed repetition: wall/CPU seconds, the 1-min system load
     * sampled immediately before it started, the row count, and whether
@@ -134,6 +168,40 @@ object Bench {
       if (reps.nonEmpty) reps.head.load else -1.0,
       if (ok.nonEmpty) ok.head.rows else -1L,
       reps)
+  }
+
+  /** Host-contention taint thresholds (VERDICT r10 task 1). A row is
+    * TAINTED when the rep its headline min came from started at 1-min
+    * load above [[TaintLoadThreshold]] (this JVM is the only intended
+    * tenant; ambient load ≈ other tenants' threads stealing the same
+    * cores), or burned more than [[TaintCpuRatio]]× the previous
+    * round's committed CPU for the same row (wall can legitimately
+    * swing with scheduling, but 3× the CPU of an unchanged plan means
+    * the measurement itself is polluted — BENCH_r10's phantom 6-11×
+    * rows all showed exactly this signature). */
+  private[graft] val TaintLoadThreshold = 4.0
+  private[graft] val TaintCpuRatio = 3.0
+
+  /** Is this row's headline measurement contention-tainted? Judged on
+    * the MIN-WALL successful rep (the one the headline number comes
+    * from); a row with no successful rep is a FAIL, not a taint. */
+  private[graft] def taintedRes(r: QRes, prevCpu: Option[Double]): Boolean = {
+    val ok = r.reps.filterNot(_.failed)
+    ok.nonEmpty && {
+      val m = ok.minBy(_.wall)
+      m.load > TaintLoadThreshold ||
+        prevCpu.exists(pc => pc > 0 && m.cpu > 0 && m.cpu > TaintCpuRatio * pc)
+    }
+  }
+
+  /** Wait (up to `maxWaitS`) for the 1-min load to drop back under the
+    * taint threshold before a re-run — a tainted first attempt usually
+    * means a transient co-tenant burst (compiles, another bench). */
+  private def taintBackoff(loadFn: () => Double, maxWaitS: Int = 90): Unit = {
+    val t0 = System.nanoTime()
+    while (loadFn() > TaintLoadThreshold &&
+      (System.nanoTime() - t0) / 1e9 < maxWaitS)
+      Thread.sleep(5000)
   }
 
   /** Per-rep artifact entries: `[wall,cpu,load]` for a successful rep,
@@ -211,42 +279,81 @@ object Bench {
     // CPU was 6x steady state), so the 3-rep treatment is now uniform.
     // Per-rep load lands in the reps array so a contended reading
     // self-identifies from the artifact alone.
+    val prev = prevRecord()
+    // self-adjudication under host contention (VERDICT r10 task 1):
+    // a row whose min-rep ran at load > threshold or > 3x the prev
+    // round's CPU is re-measured ONCE after a load backoff; if the
+    // re-run is clean it replaces the tainted record, otherwise the
+    // row is stamped tainted in the artifact so no reader mistakes a
+    // contended reading for a regression.
     val results = headline.filter(qs.contains).map { name =>
-      val r = measure(name, 3, loadAvg _, procCpuNanos _,
-        () => qs(name)(spark, sfDir).count())
+      def unpersistAll(): Unit =
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      def once(): QRes = {
+        val r = measure(name, 3, loadAvg _, procCpuNanos _,
+          () => qs(name)(spark, sfDir).count())
+        // drop blocks a query persisted/checkpointed (cluster-cc
+        // rounds, pipeline dup-id sets): lingering blocks from one
+        // query must not pollute a later query's measurement in this
+        // 40-query JVM
+        unpersistAll()
+        r
+      }
+      val first = once()
+      val prevCpu = prev.cpu.get(name)
+      val (r, rerun) =
+        if (!taintedRes(first, prevCpu)) (first, false)
+        else {
+          System.err.println(f"[bench] $name: TAINTED (min-rep load/cpu " +
+            f"vs threshold $TaintLoadThreshold%.1f / ${TaintCpuRatio}%.1fx prev cpu) — " +
+            "backing off and re-running")
+          taintBackoff(loadAvg _)
+          val second = once()
+          // prefer the clean record; two tainted records → the faster
+          if (!taintedRes(second, prevCpu) || second.wall >= 0 &&
+            (first.wall < 0 || second.wall < first.wall)) (second, true)
+          else (first, true)
+        }
+      val taint = taintedRes(r, prevCpu)
       System.err.println(
-        f"[bench] $name%-24s ${r.wall}%8.2fs cpu=${r.cpu}%8.2fs load=${r.load}%5.1f rows=${r.rows}")
-      // drop blocks a query persisted/checkpointed (cluster-cc rounds,
-      // pipeline dup-id sets): lingering blocks from one query must not
-      // pollute a later query's measurement in this 40-query JVM
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      r
+        f"[bench] $name%-24s ${r.wall}%8.2fs cpu=${r.cpu}%8.2fs load=${r.load}%5.1f rows=${r.rows}" +
+          (if (taint) "  TAINTED" else if (rerun) "  (rerun)" else ""))
+      (r, taint, rerun)
     }
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qjson = jmap(results.map(r => r.name -> f"${r.wall}%.3f"))
-    val cjson = jmap(results.map(r => r.name -> f"${r.cpu}%.2f"))
-    val ljson = jmap(results.map(r => r.name -> f"${r.load}%.2f"))
-    val rjson = jmap(results.map(r => r.name -> repsJson(r.reps)))
-    val total = results.map(_.wall).sum
-    val loadMax = if (results.nonEmpty) results.map(_.load).max else -1.0
-    // per-query times from the previous round's BENCH json, so a round
-    // -over-round regression is visible in the artifact itself instead
-    // of requiring a by-hand diff of two files
-    val prevJson = prevRound().map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val res = results.map(_._1)
+    val qjson = jmap(res.map(r => r.name -> f"${r.wall}%.3f"))
+    val cjson = jmap(res.map(r => r.name -> f"${r.cpu}%.2f"))
+    val ljson = jmap(res.map(r => r.name -> f"${r.load}%.2f"))
+    val rjson = jmap(res.map(r => r.name -> repsJson(r.reps)))
+    val total = res.map(_.wall).sum
+    val loadMax = if (res.nonEmpty) res.map(_.load).max else -1.0
+    val taintedNames = results.filter(_._2).map(_._1.name)
+    val rerunNames = results.filter(_._3).map(_._1.name)
+    def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query times from the previous round's QUIETEST record, so a
+    // round-over-round regression is visible in the artifact itself
+    // instead of requiring a by-hand diff of two files
+    val prevJson = prev.wall.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val loadMaxStr = f"$loadMax%.2f"
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     println(fullJson)
     // The full record also goes to a COMMITTED repo file so no future
     // round depends on the stdout window at all: bench/bench_r{N}.json
     // is the durable artifact and the preferred `prev` source.
+    // SPARK_GRAFT_BENCH_OUT redirects it (taint-injection test runs
+    // must not clobber the round-close record).
     try {
-      val dir = new java.io.File("/root/repo/bench")
-      dir.mkdirs()
-      val out = new java.io.File(dir, f"bench_r$roundNumber%d.json")
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(new java.io.File(_))
+        .getOrElse {
+          val dir = new java.io.File("/root/repo/bench")
+          dir.mkdirs()
+          new java.io.File(dir, f"bench_r$roundNumber%d.json")
+        }
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(fullJson) finally w.close()
       System.err.println(s"[bench] full record written to $out")
@@ -256,9 +363,10 @@ object Bench {
     // LAST 2000 chars of stdout, and r7's three-dict compact line
     // (~3.5 KB) pushed the wall dict out of the window — the driver
     // parsed cpu+load and reported `parsed: null`. Wall dict + total +
-    // n_queries + load_max is ~1.3 KB at 46 queries; cpu/load/reps/prev
-    // live on the full line above and in the committed file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load_max":$loadMaxStr,"queries":$qjson,"sf":"$sfDir"}""")
+    // n_queries + load_max + tainted is ~1.4 KB at 50 queries;
+    // cpu/load/reps/prev live on the full line above and in the
+    // committed file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,8 +88,36 @@ object ScaleProbe {
       } finally outs.foreach(_.close())
     } finally in.close()
   }
+  /** Ambient-load gate (VERDICT r10 task 2): scale_r10.json was taken
+    * at load 17 and its parity_total_s / cpu_total_s were unusable as
+    * a round-over-round baseline. The probe now refuses to START while
+    * the 1-min load exceeds `SPARK_GRAFT_SCALE_MAX_LOAD` (default 2.0)
+    * — polling for up to `SPARK_GRAFT_SCALE_WAIT_S` (default 300) —
+    * and if the host never quiets down it still runs but stamps the
+    * artifact `"tainted":true`, so a contended record can never be
+    * mistaken for a scale regression. */
+  private def loadGate(): (Double, Double, Boolean) = {
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_S", "300").toInt
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val t0 = System.nanoTime()
+    var l = load()
+    while (l > maxLoad && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+      System.err.println(f"[scaleprobe] ambient load $l%.2f > $maxLoad%.1f — waiting")
+      Thread.sleep(10000)
+      l = load()
+    }
+    val tainted = l > maxLoad
+    if (tainted) System.err.println(
+      f"[scaleprobe] WARNING: starting TAINTED at load $l%.2f after ${maxWaitS}s wait " +
+        "— this record is not a usable scale baseline")
+    (l, maxLoad, tainted)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val (loadStart, maxLoad, loadTainted) = loadGate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -196,7 +224,10 @@ object ScaleProbe {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    val line = f"""{"round":${Bench.roundNumber},"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"parity_total_s":$parityTotal%.1f,"cpu_total_s":$cpuTotal%.1f,"load":$load%.2f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_buildings_s":$tBldgM%.1f,"mf_results_match":$mfMatch}"""
+    // end-of-probe load includes this JVM's own 32 threads, so taint is
+    // judged on the gated START load only; "load" stays in the record
+    // as raw context
+    val line = f"""{"round":${Bench.roundNumber},"tainted":$loadTainted,"load_start":$loadStart%.2f,"max_load":$maxLoad%.1f,"gen_s":$tGen%.1f,"blobs":${info("blobs")},"nodes":${info("nodes")},"ways":${info("ways")},"info_s":$tInfo%.1f,"geometry_cache_rows":$nGeo,"geometry_cache_s":$tGeo%.1f,"pois_rows":$nPois,"pois_s":$tPois%.1f,"topology_rows":$nTopo,"topology_s":$tTopo%.1f,"buildings_rows":$nBldg,"buildings_s":$tBldg%.1f,"parity_total_s":$parityTotal%.1f,"cpu_total_s":$cpuTotal%.1f,"load":$load%.2f,"mf_files":3,"mf_dup_blobs":$dupBlobs,"mf_split_s":$tSplit%.1f,"mf_info_s":$tInfoM%.1f,"mf_pois_s":$tPoisM%.1f,"mf_topology_s":$tTopoM%.1f,"mf_buildings_s":$tBldgM%.1f,"mf_results_match":$mfMatch}"""
     println(line)
     // committed per-round artifact (VERDICT r9 task 3): scale tracking
     // must not depend on README prose diffs or the stdout window —

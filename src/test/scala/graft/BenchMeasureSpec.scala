@@ -43,6 +43,35 @@ class BenchMeasureSpec extends AnyFunSuite {
     assert(!Bench.repsJson(ok.reps).contains("FAIL"))
   }
 
+  private def res(reps: Seq[Bench.Rep]): Bench.QRes = {
+    val ok = reps.filterNot(_.failed)
+    Bench.QRes("q", if (ok.nonEmpty) ok.map(_.wall).min else -1.0,
+      if (ok.nonEmpty) ok.map(_.cpu).min else -1.0,
+      reps.head.load, 1L, reps)
+  }
+
+  test("taint predicate: judged on the MIN-WALL rep, not the first or worst") {
+    // rep2 is the min-wall rep and ran quiet → NOT tainted, even
+    // though rep1 started under heavy load
+    val quiet = res(Seq(
+      Bench.Rep(9.0, 90.0, 7.9, 1L, failed = false),
+      Bench.Rep(1.0, 8.0, 0.3, 1L, failed = false),
+      Bench.Rep(1.2, 8.5, 0.4, 1L, failed = false)))
+    assert(!Bench.taintedRes(quiet, prevCpu = Some(8.0)))
+    // min-wall rep itself started above the load threshold → tainted
+    val loaded = res(Seq(Bench.Rep(1.0, 8.0, 7.9, 1L, failed = false)))
+    assert(Bench.taintedRes(loaded, prevCpu = None))
+    // min-rep CPU 3x the committed prev CPU → tainted (the BENCH_r10
+    // phantom-regression signature), regardless of load
+    val cpuBlown = res(Seq(Bench.Rep(13.9, 96.0, 2.0, 1L, failed = false)))
+    assert(Bench.taintedRes(cpuBlown, prevCpu = Some(20.0)))
+    assert(!Bench.taintedRes(cpuBlown, prevCpu = Some(50.0)))
+    assert(!Bench.taintedRes(cpuBlown, prevCpu = None)) // round 1: no prior
+    // an all-FAIL row is a FAIL, not a taint
+    val allFail = res(Seq(Bench.Rep(0.1, 0.1, 9.9, -1L, failed = true)))
+    assert(!Bench.taintedRes(allFail, prevCpu = Some(1.0)))
+  }
+
   test("prevRound picks bench_r10 over bench_r9 (numeric, not name, sort)") {
     val bench = Files.createTempDirectory("graft_bench_num").toFile
     val repo = Files.createTempDirectory("graft_repo_num").toFile

@@ -47,6 +47,42 @@ class BenchPrevSpec extends AnyFunSuite {
       Map("q1_agg" -> 9.0, "w2_run_ids" -> 0.31))
   }
 
+  test("prevRecord prefers the QUIETEST same-round record (VERDICT r10 task 5)") {
+    val bench = Files.createTempDirectory("graft_bench_quiet").toFile
+    val repo = Files.createTempDirectory("graft_repo_quiet").toFile
+    // the round-close record was taken at load 7.88 (the r10 driver
+    // shape); the judge probe of the SAME round ran quiet — prev must
+    // cite the quiet one so deltas compare quiet-to-quiet
+    write(bench, "bench_r10.json",
+      """{"load_max":7.88,"queries":{"q1_agg":0.954},"cpu":{"q1_agg":9.00}}""")
+    write(bench, "judge_probe_r10.json",
+      """{"load_max":0.16,"queries":{"q1_agg":0.118},"cpu":{"q1_agg":1.10}}""")
+    // an older quiet record must NOT shadow the newest round
+    write(bench, "bench_r9.json",
+      """{"load_max":0.01,"queries":{"q1_agg":0.142},"cpu":{"q1_agg":1.00}}""")
+    val got = Bench.prevRecord(bench.getPath, repo.getPath)
+    assert(got.wall === Map("q1_agg" -> 0.118))
+    assert(got.cpu === Map("q1_agg" -> 1.1))
+    assert(got.source === "judge_probe_r10.json")
+  }
+
+  test("an unstamped record loses the quiet comparison; _rerun suffixes participate") {
+    val bench = Files.createTempDirectory("graft_bench_stamp").toFile
+    val repo = Files.createTempDirectory("graft_repo_stamp").toFile
+    write(bench, "bench_r8.json",
+      """{"queries":{"q1_agg":5.000},"cpu":{"q1_agg":50.0}}""") // no load_max stamp
+    write(bench, "bench_r8_rerun.json",
+      """{"load_max":1.20,"queries":{"q1_agg":0.700},"cpu":{"q1_agg":6.50}}""")
+    val got = Bench.prevRecord(bench.getPath, repo.getPath)
+    assert(got.wall === Map("q1_agg" -> 0.7) && got.source === "bench_r8_rerun.json")
+  }
+
+  test("loadMaxOf parses the stamp and defaults to MaxValue") {
+    assert(Bench.loadMaxOf("""{"load_max":3.75,"x":1}""") === 3.75)
+    assert(Bench.loadMaxOf("""{"load_max": -1.00}""") === -1.0)
+    assert(Bench.loadMaxOf("""{"queries":{}}""") === Double.MaxValue)
+  }
+
   test("prevRound is empty when the harness tail lost the marker (BENCH_r07 shape)") {
     val bench = Files.createTempDirectory("graft_bench_none").toFile
     val repo = Files.createTempDirectory("graft_repo3").toFile
