@@ -5,15 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-scale probe of the simhash bucket-cap behavior (VERDICT r9
   * task 2): 1M synthetic documents with boilerplate-heavy duplicate
-  * clusters sized to OVERFLOW the per-bucket distinct-signature cap
-  * (16 template clusters × 8192 docs vs the default cap of 4096 —
-  * every cluster's hot band buckets must sub-split), plus unique
-  * background docs. Runs the full text→simhash→banded-pairs path twice
-  * — default cap vs cap disabled — and compares the pair sets by count
-  * and order-independent checksum. With the recursive sub-splitting
-  * fix (graft.operators.SimHashBuckets) the two runs must be
-  * IDENTICAL: the cap engages (sub-split counter > 0) but no longer
-  * costs recall. Writes the committed artifact
+  * clusters (16 template clusters × 8192 docs vs the default cap of
+  * 4096) plus unique background docs. Because each doc's 1-3 token
+  * substitutions perturb simhash bits scattered across all four bands,
+  * cluster members spread over many band values and only the hottest
+  * buckets actually exceed the DEFAULT cap (r10 measured exactly one
+  * overflow at this corpus — the default-cap run validates the
+  * identity with the cap engaged, not a deep recursion). The probe
+  * therefore runs the full text→simhash→banded-pairs path THREE times
+  * — default cap, a TIGHT cap (SPARK_GRAFT_PROBE_CAP, default 512)
+  * that forces widespread overflow and multi-level sub-splitting, and
+  * cap disabled — and compares the pair sets by count and
+  * order-independent checksum. With the recursive sub-splitting fix
+  * (graft.operators.SimHashBuckets) all three runs must be IDENTICAL:
+  * the cap engages (sub-split counters > 0, heavily so under the tight
+  * cap) but never costs recall. Writes the committed artifact
   * bench/simhash_probe_r{N}.json. */
 object SimhashCapProbe {
 
@@ -81,15 +87,20 @@ object SimhashCapProbe {
       } finally spark.conf.unset("spark.graft.lsh.maxBucketGroups")
     }
 
+    val tightCap = sys.env.getOrElse("SPARK_GRAFT_PROBE_CAP", "512").toInt
     graft.operators.SimHashBuckets.subSplits.set(0L)
     val (nCap, chkCap, wCap) = run(graft.operators.LshBuckets.DefaultMaxBucketGroups.toString)
     val splitsCapped = graft.operators.SimHashBuckets.subSplits.get()
+    val (nTight, chkTight, wTight) = run(tightCap.toString)
+    val splitsTight = graft.operators.SimHashBuckets.subSplits.get() - splitsCapped
     val (nUn, chkUn, wUn) = run("0")
-    val splitsTotal = graft.operators.SimHashBuckets.subSplits.get()
+    val splitsUncapped =
+      graft.operators.SimHashBuckets.subSplits.get() - splitsCapped - splitsTight
 
-    val matches = nCap == nUn && chkCap == chkUn
+    val matches = nCap == nUn && chkCap == chkUn &&
+      nTight == nUn && chkTight == chkUn
     val line =
-      f"""{"round":${Bench.roundNumber},"n_docs":$nDocs,"clusters":$nClusters,"cluster_size":$clusterSize,"default_cap":${graft.operators.LshBuckets.DefaultMaxBucketGroups},"cap_engaged":${splitsCapped > 0},"sub_splits_capped":$splitsCapped,"sub_splits_uncapped":${splitsTotal - splitsCapped},"pairs_capped":$nCap,"pairs_uncapped":$nUn,"checksum_capped":$chkCap,"checksum_uncapped":$chkUn,"capped_equals_uncapped":$matches,"wall_capped_s":$wCap%.1f,"wall_uncapped_s":$wUn%.1f}"""
+      f"""{"round":${Bench.roundNumber},"n_docs":$nDocs,"clusters":$nClusters,"cluster_size":$clusterSize,"default_cap":${graft.operators.LshBuckets.DefaultMaxBucketGroups},"tight_cap":$tightCap,"cap_engaged":${splitsCapped > 0},"tight_cap_engaged":${splitsTight > 0},"sub_splits_capped":$splitsCapped,"sub_splits_tight":$splitsTight,"sub_splits_uncapped":$splitsUncapped,"pairs_capped":$nCap,"pairs_tight":$nTight,"pairs_uncapped":$nUn,"checksum_capped":$chkCap,"checksum_tight":$chkTight,"checksum_uncapped":$chkUn,"capped_equals_uncapped":$matches,"wall_capped_s":$wCap%.1f,"wall_tight_s":$wTight%.1f,"wall_uncapped_s":$wUn%.1f}"""
     println(line)
     try {
       val dir = new java.io.File("/root/repo/bench")

@@ -49,6 +49,14 @@ object SimHashBuckets {
     */
   def pairs(band: Int, members: Array[(Long, Long)], maxHam: Int,
       cap: Int): Iterator[(Long, Long, Int)] = {
+    // The 4-chunk sub-split pigeonhole is candidate-complete only for
+    // hamming <= 3 (4 chunks vs <= 3 differing bits). A caller passing
+    // maxHam >= 4 with a finite cap would silently lose pairs once
+    // sub-splitting engages, so the exactness precondition is enforced
+    // HERE, not one layer away in TextOps (ADVICE r10).
+    require(maxHam <= 3 || cap == Int.MaxValue,
+      s"SimHashBuckets.pairs: maxHam=$maxHam >= 4 breaks the 4-chunk " +
+        "sub-split pigeonhole; disable the cap (Int.MaxValue) or use maxHam <= 3")
     if (members.length < 2) return Iterator.empty
     // group member indices by fingerprint; LinkedHashMap keeps
     // first-appearance order = ascending min member id

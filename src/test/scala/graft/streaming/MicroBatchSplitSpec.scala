@@ -124,11 +124,21 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     val (rows, schema) = ordered
     val batchDf = spark.read.parquet(s"$fixtureDir/events.parquet")
     val sessExpected = sessRows(EventsStream.sessionize(batchDf))
-    // pick a user with >= 2 distinct event times; the straggler clones
-    // the user's FIRST event with a fresh id — strictly older than the
-    // committed lastTs once every real event has been processed
+    // pick a user with >= 2 DISTINCT event times in the µs domain the
+    // drop rule compares in (ts < committed lastTs is STRICT, so a
+    // user whose events all share one ts_us would let the cloned
+    // straggler tie lastTs and leak through — ADVICE r10); the
+    // straggler clones the user's FIRST event with a fresh id —
+    // strictly older than the committed lastTs once every real event
+    // has been processed
+    val eventsDf = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val tsUsById = eventsDf
+      .select(col("event_id"), EventTime.tsUs(eventsDf).as("__us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
-    val (uid, uRows) = byUser.find(_._2.length >= 2).get
+    val (uid, uRows) = byUser.find { case (_, rs) =>
+      rs.map(r => tsUsById(r.getAs[Long]("event_id"))).distinct.length >= 2
+    }.get
     val stragglerId = rows.map(_.getAs[Long]("event_id")).max + 1000L
     val straggler = Row.fromSeq(uRows.head.toSeq.updated(
       schema.fieldIndex("event_id"), stragglerId))
