@@ -9,6 +9,13 @@ package graft.osm
   *   tags = None      → all tags (the `tags` map column is kept)
   *   tags = Some(ks)  → one result column per requested key
   *   tags = Some(Nil) → no tag columns
+  *
+  * `expandSuperRelations` (opt-in; default preserves parity with the
+  * reference, whose super-relation expansion is a documented TODO at
+  * osmdata.py:192): geometry relations whose members are themselves
+  * relations are recursively flattened to their member ways, up to
+  * `superRelationDepth` levels (cycle-safe by the bound). See
+  * OsmQueryExec.expandMembers for ordering/role semantics.
   */
 final case class OsmQuery(
     nodes: Boolean = false,
@@ -24,11 +31,15 @@ final case class OsmQuery(
     relationType: Option[Seq[String]] = None,
     metadata: Boolean = false,
     geometry: Boolean = false,
-    topology: Boolean = false) {
+    topology: Boolean = false,
+    expandSuperRelations: Boolean = false,
+    superRelationDepth: Int = 3) {
 
   // validation mirroring reference osmquery.py:148-160
   require(!topology || (geometry && ways),
     "topology = true must be associated with geometry = true and ways = true")
+  require(superRelationDepth >= 1 && superRelationDepth <= 8,
+    s"superRelationDepth must be in [1, 8], got $superRelationDepth")
   require(!(keepFirst && keep.isEmpty && exclude.nonEmpty),
     "keep cannot be None if keepFirst is true and exclude is set")
   require(!(!keepFirst && exclude.isEmpty && keep.nonEmpty),

@@ -137,14 +137,83 @@ object OsmQueryExec {
   /** Relation geometry dispatch (reference primitives.py:288-305):
     * 0 none / 2 line / 3 area; relations with node or relation members
     * get no geometry (documented limitation Q6, super-relations are not
-    * expanded — reference osmdata.py:192 TODO). */
-  def relGeomClass(tags: Column, members: Column): Column = {
-    val hasNonWay = exists(members, m => m.getField("mtype") =!= TypeWay)
+    * expanded — reference osmdata.py:192 TODO). With
+    * `expandSuperRelations` on, only NODE members disqualify: relation
+    * members are legal because [[expandMembers]] flattens them to ways
+    * before assembly. */
+  def relGeomClass(tags: Column, members: Column,
+      expandSuperRelations: Boolean = false): Column = {
+    val disqualified =
+      if (expandSuperRelations) exists(members, m => m.getField("mtype") === TypeNode)
+      else exists(members, m => m.getField("mtype") =!= TypeWay)
     val t = try_element_at(tags, lit("type"))
-    when(size(members) === 0 || hasNonWay, 0)
+    when(size(members) === 0 || disqualified, 0)
       .when(t.isin(RelationLine.map(v => v: Any): _*), 2)
       .when(t.isin(RelationArea.map(v => v: Any): _*), 3)
       .otherwise(0)
+  }
+
+  /** Opt-in super-relation expansion (the reference's documented TODO,
+    * osmdata.py:192): relation members of a geometry relation are
+    * recursively replaced by THEIR members, `depth` joins against the
+    * unfiltered relation pass. Semantics:
+    *  - member ORDER is hierarchical: a zero-padded position path
+    *    ("00003.00001.00007") sorts expanded members where the
+    *    sub-relation sat in its parent, then renumbers to a dense
+    *    integer mpos for the assembler;
+    *  - member ways take the SUB-relation's roles (a sub-boundary's
+    *    inner/outer assignment is authoritative; its own membership
+    *    role in the parent is not);
+    *  - node members are ignored at every level, like the unexpanded
+    *    path; relations deeper than `depth` are dropped (bounded work,
+    *    and the bound also terminates membership cycles, which exist
+    *    in real planet files);
+    *  - a way or sub-relation reachable through MULTIPLE paths (diamond
+    *    membership, cycles) is kept once per (root, ref) at its
+    *    smallest path — without this, a 2-cycle would duplicate every
+    *    ring below it.
+    * Scale: each level is one equi-join of the (small) frontier against
+    * the relation table plus a posexplode — no driver recursion; the
+    * final renumbering window partitions by root relation id whose
+    * groups are member lists, bounded like every other per-relation
+    * structure. */
+  private[osm] def expandMembers(exploded: DataFrame, all: DataFrame,
+      depth: Int): DataFrame = {
+    val allRels = all.filter(col("type") === TypeRelation)
+      .select(col("id").as("sub_id"), col("members").as("sub_members"))
+    val withPath = exploded.select(col("rel_id"), col("gclass"),
+      format_string("%05d", col("mpos")).as("path"),
+      col("m.role").as("role"), col("m.mtype").as("mtype"), col("m.ref").as("ref"))
+    // keep one row per (root, ref), at the smallest path; struct min is
+    // deterministic (path, then role)
+    def dedup(df: DataFrame): DataFrame = df
+      .groupBy(col("rel_id"), col("gclass"), col("ref"))
+      .agg(min(struct(col("path"), col("role"))).as("pr"))
+      .select(col("rel_id"), col("gclass"), col("pr.path").as("path"),
+        col("pr.role").as("role"), col("ref"))
+    var ways = withPath.filter(col("mtype") === TypeWay)
+      .select(col("rel_id"), col("gclass"), col("path"), col("role"), col("ref"))
+    var frontier = dedup(withPath.filter(col("mtype") === TypeRelation))
+    (1 to depth).foreach { _ =>
+      val sub = frontier
+        .join(allRels, col("ref") === col("sub_id"))
+        .select(col("rel_id"), col("gclass"), col("path").as("ppath"),
+          posexplode(col("sub_members")).as(Seq("sub_pos", "sm")))
+        .select(col("rel_id"), col("gclass"),
+          concat(col("ppath"), lit("."),
+            format_string("%05d", col("sub_pos"))).as("path"),
+          col("sm.role").as("role"), col("sm.mtype").as("mtype"),
+          col("sm.ref").as("ref"))
+      ways = ways.union(sub.filter(col("mtype") === TypeWay)
+        .select(col("rel_id"), col("gclass"), col("path"), col("role"), col("ref")))
+      frontier = dedup(sub.filter(col("mtype") === TypeRelation))
+    }
+    import org.apache.spark.sql.expressions.Window
+    dedup(ways)
+      .withColumn("mpos", row_number().over(
+        Window.partitionBy("rel_id").orderBy("path")) - 1)
+      .select(col("rel_id"), col("gclass"), col("mpos"), col("role"),
+        col("ref").as("wref"))
   }
 
   // ------------------------------------------------------------------
@@ -442,15 +511,19 @@ object GeometryBuilder {
     val elC = el.localCheckpoint(eager = false)
     val elWays = elC.filter(col("type") === TypeWay)
     val rels = elC.filter(col("type") === TypeRelation)
-      .withColumn("gclass", relGeomClass(col("tags"), col("members")))
+      .withColumn("gclass",
+        relGeomClass(col("tags"), col("members"), q.expandSuperRelations))
     val geomRels = rels.filter(col("gclass").isin(2, 3))
 
-    val members = geomRels
+    val exploded = geomRels
       .select(col("id").as("rel_id"), col("gclass"),
         posexplode(col("members")).as(Seq("mpos", "m")))
-      .filter(col("m.mtype") === TypeWay)
-      .select(col("rel_id"), col("gclass"), col("mpos"),
-        col("m.role").as("role"), col("m.ref").as("wref"))
+    val members =
+      if (!q.expandSuperRelations)
+        exploded.filter(col("m.mtype") === TypeWay)
+          .select(col("rel_id"), col("gclass"), col("mpos"),
+            col("m.role").as("role"), col("m.ref").as("wref"))
+      else expandMembers(exploded, all, q.superRelationDepth)
 
     // member ways may be outside the filtered set → unfiltered way pass
     // over the same source (a pruned re-scan, or free if persisted)
