@@ -77,6 +77,21 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(got.wall === Map("q1_agg" -> 0.7) && got.source === "bench_r8_rerun.json")
   }
 
+  test("prevRecord excludes the current round's own earlier runs") {
+    val bench = Files.createTempDirectory("graft_bench_cur").toFile
+    val repo = Files.createTempDirectory("graft_repo_cur").toFile
+    // an earlier (polluted, soon-overwritten) attempt of THIS round
+    // must never become "prev" — prev means the previous ROUND
+    write(bench, "bench_r11.json",
+      """{"load_max":5.86,"queries":{"q1_agg":0.900},"cpu":{"q1_agg":9.0}}""")
+    write(bench, "judge_probe_r10.json",
+      """{"load_max":0.16,"queries":{"q1_agg":0.118},"cpu":{"q1_agg":1.1}}""")
+    val got = Bench.prevRecord(bench.getPath, repo.getPath, currentRound = 11)
+    assert(got.source === "judge_probe_r10.json")
+    // without the bound (library default) the newest round still wins
+    assert(Bench.prevRecord(bench.getPath, repo.getPath).source === "bench_r11.json")
+  }
+
   test("loadMaxOf parses the stamp and defaults to MaxValue") {
     assert(Bench.loadMaxOf("""{"load_max":3.75,"x":1}""") === 3.75)
     assert(Bench.loadMaxOf("""{"load_max": -1.00}""") === -1.0)
