@@ -99,20 +99,40 @@ object ScaleProbe {
   private def loadGate(): (Double, Double, Boolean) = {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
     val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_S", "300").toInt
-    def load(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // gate on BOTH the 1- and 5-min averages (/proc/loadavg; MXBean
+    // only exposes the 1-min figure): measured this round, a probe
+    // admitted at 1-min 1.73 while the 5-min average still read ~5
+    // from a just-killed stress run burned 2x the CPU of the genuinely
+    // quiet re-run (parity 23.6 s vs 12.2 s) — the 1-min average
+    // forgives recent contention faster than the scheduler state and
+    // page cache actually recover. The 5-min gate uses a 2x allowance
+    // so one legitimately finished burst does not block for minutes.
+    def load(): (Double, Double) =
+      try {
+        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+          _.mkString).getOrElse("").trim.split("\\s+")
+        (parts(0).toDouble, parts(1).toDouble)
+      } catch {
+        case _: Exception =>
+          val l = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          (l, l)
+      }
+    def noisy(l: (Double, Double)): Boolean =
+      l._1 > maxLoad || l._2 > 2 * maxLoad
     val t0 = System.nanoTime()
     var l = load()
-    while (l > maxLoad && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
-      System.err.println(f"[scaleprobe] ambient load $l%.2f > $maxLoad%.1f — waiting")
+    while (noisy(l) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+      System.err.println(
+        f"[scaleprobe] ambient load ${l._1}%.2f/${l._2}%.2f (1m/5m) > $maxLoad%.1f — waiting")
       Thread.sleep(10000)
       l = load()
     }
-    val tainted = l > maxLoad
+    val tainted = noisy(l)
     if (tainted) System.err.println(
-      f"[scaleprobe] WARNING: starting TAINTED at load $l%.2f after ${maxWaitS}s wait " +
-        "— this record is not a usable scale baseline")
-    (l, maxLoad, tainted)
+      f"[scaleprobe] WARNING: starting TAINTED at load ${l._1}%.2f/${l._2}%.2f after " +
+        s"${maxWaitS}s wait — this record is not a usable scale baseline")
+    (l._1, maxLoad, tainted)
   }
 
   def main(args: Array[String]): Unit = {
