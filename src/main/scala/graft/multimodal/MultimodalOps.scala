@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * counterpart of a pandas-batch UDF: one buffer reuse per partition,
   * no per-row setup).
   *
-  * Decode is REAL for image formats ([[ImageCodec]]): 24-bit BMP and
+  * Decode is REAL for image formats ([[ImageCodec]]: 24-bit BMP and
   * binary PGM via pure byte parsing, PNG/JPEG/GIF via the JDK's own
-  * `javax.imageio` (zero external dependencies) — features compute
-  * over decoded pixels, and [[resizeImages]] is a genuine
-  * nearest-neighbor image resize with BMP re-encode. Audio payloads
-  * fall back to the deterministic byte-histogram STUB (the JDK ships
-  * no audio decoder); swapping in a JNI/javacv decoder changes no
-  * query shape.
+  * `javax.imageio`) and for RIFF/WAVE integer PCM audio
+  * ([[AudioCodec]], pure byte parsing) — features compute over decoded
+  * pixels/samples, and [[resizeImages]] is a genuine nearest-neighbor
+  * image resize with BMP re-encode. Compressed audio (MP3/AAC/Opus)
+  * falls back to the deterministic byte-histogram STUB — the JDK ships
+  * no decoder for those — and swapping in a JNI/javacv decoder changes
+  * no query shape.
   */
 object MultimodalOps {
 
@@ -25,10 +26,19 @@ object MultimodalOps {
 
   object MediaCodec {
     /** Decoded sample bytes: real pixels for decodable image payloads
-      * (BMP/PGM/PNG/JPEG/GIF), the raw payload itself for everything
-      * else (deterministic stub). */
+      * (BMP/PGM/PNG/JPEG/GIF), the 16-bit-LE PCM byte stream for
+      * RIFF/WAVE audio, the raw payload itself for everything else
+      * (deterministic stub). */
     def sampleBytes(media: Array[Byte]): Array[Byte] =
-      ImageCodec.decode(media).map(_.data).getOrElse(media)
+      ImageCodec.decode(media).map(_.data)
+        .orElse(AudioCodec.decode(media).map { a =>
+          val le = new Array[Byte](a.samples.length * 2)
+          val bb = java.nio.ByteBuffer.wrap(le)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          a.samples.foreach(bb.putShort)
+          le
+        })
+        .getOrElse(media)
 
     /** Byte histogram over the decoded samples. */
     def histogram(media: Array[Byte]): Array[Int] = {

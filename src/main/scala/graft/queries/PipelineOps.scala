@@ -230,6 +230,40 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode in the correctness gate: each doc's first 64
+    // bytes (zero-padded) become 32 signed 16-bit LE PCM samples in a
+    // real RIFF/WAVE container, decoded back through AudioCodec's
+    // chunk-walking parser (header offsets, word alignment, sign
+    // extension — all the parser's work). The oracle recomputes the
+    // sample statistics directly from the text bytes, so a
+    // header-offset, byte-order, or sign-extension defect fails the
+    // hash. (Compressed audio stays stubbed: the JDK ships no MP3/AAC
+    // decoder.)
+    "mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = Array.tabulate(32)(i => bb.getShort(i * 2))
+          val wav = graft.multimodal.AudioCodec.encodeWav(
+            graft.multimodal.AudioCodec.Audio(8000, 1, samples))
+          val a = graft.multimodal.AudioCodec.decode(wav).get
+          var sum = 0L
+          a.samples.foreach(sum += _)
+          val le = new Array[Byte](a.samples.length * 2)
+          val ob = java.nio.ByteBuffer.wrap(le)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          a.samples.foreach(ob.putShort)
+          (id, a.samples.length, sum,
+            graft.multimodal.AudioCodec.zeroCrossings(a),
+            graft.functions.Fnv64.hash(le))
+        })
+        .toDF("doc_id", "n_samples", "sample_sum", "zero_crossings", "sample_fp")
+        .orderBy("doc_id")
+    }),
+
     // multimodal frame sampling: every 4th 32-byte "frame", each frame
     // reduced to content statistics (byte sum + order-sensitive FNV) so
     // the oracle verifies the frame PAYLOAD — an off-by-one frame
@@ -400,6 +434,44 @@ object PipelineOps {
       """SELECT doc_id, strlen(text) AS n_bytes,
                 len(list_distinct(string_split(text, ''))) AS n_distinct_bytes
          FROM documents ORDER BY doc_id""",
+    // WAV round-trip oracle: the decoded PCM samples ARE the first 64
+    // text bytes zero-padded read as 16-bit LE signed pairs, so sample
+    // sum, zero crossings (strict sign-flip count, 0 counted
+    // non-negative) and the byte-stream FNV compute directly from the
+    // text
+    "mm_wav_decode" -> {
+      import OracleSql._
+      s"""WITH bytes AS (
+            SELECT doc_id, CAST(j AS INT) AS j,
+                   CASE WHEN j < strlen(text)
+                        THEN ord(substr(text, CAST(j AS INT) + 1, 1))
+                        ELSE 0 END::HUGEINT AS b
+            FROM documents, unnest(range(0, 64)) AS t(j)),
+          samples AS (
+            SELECT lo.doc_id, lo.j // 2 AS k,
+                   CASE WHEN lo.b + 256 * hi.b >= 32768
+                        THEN lo.b + 256 * hi.b - 65536
+                        ELSE lo.b + 256 * hi.b END AS s
+            FROM bytes lo JOIN bytes hi
+              ON hi.doc_id = lo.doc_id AND hi.j = lo.j + 1
+            WHERE lo.j % 2 = 0),
+          zc AS (
+            SELECT doc_id, k, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY k) IS NOT NULL
+                         AND ((lag(s) OVER (PARTITION BY doc_id ORDER BY k) < 0) != (s < 0))
+                        THEN 1 ELSE 0 END AS x
+            FROM samples),
+          fp AS (
+            SELECT doc_id, ${fnvList("list(b ORDER BY j)")} AS f
+            FROM bytes GROUP BY doc_id)
+          SELECT z.doc_id, 32 AS n_samples,
+                 CAST(sum(z.s) AS BIGINT) AS sample_sum,
+                 CAST(sum(z.x) AS INT) AS zero_crossings,
+                 ${sb("fp.f")} AS sample_fp
+          FROM zc z JOIN fp ON fp.doc_id = z.doc_id
+          GROUP BY z.doc_id, fp.f ORDER BY z.doc_id"""
+    },
+
     // pixel-verifying resize oracle (see resizePxOracleSql)
     "mm_resize" -> resizePxOracleSql,
     // the PNG path feeds the SAME pixels through PNG encode → ImageIO
