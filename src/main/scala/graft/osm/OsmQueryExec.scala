@@ -343,9 +343,11 @@ object OsmQueryExec {
     }
     // collect THROUGH a limit of maxKeys+1: driver memory stays bounded
     // by the cap even when the extract carries millions of distinct
-    // keys, and overflow detection costs no second job
+    // keys, and overflow detection costs no second job (guard the +1
+    // against Int overflow when the cap is disabled)
+    val probeLimit = if (maxKeys == Int.MaxValue) Int.MaxValue else maxKeys + 1
     val collected = base.select(explode(map_keys(col("tags"))).as("k"))
-      .distinct().limit(maxKeys + 1).collect()
+      .distinct().limit(probeLimit).collect()
     if (collected.length > maxKeys) throw new IllegalStateException(
       s"pivotTags: result has more than $maxKeys distinct tag keys — " +
         "pivoting would create that many columns and collect every key " +

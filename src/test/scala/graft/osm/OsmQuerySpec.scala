@@ -191,6 +191,10 @@ class OsmQuerySpec extends AnyFunSuite {
       val cols = OsmQueryExec.pivotTags(mid).columns
       assert(cols.length === 66 && cols.head === "osmid" && cols.contains("k064"))
       assert(!cols.contains("tags"))
+      // <= 0 disables the cap entirely (and must not overflow the
+      // limit(cap + 1) probe)
+      spark.conf.set("spark.graft.pivot.maxKeys", "0")
+      assert(OsmQueryExec.pivotTags(mid).columns.length === 66)
     } finally spark.conf.unset("spark.graft.pivot.maxKeys")
   }
 
