@@ -474,6 +474,56 @@ object TextOps {
         .filter(col("rk") <= 100)
         .select("rk", "token", "n")
         .orderBy("rk")
+    }),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021,
+    // "Scaling Language Models", App. A1.1): per-document duplicate-
+    // token fraction and the character fraction of the most frequent
+    // word 2-gram (ties: lexicographically smallest bigram — corpus is
+    // ASCII, so JVM UTF-16 order == DuckDB byte order). Both signals
+    // are document-local, so the operator is ONE narrow pass — no
+    // shuffle at any scale; 100 TB cost is the scan itself. Tight JVM
+    // kernel over each doc's own token array (same rationale as
+    // [[simhashes]]: a higher-order-function expression for the
+    // argmax-over-bigram-counts would be interpreted, not codegen'd).
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val nTok = ws.length
+          val wc = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < nTok) { wc.merge(ws(i), 1, Integer.sum _); i += 1 }
+          var dupTok = 0
+          i = 0
+          while (i < nTok) { if (wc.get(ws(i)) > 1) dupTok += 1; i += 1 }
+          val bc = new java.util.HashMap[String, Int]()
+          i = 0
+          while (i < nTok - 1) {
+            bc.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum _); i += 1
+          }
+          var topBg: String = null
+          var topN = 0
+          val it = bc.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue > topN ||
+                (e.getValue == topN && topBg != null && e.getKey.compareTo(topBg) < 0)) {
+              topN = e.getValue; topBg = e.getKey
+            }
+          }
+          // ratios of exact small ints — both engines divide identical
+          // operands, then round HALF_UP like every oracle double
+          val bgFrac =
+            if (topBg == null) 0.0
+            else graft.functions.Num.roundHalfUp(
+              topN.toDouble * topBg.length / text.length, 6)
+          (id, Option(topBg), bgFrac,
+            graft.functions.Num.roundHalfUp(dupTok.toDouble / nTok, 6))
+        })
+        .toDF("doc_id", "top_bigram", "top_bigram_frac", "dup_token_frac")
+        .orderBy("doc_id")
     })
   )
 
@@ -613,6 +663,37 @@ object TextOps {
                  CAST(length(text) - (n_tok - 1) AS DOUBLE) / n_tok AS avg_token_len,
                  n_tok < 20 AS too_short
           FROM b ORDER BY doc_id"""
-    }
+    },
+    // token/bigram tables via unnest; top bigram by (count DESC,
+    // bigram ASC) row_number — the same tie-break as the JVM kernel
+    "text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+         wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+         dup AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                     / SUM(c) AS dup_frac
+                 FROM wc GROUP BY doc_id),
+         big AS (SELECT doc_id, nc,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])) AS bg
+                 FROM t WHERE len(ws) >= 2),
+         bgc AS (SELECT doc_id, nc, bg, COUNT(*) AS c
+                 FROM big GROUP BY doc_id, nc, bg),
+         top AS (SELECT doc_id, bg,
+                   round(CAST(c * length(bg) AS DOUBLE) / nc, 6) AS f
+                 FROM (SELECT doc_id, nc, bg, c,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, bg ASC) AS rn
+                       FROM bgc) x WHERE rn = 1)
+         SELECT d.doc_id, top.bg AS top_bigram,
+                coalesce(top.f, 0.0) AS top_bigram_frac,
+                round(dup.dup_frac, 6) AS dup_token_frac
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN top USING (doc_id)
+         LEFT JOIN dup USING (doc_id)
+         ORDER BY doc_id"""
   )
 }

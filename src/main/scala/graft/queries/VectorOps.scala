@@ -141,7 +141,153 @@ object VectorOps extends Serializable {
     // scales with the corpus), every vector assigned to its nearest
     // centroid's list, queries probe the nprobe nearest lists and score
     // exactly inside them. Fully deterministic ⇒ full SQL oracle.
-    "vec_ann_ivf" -> ((s, dir) => annIvf(s, dir, CentroidStep, NProbe)))
+    "vec_ann_ivf" -> ((s, dir) => annIvf(s, dir, CentroidStep, NProbe)),
+
+    // Deterministic Lloyd k-means over the embedding corpus (the
+    // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
+    // 2023): seeds = the k lowest vec_ids, every coordinate grid-
+    // snapped to the 2^-20 lattice up front so distance terms and
+    // centroid means are bit-identical in both engines ⇒ full SQL
+    // oracle (3 unrolled Lloyd iterations in DuckDB).
+    "vec_kmeans" -> ((s, dir) =>
+      kmeansAssign(s, dir, KmeansK, KmeansIters).orderBy("vec_id")),
+
+    // SemDeDup: k-means cluster, then exact quantized-cosine pairs
+    // WITHIN each cluster only; a vector is dropped when a smaller-id
+    // cluster-mate sits above the similarity threshold. Output is the
+    // full corpus with its cluster and keep/drop verdict.
+    "vec_semdedup" -> ((s, dir) =>
+      semdedup(s, dir, KmeansK, KmeansIters, SemDedupThreshold)))
+
+  /** k-means defaults: at sf0.01 (500 vecs) k=8 gives ~60-vector
+    * clusters; in production k scales as N/targetClusterSize so the
+    * within-cluster SemDeDup pair join stays bounded. */
+  private val KmeansK = 8
+  private val KmeansIters = 3
+  private val SemDedupThreshold = 0.4
+
+  /** Deterministic Lloyd k-means: `iters - 1` centroid updates, then
+    * one final assignment pass. Returns (vec_id, cluster, dist) where
+    * `cluster` is the seed vec_id of the centroid (a stable label that
+    * never needs an index remap) and `dist` is the squared L2 distance
+    * on the 2^-20 grid, rounded to 6.
+    *
+    * Determinism: every coordinate is snapped to the 2^-20 lattice
+    * first, so each squared-difference term `round((x-c)²·2^20)` is an
+    * integer-valued double and per-vector distance sums are EXACT
+    * (order-independent); centroid means divide an exact lattice sum
+    * by an exact count, giving bit-identical doubles in Spark and the
+    * oracle's unrolled SQL. Ties go to the lowest centroid id in both.
+    *
+    * Scale (100 TB): centroids are k×64 doubles — collected and
+    * broadcast each iteration (same tier as [[annIvf]]'s coarse
+    * quantizer); each update is ONE narrow pass emitting k×64 partial
+    * sums per partition (the per-key shuffle is k×64×partitions tiny
+    * rows, never the corpus), and the final assignment is one narrow
+    * map. The corpus itself is localCheckpointed once and re-read
+    * `iters` times from block storage, never re-parsed from parquet. */
+  def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
+    val snapped = emb(s, dir).select(col("vec_id"),
+        expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)").as("vq"))
+      .localCheckpoint(false)
+    val ds = snapped.as[(Long, Array[Double])]
+
+    // argmin over broadcast centroids; strict < keeps the lowest cid on
+    // ties because `cs` is sorted by cid
+    def nearest(v: Array[Double], cs: Array[(Long, Array[Double])]): (Int, Double) = {
+      var bi = 0
+      var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)._2
+        var acc = 0.0
+        var d = 0
+        while (d < v.length) {
+          val t = v(d) - cv(d)
+          acc += graft.functions.Num.round0(t * t * Q)
+          d += 1
+        }
+        if (acc < bd) { bd = acc; bi = ci }
+        ci += 1
+      }
+      (bi, bd)
+    }
+
+    var cents: Array[(Long, Array[Double])] =
+      ds.filter(col("vec_id") < k).collect().sortBy(_._1)
+
+    var it = 1
+    while (it < iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      // one narrow pass: per-partition per-cluster coordinate sums +
+      // counts (exact lattice sums), then a k×64-key rollup
+      val partials = ds.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](64))
+        val cnts = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          val (bi, _) = nearest(v, cs)
+          val sm = sums(bi)
+          var d = 0
+          while (d < v.length) { sm(d) += v(d); d += 1 }
+          cnts(bi) += 1
+        }
+        cs.indices.iterator.filter(cnts(_) > 0).flatMap { ci =>
+          (0 until 64).iterator.map(p => (cs(ci)._1, p, sums(ci)(p), cnts(ci)))
+        }
+      }.toDF("cid", "pos", "s", "n")
+        .groupBy("cid", "pos")
+        .agg(sum("s").as("s"), sum("n").as("n"))
+        .collect()
+      // empty clusters simply vanish (their seed attracted no members
+      // against a duplicate seed with a lower id) — the oracle's GROUP
+      // BY produces the same shrinkage
+      cents = partials.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val arr = new Array[Double](64)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        (cid, arr)
+      }.toArray.sortBy(_._1)
+      it += 1
+    }
+
+    val bcF = s.sparkContext.broadcast(cents)
+    ds.mapPartitions { rows =>
+      val cs = bcF.value
+      rows.map { case (id, v) =>
+        val (bi, bd) = nearest(v, cs)
+        (id, cs(bi)._1, graft.functions.Num.roundHalfUp(bd / Q, 6))
+      }
+    }.toDF("vec_id", "cluster", "dist")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster with [[kmeansAssign]], exact
+    * quantized-cosine verification WITHIN clusters only, drop a vector
+    * when a lower-id cluster-mate exceeds `minSim`. The pair join is
+    * an equi-join on cluster — its width is bounded by the largest
+    * cluster, which production k (N/targetClusterSize) keeps constant
+    * per task; the corpus is never self-joined globally. */
+  def semdedup(s: SparkSession, dir: String, k: Int, iters: Int,
+      minSim: Double): DataFrame = {
+    val assign = kmeansAssign(s, dir, k, iters).select("vec_id", "cluster")
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val a = assign.join(e, "vec_id")
+    val lft = a.select(col("cluster"), col("vec_id").as("ida"),
+      col("v").as("va"), col("norm").as("na"))
+    val rgt = a.select(col("cluster"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dropped = lft.join(rgt, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("sim") >= lit(minSim))
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assign.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
 
   /** Random-hyperplane LSH ANN, parameterized by plane count (bucket
     * granularity: 2^planes buckets — tune to corpus size). */
@@ -528,8 +674,69 @@ object VectorOps extends Serializable {
     // this corpus is pinned by VecNeardupLshSpec (parameters chosen so
     // the worst true pair still shares a band, see neardupLsh scaladoc)
     "vec_neardup_lsh" -> neardupPairsSql,
-    "vec_neardup_pairs" -> neardupPairsSql
+    "vec_neardup_pairs" -> neardupPairsSql,
+
+    // Lloyd unrolled: epos grid-snaps coordinates exactly as the JVM
+    // kernel; d_i/a_i/c_i per iteration (distances are exact integer
+    // sums on the 2^-20 lattice, means divide exact sums — bit-equal
+    // to Spark); final assignment is a_iters
+    "vec_kmeans" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
+          SELECT vec_id, cid AS cluster, round(dq / 1048576.0, 6) AS dist
+          FROM a$KmeansIters ORDER BY vec_id""",
+
+    "vec_semdedup" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+          idx AS (SELECT unnest(range(1, 65)) AS i),
+          norms AS (
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          dropped AS (
+            SELECT y_id AS vec_id FROM (
+              SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+                     round(($dotSql) / (na.nrm * nb.nrm), 6) AS sim
+              FROM a$KmeansIters x
+              JOIN a$KmeansIters y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              JOIN embeddings a ON a.vec_id = x.vec_id
+              JOIN embeddings b ON b.vec_id = y.vec_id
+              JOIN norms na ON na.vec_id = x.vec_id
+              JOIN norms nb ON nb.vec_id = y.vec_id
+              CROSS JOIN idx
+              GROUP BY x.vec_id, y.vec_id, na.nrm, nb.nrm) p
+            WHERE sim >= $SemDedupThreshold GROUP BY y_id)
+          SELECT f.vec_id, f.cid AS cluster, (d.vec_id IS NULL) AS kept
+          FROM a$KmeansIters f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+          ORDER BY f.vec_id"""
   )
+
+  /** Unrolled Lloyd CTE chain shared by the kmeans/semdedup oracles:
+    * `epos` (grid-snapped per-dim table), seed centroids `c0`, then
+    * (d_i distances, a_i argmin assignment, c_i mean update) per
+    * iteration — the exact SQL twin of [[kmeansAssign]]. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val head =
+      s"""epos AS (
+            SELECT vec_id, CAST(g.pos AS INT) AS pos,
+                   round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
+          c0 AS (SELECT vec_id AS cid, pos, x AS cx FROM epos WHERE vec_id < $k)"""
+    val its = (1 to iters).map { i =>
+      s"""d$i AS (SELECT e.vec_id, c.cid,
+                    SUM(round((e.x - c.cx) * (e.x - c.cx) * 1048576.0)) AS dq
+                  FROM epos e JOIN c${i - 1} c ON e.pos = c.pos
+                  GROUP BY e.vec_id, c.cid),
+          a$i AS (SELECT vec_id, cid, dq FROM (
+                    SELECT vec_id, cid, dq,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dq, cid) AS rn
+                    FROM d$i) t WHERE rn = 1),
+          c$i AS (SELECT a.cid, e.pos, SUM(e.x) / COUNT(*) AS cx
+                  FROM a$i a JOIN epos e ON a.vec_id = e.vec_id
+                  GROUP BY a.cid, e.pos)"""
+    }
+    (head +: its).mkString(",\n")
+  }
 
   private val neardupPairsSql =
     s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
