@@ -345,6 +345,31 @@ object PipelineOps {
       d.join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // PII masking/redaction — the regex scrub step of a training
+    // pipeline. The synthetic corpus carries no real PII, so the query
+    // first derives a deterministic contact tail per doc (email +
+    // phone) and then masks it back out: the assertion under test is
+    // the REDACTION plumbing (global regexp_replace + match counting)
+    // with patterns restricted to the Java-regex ∩ RE2 common subset
+    // so both engines see identical semantics. Narrow, shuffle-free,
+    // codegen'd — at 100 TB the cost is the scan.
+    "pipe_pii_mask" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val contact = concat(col("text"), lit(" reach user"),
+        col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .withColumn("contact", contact)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("contact"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("masked"),
+          regexp_count(col("contact"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("contact"), lit(phoneRe)).as("n_phones"))
+        .orderBy("doc_id")
     })
   )
 
@@ -591,7 +616,27 @@ object PipelineOps {
           bad AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bench b ON f.fp = b.fp)
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // same contact derivation, RE2 'g' replace; patterns live in the
+    // Java-regex ∩ RE2 common subset (char classes + bounded repeats,
+    // no backrefs/lookarounds), so both engines match identical spans
+    "pipe_pii_mask" ->
+      raw"""WITH w AS (
+            SELECT doc_id,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                   '@mail.example or +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+            FROM documents)
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(contact,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
+                 CAST(len(regexp_extract_all(contact,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(contact,
+                   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+          FROM w ORDER BY doc_id"""
   )
 
   /** Pixel-verifying resize oracle shared by mm_resize and
