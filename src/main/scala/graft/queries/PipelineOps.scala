@@ -347,6 +347,34 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Cross-document exact-substring overlap pairs — the detection
+    // core of substring-level dedup (Lee et al. 2021, "Deduplicating
+    // Training Data...", done the winnowing way instead of a suffix
+    // array): two docs sharing ANY winnow fingerprint (k=20, w=4)
+    // share a verbatim run of >= 23 chars (the MOSS guarantee), so
+    // every emitted pair is a TRUE substring overlap — no verification
+    // stage. n_shared counts distinct shared fingerprints (a proxy for
+    // overlap mass). Scale: fingerprints are a narrow ~len/w-per-doc
+    // map; the pair join keys on fp and its output is the answer
+    // itself (output-bounded — a boilerplate-heavy production corpus
+    // bounds it upstream by dropping top-document-frequency
+    // fingerprints, the standard shingle-df guard).
+    "dedup_substring_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val fps = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
+        })
+        .toDF("doc_id", "fp")
+        .distinct() // an fp repeated INSIDE one doc must not multiply pair weight
+      val a = fps.select(col("fp"), col("doc_id").as("ida"))
+      val b = fps.select(col("fp"), col("doc_id").as("idb"))
+      a.join(b, Seq("fp")).filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+        .orderBy("ida", "idb")
+    }),
+
     // PII masking/redaction — the regex scrub step of a training
     // pipeline. The synthetic corpus carries no real PII, so the query
     // first derives a deterministic contact tail per doc (email +
@@ -617,6 +645,18 @@ object PipelineOps {
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
+
+    // same winnow fingerprint table as pipe_decontaminate (UNION
+    // dedups to distinct (doc, fp)), then the fp-keyed pair join
+    "dedup_substring_pairs" ->
+      s"""WITH sel AS (${winnowSelSql(20)}),
+          fps AS (
+            SELECT doc_id, w_h AS fp FROM sel WHERE m >= 4 AND pos <= m - 3
+            UNION
+            SELECT doc_id, hh FROM sel WHERE m < 4)
+          SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // same contact derivation, RE2 'g' replace; patterns live in the
     // Java-regex ∩ RE2 common subset (char classes + bounded repeats,
