@@ -25,13 +25,13 @@ object Bench {
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_cluster_cc", "dedup_cluster_cc_dist", "dedup_substring_pairs",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "text_repetition",
+    "text_repetition", "text_doc_freq",
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
     "vec_kmeans", "vec_semdedup",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
-    "ev_asof_join", "ev_range_join",
+    "ev_asof_join", "ev_range_join", "ev_funnel",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "pipe_pii_mask", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology

@@ -347,6 +347,53 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Ordered conversion funnel per user: earliest view, then the
+    // earliest click STRICTLY after it, then the earliest purchase
+    // strictly after that (µs domain, ties ordered (tu, event_id) per
+    // the event-time doctrine; strict > means an equal-µs step never
+    // advances the funnel — deterministic in both engines). ONE
+    // shuffle on user_id + a streaming sorted-run walk per partition:
+    // the greedy first-qualifying-event scan over (tu, event_id) order
+    // equals the nested min-after-min semantics, because a qualifying
+    // step can only appear after its predecessor in sort order. State
+    // is O(1) per user; output is one row per user.
+    "ev_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val sorted = ev.select(col("user_id"),
+          graft.streaming.EventTime.tsUs(ev).as("tu"),
+          col("event_type"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("tu"), col("event_id"))
+        .as[(Long, Long, String, Long)]
+      sorted.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Option[Long], Option[Long], Option[Long])]
+        var cur = 0L
+        var open = false
+        var t1, t2, t3 = -1L
+        def close(): Unit = if (open) {
+          val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+          out += ((cur, stage,
+            if (t1 >= 0) Some(t1) else None,
+            if (t2 >= 0) Some(t2) else None,
+            if (t3 >= 0) Some(t3) else None))
+        }
+        it.foreach { case (u, tu, tpe, _) =>
+          if (!open || u != cur) { close(); cur = u; open = true; t1 = -1; t2 = -1; t3 = -1 }
+          tpe match {
+            case "view"     => if (t1 < 0) t1 = tu
+            case "click"    => if (t2 < 0 && t1 >= 0 && tu > t1) t2 = tu
+            case "purchase" => if (t3 < 0 && t2 >= 0 && tu > t2) t3 = tu
+            case _          => ()
+          }
+        }
+        close()
+        out.iterator
+      }.toDF("user_id", "stage", "t1_us", "t2_us", "t3_us")
+        .orderBy("user_id")
+    }),
+
     // Cross-document exact-substring overlap pairs — the detection
     // core of substring-level dedup (Lee et al. 2021, "Deduplicating
     // Training Data...", done the winnowing way instead of a suffix
@@ -645,6 +692,28 @@ object PipelineOps {
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
+
+    // nested min-after-min funnel CTEs; strict > on µs steps
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+          v AS (SELECT user_id, MIN(tu) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(tu) AS t2
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.tu > v.t1 GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(tu) AS t3
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.tu > c.t2 GROUP BY e.user_id)
+          SELECT u.user_id,
+                 CASE WHEN p.t3 IS NOT NULL THEN 3
+                      WHEN c.t2 IS NOT NULL THEN 2
+                      WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+                 v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us
+          FROM (SELECT DISTINCT user_id FROM e) u
+          LEFT JOIN v USING (user_id)
+          LEFT JOIN c USING (user_id)
+          LEFT JOIN p USING (user_id)
+          ORDER BY user_id""",
 
     // same winnow fingerprint table as pipe_decontaminate (UNION
     // dedups to distinct (doc, fp)), then the fp-keyed pair join

@@ -476,6 +476,28 @@ object TextOps {
         .orderBy("rk")
     }),
 
+    // Corpus-frequency document scoring — the unigram stand-in for
+    // CCNet's LM-quality gate: a doc whose tokens are corpus-rare
+    // scores low mean frequency / high n_rare. Two-pass corpus-global
+    // shape: (1) token histogram (one shuffle on token, map-side
+    // combined); (2) join the histogram back onto the token stream —
+    // Catalyst broadcasts the (Zipf-bounded) vocab side when small,
+    // AQE skew-join covers hot tokens otherwise — then re-aggregate
+    // per doc (one shuffle on doc_id). Exact integer arithmetic
+    // throughout ⇒ full SQL oracle.
+    "text_doc_freq" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val cc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      tok.join(cc, "w")
+        .groupBy("doc_id")
+        .agg(
+          round(sum(col("c")).cast("double") / count(lit(1)), 6)
+            .as("mean_tok_freq"),
+          sum(when(col("c") < 5, 1L).otherwise(0L)).as("n_rare"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality signals (Rae et al. 2021,
     // "Scaling Language Models", App. A1.1): per-document duplicate-
     // token fraction and the character fraction of the most frequent
@@ -664,6 +686,16 @@ object TextOps {
                  n_tok < 20 AS too_short
           FROM b ORDER BY doc_id"""
     },
+    "text_doc_freq" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w)
+         SELECT t.doc_id,
+                round(CAST(SUM(cc.c) AS DOUBLE) / COUNT(*), 6) AS mean_tok_freq,
+                CAST(SUM(CASE WHEN cc.c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM tok t JOIN cc ON t.w = cc.w
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
     // token/bigram tables via unnest; top bigram by (count DESC,
     // bigram ASC) row_number — the same tie-break as the JVM kernel
     "text_repetition" ->
