@@ -347,6 +347,29 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Cohort retention: users bucketed by first-seen UTC day, counted
+    // once per (cohort, day-offset) they were active on. Day buckets
+    // are exact integer µs division (86.4e9), so both engines bucket
+    // identically. Two aggregations + one user-keyed join — all
+    // shuffles key on user_id / (cohort, offset); no window over the
+    // raw stream.
+    "ev_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // integer `div`, not `/`: double division of a ~2^51 µs value can
+      // round up across an exact day boundary before the cast truncates
+      val e = ev.select(col("user_id"),
+          graft.streaming.EventTime.tsUs(ev).as("tu"))
+        .withColumn("d", expr("tu div 86400000000"))
+        .select("user_id", "d")
+      val first = e.groupBy("user_id").agg(min("d").as("d0"))
+      e.join(first, "user_id")
+        .select(col("user_id"), col("d0"), (col("d") - col("d0")).as("off"))
+        .distinct()
+        .groupBy(col("d0").as("cohort_day"), col("off").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Ordered conversion funnel per user: earliest view, then the
     // earliest click STRICTLY after it, then the earliest purchase
     // strictly after that (µs domain, ties ordered (tu, event_id) per
@@ -692,6 +715,15 @@ object PipelineOps {
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
+
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+          f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+          a AS (SELECT DISTINCT e.user_id, f.d0, e.d - f.d0 AS off
+                FROM e JOIN f ON e.user_id = f.user_id)
+          SELECT d0 AS cohort_day, off AS day_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // nested min-after-min funnel CTEs; strict > on µs steps
     "ev_funnel" ->
