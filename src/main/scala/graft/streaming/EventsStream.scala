@@ -165,6 +165,52 @@ object EventsStream {
       .toDF("click_id", "user_id", "view_id", "gap_us")
   }
 
+  /** Stateful streaming twin of `ev_funnel`: per-user GroupState holds
+    * (last event ts, t1, t2, t3) — O(1) per user — and a row is
+    * emitted each time the user ADVANCES a stage. The union of
+    * advancement rows over the whole stream equals the batch funnel
+    * unrolled: batch stage ≥ k with timestamp t_k ⟺ exactly one
+    * (user, k, t_k) advancement, because the batch walk is the same
+    * greedy first-qualifying scan in (ts, event_id) order. Straggler
+    * rule shared with the other twins: events strictly older than the
+    * committed state are dropped. */
+  final case class FunnelState(lastTsUs: Long, t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, stage: Int, t_us: Long)
+
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, -1L, -1L, -1L))
+          val out = evs.flatMap { case (_, _, ts, typ) =>
+            if (st.lastTsUs != Long.MinValue && ts < st.lastTsUs) None // late straggler
+            else {
+              st = st.copy(lastTsUs = ts)
+              typ match {
+                case "view" if st.t1 < 0 =>
+                  st = st.copy(t1 = ts); Some(FunnelOut(user, 1, ts))
+                case "click" if st.t2 < 0 && st.t1 >= 0 && ts > st.t1 =>
+                  st = st.copy(t2 = ts); Some(FunnelOut(user, 2, ts))
+                case "purchase" if st.t3 < 0 && st.t2 >= 0 && ts > st.t2 =>
+                  st = st.copy(t3 = ts); Some(FunnelOut(user, 3, ts))
+                case _ => None
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "stage", "t_us")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

@@ -151,4 +151,29 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     assert(sessRows(sess) === sessExpected,
       "straggler processing disturbed the committed session assignment")
   }
+
+  test("funnelStream advancement rows equal the batch funnel under random cuts") {
+    val (rows, _) = ordered
+    val batch = graft.queries.PipelineOps.queries("ev_funnel")(spark, fixtureDir)
+    // unroll the batch result into advancement rows: stage k reached
+    // at t_k ⟺ one (user, k, t_k) emission from the twin
+    val expected = batch.collect().flatMap { r =>
+      val u = r.getLong(0)
+      Seq(2 -> 1, 3 -> 2, 4 -> 3).flatMap { case (idx, stage) =>
+        Option(r.get(idx)).map(t => (u, stage, t.asInstanceOf[Long]))
+      }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    assert(expected.nonEmpty, "degenerate fixture: nobody enters the funnel")
+    Seq(0xF00D1, 0xCAFE2).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4)
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1)))
+      val got = runChunked(s"mbs_funnel_$seed", chunks,
+          df => EventsStream.funnelStream(spark, df))
+        .orderBy("user_id", "stage")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got === expected,
+        s"funnelStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
 }
