@@ -12,6 +12,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     // analytics headliners
     "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
+    "tpch_q10_returns", "tpch_q18_big_orders",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins

@@ -627,6 +627,52 @@ object RelationalOps {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue, top 20 customers):
+    // selective filters reach both scans, dims broadcast, one agg on
+    // customer; LIMIT is deterministic (revenue DESC — exact decimal
+    // sums — then c_custkey)
+    "tpch_q10_returns" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-04-01")))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): the HAVING-filtered big
+    // set feeds a key-join back into the detail — aggregate twice on
+    // the same orderkey (partial agg map-side both times), never a
+    // window over the raw stream
+    "tpch_q18_big_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .filter(col("sq") > 150).select("l_orderkey")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(big, "l_orderkey")
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).as("o_date"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }))
 
   def analyticsOracle: Map[String, String] = Map(
@@ -693,7 +739,34 @@ object RelationalOps {
          JOIN customer ON o_custkey = c_custkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          JOIN nation ON s_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""")
+         GROUP BY n_name ORDER BY n_name""",
+    "tpch_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1998-01-01'
+           AND o_orderdate < TIMESTAMP '1998-04-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q18_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+         SELECT c_custkey, c_name, o_orderkey,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_date,
+                o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         JOIN big USING (l_orderkey)
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
 
   // ------------------------------------------------------------ oracle SQL
 
