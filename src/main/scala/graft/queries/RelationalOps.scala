@@ -555,6 +555,24 @@ object RelationalOps {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // exact per-group percentiles (type-7 linear interpolation in both
+    // engines). Safe on l_quantity ONLY because it is integer-valued
+    // with heavy ties — neighbors at a quantile index are almost
+    // always equal, and when they differ the interpolant a + f·(b−a)
+    // is computed from identical doubles in both engines. Money
+    // columns are a documented flake trap here: midpoints of 2-decimal
+    // prices land EXACTLY on the 6-digit HALF_UP boundary, where the
+    // two engines' last-ulp noise rounds in different directions.
+    "a10_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .orderBy("l_returnflag")),
+
     // ranking windows: rank/dense_rank stay deterministic under ties by
     // construction; ntile gets a complete order.
     "w4_ranks" -> ((s, dir) => {
@@ -694,6 +712,13 @@ object RelationalOps {
                 count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_orderkey) AS n_orders,
                 count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a10_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75,
+                quantile_cont(l_quantity, 0.95) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "w4_ranks" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
