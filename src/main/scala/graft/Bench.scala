@@ -340,9 +340,16 @@ object Bench {
             (first, false)
           } else {
             val second = once()
-            // prefer the clean record; two tainted records → the faster
-            if (!taintedRes(second, prevCpu) || second.wall >= 0 &&
-              (first.wall < 0 || second.wall < first.wall)) (second, true)
+            // prefer a clean VALID record; an all-FAIL re-run (wall<0,
+            // which taintedRes cannot flag — no ok reps) must never
+            // replace a valid-but-tainted measurement; two tainted
+            // valid records → the faster
+            val firstValid = first.wall >= 0
+            val secondValid = second.wall >= 0
+            if (secondValid && !taintedRes(second, prevCpu)) (second, true)
+            else if (!firstValid && secondValid) (second, true)
+            else if (firstValid && secondValid && second.wall < first.wall)
+              (second, true)
             else (first, true)
           }
         }

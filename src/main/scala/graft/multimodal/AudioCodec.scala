@@ -45,7 +45,9 @@ object AudioCodec {
     while (pos + 8 <= bytes.length && (fmtTag < 0 || data == null)) {
       val id = b.getInt(pos)
       val len = b.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) return None
+      // long arithmetic: a hostile len near Int.MaxValue would wrap
+      // `pos + 8 + len` negative and slip past an int comparison
+      if (len < 0 || pos.toLong + 8L + len > bytes.length) return None
       if (id == 0x20746d66 /* "fmt " */ && len >= 16) {
         fmtTag = b.getShort(pos + 8) & 0xffff
         channels = b.getShort(pos + 10) & 0xffff
@@ -80,6 +82,17 @@ object AudioCodec {
 
   /** Encode as canonical 44-byte-header 16-bit PCM WAV
     * (decode(encode(a)) == a). */
+  /** The samples as the 16-bit-LE PCM byte stream (the `data` chunk
+    * payload) — the one serialization shared by feature extraction and
+    * the wav-decode gate, so a future sample-layout change cannot make
+    * them silently disagree. */
+  def pcmBytes(a: Audio): Array[Byte] = {
+    val le = new Array[Byte](a.samples.length * 2)
+    val bb = ByteBuffer.wrap(le).order(ByteOrder.LITTLE_ENDIAN)
+    a.samples.foreach(bb.putShort)
+    le
+  }
+
   def encodeWav(a: Audio): Array[Byte] = {
     val dataLen = a.samples.length * 2
     val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)

@@ -78,7 +78,15 @@ object ImageCodec {
         val w = bi.getWidth
         val h = bi.getHeight
         val raster = bi.getRaster
-        if (raster.getNumBands == 1) {
+        // the real-decode contract is 8-bit samples: a 16-bit PNG would
+        // silently truncate through .toByte below — reject it to the
+        // deterministic stub instead of returning garbage as "decoded"
+        val wide = (0 until raster.getNumBands)
+          .exists(raster.getSampleModel.getSampleSize(_) > 8)
+        if (wide) None
+        else if (raster.getNumBands <= 2) {
+          // 1 band = gray; 2 bands = gray+alpha (alpha dropped, same
+          // doctrine as the RGBA path below)
           val samples = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
           val data = new Array[Byte](w * h)
           var i = 0

@@ -31,13 +31,7 @@ object MultimodalOps {
       * (deterministic stub). */
     def sampleBytes(media: Array[Byte]): Array[Byte] =
       ImageCodec.decode(media).map(_.data)
-        .orElse(AudioCodec.decode(media).map { a =>
-          val le = new Array[Byte](a.samples.length * 2)
-          val bb = java.nio.ByteBuffer.wrap(le)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          a.samples.foreach(bb.putShort)
-          le
-        })
+        .orElse(AudioCodec.decode(media).map(AudioCodec.pcmBytes))
         .getOrElse(media)
 
     /** Byte histogram over the decoded samples. */

@@ -209,7 +209,20 @@ object OsmQueryExec {
       frontier = dedup(sub.filter(col("mtype") === TypeRelation))
     }
     import org.apache.spark.sql.expressions.Window
-    dedup(ways)
+    // Duplicate DIRECT membership (the same way listed at two
+    // positions, e.g. an out-and-back route) is legal and preserved —
+    // the unexpanded path keeps both rows, so expansion must not
+    // rewrite relations that have no sub-relations at all. The
+    // (root, ref) dedup is the diamond/cycle guard and applies only to
+    // rows reached THROUGH expansion (path contains '.'); an expanded
+    // ref already present as a direct member is suppressed entirely.
+    val direct = ways.filter(!col("path").contains("."))
+    val expanded = dedup(ways.filter(col("path").contains(".")))
+      .join(direct.select(col("rel_id").as("d_rel"), col("ref").as("d_ref"))
+          .distinct(),
+        col("rel_id") === col("d_rel") && col("ref") === col("d_ref"),
+        "left_anti")
+    direct.unionByName(expanded)
       .withColumn("mpos", row_number().over(
         Window.partitionBy("rel_id").orderBy("path")) - 1)
       .select(col("rel_id"), col("gclass"), col("mpos"), col("role"),

@@ -252,10 +252,7 @@ object PipelineOps {
           val a = graft.multimodal.AudioCodec.decode(wav).get
           var sum = 0L
           a.samples.foreach(sum += _)
-          val le = new Array[Byte](a.samples.length * 2)
-          val ob = java.nio.ByteBuffer.wrap(le)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          a.samples.foreach(ob.putShort)
+          val le = graft.multimodal.AudioCodec.pcmBytes(a)
           (id, a.samples.length, sum,
             graft.multimodal.AudioCodec.zeroCrossings(a),
             graft.functions.Fnv64.hash(le))
@@ -356,7 +353,10 @@ object PipelineOps {
     "ev_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       // integer `div`, not `/`: double division of a ~2^51 µs value can
-      // round up across an exact day boundary before the cast truncates
+      // round up across an exact day boundary before the cast
+      // truncates. Negative (pre-epoch) µs values are parity-safe as
+      // is: Spark's `div` and DuckDB's integer `//` BOTH truncate
+      // toward zero (verified: -1 // 86400000000 = 0 in DuckDB).
       val e = ev.select(col("user_id"),
           graft.streaming.EventTime.tsUs(ev).as("tu"))
         .withColumn("d", expr("tu div 86400000000"))

@@ -78,6 +78,16 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(f.n_bytes === 4 && f.n_distinct_bytes === 2)
   }
 
+  test("hostile chunk length near Int.MaxValue is rejected, not wrapped") {
+    // len = 0x7FFFFFF0 makes `pos + 8 + len` wrap negative in int
+    // arithmetic, slipping past the bounds check and crashing the walk
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0, 0x46464952).putInt(4, 56).putInt(8, 0x45564157)
+    b.putInt(12, 0x61746164 /* data */).putInt(16, 0x7FFFFFF0)
+    assert(decode(b.array()).isEmpty) // must return None, never throw
+  }
+
   test("toMono averages with toward-zero truncation; zero crossings count strict sign flips") {
     val st = Audio(8000, 2, Array[Short](100, -301, 5, 6))
     assert(toMono(st).samples.toSeq === Seq[Short](-100, 5))

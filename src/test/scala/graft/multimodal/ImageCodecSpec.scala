@@ -158,4 +158,36 @@ class ImageCodecSpec extends AnyFunSuite {
     val back = decode(r.getAs[Array[Byte]]("media"))
     assert(back.contains(resizeNearest(img, 3, 3)))
   }
+
+  test("16-bit PNG is rejected (outside the 8-bit real-decode contract), not truncated") {
+    // a 16-bit gray PNG decodes via ImageIO to 0..65535 samples;
+    // .toByte truncation would silently return garbage pixels as a
+    // successful "real" decode — the contract is None → stub
+    val bi = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    bi.getRaster.setSample(1, 1, 0, 0x0100) // low byte 0, high byte 1
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    assert(decode(bos.toByteArray).isEmpty)
+  }
+
+  test("gray+alpha PNG decodes as gray (alpha dropped), matching the RGBA doctrine") {
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(3, 2)
+    (0 until 3).foreach { x =>
+      (0 until 2).foreach { y =>
+        raster.setSample(x, y, 0, 10 * (y * 3 + x)) // gray
+        raster.setSample(x, y, 1, 200)              // alpha
+      }
+    }
+    val bi = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val img = decode(bos.toByteArray)
+    assert(img.isDefined, "gray+alpha PNG must decode, not fall to the stub")
+    assert(img.get.channels === 1 && img.get.width === 3 && img.get.height === 2)
+    assert(img.get.data.toSeq === Seq(0, 10, 20, 30, 40, 50).map(_.toByte))
+  }
 }
