@@ -12,7 +12,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     // analytics headliners
     "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
-    "tpch_q10_returns", "tpch_q18_big_orders",
+    "tpch_q10_returns", "tpch_q18_big_orders", "a12_bloom_semi",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins
@@ -32,7 +32,7 @@ object Bench {
     "vec_kmeans", "vec_semdedup",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
-    "ev_asof_join", "ev_range_join", "ev_funnel", "ev_retention",
+    "ev_asof_join", "ev_range_join", "ev_funnel", "ev_retention", "ev_top_paths",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "pipe_pii_mask", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology

@@ -468,6 +468,29 @@ object PipelineOps {
           regexp_count(col("contact"), lit(emailRe)).as("n_emails"),
           regexp_count(col("contact"), lit(phoneRe)).as("n_phones"))
         .orderBy("doc_id")
+    }),
+
+    // Top event trigrams ("paths"): per-user ordered windows (the
+    // engine's µs-domain (tu, event_id) ordering contract) slide a
+    // 3-event frame via two leads — one shuffle on user_id for the
+    // window, then a tiny path-keyed aggregate (cardinality ≤
+    // |event_type|³). The heavy step is the window over raw events;
+    // lead() keeps it a single pass, no self-joins. Top-k is
+    // deterministic: count DESC then path.
+    "ev_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+      ev.select(col("user_id"), col("event_type"), col("event_id"),
+          graft.streaming.EventTime.tsUs(ev).as("tu"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(25)
+        .orderBy(col("n").desc, col("path"))
     })
   )
 
@@ -777,7 +800,23 @@ object PipelineOps {
                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
                  CAST(len(regexp_extract_all(contact,
                    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
-          FROM w ORDER BY doc_id"""
+          FROM w ORDER BY doc_id""",
+
+    "ev_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS tu
+           FROM events),
+         tri AS (
+           SELECT event_type || '>' ||
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                                            ORDER BY tu, event_id) || '>' ||
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                                            ORDER BY tu, event_id) AS path,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                                            ORDER BY tu, event_id) AS e3
+           FROM e)
+         SELECT path, count(*) AS n FROM tri WHERE e3 IS NOT NULL
+         GROUP BY path ORDER BY n DESC, path LIMIT 25"""
   )
 
   /** Pixel-verifying resize oracle shared by mm_resize and

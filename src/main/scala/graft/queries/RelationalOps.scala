@@ -691,6 +691,46 @@ object RelationalOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // per-group mode with a deterministic tie-break (highest count,
+    // then lowest value): two-level aggregation — the inner groupBy
+    // combines map-side, the ranking window then runs over one row per
+    // (user, type), never the raw stream. Spark's mode() aggregate is
+    // tie-nondeterministic, so cross-engine parity REQUIRES this
+    // count + row_number form.
+    "a11_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
+    // pruning pattern: build a Bloom filter over the selective build
+    // side's keys (one small aggregation job), prune the fact scan
+    // with a codegen'd membership probe BEFORE the shuffle, then let
+    // the exact semi join remove the false positives. The result is
+    // byte-identical to the plain semi join (the oracle), while at
+    // scale the shuffle carries only might-match rows (~selectivity +
+    // fpp of the fact table instead of all of it).
+    "a12_bloom_semi" -> ((s, dir) => {
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
+        .select("o_orderkey")
+      val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val li = t(s, dir, "lineitem")
+        .filter(graft.functions.BloomMightContain.probe(col("l_orderkey"), bloom))
+      li.join(broadcast(sel), li("l_orderkey") === sel("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     }))
 
   def analyticsOracle: Map[String, String] = Map(
@@ -791,7 +831,28 @@ object RelationalOps {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3, 4, 5
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "a11_mode" ->
+      """WITH counts AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT user_id, event_type, n,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY n DESC, event_type) AS rn
+           FROM counts)
+         SELECT user_id, event_type AS mode_type, n
+         FROM ranked WHERE rn = 1 ORDER BY user_id""",
+    // the Bloom prefilter is exactness-invisible: the oracle is the
+    // PLAIN semi join aggregate
+    "a12_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey
+                         AND o_orderstatus = 'F' AND o_totalprice > 250000.0)
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
 
   // ------------------------------------------------------------ oracle SQL
 

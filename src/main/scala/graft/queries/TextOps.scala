@@ -363,6 +363,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The dedup POLICY step: within each near-dup cluster keep exactly
+    // one representative — the longest document, ties to the lowest
+    // doc_id (production pipelines keep the highest-quality member;
+    // length is the deterministic stand-in). Docs in no cluster are
+    // their own singleton and always kept. The ranking window runs
+    // over cluster-sized groups (bounded by near-dup cluster width),
+    // never the raw corpus.
+    "pipe_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = simhashPairs(docs(s, dir), 3).select("ida", "idb")
+      val cc = graft.operators.ConnectedComponents.run(s, pairs, "ida", "idb")
+        .toDF("doc_id", "cluster_id")
+      val withCluster = docs(s, dir).select("doc_id", "n_chars")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      withCluster.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), (col("rn") === 1).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup PAIRS at hamming distance ≤ 3, banded scale
     // path: by pigeonhole, two 64-bit fingerprints within 3 bits share
     // at least one of four 16-bit bands, so candidates come from an
@@ -621,6 +643,30 @@ object TextOps {
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS doc_id, least(u, min(v)) AS cluster_id
           FROM reach GROUP BY u ORDER BY doc_id""",
+    // same transitive closure, then one representative per cluster:
+    // longest doc wins, ties to the lowest id; singletons self-cluster
+    "pipe_keep_best" ->
+      s"""WITH RECURSIVE ${OracleSql.simhashCte},
+          pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          edges AS (SELECT ida AS u, idb AS v FROM pairs
+                    UNION SELECT idb, ida FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                  FROM reach GROUP BY u),
+          alldocs AS (
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+          SELECT doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+          FROM alldocs ORDER BY doc_id""",
     "text_fingerprint" ->
       s"""SELECT doc_id, ${OracleSql.sb(OracleSql.fnvString("text"))} AS fp
           FROM documents ORDER BY doc_id""",

@@ -92,20 +92,42 @@ object VectorOps extends Serializable {
   private val CentroidStep = 31
   private val NProbe = 4
 
+  /** Brute-force cosine top-k (the exact truth set): broadcast query
+    * vectors, narrow per-row score, per-query top-k via bounded heap +
+    * window (complete deterministic order: rounded score desc, id
+    * asc). Shared by vec_topk_bruteforce and the recall evaluator. */
+  private def bruteforceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb"))
+    val scored = c.join(broadcast(q))
+      .filter(col("match_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+    rankTopK(scored, TopK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-k: broadcast query vectors, narrow
-    // per-row score, per-query top-k via window (row_number, complete
-    // deterministic order: rounded score desc, id asc).
-    "vec_topk_bruteforce" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < QueryIds)
-        .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
-      val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb"))
-      val scored = c.join(broadcast(q))
-        .filter(col("match_id") =!= col("query_id"))
-        .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      rankTopK(scored, TopK)
+    "vec_topk_bruteforce" -> ((s, dir) => bruteforceTopK(s, dir)),
+
+    // ANN quality evaluation: recall@k of the LSH path against the
+    // brute-force truth — the metric a production pipeline tracks when
+    // tuning plane count / nprobe. Both sides are engine queries; the
+    // semi join on (query, match) keys is truth-sized (QueryIds × k
+    // rows), so the eval itself is never the bottleneck — the inputs
+    // are. Missing queries (empty LSH bucket) score recall 0.
+    "vec_recall_eval" -> ((s, dir) => {
+      val truth = bruteforceTopK(s, dir).select("query_id", "match_id")
+      val ann = annLsh(s, dir, 8).select("query_id", "match_id")
+      val hits = truth.join(ann, Seq("query_id", "match_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      truth.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / TopK, 6)
+            .as("recall_at_k"))
+        .orderBy("query_id")
     }),
 
     // Cosine-threshold near-duplicate pairs (embedding near-dup dedup):
@@ -540,9 +562,8 @@ object VectorOps extends Serializable {
     """sum(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
                CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0"""
 
-  def oracle: Map[String, String] = Map(
-    "vec_topk_bruteforce" ->
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+  private val bruteforceSql =
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
             SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
                                           CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
@@ -565,7 +586,69 @@ object VectorOps extends Serializable {
                                       ORDER BY sim DESC, match_id ASC) AS rk
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
-          WHERE rk <= $TopK ORDER BY query_id, rk""",
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  // SQL twin of annLsh(planes=8): splitmix64-derived hyperplane
+  // coefficients (signed % 1000, matching the JVM's Long % — DuckDB
+  // % also follows the dividend sign), 2^-20-quantized projections
+  // (exact integer sums ⇒ order-independent sign), bucket equi-join,
+  // then the standard quantized-cosine top-k skeleton.
+  private val annLshSql: String = {
+    import OracleSql._
+    val coefBase =
+      "SELECT p.p, d.d FROM (SELECT unnest(range(0,8)) AS p) p, (SELECT unnest(range(0,64)) AS d) d"
+    val coefNested = nest(coefBase, splitmixSteps("CAST(p * 1000003 + d AS HUGEINT)", "sm"))
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+          coef AS (
+            SELECT p, d, CAST(${sb("sm")} % 1000 AS DOUBLE) AS w FROM ($coefNested)),
+          proj AS (
+            SELECT e.vec_id, c.p,
+                   sum(round(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.w * 1048576)) AS dot
+            FROM embeddings e CROSS JOIN coef c GROUP BY 1, 2),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id),
+          norms AS (
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          cand AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS match_id
+            FROM buckets q JOIN buckets b ON q.bucket = b.bucket
+            WHERE q.vec_id < $QueryIds AND b.vec_id <> q.vec_id),
+          dots AS (
+            SELECT c.query_id, c.match_id, $dotSql AS dot
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.match_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
+  def oracle: Map[String, String] = Map(
+    "vec_topk_bruteforce" -> bruteforceSql,
+    // recall@k: both sides are the full oracles above nested as
+    // subqueries (DuckDB allows WITH inside a derived table)
+    "vec_recall_eval" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annLshSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_ivf" ->
       s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
@@ -619,55 +702,7 @@ object VectorOps extends Serializable {
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk""",
-    // SQL twin of annLsh(planes=8): splitmix64-derived hyperplane
-    // coefficients (signed % 1000, matching the JVM's Long % — DuckDB
-    // % also follows the dividend sign), 2^-20-quantized projections
-    // (exact integer sums ⇒ order-independent sign), bucket equi-join,
-    // then the standard quantized-cosine top-k skeleton.
-    "vec_ann_lsh" -> {
-      import OracleSql._
-      val coefBase =
-        "SELECT p.p, d.d FROM (SELECT unnest(range(0,8)) AS p) p, (SELECT unnest(range(0,64)) AS d) d"
-      val coefNested = nest(coefBase, splitmixSteps("CAST(p * 1000003 + d AS HUGEINT)", "sm"))
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-          coef AS (
-            SELECT p, d, CAST(${sb("sm")} % 1000 AS DOUBLE) AS w FROM ($coefNested)),
-          proj AS (
-            SELECT e.vec_id, c.p,
-                   sum(round(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.w * 1048576)) AS dot
-            FROM embeddings e CROSS JOIN coef c GROUP BY 1, 2),
-          buckets AS (
-            SELECT vec_id,
-                   CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-            FROM proj GROUP BY vec_id),
-          norms AS (
-            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
-            FROM embeddings, idx GROUP BY vec_id),
-          cand AS (
-            SELECT q.vec_id AS query_id, b.vec_id AS match_id
-            FROM buckets q JOIN buckets b ON q.bucket = b.bucket
-            WHERE q.vec_id < $QueryIds AND b.vec_id <> q.vec_id),
-          dots AS (
-            SELECT c.query_id, c.match_id, $dotSql AS dot
-            FROM cand c
-            JOIN embeddings a ON a.vec_id = c.query_id
-            JOIN embeddings b ON b.vec_id = c.match_id
-            CROSS JOIN idx
-            GROUP BY 1, 2),
-          scored AS (
-            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
-            FROM dots
-            JOIN norms na ON na.vec_id = query_id
-            JOIN norms nb ON nb.vec_id = match_id),
-          ranked AS (
-            SELECT query_id, match_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, match_id ASC) AS rk
-            FROM scored)
-          SELECT query_id, match_id, sim, rk FROM ranked
-          WHERE rk <= $TopK ORDER BY query_id, rk"""
-    },
+    "vec_ann_lsh" -> annLshSql,
     // the LSH sibling's oracle IS the exact all-pairs result: the
     // banded candidates are verified with the identical quantized
     // cosine, so precision is 1.0 by construction, and recall == 1.0 on

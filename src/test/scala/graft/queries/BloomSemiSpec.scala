@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.BloomMightContain
+import graft.sources.SparkTestSession
+
+/** Pins the Bloom-prefiltered semi join (a12_bloom_semi) and the
+  * native `BloomMightContain` probe expression:
+  *  - no false negatives — every inserted key passes the probe, so the
+  *    prefilter can never change the exact semi-join result;
+  *  - interpreted eval == codegen'd eval (the expression is pure);
+  *  - the prefilter actually prunes on the sf0.001 corpus (strictly
+  *    fewer rows survive the probe than exist), while the final
+  *    aggregate matches the plain, un-prefiltered semi join.
+  */
+class BloomSemiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("probe has no false negatives and codegen matches interpreted eval") {
+    import spark.implicits._
+    val keys = (0L until 5000L).map(_ * 7919L % 100003L)
+    val keysDf = keys.toDF("k")
+    val bloom = keysDf.stat.bloomFilter("k", 5000L, 0.01)
+
+    // no false negatives: every inserted key probes true
+    val surviving = keysDf.filter(BloomMightContain.probe(col("k"), bloom)).count()
+    assert(surviving === keys.distinct.length.toLong)
+
+    // codegen vs interpreted: force both paths over a mixed member /
+    // non-member range and compare row for row
+    val mixed = (0L until 20000L).toDF("k")
+    val viaCodegen = mixed.filter(BloomMightContain.probe(col("k"), bloom))
+      .collect().map(_.getLong(0)).toSet
+    val viaEval = mixed.collect().map(_.getLong(0))
+      .filter(bloom.mightContainLong).toSet
+    assert(viaCodegen === viaEval)
+  }
+
+  test("a12_bloom_semi equals the plain semi join; the prefilter prunes") {
+    val bloomed = graft.SparkEntry.queries("a12_bloom_semi")(spark, sf).collect()
+
+    val sel = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
+      .select("o_orderkey")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plain = li.join(sel, li("l_orderkey") === sel("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+
+    assert(bloomed.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+
+    // the probe must do real work: strictly fewer fact rows survive it
+    // than the table holds, and at least the true matches survive
+    val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val total = li.count()
+    val afterProbe =
+      li.filter(BloomMightContain.probe(col("l_orderkey"), bloom)).count()
+    val trueMatches =
+      li.join(sel, li("l_orderkey") === sel("o_orderkey"), "left_semi").count()
+    assert(afterProbe < total, "prefilter pruned nothing")
+    assert(afterProbe >= trueMatches, "prefilter lost true matches")
+  }
+
+  test("a11_mode breaks count ties toward the lexicographically first type") {
+    import spark.implicits._
+    // user 1: tie between click and view (2 each) -> click wins;
+    // user 2: purchase strictly ahead
+    val counts = Seq(
+      (1L, "view"), (1L, "click"), (1L, "view"), (1L, "click"),
+      (2L, "purchase"), (2L, "purchase"), (2L, "view"))
+      .toDF("user_id", "event_type")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    val modes = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(modes === Seq((1L, "click"), (2L, "purchase")))
+  }
+}
