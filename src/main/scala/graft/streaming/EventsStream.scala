@@ -211,6 +211,51 @@ object EventsStream {
       .toDF("user_id", "stage", "t_us")
   }
 
+  /** Stateful streaming twin of `ev_top_paths`' trigram stage: per-user
+    * GroupState holds the last TWO event types plus the (ts, event_id)
+    * high-water mark — O(1) per user — and each arriving event closes
+    * one 3-event path. The union of emitted trigrams over the whole
+    * stream equals the batch twin's two-lead window output, because
+    * both walk the same (ts_us, event_id) order. Stragglers use the
+    * LEXICOGRAPHIC (ts, event_id) rule (stricter than the other twins'
+    * ts-only rule): path formation is order-sensitive even among
+    * equal-µs ties, so an equal-ts event with a smaller id than the
+    * committed mark would re-order history and is dropped. The global
+    * top-k aggregation happens downstream of this append stream. */
+  final case class PathState(lastTsUs: Long, lastId: Long, t1: String, t2: String)
+  final case class PathOut(user_id: Long, path: String, ts_us: Long, event_id: Long)
+
+  def pathsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[PathState]) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(
+            PathState(Long.MinValue, Long.MinValue, null, null))
+          val out = evs.flatMap { case (eid, _, ts, typ) =>
+            if (ts < st.lastTsUs ||
+                (ts == st.lastTsUs && eid < st.lastId)) None // late straggler
+            else {
+              val emit =
+                if (st.t1 != null && st.t2 != null)
+                  Some(PathOut(user, s"${st.t1}>${st.t2}>$typ", ts, eid))
+                else None
+              st = PathState(ts, eid, st.t2, typ)
+              emit
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "path", "ts_us", "event_id")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

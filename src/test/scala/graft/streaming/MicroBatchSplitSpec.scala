@@ -176,4 +176,35 @@ class MicroBatchSplitSpec extends AnyFunSuite {
         s"funnelStream not invariant under seed 0x${seed.toHexString}")
     }
   }
+
+  test("pathsStream trigrams equal the batch sliding window under random cuts") {
+    val (rows, _) = ordered
+    val eventsDf = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val tsUsById = eventsDf
+      .select(col("event_id"), EventTime.tsUs(eventsDf).as("__us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch expectation: per-user consecutive triples in (ts, id) order
+    val expected = rows.groupBy(_.getAs[Long]("user_id")).toSeq.flatMap {
+      case (u, rs) =>
+        val o = rs.sortBy(r => (
+          tsUsById(r.getAs[Long]("event_id")), r.getAs[Long]("event_id")))
+        o.sliding(3).filter(_.length == 3).map { t =>
+          (u, t.map(_.getAs[String]("event_type")).mkString(">"),
+            t.last.getAs[Long]("event_id"))
+        }
+    }.sortBy(x => (x._1, x._3, x._2))
+    assert(expected.nonEmpty, "degenerate fixture: no user has 3 events")
+    Seq(0xDADA3, 0xB00C4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4)
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1)))
+      val got = runChunked(s"mbs_paths_$seed", chunks,
+          df => EventsStream.pathsStream(spark, df))
+        .select("user_id", "path", "event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+      assert(got === expected,
+        s"pathsStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
 }
