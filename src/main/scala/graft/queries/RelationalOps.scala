@@ -693,6 +693,78 @@ object RelationalOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure-scan agg —
+    // every predicate reaches the parquet reader as a pushed filter,
+    // zero shuffles before the single-row partial/final agg
+    "tpch_q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q4 shape (order priority checking), adapted to this
+    // corpus' columns: an order counts when ANY lineitem shipped after
+    // the order date (the fixture has no commit/receipt dates). The
+    // EXISTS is a semi join keyed on orderkey — lineitem never
+    // multiplies the count
+    "tpch_q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+      val li = t(s, dir, "lineitem")
+      val late = o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+      late.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): revenue ratio of PROMO-type
+    // parts in one ship month; part is the broadcast dim, the ratio is
+    // decimal-exact before one double division at the edge
+    "tpch_q14_promo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_revenue_pct"),
+          sum(rev).cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive brand/size/
+    // quantity bands): the OR-of-ANDs must still prune — the common
+    // join key stays an equi-join and the disjunction evaluates as a
+    // post-join filter over the broadcast dim's columns
+    "tpch_q19_disjunctive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val bands =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(bands)
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+    }),
+
     // per-group mode with a deterministic tie-break (highest count,
     // then lowest value): two-level aggregation — the inner groupBy
     // combines map-side, the ranking window then runs over one row per
@@ -832,6 +904,46 @@ object RelationalOps {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3, 4, 5
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "tpch_q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "tpch_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q14_promo" ->
+      """SELECT round(100.0 *
+                  CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                  6) AS promo_revenue_pct,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+           AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "tpch_q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
     "a11_mode" ->
       """WITH counts AS (
            SELECT user_id, event_type, count(*) AS n
