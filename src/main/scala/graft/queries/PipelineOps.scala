@@ -470,6 +470,26 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Extreme-value outlier flagging — the robust (rank-based) form of
+    // anomaly detection a cleaning pipeline runs per metric: events in
+    // the top 1% of value within their event_type. percent_rank over a
+    // COMPLETE order (value, event_id) is pure rank arithmetic —
+    // (rank-1)/(n-1) from identical integers in both engines — so
+    // unlike mean/std z-scores over raw doubles it is cross-engine
+    // exact. One shuffle on event_type; at 100 TB the same rank
+    // threshold comes from an approx-quantile pre-pass instead of a
+    // global sort per key (documented trade; this is the exact form).
+    "ev_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      ev.select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.99)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // Top event trigrams ("paths"): per-user ordered windows (the
     // engine's µs-domain (tu, event_id) ordering contract) slide a
     // 3-event frame via two leads — one shuffle on user_id for the
@@ -801,6 +821,14 @@ object PipelineOps {
                  CAST(len(regexp_extract_all(contact,
                    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
           FROM w ORDER BY doc_id""",
+
+    "ev_anomaly" ->
+      """SELECT event_id, event_type, value FROM (
+           SELECT event_id, event_type, value,
+                  percent_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS pr
+           FROM events) t
+         WHERE pr >= 0.99 ORDER BY event_id""",
 
     "ev_top_paths" ->
       """WITH e AS (

@@ -256,6 +256,55 @@ object EventsStream {
       .toDF("user_id", "path", "ts_us", "event_id")
   }
 
+  /** Stateful streaming twin of `ev_retention`'s per-user stage: state
+    * is the user's cohort day plus a 64-day BITMASK of offsets already
+    * emitted — a fixed 16 bytes per user, the production-shaped bounded
+    * retention horizon (the batch twin has no horizon; parity holds for
+    * offsets < 64, and the horizon is the documented difference). Each
+    * first activity on a new offset day emits one (user, cohort_day,
+    * day_offset) row; grouping those by (cohort, offset) downstream
+    * reproduces the batch cohort table. Stragglers older than the
+    * committed high-water mark are dropped (shared ts-only rule — day
+    * attribution only needs the µs timestamp, and an equal-ts replay
+    * cannot change an already-set bit). */
+  final case class RetState(lastTsUs: Long, d0: Long, seen: Long)
+  final case class RetOut(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  def retentionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val DayUs = 86400000000L
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[RetState]) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(
+            RetState(Long.MinValue, Long.MinValue, 0L))
+          val out = evs.flatMap { case (_, _, ts) =>
+            if (st.lastTsUs != Long.MinValue && ts < st.lastTsUs) None
+            else {
+              // truncate toward zero, matching the batch twin's `div`
+              // (and DuckDB's `//`) even for pre-epoch timestamps
+              val d = ts / DayUs
+              if (st.d0 == Long.MinValue) st = st.copy(d0 = d)
+              st = st.copy(lastTsUs = ts)
+              val off = d - st.d0
+              if (off >= 0 && off < 64 && (st.seen & (1L << off)) == 0) {
+                st = st.copy(seen = st.seen | (1L << off))
+                Some(RetOut(user, st.d0, off))
+              } else None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "cohort_day", "day_offset")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

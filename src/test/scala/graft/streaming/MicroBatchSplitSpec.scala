@@ -207,4 +207,28 @@ class MicroBatchSplitSpec extends AnyFunSuite {
         s"pathsStream not invariant under seed 0x${seed.toHexString}")
     }
   }
+
+  test("retentionStream emissions aggregate to the batch cohort table under random cuts") {
+    val (rows, _) = ordered
+    // batch expectation: ev_retention rows within the twin's 64-day
+    // horizon (the bitmask state's documented bound)
+    val expected = graft.queries.PipelineOps.queries("ev_retention")(spark, fixtureDir)
+      .filter(col("day_offset") < 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(x => (x._1, x._2))
+    assert(expected.nonEmpty, "degenerate fixture: no retention rows")
+    Seq(0xFEED5, 0xD00D6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4)
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1)))
+      val got = runChunked(s"mbs_ret_$seed", chunks,
+          df => EventsStream.retentionStream(spark, df))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(x => (x._1, x._2))
+      assert(got === expected,
+        s"retentionStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
 }
