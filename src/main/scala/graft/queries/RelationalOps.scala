@@ -783,6 +783,21 @@ object RelationalOps {
         .orderBy("user_id")
     }),
 
+    // HyperLogLog++ approximate distinct — the sketch that replaces
+    // exact countDistinct when the key cardinality itself is the
+    // bottleneck: partial sketches merge map-side, so the shuffle
+    // carries one ~1.5 KB sketch per group per partition instead of
+    // every distinct key. The exact twin rides along for the
+    // error-bound check; no DuckDB oracle (sketch values are
+    // implementation-specific) — the driver records rows-only and
+    // BloomSemiSpec pins |approx − exact| ≤ 5·rsd·exact.
+    "a13_hll_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
     // pruning pattern: build a Bloom filter over the selective build
     // side's keys (one small aggregation job), prune the fact scan

@@ -471,6 +471,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Mixture-weighted corpus sampling — the training-mix step that
+    // up/down-samples each source to its target weight (e.g. books
+    // 2.75x, low-quality web 0.5x). Weights are carried as integer
+    // hundredths so the fractional-copy decision is exact integer
+    // arithmetic in both engines: reps = ⌊w⌋ plus one more when the
+    // doc's deterministic hash falls under the fractional part. A doc
+    // can repeat (upsampling) or vanish (reps = 0 downsampling). The
+    // explode is narrow (no shuffle); output is ordered (doc, copy).
+    "pipe_mix_weighted" -> ((s, dir) => {
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val w100 = (srcNum % 4) * 75 + 50 // 0.50x / 1.25x / 2.00x / 2.75x
+      val hash = (col("doc_id") * lit(48271L)) % 65536L % 100L
+      docs(s, dir)
+        .withColumn("reps",
+          (w100 / 100).cast("int") + when(hash < w100 % 100, 1).otherwise(0))
+        .filter(col("reps") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("reps"))).as("copy"))
+        .select(col("doc_id"), col("source"), col("copy").cast("bigint").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // Vocabulary building: top-k tokens by global frequency with a
     // complete deterministic order (count desc, token asc). Partial
     // (map-side) aggregation makes the token histogram a single
@@ -675,6 +697,23 @@ object TextOps {
          WHERE (doc_id * 48271) % 65536 % 100 <
                CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          ORDER BY doc_id""",
+    // integer-hundredths mixture weights; reps = floor(w) + fractional
+    // hash draw, exploded via range — exact integer arithmetic only
+    "pipe_mix_weighted" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+                  (CAST(substr(source, 4) AS INT) % 4) * 75 + 50 AS w100
+           FROM documents),
+         n AS (
+           SELECT doc_id, source,
+                  w100 // 100 +
+                  CASE WHEN (doc_id * 48271) % 65536 % 100 < w100 % 100
+                       THEN 1 ELSE 0 END AS reps
+           FROM w)
+         SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
+         FROM n, unnest(range(1, reps + 1)) AS u(c)
+         WHERE reps >= 1
+         ORDER BY doc_id, copy""",
     "text_vocab_topk" ->
       """WITH c AS (
            SELECT t.token, count(*) AS n

@@ -65,6 +65,17 @@ class BloomSemiSpec extends AnyFunSuite {
     assert(afterProbe >= trueMatches, "prefilter lost true matches")
   }
 
+  test("a13_hll_distinct approx stays within 5x the configured rsd of exact") {
+    val rows = graft.SparkEntry.queries("a13_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) <= 5 * 0.02 * exact,
+        s"${r.getString(0)}: approx $approx vs exact $exact out of bound")
+    }
+  }
+
   test("a11_mode breaks count ties toward the lexicographically first type") {
     import spark.implicits._
     // user 1: tie between click and view (2 each) -> click wins;
