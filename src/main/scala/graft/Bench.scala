@@ -14,6 +14,7 @@ object Bench {
     "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
     "tpch_q10_returns", "tpch_q18_big_orders", "tpch_q6_forecast",
     "tpch_q4_order_priority", "tpch_q14_promo", "tpch_q19_disjunctive",
+    "tpch_q13_custdist", "tpch_q17_small_qty", "tpch_q22_idle_rich",
     "a12_bloom_semi",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",

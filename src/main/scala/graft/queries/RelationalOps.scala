@@ -783,6 +783,68 @@ object RelationalOps {
         .orderBy("user_id")
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join keeps zero-order customers, count(o_orderkey) ignores the
+    // null-extended rows, then a second tiny aggregate over ≤ max
+    // orders-per-customer distinct counts
+    "tpch_q13_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): per-part average
+    // quantity as a correlated threshold — computed once per part via
+    // an aggregate and joined back, never a per-row subquery. Exact:
+    // l_quantity is integer-valued so its decimal sum is lossless, and
+    // the 0.2·avg threshold is the same double in both engines
+    "tpch_q17_small_qty" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+        .select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy("l_partkey")
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / 7.0, 6).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q22 shape (idle wealthy customers), double-sum-safe form:
+    // "wealthy" is the top acctbal QUARTILE via ntile over a complete
+    // (acctbal, custkey) order — pure rank arithmetic, cross-engine
+    // exact where an avg() threshold over full-precision doubles is
+    // not — and "idle" is an anti join against orders. Aggregates per
+    // nation use count and max only (order-independent on doubles).
+    // The unpartitioned ntile is a single-task sort acceptable at dim
+    // size; at 100 TB the quartile threshold comes from approxQuantile
+    // (or a sampled sort) and the global window disappears
+    "tpch_q22_idle_rich" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+      // "idle" = no order since the cutoff (no-orders-EVER is empty on
+      // this corpus — every rich customer has ordered at least once)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select("o_custkey")
+      val n = t(s, dir, "nation")
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val rich = c.withColumn("q", ntile(4).over(w)).filter(col("q") === 1)
+      rich.join(o, rich("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), max(col("c_acctbal")).as("max_acctbal"))
+        .orderBy("n_name")
+    }),
+
     // HyperLogLog++ approximate distinct — the sketch that replaces
     // exact countDistinct when the key cardinality itself is the
     // bottleneck: partial sketches merge map-side, so the shuffle
@@ -919,6 +981,38 @@ object RelationalOps {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3, 4, 5
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "tpch_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q17_small_qty" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+                     WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),
+         li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN pp ON l_partkey = p_partkey),
+         av AS (SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+                       count(*) AS avg_qty
+                FROM li GROUP BY 1)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+                      6) AS avg_yearly,
+                count(*) AS n
+         FROM li JOIN av USING (l_partkey)
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "tpch_q22_idle_rich" ->
+      """WITH ranked AS (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+                  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS q
+           FROM customer),
+         rich AS (SELECT * FROM ranked WHERE q = 1)
+         SELECT n_name, count(*) AS numcust, max(c_acctbal) AS max_acctbal
+         FROM rich JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY n_name ORDER BY n_name""",
     "tpch_q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                          CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
