@@ -107,6 +107,24 @@ object VectorOps extends Serializable {
     rankTopK(scored, TopK)
   }
 
+  /** recall@k of an ANN result against the brute-force truth — the
+    * metric a production pipeline tracks when tuning plane count /
+    * nprobe. The semi join on (query, match) keys is truth-sized
+    * (QueryIds × k rows), so the eval itself is never the bottleneck —
+    * the inputs are. Missing queries (empty bucket) score recall 0. */
+  private def recallEval(truthFull: DataFrame, annFull: DataFrame): DataFrame = {
+    val truth = truthFull.select("query_id", "match_id")
+    val ann = annFull.select("query_id", "match_id")
+    val hits = truth.join(ann, Seq("query_id", "match_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / TopK, 6)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "vec_topk_bruteforce" -> ((s, dir) => bruteforceTopK(s, dir)),
@@ -117,18 +135,13 @@ object VectorOps extends Serializable {
     // semi join on (query, match) keys is truth-sized (QueryIds × k
     // rows), so the eval itself is never the bottleneck — the inputs
     // are. Missing queries (empty LSH bucket) score recall 0.
-    "vec_recall_eval" -> ((s, dir) => {
-      val truth = bruteforceTopK(s, dir).select("query_id", "match_id")
-      val ann = annLsh(s, dir, 8).select("query_id", "match_id")
-      val hits = truth.join(ann, Seq("query_id", "match_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      truth.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / TopK, 6)
-            .as("recall_at_k"))
-        .orderBy("query_id")
-    }),
+    "vec_recall_eval" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir), annLsh(s, dir, 8))),
+
+    // same evaluator over the IVF path: recall@k as a function of
+    // nprobe is THE tuning curve for an inverted-file index
+    "vec_recall_eval_ivf" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir), annIvf(s, dir, CentroidStep, NProbe))),
 
     // Cosine-threshold near-duplicate pairs (embedding near-dup dedup):
     // block on sign-bucket of the first hyperplane to avoid the full
@@ -638,19 +651,8 @@ object VectorOps extends Serializable {
           WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
-  def oracle: Map[String, String] = Map(
-    "vec_topk_bruteforce" -> bruteforceSql,
-    // recall@k: both sides are the full oracles above nested as
-    // subqueries (DuckDB allows WITH inside a derived table)
-    "vec_recall_eval" ->
-      s"""SELECT t.query_id,
-                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
-          FROM ($bruteforceSql) t
-          LEFT JOIN ($annLshSql) a
-            ON a.query_id = t.query_id AND a.match_id = t.match_id
-          GROUP BY t.query_id ORDER BY t.query_id""",
-    "vec_ann_ivf" ->
-      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+  private val annIvfSql: String =
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
             SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
                                           CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
@@ -701,7 +703,27 @@ object VectorOps extends Serializable {
                                       ORDER BY sim DESC, match_id ASC) AS rk
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
-          WHERE rk <= $TopK ORDER BY query_id, rk""",
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  def oracle: Map[String, String] = Map(
+    "vec_topk_bruteforce" -> bruteforceSql,
+    // recall@k: both sides are the full oracles above nested as
+    // subqueries (DuckDB allows WITH inside a derived table)
+    "vec_recall_eval" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annLshSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
+    "vec_recall_eval_ivf" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annIvfSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
+    "vec_ann_ivf" -> annIvfSql,
     "vec_ann_lsh" -> annLshSql,
     // the LSH sibling's oracle IS the exact all-pairs result: the
     // banded candidates are verified with the identical quantized
