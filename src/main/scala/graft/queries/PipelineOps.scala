@@ -470,6 +470,25 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window event counts (1 h window, 15 min slide): each
+    // event belongs to exactly window/slide = 4 windows, generated by
+    // a narrow 4-way explode of integer window indices — the same
+    // µs-integer bucket math as the tumbling twin (ev_window_agg), so
+    // cross-engine exact where timestamp window() functions differ.
+    // One shuffle on (window, type); output is slide-granular.
+    "ev_sliding_agg" -> ((s, dir) => {
+      val slideUs = 900000000L
+      val winUs = 3600000000L
+      val ev = t(s, dir, "events")
+      ev.select(graft.streaming.EventTime.tsUs(ev).as("tu"), col("event_type"))
+        .withColumn("i", explode(sequence(lit(0), lit(3))))
+        .withColumn("ws", (expr(s"tu div $slideUs") - col("i")) * slideUs)
+        .filter(col("ws") >= 0 && col("tu") < col("ws") + winUs)
+        .groupBy(expr("ws div 1000000").as("window_start_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("window_start_s", "event_type")
+    }),
+
     // Extreme-value outlier flagging — the robust (rank-based) form of
     // anomaly detection a cleaning pipeline runs per metric: events in
     // the top 1% of value within their event_type. percent_rank over a
@@ -821,6 +840,17 @@ object PipelineOps {
                  CAST(len(regexp_extract_all(contact,
                    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
           FROM w ORDER BY doc_id""",
+
+    "ev_sliding_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
+         w AS (
+           SELECT ((tu // 900000000) - i.i) * 900000000 AS ws, event_type, tu
+           FROM e, (SELECT unnest(range(0, 4)) AS i) i),
+         f AS (SELECT ws, event_type FROM w
+               WHERE ws >= 0 AND tu < ws + 3600000000)
+         SELECT ws // 1000000 AS window_start_s, event_type,
+                count(*) AS n
+         FROM f GROUP BY 1, 2 ORDER BY window_start_s, event_type""",
 
     "ev_anomaly" ->
       """SELECT event_id, event_type, value FROM (
