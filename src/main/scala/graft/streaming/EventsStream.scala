@@ -26,6 +26,21 @@ object EventsStream {
       .select(unix_seconds(col("w.start")).as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour / 15-minute windowed aggregation — the sliding
+    * sibling of [[windowedCounts]]: Spark's window() emits each event
+    * into its 4 covering windows; the watermark bounds state to the
+    * slide horizon. Matches `ev_sliding_agg`'s integer-bucket batch
+    * form on counts (the batch query IS the oracle twin). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(EventTime.tsUs(events)))
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+        col("event_type"), col("n"))
+
   /** Streaming sessionization with explicit state: per-user session
     * counter + last-event time carried in GroupState, the stateful
     * counterpart of [[sessionize]] (same gap rule). Use with

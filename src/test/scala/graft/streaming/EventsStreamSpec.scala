@@ -35,6 +35,38 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts over readStream matches batch and the ev_sliding_agg query") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val expected = EventsStream.slidingCounts(batchDf)
+      .orderBy("window_start_s", "event_type").collect().toSeq
+
+    // the integer-bucket batch query is the same aggregation: counts
+    // must agree window for window (fixture epochs are far from 0, so
+    // the query's ws >= 0 guard is inert)
+    val queryRows = graft.queries.PipelineOps.queries("ev_sliding_agg")(spark, dir)
+      .orderBy("window_start_s", "event_type").collect().toSeq
+    assert(expected.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ===
+      queryRows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("evslide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamIn = spark.readStream.schema(batchDf.schema)
+      .parquet(streamDir.toString)
+    val q = EventsStream.slidingCounts(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .orderBy("window_start_s", "event_type").collect().toSeq
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     val h = 3600L * 1000000000L // 1h in ns
