@@ -470,6 +470,45 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Gap-filled hourly resample with last-observation-carried-forward
+    // (LOCF) — the feature-pipeline step that turns an irregular event
+    // stream into a dense per-user time grid. Join-free like the as-of
+    // join: union the grid markers with the events, ONE shuffle on
+    // user, and a running `last(value, ignoreNulls)` window in
+    // (tu, is_grid, event_id) order carries each value forward (events
+    // sort before the grid marker at the same µs, so "at-or-before" is
+    // exact). Grid starts at the first full hour after the user's
+    // first event, so every grid point has a value — no null edge. The
+    // value column passes through untouched (no arithmetic on the
+    // doubles), keeping the hash gate exact.
+    "ev_locf_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600000000L
+      val ev0 = t(s, dir, "events")
+      val e = ev0.select(col("user_id"),
+        graft.streaming.EventTime.tsUs(ev0).as("tu"),
+        col("value"), col("event_id"))
+      val span = e.groupBy("user_id")
+        .agg((min(expr(s"tu div $hourUs")) + 1).as("h0"),
+          max(expr(s"tu div $hourUs")).as("h1"))
+        .filter(col("h1") >= col("h0"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      val u = e.select(col("user_id"), col("tu"), lit(0).as("is_grid"),
+          col("event_id"), col("value"), lit(null).cast("long").as("h"))
+        .unionByName(grid.select(col("user_id"),
+          (col("h") * hourUs).as("tu"), lit(1).as("is_grid"),
+          lit(Long.MaxValue).as("event_id"),
+          lit(null).cast("double").as("value"), col("h")))
+      val w = Window.partitionBy("user_id")
+        .orderBy("tu", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("h").as("hour_bucket"), col("v").as("value"))
+        .orderBy("user_id", "hour_bucket")
+    }),
+
     // Sliding-window event counts (1 h window, 15 min slide): each
     // event belongs to exactly window/slide = 4 windows, generated by
     // a narrow 4-way explode of integer window indices — the same
@@ -840,6 +879,33 @@ object PipelineOps {
                  CAST(len(regexp_extract_all(contact,
                    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
           FROM w ORDER BY doc_id""",
+
+    "ev_locf_resample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tu, value, event_id FROM events),
+         span AS (
+           SELECT user_id, min(tu) // 3600000000 + 1 AS h0,
+                  max(tu) // 3600000000 AS h1
+           FROM e GROUP BY user_id),
+         grid AS (
+           SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+           FROM span WHERE h1 >= h0),
+         u AS (
+           SELECT user_id, tu, 0 AS is_grid, event_id, value,
+                  CAST(NULL AS BIGINT) AS h
+           FROM e
+           UNION ALL
+           SELECT user_id, h * 3600000000, 1, 9223372036854775807,
+                  CAST(NULL AS DOUBLE), h
+           FROM grid),
+         w AS (
+           SELECT user_id, h, is_grid,
+                  last_value(value IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY tu, is_grid, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM u)
+         SELECT user_id, h AS hour_bucket, v AS value
+         FROM w WHERE is_grid = 1 ORDER BY user_id, hour_bucket""",
 
     "ev_sliding_agg" ->
       """WITH e AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
