@@ -758,7 +758,7 @@ object RelationalOps {
           col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
           col("l_quantity").between(10, 20)) ||
-        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
           col("l_quantity").between(20, 30))
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .filter(bands)
@@ -1052,7 +1052,7 @@ object RelationalOps {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
     "a11_mode" ->
       """WITH counts AS (
            SELECT user_id, event_type, count(*) AS n

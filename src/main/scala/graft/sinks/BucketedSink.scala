@@ -22,8 +22,9 @@ object BucketedSink {
     * `key` into `buckets` buckets, registered as `table`. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // SaveMode.Overwrite already replaces an existing table; an
+    // explicit DROP first would only widen the non-atomic window in
+    // which readers see no table at all if the new write fails
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

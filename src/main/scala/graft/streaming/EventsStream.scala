@@ -40,6 +40,10 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(unix_seconds(col("w.start")).as("window_start_s"),
         col("event_type"), col("n"))
+      // the batch twin drops pre-epoch window starts (ws >= 0); without
+      // this, near-epoch events would emit up to 3 negative-start
+      // windows the query never produces and parity would break
+      .filter(col("window_start_s") >= 0)
 
   /** Streaming sessionization with explicit state: per-user session
     * counter + last-event time carried in GroupState, the stateful
@@ -254,8 +258,13 @@ object EventsStream {
           var st = state.getOption.getOrElse(
             PathState(Long.MinValue, Long.MinValue, null, null))
           val out = evs.flatMap { case (eid, _, ts, typ) =>
+            // drop (ts, id) <= committed mark: strictly-older events
+            // AND exact redeliveries of the newest event — an
+            // at-least-once duplicate of (lastTs, lastId) would
+            // otherwise fabricate a bogus `...>X>X` trigram and
+            // corrupt the carried pair
             if (ts < st.lastTsUs ||
-                (ts == st.lastTsUs && eid < st.lastId)) None // late straggler
+                (ts == st.lastTsUs && eid <= st.lastId)) None
             else {
               val emit =
                 if (st.t1 != null && st.t2 != null)

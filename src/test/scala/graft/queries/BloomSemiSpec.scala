@@ -78,19 +78,22 @@ class BloomSemiSpec extends AnyFunSuite {
 
   test("a11_mode breaks count ties toward the lexicographically first type") {
     import spark.implicits._
-    // user 1: tie between click and view (2 each) -> click wins;
-    // user 2: purchase strictly ahead
-    val counts = Seq(
-      (1L, "view"), (1L, "click"), (1L, "view"), (1L, "click"),
-      (2L, "purchase"), (2L, "purchase"), (2L, "view"))
-      .toDF("user_id", "event_type")
-      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
-    val modes = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_type").orderBy("user_id")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(modes === Seq((1L, "click"), (2L, "purchase")))
+    // drive the PRODUCTION query (not a local copy of its window) over
+    // a synthetic events table with a deliberate tie:
+    // user 1: click/view 2 each -> click wins; user 2: purchase ahead
+    val dir = java.nio.file.Files.createTempDirectory("a11_tie").toString
+    Seq(
+      (1L, 1000L, 1L, "view", 0.0, "{}"),
+      (2L, 2000L, 1L, "click", 0.0, "{}"),
+      (3L, 3000L, 1L, "view", 0.0, "{}"),
+      (4L, 4000L, 1L, "click", 0.0, "{}"),
+      (5L, 1000L, 2L, "purchase", 0.0, "{}"),
+      (6L, 2000L, 2L, "purchase", 0.0, "{}"),
+      (7L, 3000L, 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val modes = graft.SparkEntry.queries("a11_mode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(modes === Seq((1L, "click", 2L), (2L, "purchase", 2L)))
   }
 }

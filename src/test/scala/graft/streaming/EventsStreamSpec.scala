@@ -67,6 +67,19 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts drops pre-epoch window starts like the batch query") {
+    import spark.implicits._
+    // one event 10 min after the epoch: window(1h, 15m) covers it with
+    // starts -45/-30/-15/0 min; the ws >= 0 rule keeps exactly one
+    val near = Seq((1L, 600L * 1000000000L, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.slidingCounts(near)
+      .orderBy("window_start_s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, "view", 1L)),
+      s"near-epoch sliding windows diverged from the batch twin's ws >= 0 rule: $got")
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     val h = 3600L * 1000000000L // 1h in ns

@@ -231,4 +231,25 @@ class MicroBatchSplitSpec extends AnyFunSuite {
         s"retentionStream not invariant under seed 0x${seed.toHexString}")
     }
   }
+
+  test("an exact duplicate redelivery of the newest event fabricates no trigram") {
+    val (rows, _) = ordered
+    // expected trigrams from the clean stream
+    val clean = runChunked("mbs_dup_clean", Seq(rows.toSeq),
+        df => EventsStream.pathsStream(spark, df))
+      .select("user_id", "path", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(clean.nonEmpty)
+    // redeliver the globally LAST event verbatim (same event_id, same
+    // ts — the at-least-once duplicate shape) in a second micro-batch
+    val dup = rows.last
+    val got = runChunked("mbs_dup_replay", Seq(rows.toSeq, Seq(dup)),
+        df => EventsStream.pathsStream(spark, df))
+      .select("user_id", "path", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(got === clean,
+      "duplicate redelivery of the committed newest event changed the trigram set")
+  }
 }
