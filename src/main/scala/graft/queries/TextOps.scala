@@ -471,6 +471,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test assignment — the split step every
+    // training pipeline needs to be reproducible AND stable under
+    // corpus growth: the label depends only on doc_id (the same
+    // multiplicative hash as the samplers), never on row order or
+    // partition count, so adding documents never reshuffles existing
+    // assignments. 90/5/5; narrow, shuffle-free.
+    "pipe_train_split" -> ((s, dir) => {
+      val bucket = (col("doc_id") * lit(48271L)) % 65536L % 100L
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture-weighted corpus sampling — the training-mix step that
     // up/down-samples each source to its target weight (e.g. books
     // 2.75x, low-quality web 0.5x). Weights are carried as integer
@@ -697,6 +713,12 @@ object TextOps {
          WHERE (doc_id * 48271) % 65536 % 100 <
                CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          ORDER BY doc_id""",
+    "pipe_train_split" ->
+      """SELECT doc_id,
+                CASE WHEN (doc_id * 48271) % 65536 % 100 < 90 THEN 'train'
+                     WHEN (doc_id * 48271) % 65536 % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     // integer-hundredths mixture weights; reps = floor(w) + fractional
     // hash draw, exploded via range — exact integer arithmetic only
     "pipe_mix_weighted" ->
