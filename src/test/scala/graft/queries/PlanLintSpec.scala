@@ -46,6 +46,23 @@ class PlanLintSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"plan lint failures:\n  ${failures.mkString("\n  ")}")
   }
 
+  // VERDICT r11 #1/#3: the two queries that used to ship a
+  // single-task exact-rank window (percent_rank PARTITION BY a
+  // ~3-value key; unpartitioned ntile) now compute the identical rank
+  // via DistributedRank — pin that NO stage of either plan funnels
+  // through one partition. `SinglePartition` is the physical marker
+  // of both an unpartitioned window/sort and an `Exchange
+  // SinglePartition`; a regression back to the window form (or a new
+  // global agg without groupBy) re-introduces it and fails here.
+  test("ev_anomaly and tpch_q22_idle_rich plan no single-partition stage") {
+    Seq("ev_anomaly", "tpch_q22_idle_rich").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$name plans a single-partition stage:\n$plan")
+    }
+  }
+
   // plan-shape pins for the COUNT(*) aggregate pushdown twins
   // (TopologyPlanSpec doctrine): a silent pushdown regression in EITHER
   // direction — the pushdown twin falling back to full element decode,
