@@ -848,19 +848,18 @@ object RelationalOps {
         .orderBy("n_name")
     }),
 
-    // HyperLogLog++ approximate distinct — the sketch that replaces
-    // exact countDistinct when the key cardinality itself is the
-    // bottleneck: partial sketches merge map-side, so the shuffle
-    // carries one ~1.5 KB sketch per group per partition instead of
-    // every distinct key. The exact twin rides along for the
-    // error-bound check; no DuckDB oracle (sketch values are
-    // implementation-specific) — the driver records rows-only and
-    // BloomSemiSpec pins |approx − exact| ≤ 5·rsd·exact.
-    "a13_hll_distinct" -> ((s, dir) =>
+    // Exact distinct-count twin of the HyperLogLog++ sketch: this is
+    // the fully-oracled ledger row (VERDICT r11 #2 — the sketch's
+    // values are implementation-specific, so its old combined row was
+    // the one `err: no_oracle` entry polluting the zero-err
+    // invariant). The sketch itself lives in `hllDistinct` below,
+    // spec-pinned by BloomSemiSpec against THIS exact twin at
+    // |approx − exact| ≤ 5·rsd·exact.
+    "a13_distinct_exact" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
     // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
@@ -884,6 +883,22 @@ object RelationalOps {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }))
+
+  /** HyperLogLog++ approximate distinct — the sketch that replaces
+    * exact countDistinct when the key cardinality itself is the
+    * bottleneck: partial sketches merge map-side, so the shuffle
+    * carries one ~1.5 KB sketch per group per partition instead of
+    * every distinct key. Deliberately NOT a `queries` entry: sketch
+    * values are implementation-specific, so a DuckDB oracle cannot
+    * exist and a rows-only ledger row would carry a permanent `err`.
+    * BloomSemiSpec pins it against the `a13_distinct_exact` oracle
+    * row at |approx − exact| ≤ 5·rsd·exact. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
 
   def analyticsOracle: Map[String, String] = Map(
     "a8_cube" ->
@@ -1076,7 +1091,11 @@ object RelationalOps {
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_orderkey = l_orderkey
                          AND o_orderstatus = 'F' AND o_totalprice > 250000.0)
-         GROUP BY l_returnflag ORDER BY l_returnflag""")
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a13_distinct_exact" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
   // ------------------------------------------------------------ oracle SQL
 

@@ -65,12 +65,21 @@ class BloomSemiSpec extends AnyFunSuite {
     assert(afterProbe >= trueMatches, "prefilter lost true matches")
   }
 
-  test("a13_hll_distinct approx stays within 5x the configured rsd of exact") {
-    val rows = graft.SparkEntry.queries("a13_hll_distinct")(spark, sf).collect()
+  // the HLL sketch is spec-pinned here (NOT an oracle ledger row —
+  // sketch values are implementation-specific, VERDICT r11 #2): its
+  // own exact twin column must agree with the fully-oracled
+  // a13_distinct_exact row, and the approx must stay inside the
+  // published HLL++ error bound against it
+  test("hllDistinct approx stays within 5x the configured rsd of exact") {
+    val rows = RelationalOps.hllDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
+    val oracleExact = graft.SparkEntry.queries("a13_distinct_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
+      assert(exact == oracleExact(r.getString(0)).toDouble,
+        s"${r.getString(0)}: sketch row's exact twin diverges from a13_distinct_exact")
       assert(math.abs(approx - exact) <= 5 * 0.02 * exact,
         s"${r.getString(0)}: approx $approx vs exact $exact out of bound")
     }
