@@ -426,18 +426,35 @@ object PipelineOps {
     // stage. n_shared counts distinct shared fingerprints (a proxy for
     // overlap mass). Scale: fingerprints are a narrow ~len/w-per-doc
     // map; the pair join keys on fp and its output is the answer
-    // itself (output-bounded — a boilerplate-heavy production corpus
-    // bounds it upstream by dropping top-document-frequency
-    // fingerprints, the standard shingle-df guard).
+    // itself. A boilerplate-heavy production corpus bounds it with the
+    // standard shingle-df guard: set `spark.graft.winnow.maxFpDf` > 0
+    // and fingerprints appearing in more than that many documents (a
+    // license header in every file would otherwise emit C(n,2) pairs
+    // on its own) are dropped BEFORE the pair join — an anti join
+    // against the tiny over-cap fp set. Default 0 (off) keeps exact
+    // oracle parity; SubstringPairsSpec pins the collapse under cap.
     "dedup_substring_pairs" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
-      val fps = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      val raw = d.select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
         })
         .toDF("doc_id", "fp")
         .distinct() // an fp repeated INSIDE one doc must not multiply pair weight
+      val maxDf = s.conf.get("spark.graft.winnow.maxFpDf", "0").toInt
+      val fps = if (maxDf <= 0) raw else {
+        // two consumers (df histogram + anti join) — materialize the
+        // fingerprint stage once, lazily (shared-stage doctrine)
+        val cp = raw.localCheckpoint(eager = false)
+        val hot = cp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("fp")
+        // no broadcast hint: the over-cap set is usually tiny (AQE
+        // will broadcast it), but its worst case is fps/cap — a forced
+        // broadcast would be the OOM at exactly the corpus the guard
+        // exists for
+        cp.join(hot, Seq("fp"), "left_anti")
+      }
       val a = fps.select(col("fp"), col("doc_id").as("ida"))
       val b = fps.select(col("fp"), col("doc_id").as("idb"))
       a.join(b, Seq("fp")).filter(col("ida") < col("idb"))
