@@ -797,6 +797,42 @@ object RelationalOps {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // double-EXISTS plan — a semi AND an anti join against the SAME
+    // fact table, both with a non-equi (<>) residual on top of the
+    // orderkey equi key. This corpus has no receipt/commit dates, so
+    // the "problem line" predicate is l_returnflag = 'R'; the shape is
+    // the point: candidate R-lines must have ANOTHER supplier in the
+    // order (semi, l2) but NO other supplier with an R-line (anti,
+    // l3). All three fact branches shuffle on l_orderkey only — the
+    // <> stays a residual filter, so one co-partitioned key carries
+    // the whole plan; orders-F is a semi join on the same key and the
+    // supplier/nation dims broadcast. Deterministic LIMIT via the
+    // complete (numwait desc, s_name) order.
+    "tpch_q21_waiting" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(o, l1("l_orderkey") === o("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // TPC-H Q17 shape (small-quantity revenue): per-part average
     // quantity as a correlated threshold — computed once per part via
     // an aggregate and joined back, never a per-row subquery. Exact:
@@ -1005,6 +1041,21 @@ object RelationalOps {
            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey) t
          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+           AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1','NATION_2','NATION_3')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "tpch_q17_small_qty" ->
       """WITH pp AS (SELECT p_partkey FROM part
                      WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),

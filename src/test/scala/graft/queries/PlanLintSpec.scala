@@ -63,6 +63,18 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  // tpch_q21_waiting is the double-EXISTS shape: the physical plan
+  // must carry BOTH a semi and an anti join against the fact table
+  // (plus the orders-F semi). A rewrite into distinct-count aggregates
+  // would still be hash-correct but lose the plan shape this query
+  // exists to exercise.
+  test("tpch_q21_waiting plans both a semi and an anti join stage") {
+    val plan = graft.SparkEntry.queries("tpch_q21_waiting")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join stage:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join stage:\n$plan")
+  }
+
   // plan-shape pins for the COUNT(*) aggregate pushdown twins
   // (TopologyPlanSpec doctrine): a silent pushdown regression in EITHER
   // direction — the pushdown twin falling back to full element decode,
