@@ -329,6 +329,83 @@ object EventsStream {
       .toDF("user_id", "cohort_day", "day_offset")
   }
 
+  /** Streaming LOCF resample: the stateful twin of `ev_locf_resample`.
+    * Per-user GroupState carries (last applied (ts, id), last value,
+    * next pending grid hour) — O(1) per user. Grid hour h (value =
+    * the last observation at-or-before h·1h; an event exactly ON the
+    * boundary counts, matching the batch window's sort) is emitted
+    * once it is FINAL: either a newer event of the same user arrives
+    * strictly after the boundary (in-band), or the event-time
+    * watermark passes it (EventTimeTimeout flush for quiet users).
+    * As in batch, the grid never extends past the user's last
+    * observed hour — a quiet user's series ends at its last event's
+    * hour, not at the watermark. Straggler rule: events at
+    * (ts, id) <= the committed mark are dropped; for LOCF an
+    * equal-ts smaller-id replay is a semantic no-op anyway (the
+    * batch window's last() keeps the highest event_id at a
+    * timestamp), so only a genuinely earlier-ts straggler diverges
+    * from batch (the shared batch-is-reference rule). */
+  final case class LocfState(lastTsUs: Long, lastId: Long, value: Double,
+      nextGrid: Long)
+  final case class LocfOut(user_id: Long, hour_bucket: Long, value: Double)
+
+  def locfStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val HourUs = 3600000000L
+    val HourMs = 3600000L
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"), col("value").cast("double"),
+        timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
+      .withWatermark("ts_ts", "10 minutes")
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[LocfState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[LocfOut]
+          var stOpt = state.getOption
+          // emit pending grid hours that are final: h*1h strictly
+          // before `boundUs` (no more at-or-before events can arrive)
+          // and h <= `capH` (the watermark path must not extend the
+          // grid past the user's last observed hour; in-band the
+          // incoming event's own hour already bounds the loop)
+          def flush(st: LocfState, boundUs: Long, capH: Long): LocfState = {
+            var h = st.nextGrid
+            while (h <= capH && h * HourUs < boundUs) {
+              out += LocfOut(user, h, st.value); h += 1
+            }
+            st.copy(nextGrid = h)
+          }
+          if (!state.hasTimedOut) {
+            val evs = it.toArray.sortBy(e => (e._3, e._1))
+            evs.foreach { case (eid, _, ts, v, _) =>
+              stOpt match {
+                case None =>
+                  stOpt = Some(LocfState(ts, eid, v, Math.floorDiv(ts, HourUs) + 1))
+                case Some(st) =>
+                  if (ts < st.lastTsUs || (ts == st.lastTsUs && eid <= st.lastId)) ()
+                  else stOpt = Some(flush(st, ts, Long.MaxValue)
+                    .copy(lastTsUs = ts, lastId = eid, value = v))
+              }
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          stOpt.foreach { st0 =>
+            val st = if (wmUs > 0)
+              flush(st0, wmUs, Math.floorDiv(st0.lastTsUs, HourUs)) else st0
+            state.update(st)
+            // re-arm only while hours are pending; the timeout stamp is
+            // strictly past the next boundary, and pending implies it is
+            // strictly past the current watermark as Spark requires
+            if (st.nextGrid <= Math.floorDiv(st.lastTsUs, HourUs))
+              state.setTimeoutTimestamp(st.nextGrid * HourMs + 1)
+          }
+          out.iterator
+      }
+      .toDF("user_id", "hour_bucket", "value")
+  }
+
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */

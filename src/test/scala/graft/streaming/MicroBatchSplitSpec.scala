@@ -177,6 +177,49 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("locfStream grid rows equal the batch LOCF resample under random cuts") {
+    val (rows, schema) = ordered
+    val batch = graft.queries.PipelineOps.queries("ev_locf_resample")(spark, fixtureDir)
+    val expected = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(expected.nonEmpty, "degenerate fixture: empty LOCF grid")
+    // watermark-advancing sentinels: single-event users contribute no
+    // grid rows of their own (h0 > h1), but their late timestamps push
+    // the watermark past every real hour boundary so the tail hours
+    // flush through the EventTimeTimeout path (two chunks because a
+    // batch runs under the PREVIOUS batch's watermark)
+    val iTs = schema.fieldIndex("ts")
+    val iId = schema.fieldIndex("event_id")
+    val iUser = schema.fieldIndex("user_id")
+    val last = rows.last
+    val maxId = rows.map(_.getLong(iId)).max
+    def sentinel(i: Int): Row = {
+      val vals = last.toSeq.toArray
+      vals(iId) = maxId + 1 + i
+      vals(iUser) = -1L - i
+      vals(iTs) = last.get(iTs) match { // physical ts form varies (EventTimeSpec)
+        case t: java.sql.Timestamp =>
+          new java.sql.Timestamp(t.getTime + (i + 1) * 3L * 3600 * 1000)
+        case t: java.time.LocalDateTime => t.plusHours((i + 1) * 3L)
+        case t: java.lang.Long => java.lang.Long.valueOf(
+          t + (i + 1) * 3L * 3600 * 1000000000L) // ns BIGINT
+        case other => fail(s"unexpected ts type: ${other.getClass}")
+      }
+      Row.fromSeq(vals.toSeq)
+    }
+    Seq(0xBEEF1, 0xD00D2).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4)
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1))) ++
+        Seq(Seq(sentinel(0)), Seq(sentinel(1)))
+      val got = runChunked(s"mbs_locf_$seed", chunks,
+          df => EventsStream.locfStream(spark, df))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      assert(got === expected,
+        s"locfStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
+
   test("pathsStream trigrams equal the batch sliding window under random cuts") {
     val (rows, _) = ordered
     val eventsDf = spark.read.parquet(s"$fixtureDir/events.parquet")
