@@ -9,18 +9,19 @@ import org.apache.spark.sql.functions._
   * 4096) plus unique background docs. Because each doc's 1-3 token
   * substitutions perturb simhash bits scattered across all four bands,
   * cluster members spread over many band values and only the hottest
-  * buckets actually exceed the DEFAULT cap (r10 measured exactly one
-  * overflow at this corpus — the default-cap run validates the
-  * identity with the cap engaged, not a deep recursion). The probe
+  * buckets actually exceed the DEFAULT cap — the standing artifact
+  * (bench/simhash_probe_r11.json) measures exactly ONE default-cap
+  * sub-split at this corpus, so the default-cap run validates the
+  * identity with the cap engaged, not widespread recursion. The probe
   * therefore runs the full text→simhash→banded-pairs path THREE times
-  * — default cap, a TIGHT cap (SPARK_GRAFT_PROBE_CAP, default 512)
-  * that forces widespread overflow and multi-level sub-splitting, and
-  * cap disabled — and compares the pair sets by count and
-  * order-independent checksum. With the recursive sub-splitting fix
-  * (graft.operators.SimHashBuckets) all three runs must be IDENTICAL:
-  * the cap engages (sub-split counters > 0, heavily so under the tight
-  * cap) but never costs recall. Writes the committed artifact
-  * bench/simhash_probe_r{N}.json. */
+  * — default cap (1 sub-split), a TIGHT cap (SPARK_GRAFT_PROBE_CAP,
+  * default 512) that forces widespread overflow (233 sub-splits in
+  * the artifact), and cap disabled (0) — and compares the pair sets
+  * by count and order-independent checksum. With the recursive
+  * sub-splitting fix (graft.operators.SimHashBuckets) all three runs
+  * must be IDENTICAL (artifact: 46 181 511 pairs, equal checksums,
+  * capped_equals_uncapped true): the cap engages but never costs
+  * recall. Writes the committed artifact bench/simhash_probe_r{N}.json. */
 object SimhashCapProbe {
 
   /** Deterministic 1M-doc corpus. Cluster docs share a 60-token

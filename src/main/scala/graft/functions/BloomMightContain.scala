@@ -1,7 +1,6 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -13,24 +12,32 @@ import org.apache.spark.util.sketch.BloomFilter
 /** Broadcast-Bloom membership probe as a native, codegen'd Catalyst
   * expression — the build-side half of the 100 TB semi-join pattern:
   * build a Bloom filter over the (small) build side's join keys once,
-  * ship its serialized bytes inside the plan, and prune the probe-side
-  * scan BEFORE the shuffle. False positives are later removed by the
-  * exact semi join, so the end result is byte-identical to the plain
-  * semi join while the shuffle only carries rows that might match.
+  * distribute it as a `Broadcast[BloomFilter]`, and prune the
+  * probe-side scan BEFORE the shuffle. False positives are later
+  * removed by the exact semi join, so the end result is byte-identical
+  * to the plain semi join while the shuffle only carries rows that
+  * might match.
   *
   * This is the same shape Spark's own runtime row-group filtering
   * (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) injects —
   * expressed here as a reusable, deterministic operator the engine
-  * controls: the filter bytes are computed from the build side with
-  * `DataFrameStatFunctions.bloomFilter` and embedded as a plan
-  * constant, so the pruning engages regardless of AQE heuristics.
+  * controls, so the pruning engages regardless of AQE heuristics.
   *
-  * The serialized filter is deserialized once per executor (lazy
-  * transient) and referenced from generated code via `addReferenceObj`
-  * — per-row cost is the sketch's k hash probes, no closure call, no
-  * boxing.
+  * The filter rides in the plan as a BROADCAST handle, not serialized
+  * bytes (ADVICE r11): a production-sized filter (tens-hundreds of MB
+  * at 10^8 keys) would otherwise be re-shipped inside every task's
+  * serialized references; the broadcast moves it to executors once
+  * via the torrent path. Equality is by (child, filter-content hash) —
+  * NOT the Broadcast handle's reference identity — so two probes built
+  * from identical filters canonicalize equal and common-subexpression
+  * elimination can dedupe them.
+  *
+  * Generated code resolves `broadcast.value()` once per task into a
+  * mutable field — per-row cost is the sketch's k hash probes, no
+  * closure call, no boxing.
   */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+    bloomBc: Broadcast[BloomFilter], contentHash: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -40,16 +47,30 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     else TypeCheckResult.TypeCheckFailure(
       s"bloom_might_contain requires a bigint key, got ${child.dataType}")
 
-  @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+  // content-based equality: Broadcast compares by reference, which
+  // would make semantically identical probes never equal (no CSE)
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain => child == b.child && contentHash == b.contentHash
+    case _ => false
+  }
+  override def hashCode: Int =
+    31 * child.hashCode + java.lang.Long.hashCode(contentHash)
+
+  @transient private lazy val bloom: BloomFilter = bloomBc.value
 
   override def nullSafeEval(input: Any): Any =
     bloom.mightContainLong(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bloomRef = ctx.addReferenceObj("bloom", bloom,
-      classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bloomRef.mightContainLong($c);")
+    // reference the broadcast HANDLE (small) and materialize .value()
+    // once per task in the generated class init — embedding the filter
+    // object itself would put it back into every task binary
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[Broadcast[BloomFilter]].getName)
+    val bloomCls = classOf[BloomFilter].getName
+    val bloomVar = ctx.addMutableState(bloomCls, "bloomFilter",
+      v => s"$v = ($bloomCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bloomVar.mightContainLong($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -59,14 +80,20 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 }
 
 object BloomMightContain {
-  /** Column-API entry: `df.filter(BloomMightContain.probe(col("k"), bf))`. */
-  def probe(key: Column, bloom: BloomFilter): Column = {
+  /** Column-API entry:
+    * `df.filter(BloomMightContain.probe(spark, col("k"), bf))`.
+    * Broadcasts the filter and fingerprints its serialized content for
+    * expression equality. */
+  def probe(spark: org.apache.spark.sql.SparkSession, key: Column,
+      bloom: BloomFilter): Column = {
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()
       bloom.writeTo(out)
       out.toByteArray
     }
+    val bc = spark.sparkContext.broadcast(bloom)
     GraftExpressionBridge.column(
-      BloomMightContain(GraftExpressionBridge.expression(key), bytes))
+      BloomMightContain(GraftExpressionBridge.expression(key), bc,
+        Fnv64.hash(bytes)))
   }
 }

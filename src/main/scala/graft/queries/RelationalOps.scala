@@ -910,9 +910,14 @@ object RelationalOps {
       val sel = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
         .select("o_orderkey")
-      val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      // size the filter from the ACTUAL build side (ADVICE r11: a
+      // hard-coded expectedNumItems silently degrades fpp when the
+      // build side outgrows it) — one extra count job at plan time on
+      // the already-selective dim slice
+      val n = math.max(sel.count(), 1L)
+      val bloom = sel.stat.bloomFilter("o_orderkey", n, 0.01)
       val li = t(s, dir, "lineitem")
-        .filter(graft.functions.BloomMightContain.probe(col("l_orderkey"), bloom))
+        .filter(graft.functions.BloomMightContain.probe(s, col("l_orderkey"), bloom))
       li.join(broadcast(sel), li("l_orderkey") === sel("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),

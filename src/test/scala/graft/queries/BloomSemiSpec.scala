@@ -25,17 +25,38 @@ class BloomSemiSpec extends AnyFunSuite {
     val bloom = keysDf.stat.bloomFilter("k", 5000L, 0.01)
 
     // no false negatives: every inserted key probes true
-    val surviving = keysDf.filter(BloomMightContain.probe(col("k"), bloom)).count()
+    val surviving = keysDf.filter(BloomMightContain.probe(spark, col("k"), bloom)).count()
     assert(surviving === keys.distinct.length.toLong)
 
     // codegen vs interpreted: force both paths over a mixed member /
     // non-member range and compare row for row
     val mixed = (0L until 20000L).toDF("k")
-    val viaCodegen = mixed.filter(BloomMightContain.probe(col("k"), bloom))
+    val viaCodegen = mixed.filter(BloomMightContain.probe(spark, col("k"), bloom))
       .collect().map(_.getLong(0)).toSet
     val viaEval = mixed.collect().map(_.getLong(0))
       .filter(bloom.mightContainLong).toSet
     assert(viaCodegen === viaEval)
+  }
+
+  // ADVICE r11: the expression must compare by filter CONTENT, not by
+  // Broadcast reference identity, or canonicalization / common-
+  // subexpression elimination can never dedupe two identical probes
+  test("identical-content probes compare equal; different content do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftExpressionBridge
+    val df = (0L until 100L).toDF("k")
+    val b1 = df.stat.bloomFilter("k", 100L, 0.01)
+    val b2 = df.stat.bloomFilter("k", 100L, 0.01) // same content, separate build
+    val b3 = (0L until 101L).toDF("k").stat.bloomFilter("k", 101L, 0.01)
+    // one shared child Column: pre-resolution col("k") instances carry
+    // distinct call-site Origins, and the point here is the FILTER
+    // term of the equality (children unify post-analysis via exprIds)
+    val k = col("k")
+    def expr(b: org.apache.spark.util.sketch.BloomFilter) =
+      GraftExpressionBridge.expression(BloomMightContain.probe(spark, k, b))
+    assert(expr(b1) == expr(b2), "content-identical probes must be equal")
+    assert(expr(b1).hashCode == expr(b2).hashCode)
+    assert(expr(b1) != expr(b3), "different filters must not compare equal")
   }
 
   test("a12_bloom_semi equals the plain semi join; the prefilter prunes") {
@@ -58,7 +79,7 @@ class BloomSemiSpec extends AnyFunSuite {
     val bloom = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
     val total = li.count()
     val afterProbe =
-      li.filter(BloomMightContain.probe(col("l_orderkey"), bloom)).count()
+      li.filter(BloomMightContain.probe(spark, col("l_orderkey"), bloom)).count()
     val trueMatches =
       li.join(sel, li("l_orderkey") === sel("o_orderkey"), "left_semi").count()
     assert(afterProbe < total, "prefilter pruned nothing")
