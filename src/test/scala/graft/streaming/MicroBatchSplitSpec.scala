@@ -295,4 +295,50 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     assert(got === clean,
       "duplicate redelivery of the committed newest event changed the trigram set")
   }
+
+  // ADVICE r11: pathsStream's straggler rule drops a genuinely NEW
+  // equal-timestamp event whose event_id is smaller than the committed
+  // (ts, id) mark when it arrives in a later micro-batch — a
+  // documented divergence from the batch result under
+  // non-order-preserving delivery (the price of the rule that blocks
+  // at-least-once duplicates from fabricating X>X trigrams). This pins
+  // the DOCUMENTED behavior: the dropped event contributes nothing,
+  // and the output equals the batch order over the events the stream
+  // actually kept.
+  test("cross-batch equal-ts smaller-id arrival is dropped per the documented rule") {
+    val schema = ordered._2
+    val tsType = schema(schema.fieldIndex("ts")).dataType
+    def tsVal(us: Long): Any = tsType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+      case org.apache.spark.sql.types.TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L))
+      case org.apache.spark.sql.types.LongType => us * 1000L // ns BIGINT
+      case other => fail(s"unexpected ts type: $other")
+    }
+    def ev(id: Long, us: Long, typ: String): Row =
+      Row.fromSeq(schema.fields.map(_.name match {
+        case "event_id" => id
+        case "ts" => tsVal(us)
+        case "user_id" => 777L
+        case "event_type" => typ
+        case "value" => 1.0
+        case "props" => "{}"
+        case other => fail(s"unexpected column: $other")
+      }).toSeq)
+    val t = 1700000000000000L
+    val batch1 = Seq(ev(1, t, "a"), ev(2, t + 1000000, "b"),
+      ev(10, t + 2000000, "c"))
+    val late = ev(5, t + 2000000, "d") // equal ts, smaller id than committed 10
+    val got = runChunked("mbs_equal_ts_drop", Seq(batch1, Seq(late)),
+        df => EventsStream.pathsStream(spark, df))
+      .select("user_id", "path", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // complete-data batch order would be a,b,d,c (id 5 sorts before 10
+    // at the tied timestamp); the stream committed c first, so d drops
+    assert(got === Seq((777L, "a>b>c", 10L)),
+      s"equal-ts smaller-id straggler not handled per the documented rule: $got")
+  }
 }
