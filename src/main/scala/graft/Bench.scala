@@ -14,8 +14,8 @@ object Bench {
     "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
     "tpch_q10_returns", "tpch_q18_big_orders", "tpch_q6_forecast",
     "tpch_q4_order_priority", "tpch_q14_promo", "tpch_q19_disjunctive",
-    "tpch_q13_custdist", "tpch_q17_small_qty", "tpch_q22_idle_rich",
-    "a12_bloom_semi",
+    "tpch_q13_custdist", "tpch_q17_small_qty", "tpch_q21_waiting",
+    "tpch_q22_idle_rich", "a12_bloom_semi",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins
@@ -31,8 +31,8 @@ object Bench {
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     "text_repetition", "text_doc_freq",
     // vectors
-    "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_neardup_lsh",
-    "vec_kmeans", "vec_semdedup",
+    "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_ann_ivf_trained",
+    "vec_neardup_lsh", "vec_kmeans", "vec_semdedup",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
     "ev_asof_join", "ev_range_join", "ev_funnel", "ev_retention", "ev_top_paths",
