@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact complete-order rank per key WITHOUT a per-key single-task
@@ -16,24 +15,23 @@ import org.apache.spark.sql.functions._
   *   1. range-repartition on (keys ++ order) — each key's rows are
   *      split across many partitions, globally ordered across
   *      partition ids (Spark's RangePartitioner; the same machinery
-  *      behind a distributed ORDER BY);
-  *   2. stamp `spark_partition_id()` and lazily localCheckpoint, so
-  *      the expensive range exchange executes exactly once even
-  *      though two branches consume it (the repo's shared-stage
-  *      doctrine, PipelineOps `pipe_clean_corpus`);
-  *   3. per-(partition, key) row counts — a tiny aggregate of at most
-  *      P×K rows;
-  *   4. each partition's PRIOR per-key count (rows of the same key in
-  *      lower-numbered range partitions) via a bounded explode over
-  *      the count table — deliberately NOT a cumulative window (that
-  *      would reintroduce an `Exchange SinglePartition` for empty
-  *      keys, the very shape PlanLint pins against) and NOT a theta
-  *      join (BroadcastNestedLoopJoin is lint-forbidden);
-  *   5. broadcast the prior/total counts back and add a row_number
-  *      windowed by (partition-id, key) — partitioned by construction,
-  *      each window group is at most one range partition's share.
+  *      behind a distributed ORDER BY); both consuming branches
+  *      canonicalize to the same Exchange, so the shuffle runs once;
+  *   2. per-(partition, key) row counts — a tiny aggregate of at most
+  *      P×K rows, read straight off the exchange with no sort;
+  *   3. fan the count table out to every partition id (≤ P²×K tiny
+  *      tuples) and aggregate each target's PRIOR per-key count plus
+  *      the key total — deliberately NOT a cumulative window (that
+  *      would reintroduce an `Exchange SinglePartition` for the
+  *      global case, the very shape PlanLint pins against) and NOT a
+  *      theta join (BroadcastNestedLoopJoin is lint-forbidden);
+  *   4. in-partition sort + one narrow streaming pass assigns each
+  *      row its local (partition, key) rank — not a Window, which
+  *      would force a second full-data hash exchange Catalyst cannot
+  *      know is redundant — and a broadcast hash join on
+  *      (partition-id, key) attaches prior and total.
   *
-  * global rank = prior + local row_number. Exactness: the range
+  * global rank = prior + local rank. Exactness: the range
   * partitions are disjoint, totally ordered slices of the complete
   * (keys, order) order, so local rank offset by the prior count is
   * the global rank — pure integer arithmetic, cross-engine exact,
@@ -50,37 +48,58 @@ object DistributedRank {
   def withRank(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // constant key so the no-keys (global) case still joins through a
-    // broadcast HASH join (an on-true join of a 1-row side would plan
-    // as BroadcastNestedLoopJoin, which PlanLint forbids)
-    val k = if (keys.nonEmpty) keys else Seq("__gk")
-    val base = if (keys.nonEmpty) df else df.withColumn("__gk", lit(0))
+    val k = keys
     val partCols = k.map(col) ++ order
-    val parted = base
-      .repartitionByRange(p, partCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
-    val counts = parted.groupBy((col("__pid") +: k.map(col)): _*)
+    val parted = df.repartitionByRange(p, partCols: _*)
+    // branch A — tiny per-(partition, key) counts straight off the
+    // exchange (no sort). Branches A and B canonicalize to the same
+    // range Exchange, so ReuseExchange shuffles the data ONCE; partition
+    // ids of a given shuffle are stable across its readers.
+    val counts = parted.withColumn("__pid", spark_partition_id())
+      .groupBy((col("__pid") +: k.map(col)): _*)
       .agg(count(lit(1)).as("__cnt"))
-    // prior(pid, key) = Σ counts of the key in range partitions < pid:
-    // every (pid, key, cnt) row contributes cnt to all higher pids —
-    // ≤ P rows each over a ≤ P×K table, bounded by partitioning not
-    // data volume
-    val prior = counts
-      .filter(col("__pid") < lit(p - 1))
-      .withColumn("__tpid",
-        explode(sequence(col("__pid") + 1, lit(p - 1), lit(1))))
-      .groupBy((col("__tpid").as("__pid") +: k.map(col)): _*)
-      .agg(sum(col("__cnt")).as("__prior"))
-    val totals = counts.groupBy(k.map(col): _*)
-      .agg(sum(col("__cnt")).as("gcount"))
-    val w = Window.partitionBy(("__pid" +: k).map(col): _*).orderBy(order: _*)
-    parted
-      .join(broadcast(prior), ("__pid" +: k), "left")
-      .join(broadcast(totals), k)
-      .withColumn("grank",
-        coalesce(col("__prior"), lit(0L)) + row_number().over(w))
-      .drop("__pid", "__prior", "__gk")
+    // ONE broadcast side keyed by (partition, key) carrying BOTH the
+    // prior count (rows of the key in lower-numbered range partitions)
+    // and the key total: every count row fans out to all P partition
+    // ids — ≤ P²×K tiny tuples, bounded by partitioning not data
+    // volume — and contributes to the prior sum only below its target.
+    // Joining on __pid (genuinely per-row, never constant-foldable)
+    // keeps this a broadcast HASH join even in the no-keys global
+    // case, where a constant-key join would fold into the
+    // BroadcastNestedLoopJoin shape PlanLint forbids.
+    val aug = counts
+      .withColumn("__tpid", explode(sequence(lit(0), lit(p - 1), lit(1))))
+      .groupBy((col("__tpid") +: k.map(col)): _*)
+      .agg(sum(when(col("__pid") < col("__tpid"), col("__cnt"))
+          .otherwise(lit(0L))).as("__prior"),
+        sum(col("__cnt")).as("gcount"))
+      .withColumnRenamed("__tpid", "__pid")
+    // branch B — local rank per (partition, key): in-partition sort +
+    // ONE narrow streaming pass. Not a Window (that would force a
+    // second full-data hash exchange on (__pid, key) — Catalyst cannot
+    // see the range partitioning already clusters them) and not a
+    // checkpoint (materializing the corpus costs more than re-reading
+    // the reused shuffle blocks).
+    val sorted = parted.sortWithinPartitions(partCols: _*)
+    val keyIdx = k.map(sorted.schema.fieldIndex)
+    val outSchema = sorted.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType)
+      .add("__lrank", org.apache.spark.sql.types.LongType)
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Seq[Any] = null
+      var r = 0L
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (cur == null || key != cur) { cur = key; r = 0L }
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ r)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    ranked
+      .join(broadcast(aug), "__pid" +: k)
+      .withColumn("grank", col("__prior") + col("__lrank"))
+      .drop("__pid", "__prior", "__lrank")
   }
 
   /** percent_rank twin: `pr` = (grank−1)/(gcount−1) in double — the
