@@ -15,7 +15,8 @@ object Bench {
     "tpch_q10_returns", "tpch_q18_big_orders", "tpch_q6_forecast",
     "tpch_q4_order_priority", "tpch_q14_promo", "tpch_q19_disjunctive",
     "tpch_q13_custdist", "tpch_q17_small_qty", "tpch_q21_waiting",
-    "tpch_q22_idle_rich", "a12_bloom_semi",
+    "tpch_q22_idle_rich", "tpch_q7_volume", "tpch_q8_mktshare",
+    "tpch_q15_top_supplier", "a12_bloom_semi",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
     // joins

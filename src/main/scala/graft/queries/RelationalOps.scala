@@ -797,6 +797,107 @@ object RelationalOps {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q7 shape (volume shipping between two nation groups): the
+    // dual-dimension fact query — lineitem joins BOTH its supplier's
+    // nation and its order's customer's nation, with a symmetric
+    // pair predicate. Scale: both dims are filtered to the
+    // participating nation union BEFORE their broadcast joins (so the
+    // fact stream shrinks at the first join), the two big joins
+    // shuffle on l_orderkey then o_custkey, and the symmetric pair
+    // filter runs as a residual after both nations attach. Revenue is
+    // an exact decimal sum cast to double at the edge.
+    "tpch_q7_volume" -> ((s, dir) => {
+      val ns = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val grpA = Seq("NATION_1", "NATION_2")
+      val n = t(s, dir, "nation").filter(col("n_name").isin(ns: _*))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("yr"),
+          expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))").as("volume"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation").isin(grpA: _*) &&
+            !col("cust_nation").isin(grpA: _*)) ||
+          (!col("supp_nation").isin(grpA: _*) &&
+            col("cust_nation").isin(grpA: _*)))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(sum(col("volume")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q8 shape (market share): national share of a region's
+    // import volume in one part type, per year — a ratio of two exact
+    // decimal sums over the same filtered fact stream (cast to double
+    // only for the final division, rounded 6). The selective part
+    // filter broadcasts FIRST so the fact stream shrinks before the
+    // orderkey/custkey shuffles; customer-side nation+region and
+    // supplier-side nation are broadcast dims.
+    "tpch_q8_mktshare" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val custAsia = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))").as("volume"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("yr")
+        .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", col("volume"))
+              .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).cast("double") /
+            sum(col("volume")).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q15 shape (top supplier by quarterly revenue): an
+    // aggregate compared against its own maximum. One shuffle on
+    // l_suppkey with map-side partials; the max is a single tiny
+    // aggregate broadcast back as an EQUI join on the revenue value
+    // (exact: both sides are the same decimal-sum-cast double), so no
+    // unpartitioned window and no nested-loop join appears.
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q21 shape (suppliers who kept orders waiting): the
     // double-EXISTS plan — a semi AND an anti join against the SAME
     // fact table, both with a non-equi (<>) residual on top of the
@@ -1046,6 +1147,61 @@ object RelationalOps {
            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey) t
          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q7_volume" ->
+      """SELECT supp_nation, cust_nation, yr,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l_shipdate) AS yr, l_extendedprice, l_discount
+           FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name IN ('NATION_1','NATION_2')
+                   AND n2.n_name IN ('NATION_3','NATION_4'))
+               OR (n1.n_name IN ('NATION_3','NATION_4')
+                   AND n2.n_name IN ('NATION_1','NATION_2')))
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01') t
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q8_mktshare" ->
+      """WITH vol AS (
+           SELECT year(o_orderdate) AS yr,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                  n2.n_name AS supp_nation
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT yr,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                      CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+                count(*) AS n
+         FROM vol GROUP BY yr ORDER BY yr""",
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN rev ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
     "tpch_q21_waiting" ->
       """SELECT s_name, count(*) AS numwait
          FROM supplier, lineitem l1, orders, nation
