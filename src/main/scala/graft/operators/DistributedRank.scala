@@ -50,13 +50,39 @@ object DistributedRank {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val k = keys
     val partCols = k.map(col) ++ order
-    val parted = df.repartitionByRange(p, partCols: _*)
-    // branch A — tiny per-(partition, key) counts straight off the
-    // exchange (no sort). Branches A and B canonicalize to the same
-    // range Exchange, so ReuseExchange shuffles the data ONCE; partition
-    // ids of a given shuffle are stable across its readers.
-    val counts = parted.withColumn("__pid", spark_partition_id())
-      .groupBy((col("__pid") +: k.map(col)): _*)
+    // In-partition sort + ONE narrow streaming pass assigns local
+    // ranks. Not a Window: that would force a second full-data hash
+    // exchange on (__pid, key) — Catalyst cannot see the range
+    // partitioning already clusters them.
+    val sorted = df.repartitionByRange(p, partCols: _*)
+      .sortWithinPartitions(partCols: _*)
+    val keyIdx = k.map(sorted.schema.fieldIndex)
+    val outSchema = sorted.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType)
+      .add("__lrank", org.apache.spark.sql.types.LongType)
+    // lazily materialize ONCE (shared-stage doctrine): the count
+    // branch below must see the SAME partition boundaries as the rank
+    // rows. Two independent executions of the range exchange are NOT
+    // guaranteed that — column pruning gives each branch a different
+    // exchange subtree (no reuse), and RangePartitioner samples with a
+    // per-execution seed, so boundaries can differ between runs
+    // (caught by DistributedRankSpec). The object boundary of
+    // mapPartitions also stops pruning from narrowing the checkpoint.
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Seq[Any] = null
+      var r = 0L
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (cur == null || key != cur) { cur = key; r = 0L }
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ r)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint(eager = false)
+    // tiny per-(partition, key) count table from the SAME materialized
+    // pass (local row count = max local rank ⇒ plain count(*))
+    val counts = ranked.groupBy((col("__pid") +: k.map(col)): _*)
       .agg(count(lit(1)).as("__cnt"))
     // ONE broadcast side keyed by (partition, key) carrying BOTH the
     // prior count (rows of the key in lower-numbered range partitions)
@@ -74,32 +100,63 @@ object DistributedRank {
           .otherwise(lit(0L))).as("__prior"),
         sum(col("__cnt")).as("gcount"))
       .withColumnRenamed("__tpid", "__pid")
-    // branch B — local rank per (partition, key): in-partition sort +
-    // ONE narrow streaming pass. Not a Window (that would force a
-    // second full-data hash exchange on (__pid, key) — Catalyst cannot
-    // see the range partitioning already clusters them) and not a
-    // checkpoint (materializing the corpus costs more than re-reading
-    // the reused shuffle blocks).
-    val sorted = parted.sortWithinPartitions(partCols: _*)
-    val keyIdx = k.map(sorted.schema.fieldIndex)
-    val outSchema = sorted.schema
-      .add("__pid", org.apache.spark.sql.types.IntegerType)
-      .add("__lrank", org.apache.spark.sql.types.LongType)
-    val ranked = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cur: Seq[Any] = null
-      var r = 0L
-      it.map { row =>
-        val key = keyIdx.map(row.get)
-        if (cur == null || key != cur) { cur = key; r = 0L }
-        r += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ r)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
     ranked
       .join(broadcast(aug), "__pid" +: k)
       .withColumn("grank", col("__prior") + col("__lrank"))
       .drop("__pid", "__prior", "__lrank")
+  }
+
+  /** Running-sum sibling of [[withRank]]: appends `runsum` (the
+    * INCLUSIVE per-key running sum of `value` in the complete
+    * ascending `order`) and `ksum` (the key total), with the identical
+    * scale shape — one reused range exchange, tiny per-(partition,
+    * key) sum table fanned into a broadcast prior/total side, one
+    * narrow in-partition accumulation pass. This is the distributed
+    * prefix sum: `SUM(v) OVER (PARTITION BY key ORDER BY ...)` without
+    * funneling a low-cardinality key's history through one task.
+    * `value` must be integral (cast to long) so partial sums are
+    * exact and order-independent. */
+  def withRunningSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = df.withColumn("__val", value.cast("long"))
+    val partCols = keys.map(col) ++ order
+    val sorted = base.repartitionByRange(p, partCols: _*)
+      .sortWithinPartitions(partCols: _*)
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val valIdx = sorted.schema.fieldIndex("__val")
+    val outSchema = sorted.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType)
+      .add("__lsum", org.apache.spark.sql.types.LongType)
+    // one materialized pass; the per-partition sum branch reads the
+    // SAME boundaries (see withRank for why this must not be two
+    // executions of the exchange)
+    val summed = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Seq[Any] = null
+      var acc = 0L
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (cur == null || key != cur) { cur = key; acc = 0L }
+        acc += row.getLong(valIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .localCheckpoint(eager = false)
+    val sums = summed.groupBy((col("__pid") +: keys.map(col)): _*)
+      .agg(sum(col("__val")).as("__psum"))
+    val aug = sums
+      .withColumn("__tpid", explode(sequence(lit(0), lit(p - 1), lit(1))))
+      .groupBy((col("__tpid") +: keys.map(col)): _*)
+      .agg(sum(when(col("__pid") < col("__tpid"), col("__psum"))
+          .otherwise(lit(0L))).as("__prior"),
+        sum(col("__psum")).as("ksum"))
+      .withColumnRenamed("__tpid", "__pid")
+    summed
+      .join(broadcast(aug), "__pid" +: keys)
+      .withColumn("runsum", col("__prior") + col("__lsum"))
+      .drop("__pid", "__prior", "__lsum", "__val")
   }
 
   /** percent_rank twin: `pr` = (grank−1)/(gcount−1) in double — the
@@ -118,13 +175,18 @@ object DistributedRank {
     * `gcount % n` buckets get ⌈gcount/n⌉ rows, the rest ⌊gcount/n⌋) —
     * integer arithmetic on the exact global rank, identical to
     * `ntile(n) OVER (ORDER BY ...)` in both engines. */
-  def withNtile(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
-    val big = col("gcount") / n + 1L // size of the first (gcount % n) buckets
-    val cut = (col("gcount") % n) * big // ranks 1..cut live in big buckets
+  def withNtile(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame =
+    // integer DIV throughout — Spark's `/` on longs is DOUBLE division
+    // and silently truncates the wrong boundary (DistributedRankSpec
+    // caught buckets off by one at n=4). big = ⌈gcount/n⌉ is the size
+    // of the first (gcount % n) buckets; ranks past the big region
+    // fall into ⌊gcount/n⌋-sized buckets.
     withRank(df, keys, order)
-      .withColumn("nt",
-        when(col("grank") <= cut, (col("grank") - 1L) / big + 1L)
-          .otherwise((col("grank") - cut - 1L) / (col("gcount") / n) + (col("gcount") % n) + 1L)
-          .cast("int"))
-  }
+      .withColumn("nt", expr(
+        s"""CAST(CASE
+              WHEN grank <= (gcount % $n) * (gcount DIV $n + 1)
+              THEN (grank - 1) DIV (gcount DIV $n + 1) + 1
+              ELSE (grank - (gcount % $n) * (gcount DIV $n + 1) - 1)
+                     DIV (gcount DIV $n) + gcount % $n + 1
+            END AS INT)"""))
 }

@@ -509,6 +509,31 @@ object TextOps {
         .orderBy("doc_id", "copy")
     }),
 
+    // Sequence packing — the pretraining batch-assembly step that
+    // assigns documents to fixed token-budget context windows (cap =
+    // 256) deterministically: within each lang, docs pack in doc_id
+    // order; a doc's window is cum_tokens_before div cap and its
+    // in-window start is the remainder (linear packing — a doc may
+    // straddle a boundary; the offset tells the writer where it
+    // starts). The prefix sum comes from DistributedRank.withRunningSum
+    // (range-partitioned distributed prefix sums), NOT a
+    // `SUM OVER (PARTITION BY lang ...)` window — lang has a handful
+    // of values, so the window form is the same low-cardinality-key
+    // single-task funnel ev_anomaly shed (VERDICT r11 #1). Pure
+    // integer arithmetic ⇒ cross-engine exact.
+    "pipe_pack_sequences" -> ((s, dir) => {
+      val cap = 256L
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("length(text) - length(replace(text, ' ', '')) + 1").as("n_tokens"))
+      graft.operators.DistributedRank
+        .withRunningSum(d, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("cum_before", col("runsum") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("cum_before") / cap).cast("bigint").as("bin"),
+          (col("cum_before") % cap).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: top-k tokens by global frequency with a
     // complete deterministic order (count desc, token asc). Partial
     // (map-side) aggregation makes the token histogram a single
@@ -736,6 +761,20 @@ object TextOps {
          FROM n, unnest(range(1, reps + 1)) AS u(c)
          WHERE reps >= 1
          ORDER BY doc_id, copy""",
+    "pipe_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM d)
+         SELECT doc_id, lang, n_tokens,
+                cum_before // 256 AS bin,
+                cum_before % 256 AS bin_offset
+         FROM c ORDER BY doc_id""",
     "text_vocab_topk" ->
       """WITH c AS (
            SELECT t.token, count(*) AS n

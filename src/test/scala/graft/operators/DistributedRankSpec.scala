@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+
+/** DistributedRank must be value-identical to the single-task window
+  * forms it replaces — on randomized data with skewed low-cardinality
+  * keys, duplicate order-values (complete order restored by the id
+  * tiebreaker), and for the global no-keys case whose constant-key
+  * join shape regressed once already (BroadcastNestedLoopJoin via
+  * constant folding). */
+class DistributedRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture(seed: Int, n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(50).toDouble, 1L + rnd.nextInt(9))
+    }.toDF("id", "key", "v", "w").repartition(7)
+  }
+
+  test("withRank == row_number window on skewed random data") {
+    val df = fixture(0xA11CE, 2000)
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .withColumn("gcount", count(lit(1)).over(Window.partitionBy("key")))
+      .select("id", "key", "grank", "gcount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "key", "grank", "gcount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
+  test("withRank global (no keys) == unpartitioned row_number window") {
+    val df = fixture(0xBEE, 500)
+    val expected = df
+      .withColumn("grank", row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ranked = DistributedRank.withRank(df, Seq.empty, Seq(col("v"), col("id")))
+    val got = ranked.select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(ranked.select("gcount").distinct().collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // the shape that regressed: a constant-folded join key degrades the
+    // broadcast HASH join into a nested loop
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"global rank planned a BNLJ:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global rank planned a single-partition stage:\n$plan")
+  }
+
+  test("withNtile == ntile window across bucket counts") {
+    val df = fixture(0xF0, 997) // prime size: uneven buckets in every n
+    Seq(3, 4, 7).foreach { n =>
+      val w = Window.orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("nt", ntile(n).over(w))
+        .select("id", "nt").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val got = DistributedRank.withNtile(df, Seq.empty, Seq(col("v").desc, col("id")), n)
+        .select("id", "nt").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === expected, s"ntile($n) mismatch")
+    }
+  }
+
+  test("withRunningSum == running-sum window, keyed and global") {
+    val df = fixture(0xD15C, 1500)
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("runsum", sum(col("w")).over(w))
+      .withColumn("ksum", sum(col("w")).over(Window.partitionBy("key")))
+      .select("id", "runsum", "ksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = DistributedRank
+      .withRunningSum(df, Seq("key"), Seq(col("v"), col("id")), col("w"))
+      .select("id", "runsum", "ksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+
+    val wg = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expGlobal = df.withColumn("runsum", sum(col("w")).over(wg))
+      .select("id", "runsum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGlobal = DistributedRank
+      .withRunningSum(df, Seq.empty, Seq(col("v"), col("id")), col("w"))
+      .select("id", "runsum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGlobal === expGlobal)
+  }
+}

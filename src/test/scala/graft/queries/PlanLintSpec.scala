@@ -55,7 +55,7 @@ class PlanLintSpec extends AnyFunSuite {
   // SinglePartition`; a regression back to the window form (or a new
   // global agg without groupBy) re-introduces it and fails here.
   test("ev_anomaly and tpch_q22_idle_rich plan no single-partition stage") {
-    Seq("ev_anomaly", "tpch_q22_idle_rich").foreach { name =>
+    Seq("ev_anomaly", "tpch_q22_idle_rich", "pipe_pack_sequences").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("SinglePartition"),
