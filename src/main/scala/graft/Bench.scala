@@ -39,7 +39,7 @@ object Bench {
     "ev_asof_join", "ev_range_join", "ev_funnel", "ev_retention", "ev_top_paths",
     "ev_anomaly", "ev_sliding_agg", "ev_locf_resample",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
-    "pipe_decontaminate", "pipe_pii_mask", "text_vocab_topk",
+    "pipe_decontaminate", "pipe_pii_mask", "pipe_pack_sequences", "text_vocab_topk",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)
