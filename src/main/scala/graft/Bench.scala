@@ -28,7 +28,7 @@ object Bench {
     "g10_topo_segments",
     // text pipeline
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_cluster_cc", "dedup_cluster_cc_dist", "dedup_substring_pairs",
+    "dedup_cluster_cc", "dedup_cluster_cc_dist", "dedup_substring_pairs", "graph_pagerank",
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     "text_repetition", "text_doc_freq",
     // vectors

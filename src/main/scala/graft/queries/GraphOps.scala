@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the order graph (customers ↔ suppliers linked
+  * by lineitems) — the iterative-join family beside the
+  * ConnectedComponents dedup clustering: PageRank as the canonical
+  * "re-shuffle per iteration" workload.
+  *
+  * Determinism (the kmeans doctrine, VectorOps): every per-edge
+  * contribution `r/deg` is snapped to the 2^-20 lattice, so each term
+  * is an integer-valued multiple of 2^-20 and the per-node SUM is
+  * EXACT and order-independent — Spark's partial aggregation and
+  * DuckDB's arbitrary-order SUM produce bit-identical doubles, and the
+  * damping arithmetic on top is plain IEEE in both engines. The
+  * teleport term is the SCALED formulation: R = pagerank × N, so
+  * R₀ = 1 and R' = 0.15 + 0.85·Σ q(R/deg) — the node count N cancels,
+  * which keeps query construction job-free (no driver-side count) and
+  * the plan join-shape clean (a 1-row N table would need the
+  * nested-loop join shape PlanLint forbids).
+  *
+  * Scale (100 TB): the degree-enriched edge table is built once and
+  * lazily localCheckpointed (re-read per iteration from block storage,
+  * never re-derived through the orders join); each iteration is one
+  * equi-join on src and one aggregation shuffle on dst — PageRank's
+  * canonical Spark shape, broadcast-free, with map-side partial sums.
+  */
+object GraphOps extends Serializable {
+
+  private val Q = 1048576.0 // 2^20
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scaled PageRank (pr = pagerank × N) on the symmetric
+    * customer↔supplier edge set, `iters` damped iterations. */
+  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    // node ids: even = customer, odd = supplier (collision-free)
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges0 = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(deg, "src").localCheckpoint(eager = false)
+    var ranks = deg.select(col("src"), lit(1.0).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = edges.join(ranks, "src")
+        .select(col("dst"), expr(s"round(r / deg * ${Q}d) / ${Q}d").as("c"))
+        .groupBy("dst")
+        .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("r"))
+        .withColumnRenamed("dst", "src")
+    }
+    ranks.select(col("src").as("node"), round(col("r"), 8).as("pr"))
+      .orderBy("node")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, dir) => pagerank(s, dir, 3)))
+
+  private def iterSql(i: Int): String =
+    s"""r$i AS (
+          SELECT e.dst AS node,
+                 0.15e0 + 0.85e0 * SUM(round(r.r / d.deg * 1048576) / 1048576.0e0) AS r
+          FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst)"""
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e0 AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) AS r FROM deg),
+          ${iterSql(1)}, ${iterSql(2)}, ${iterSql(3)}
+          SELECT node, round(r, 8) AS pr FROM r3 ORDER BY node""")
+}
