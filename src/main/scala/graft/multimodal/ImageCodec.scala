@@ -149,6 +149,13 @@ object ImageCodec {
     * result into a cross-engine oracle; golden-spec only). */
   def encodeJpeg(img: Image): Array[Byte] = encodeImageIO(img, "jpg")
 
+  /** Encode as GIF. Lossless ONLY when the image has ≤ 256 distinct
+    * colors (always true for 8-bit gray — the JDK writer emits an
+    * exact palette; the decode path resolves indices through the
+    * palette, so a permuted-palette GIF still reads correctly);
+    * a true-color image would be quantized — keep those on PNG. */
+  def encodeGif(img: Image): Array[Byte] = encodeImageIO(img, "gif")
+
   // ---- BMP (24bpp, BI_RGB, BITMAPINFOHEADER) -------------------------
 
   private def decodeBmp(bytes: Array[Byte]): Option[Image] = {

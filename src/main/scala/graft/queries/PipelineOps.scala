@@ -230,6 +230,37 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // REAL GIF decode in the correctness gate: same 7x9 gray-from-text
+    // construction, through the JDK GIF writer (exact 8-bit gray
+    // palette) and back through ImageCodec's IndexColorModel expansion
+    // path (LZW inflate + palette resolution — the decoder work PNG
+    // doesn't exercise). Gray GIF is lossless, so the SAME pixel
+    // oracle as mm_resize/mm_png_decode applies; the decoded image
+    // arrives as r=g=b BGR (palette expansion), which toGray inverts
+    // exactly.
+    "mm_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 63)
+          (id, graft.multimodal.ImageCodec.encodeGif(
+            graft.multimodal.ImageCodec.Image(7, 9, 1, px)), "image/gif")
+        }).toDF("id", "media", "kind")
+      MultimodalOps.resizeImages(s, gifs, 5, 4)
+        .select("id", "media").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bmp) =>
+          val img = graft.multimodal.ImageCodec.decode(bmp).get
+          val g = graft.multimodal.ImageCodec.toGray(img)
+          var sum = 0L
+          var i = 0
+          while (i < g.data.length) { sum += g.data(i) & 0xff; i += 1 }
+          (id, sum, graft.functions.Fnv64.hash(g.data))
+        })
+        .toDF("doc_id", "px_sum", "px_fp")
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode in the correctness gate: each doc's first 64
     // bytes (zero-padded) become 32 signed 16-bit LE PCM samples in a
     // real RIFF/WAVE container, decoded back through AudioCodec's
@@ -722,6 +753,7 @@ object PipelineOps {
     // decode → resize: lossless codec ⇒ identical pixel statistics,
     // identical oracle
     "mm_png_decode" -> resizePxOracleSql,
+    "mm_gif_decode" -> resizePxOracleSql,
     // frames of 32 payload bytes, every 4th kept: frame_ix ∈ range(0,
     // strlen//32, 4); frame content pinned by byte sum + ordered FNV
     "mm_frame_sample" -> {
