@@ -18,7 +18,7 @@ object Bench {
     "tpch_q22_idle_rich", "tpch_q7_volume", "tpch_q8_mktshare",
     "tpch_q15_top_supplier", "a12_bloom_semi",
     // scan / filter / sort
-    "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort",
+    "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort", "o7_zorder_key",
     // joins
     "j1_ref_coord_join", "j1_skew_salted", "j2_star_broadcast", "j6_anti_join", "j7_semi_join",
     // aggregation / window

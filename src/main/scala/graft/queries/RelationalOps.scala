@@ -403,6 +403,18 @@ object RelationalOps {
         .select("p_partkey", "n_overlap")
         .orderBy("p_partkey")),
 
+    // O7 — Z-order layout key: the clustering key the writer sorts by
+    // before a 100 TB layout pass (see operators/ZOrder). The gate row
+    // checks the INTERLEAVE itself — the one piece with cross-engine-
+    // checkable semantics — over (l_partkey, l_suppkey); zkey-ordered
+    // output makes the space-filling-curve order part of the hash.
+    "o7_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("zkey",
+          graft.operators.ZOrder.key(Seq("l_partkey", "l_suppkey"), 16))
+        .select("l_orderkey", "l_linenumber", "zkey")
+        .orderBy("zkey", "l_orderkey", "l_linenumber")),
+
     // R1 — EAV→wide pivot (reference _frame.py:59-68): order counts per
     // status × priority, explicit pivot values for a deterministic schema.
     "r1_pivot" -> ((s, dir) =>
@@ -1462,6 +1474,10 @@ object RelationalOps {
                 CAST(p_brand IN ('Brand#13','Brand#7') AS INT) +
                 CAST(p_type IN ('ECONOMY') AS INT) AS n_overlap
          FROM part ORDER BY p_partkey""",
+    "o7_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                 ${graft.operators.ZOrder.keySql(Seq("l_partkey", "l_suppkey"), 16)} AS zkey
+          FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""",
     "r1_pivot" ->
       """SELECT o_orderstatus,
                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
