@@ -16,7 +16,7 @@ object Bench {
     "tpch_q4_order_priority", "tpch_q14_promo", "tpch_q19_disjunctive",
     "tpch_q13_custdist", "tpch_q17_small_qty", "tpch_q21_waiting",
     "tpch_q22_idle_rich", "tpch_q7_volume", "tpch_q8_mktshare",
-    "tpch_q15_top_supplier", "a12_bloom_semi",
+    "tpch_q15_top_supplier", "a12_bloom_semi", "a14_heavy_hitters",
     // scan / filter / sort
     "q1_agg", "s13_scan_project", "f1_type_filter", "o3_multikey_sort", "o7_zorder_key",
     // joins

@@ -1011,6 +1011,30 @@ object RelationalOps {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Heavy hitters (keys above 1% of all rows) via Misra–Gries
+    // candidates + exact verify: per-partition bounded k=1024 sketches
+    // union into a candidate superset of every key with count > N/1024
+    // (the MG guarantee; 1% ≫ 1/1024 so no true hitter can be
+    // missed), then an exact counting pass over ONLY candidate-key
+    // rows removes false positives — byte-identical to the plain
+    // GROUP BY … HAVING oracle, while at 100 TB the shuffle carries
+    // candidate rows instead of the full key cardinality. The total
+    // count is a plan-time job (a12 doctrine); the threshold compares
+    // as exact integers (cnt·100 > N — no division).
+    "a14_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val total = li.count()
+      val cands = li.select(col("l_suppkey")).as[Long]
+        .mapPartitions(it =>
+          graft.operators.HeavyHitters.misraGries(it, 1024).keysIterator)
+        .toDF("l_suppkey").distinct()
+      li.join(broadcast(cands), Seq("l_suppkey"), "left_semi")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 100 > total)
+        .orderBy("l_suppkey")
+    }),
+
     // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
     // pruning pattern: build a Bloom filter over the selective build
     // side's keys (one small aggregation job), prune the fact scan
@@ -1316,6 +1340,11 @@ object RelationalOps {
                        WHERE o_orderkey = l_orderkey
                          AND o_orderstatus = 'F' AND o_totalprice > 250000.0)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a14_heavy_hitters" ->
+      """SELECT l_suppkey, count(*) AS cnt
+         FROM lineitem GROUP BY l_suppkey
+         HAVING count(*) * 100 > (SELECT count(*) FROM lineitem)
+         ORDER BY l_suppkey""",
     "a13_distinct_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 count(*) AS n_rows
