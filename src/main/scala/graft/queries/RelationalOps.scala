@@ -1020,19 +1020,24 @@ object RelationalOps {
     // GROUP BY … HAVING oracle, while at 100 TB the shuffle carries
     // candidate rows instead of the full key cardinality. The total
     // count is a plan-time job (a12 doctrine); the threshold compares
-    // as exact integers (cnt·100 > N — no division).
+    // as exact integers (cnt·100 > N — no division). The key is the
+    // lowest set bit of l_orderkey: the corpus's natural keys are
+    // near-uniform, so any fixed relative threshold degenerates to 0
+    // rows as SF grows — the lowbit key has geometric frequencies
+    // (2^-1, 2^-2, …) at EVERY scale, cutting at ~6-7 hitters always.
     "a14_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
       val total = li.count()
-      val cands = li.select(col("l_suppkey")).as[Long]
+      val keyed = li.select(expr("l_orderkey & -l_orderkey").as("hk"))
+      val cands = keyed.as[Long]
         .mapPartitions(it =>
           graft.operators.HeavyHitters.misraGries(it, 1024).keysIterator)
-        .toDF("l_suppkey").distinct()
-      li.join(broadcast(cands), Seq("l_suppkey"), "left_semi")
-        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .toDF("hk").distinct()
+      keyed.join(broadcast(cands), Seq("hk"), "left_semi")
+        .groupBy("hk").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 100 > total)
-        .orderBy("l_suppkey")
+        .orderBy("hk")
     }),
 
     // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
@@ -1341,10 +1346,10 @@ object RelationalOps {
                          AND o_orderstatus = 'F' AND o_totalprice > 250000.0)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a14_heavy_hitters" ->
-      """SELECT l_suppkey, count(*) AS cnt
-         FROM lineitem GROUP BY l_suppkey
+      """SELECT l_orderkey & -l_orderkey AS hk, count(*) AS cnt
+         FROM lineitem GROUP BY 1
          HAVING count(*) * 100 > (SELECT count(*) FROM lineitem)
-         ORDER BY l_suppkey""",
+         ORDER BY hk""",
     "a13_distinct_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 count(*) AS n_rows
