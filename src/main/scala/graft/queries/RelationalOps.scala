@@ -1049,9 +1049,13 @@ object RelationalOps {
     // scale the shuffle carries only might-match rows (~selectivity +
     // fpp of the fact table instead of all of it).
     "a12_bloom_semi" -> ((s, dir) => {
+      // lazily materialize the selective build side ONCE: three
+      // consumers (the sizing count, the bloom build, the semi-join
+      // broadcast) would otherwise each re-scan orders
       val sel = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
         .select("o_orderkey")
+        .localCheckpoint(eager = false)
       // size the filter from the ACTUAL build side (ADVICE r11: a
       // hard-coded expectedNumItems silently degrades fpp when the
       // build side outgrows it) — one extra count job at plan time on
