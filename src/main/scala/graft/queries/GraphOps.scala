@@ -42,7 +42,13 @@ object GraphOps extends Serializable {
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // materialize the symmetric edge set ONCE, hash-partitioned on src:
+    // the degree branch would otherwise re-derive the whole
+    // orders⨝lineitem⨝distinct pipeline, and the per-iteration src
+    // joins reuse the checkpointed partitioning instead of
+    // re-shuffling the edge table every iteration
     val edges0 = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(eager = false)
     val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = edges0.join(deg, "src").localCheckpoint(eager = false)
     var ranks = deg.select(col("src"), lit(1.0).as("r"))
