@@ -61,12 +61,25 @@ class BenchMeasureSpec extends AnyFunSuite {
     // min-wall rep itself started above the load threshold → tainted
     val loaded = res(Seq(Bench.Rep(1.0, 8.0, 7.9, 1L, failed = false)))
     assert(Bench.taintedRes(loaded, prevCpu = None))
-    // min-rep CPU 3x the committed prev CPU → tainted (the BENCH_r10
-    // phantom-regression signature), regardless of load
-    val cpuBlown = res(Seq(Bench.Rep(13.9, 96.0, 2.0, 1L, failed = false)))
+    // min-rep CPU 3x the committed prev CPU AND rep CPUs unstable →
+    // tainted (the BENCH_r10 phantom-regression signature: the jump
+    // does not reproduce between reps)
+    val cpuBlown = res(Seq(
+      Bench.Rep(13.9, 96.0, 2.5, 1L, failed = false),
+      Bench.Rep(20.0, 150.0, 2.6, 1L, failed = false)))
     assert(Bench.taintedRes(cpuBlown, prevCpu = Some(20.0)))
     assert(!Bench.taintedRes(cpuBlown, prevCpu = Some(50.0)))
     assert(!Bench.taintedRes(cpuBlown, prevCpu = None)) // round 1: no prior
+    // a single-rep row cannot demonstrate stability → CPU rule applies
+    val oneShot = res(Seq(Bench.Rep(13.9, 96.0, 2.5, 1L, failed = false)))
+    assert(Bench.taintedRes(oneShot, prevCpu = Some(20.0)))
+    // the same CPU jump REPRODUCING across reps is a plan change, not
+    // contention (r12: DistributedRank rows stamped at load 0.3-3.8)
+    val cpuStable = res(Seq(
+      Bench.Rep(13.9, 96.0, 2.5, 1L, failed = false),
+      Bench.Rep(14.2, 99.0, 0.4, 1L, failed = false),
+      Bench.Rep(14.0, 97.5, 0.3, 1L, failed = false)))
+    assert(!Bench.taintedRes(cpuStable, prevCpu = Some(20.0)))
     // an all-FAIL row is a FAIL, not a taint
     val allFail = res(Seq(Bench.Rep(0.1, 0.1, 9.9, -1L, failed = true)))
     assert(!Bench.taintedRes(allFail, prevCpu = Some(1.0)))
