@@ -214,9 +214,12 @@ object Bench {
     ok.nonEmpty && {
       val m = ok.minBy(_.wall)
       val cpus = ok.map(_.cpu).filter(_ > 0).sorted
-      // a single successful rep cannot demonstrate stability — treat
-      // it as unstable so the CPU rule still guards one-shot rows
-      val cpuUnstable = cpus.length < 2 || cpus(1) > TaintCpuSpread * cpus(0)
+      // instability is judged on the HEADLINE (min-wall) rep's own CPU
+      // against the row's best CPU reading — a spike confined to the
+      // min-wall rep is exactly the one-rep pollution that must stay
+      // guarded (review r12); a single successful rep cannot
+      // demonstrate stability and stays guarded too
+      val cpuUnstable = cpus.length < 2 || m.cpu > TaintCpuSpread * cpus.head
       m.load > TaintLoadThreshold ||
         (cpuUnstable &&
           prevCpu.exists(pc => pc > 0 && m.cpu > 0 && m.cpu > TaintCpuRatio * pc))

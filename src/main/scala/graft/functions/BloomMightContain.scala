@@ -80,10 +80,23 @@ case class BloomMightContain(child: Expression,
 }
 
 object BloomMightContain {
+
+  // content-keyed broadcast memo: probe() is called fresh on every
+  // query construction (Bench builds a12 for each rep), and a
+  // per-call broadcast with no destroy path would accumulate dead
+  // copies of a potentially huge filter on the driver and executors
+  // (review r12). Identical filter content reuses one broadcast; the
+  // cache is invalidated wholesale if the SparkContext changed (test
+  // suites stop/start sessions).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long,
+      org.apache.spark.broadcast.Broadcast[BloomFilter]]
+  @volatile private var cacheCtx: org.apache.spark.SparkContext = null
+
   /** Column-API entry:
     * `df.filter(BloomMightContain.probe(spark, col("k"), bf))`.
-    * Broadcasts the filter and fingerprints its serialized content for
-    * expression equality. */
+    * Broadcasts the filter (memoized by serialized content) and
+    * fingerprints the content for expression equality. */
   def probe(spark: org.apache.spark.sql.SparkSession, key: Column,
       bloom: BloomFilter): Column = {
     val bytes = {
@@ -91,9 +104,13 @@ object BloomMightContain {
       bloom.writeTo(out)
       out.toByteArray
     }
-    val bc = spark.sparkContext.broadcast(bloom)
+    val h = Fnv64.hash(bytes)
+    val sc = spark.sparkContext
+    if (cacheCtx ne sc) synchronized {
+      if (cacheCtx ne sc) { cache.clear(); cacheCtx = sc }
+    }
+    val bc = cache.computeIfAbsent(h, _ => sc.broadcast(bloom))
     GraftExpressionBridge.column(
-      BloomMightContain(GraftExpressionBridge.expression(key), bc,
-        Fnv64.hash(bytes)))
+      BloomMightContain(GraftExpressionBridge.expression(key), bc, h))
   }
 }

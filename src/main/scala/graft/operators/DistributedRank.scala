@@ -43,120 +43,103 @@ object DistributedRank {
     * complete ascending `order`) and `gcount` (total rows of the key)
     * to `df`. `order` must be a COMPLETE order (no ties) within each
     * key or ranks are nondeterministic — same contract as the window
-    * form it replaces. `keys` may be empty for a global rank.
-    */
-  def withRank(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val k = keys
-    val partCols = k.map(col) ++ order
-    // In-partition sort + ONE narrow streaming pass assigns local
-    // ranks. Not a Window: that would force a second full-data hash
-    // exchange on (__pid, key) — Catalyst cannot see the range
-    // partitioning already clusters them.
-    val sorted = df.repartitionByRange(p, partCols: _*)
-      .sortWithinPartitions(partCols: _*)
-    val keyIdx = k.map(sorted.schema.fieldIndex)
-    val outSchema = sorted.schema
-      .add("__pid", org.apache.spark.sql.types.IntegerType)
-      .add("__lrank", org.apache.spark.sql.types.LongType)
-    // lazily materialize ONCE (shared-stage doctrine): the count
-    // branch below must see the SAME partition boundaries as the rank
-    // rows. Two independent executions of the range exchange are NOT
-    // guaranteed that — column pruning gives each branch a different
-    // exchange subtree (no reuse), and RangePartitioner samples with a
-    // per-execution seed, so boundaries can differ between runs
-    // (caught by DistributedRankSpec). The object boundary of
-    // mapPartitions also stops pruning from narrowing the checkpoint.
-    val ranked = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cur: Seq[Any] = null
-      var r = 0L
-      it.map { row =>
-        val key = keyIdx.map(row.get)
-        if (cur == null || key != cur) { cur = key; r = 0L }
-        r += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ r)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .localCheckpoint(eager = false)
-    // tiny per-(partition, key) count table from the SAME materialized
-    // pass (local row count = max local rank ⇒ plain count(*))
-    val counts = ranked.groupBy((col("__pid") +: k.map(col)): _*)
-      .agg(count(lit(1)).as("__cnt"))
-    // ONE broadcast side keyed by (partition, key) carrying BOTH the
-    // prior count (rows of the key in lower-numbered range partitions)
-    // and the key total: every count row fans out to all P partition
-    // ids — ≤ P²×K tiny tuples, bounded by partitioning not data
-    // volume — and contributes to the prior sum only below its target.
-    // Joining on __pid (genuinely per-row, never constant-foldable)
-    // keeps this a broadcast HASH join even in the no-keys global
-    // case, where a constant-key join would fold into the
-    // BroadcastNestedLoopJoin shape PlanLint forbids.
-    val aug = counts
-      .withColumn("__tpid", explode(sequence(lit(0), lit(p - 1), lit(1))))
-      .groupBy((col("__tpid") +: k.map(col)): _*)
-      .agg(sum(when(col("__pid") < col("__tpid"), col("__cnt"))
-          .otherwise(lit(0L))).as("__prior"),
-        sum(col("__cnt")).as("gcount"))
-      .withColumnRenamed("__tpid", "__pid")
-    ranked
-      .join(broadcast(aug), "__pid" +: k)
-      .withColumn("grank", col("__prior") + col("__lrank"))
-      .drop("__pid", "__prior", "__lrank")
-  }
+    * form it replaces. `keys` may be empty for a global rank; NULL
+    * key values rank within their own group, exactly like
+    * PARTITION BY. */
+  def withRank(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    runningAgg(df, keys, order, value = None, aggName = "grank", totalName = "gcount")
 
   /** Running-sum sibling of [[withRank]]: appends `runsum` (the
     * INCLUSIVE per-key running sum of `value` in the complete
-    * ascending `order`) and `ksum` (the key total), with the identical
-    * scale shape — one reused range exchange, tiny per-(partition,
-    * key) sum table fanned into a broadcast prior/total side, one
-    * narrow in-partition accumulation pass. This is the distributed
-    * prefix sum: `SUM(v) OVER (PARTITION BY key ORDER BY ...)` without
-    * funneling a low-cardinality key's history through one task.
-    * `value` must be integral (cast to long) so partial sums are
-    * exact and order-independent. */
+    * ascending `order`) and `ksum` (the key total). This is the
+    * distributed prefix sum: `SUM(v) OVER (PARTITION BY key
+    * ORDER BY ...)` without funneling a low-cardinality key's history
+    * through one task. `value` must be integral (cast to long) so
+    * partial sums are exact and order-independent; NULL values add
+    * nothing, matching SUM's null-skipping. */
   def withRunningSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
-      value: Column): DataFrame = {
+      value: Column): DataFrame =
+    runningAgg(df, keys, order, Some(value), aggName = "runsum", totalName = "ksum")
+
+  /** Shared engine for [[withRank]] (value = None: each row weighs 1)
+    * and [[withRunningSum]] — ONE copy of the subtle machinery: the
+    * boundary-consistency checkpoint, the P²×K fan-out, and the
+    * null-safe broadcast attach. */
+  private def runningAgg(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      value: Option[Column], aggName: String, totalName: String): DataFrame = {
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val base = df.withColumn("__val", value.cast("long"))
+    val base = value.map(v => df.withColumn("__val", v.cast("long"))).getOrElse(df)
     val partCols = keys.map(col) ++ order
+    // In-partition sort + ONE narrow streaming pass assigns local
+    // aggregates. Not a Window: that would force a second full-data
+    // hash exchange on (__pid, key) — Catalyst cannot see the range
+    // partitioning already clusters them.
     val sorted = base.repartitionByRange(p, partCols: _*)
       .sortWithinPartitions(partCols: _*)
     val keyIdx = keys.map(sorted.schema.fieldIndex)
-    val valIdx = sorted.schema.fieldIndex("__val")
+    val valIdx = value.map(_ => sorted.schema.fieldIndex("__val"))
     val outSchema = sorted.schema
       .add("__pid", org.apache.spark.sql.types.IntegerType)
-      .add("__lsum", org.apache.spark.sql.types.LongType)
-    // one materialized pass; the per-partition sum branch reads the
-    // SAME boundaries (see withRank for why this must not be two
-    // executions of the exchange)
-    val summed = sorted.mapPartitions { it =>
+      .add("__lagg", org.apache.spark.sql.types.LongType)
+    // lazily materialize ONCE (shared-stage doctrine): the per-
+    // partition totals branch below must see the SAME partition
+    // boundaries as the aggregated rows. Two independent executions of
+    // the range exchange are NOT guaranteed that — column pruning
+    // gives each branch a different exchange subtree (no reuse), and
+    // RangePartitioner samples with a per-execution seed, so
+    // boundaries can differ between runs (caught by
+    // DistributedRankSpec). The object boundary of mapPartitions also
+    // stops pruning from narrowing the checkpoint.
+    val agged = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var cur: Seq[Any] = null
       var acc = 0L
       it.map { row =>
         val key = keyIdx.map(row.get)
         if (cur == null || key != cur) { cur = key; acc = 0L }
-        acc += row.getLong(valIdx)
+        acc += (valIdx match {
+          case Some(i) => if (row.isNullAt(i)) 0L else row.getLong(i)
+          case None => 1L
+        })
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ acc)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .localCheckpoint(eager = false)
-    val sums = summed.groupBy((col("__pid") +: keys.map(col)): _*)
-      .agg(sum(col("__val")).as("__psum"))
-    val aug = sums
+    // tiny per-(partition, key) totals from the SAME materialized pass
+    val perPart = agged.groupBy((col("__pid") +: keys.map(col)): _*)
+      .agg((valIdx match {
+        case Some(_) => coalesce(sum(col("__val")), lit(0L))
+        case None => count(lit(1))
+      }).as("__pt"))
+    // ONE broadcast side keyed by (partition, key) carrying BOTH the
+    // prior total (rows/values of the key in lower-numbered range
+    // partitions) and the key total: every per-partition row fans out
+    // to all P partition ids — ≤ P²×K tiny tuples, bounded by
+    // partitioning not data volume — and contributes to the prior sum
+    // only below its target. Joining on __pid (genuinely per-row,
+    // never constant-foldable) keeps this a broadcast HASH join even
+    // in the no-keys global case, where a constant-key join would fold
+    // into the BroadcastNestedLoopJoin shape PlanLint forbids.
+    val aug = perPart
       .withColumn("__tpid", explode(sequence(lit(0), lit(p - 1), lit(1))))
       .groupBy((col("__tpid") +: keys.map(col)): _*)
-      .agg(sum(when(col("__pid") < col("__tpid"), col("__psum"))
+      .agg(sum(when(col("__pid") < col("__tpid"), col("__pt"))
           .otherwise(lit(0L))).as("__prior"),
-        sum(col("__psum")).as("ksum"))
+        sum(col("__pt")).as(totalName))
       .withColumnRenamed("__tpid", "__pid")
-    summed
-      .join(broadcast(aug), "__pid" +: keys)
-      .withColumn("runsum", col("__prior") + col("__lsum"))
-      .drop("__pid", "__prior", "__lsum", "__val")
+    // NULL-SAFE key equality (<=>): a plain equi-join would silently
+    // DROP null-key rows, where PARTITION BY ranks the null group
+    // normally (caught by DistributedRankSpec's null-key case)
+    val augR = keys.foldLeft(aug.withColumnRenamed("__pid", "__apid")) {
+      (d, c) => d.withColumnRenamed(c, "__a_" + c)
+    }
+    val cond = keys.map(c => agged(c) <=> augR("__a_" + c))
+      .foldLeft(agged("__pid") === augR("__apid"))(_ && _)
+    agged.join(broadcast(augR), cond)
+      .withColumn(aggName, col("__prior") + col("__lagg"))
+      .drop(("__apid" +: keys.map("__a_" + _)) ++
+        Seq("__pid", "__prior", "__lagg") ++ value.map(_ => "__val").toSeq: _*)
   }
 
   /** percent_rank twin: `pr` = (grank−1)/(gcount−1) in double — the

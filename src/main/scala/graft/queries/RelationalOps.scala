@@ -897,12 +897,16 @@ object RelationalOps {
     // (exact: both sides are the same decimal-sum-cast double), so no
     // unpartitioned window and no nested-loop join appears.
     "tpch_q15_top_supplier" -> ((s, dir) => {
+      // two consumers (the max branch and the equality join) — one lazy
+      // materialization instead of re-running the dominant
+      // filtered-scan + aggregation stage (shared-stage doctrine)
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-04-01")))
         .groupBy(col("l_suppkey"))
         .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
           "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total_revenue"))
+        .localCheckpoint(eager = false)
       val top = rev.agg(max(col("total_revenue")).as("max_rev"))
       rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -1027,9 +1031,14 @@ object RelationalOps {
     // (2^-1, 2^-2, …) at EVERY scale, cutting at ~6-7 hitters always.
     "a14_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-      val total = li.count()
-      val keyed = li.select(expr("l_orderkey & -l_orderkey").as("hk"))
+      // one materialized pass over the keyed projection feeds all three
+      // consumers (the threshold count, the Misra-Gries candidate pass
+      // and the exact verify) — the fact table is scanned once, not
+      // three times (review r12)
+      val keyed = t(s, dir, "lineitem")
+        .select(expr("l_orderkey & -l_orderkey").as("hk"))
+        .localCheckpoint(eager = false)
+      val total = keyed.count()
       val cands = keyed.as[Long]
         .mapPartitions(it =>
           graft.operators.HeavyHitters.misraGries(it, 1024).keysIterator)

@@ -529,7 +529,9 @@ object TextOps {
         .withRunningSum(d, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
         .withColumn("cum_before", col("runsum") - col("n_tokens"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
-          (col("cum_before") / cap).cast("bigint").as("bin"),
+          // integer DIV, not `/` (double division truncates the wrong
+          // boundary once cumulative counts exceed 2^53)
+          expr(s"cum_before DIV $cap").as("bin"),
           (col("cum_before") % cap).as("bin_offset"))
         .orderBy("doc_id")
     }),

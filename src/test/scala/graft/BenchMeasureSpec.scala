@@ -61,12 +61,13 @@ class BenchMeasureSpec extends AnyFunSuite {
     // min-wall rep itself started above the load threshold → tainted
     val loaded = res(Seq(Bench.Rep(1.0, 8.0, 7.9, 1L, failed = false)))
     assert(Bench.taintedRes(loaded, prevCpu = None))
-    // min-rep CPU 3x the committed prev CPU AND rep CPUs unstable →
-    // tainted (the BENCH_r10 phantom-regression signature: the jump
-    // does not reproduce between reps)
+    // the HEADLINE (min-wall) rep's CPU is 3x the committed prev CPU
+    // and an outlier against the row's own best CPU → tainted (the
+    // BENCH_r10 phantom-regression signature: the jump is confined to
+    // the rep the headline number comes from)
     val cpuBlown = res(Seq(
-      Bench.Rep(13.9, 96.0, 2.5, 1L, failed = false),
-      Bench.Rep(20.0, 150.0, 2.6, 1L, failed = false)))
+      Bench.Rep(4.0, 96.0, 2.5, 1L, failed = false),
+      Bench.Rep(5.0, 20.0, 2.6, 1L, failed = false)))
     assert(Bench.taintedRes(cpuBlown, prevCpu = Some(20.0)))
     assert(!Bench.taintedRes(cpuBlown, prevCpu = Some(50.0)))
     assert(!Bench.taintedRes(cpuBlown, prevCpu = None)) // round 1: no prior

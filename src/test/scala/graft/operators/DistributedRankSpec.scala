@@ -66,6 +66,28 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL key values rank within their own group, like PARTITION BY") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x7E57)
+    val df = (0 until 600).map { i =>
+      val key = rnd.nextInt(4) match {
+        case 0 => null
+        case n => s"k$n"
+      }
+      (i.toLong, key, rnd.nextInt(30).toDouble)
+    }.toDF("id", "key", "v").repartition(5)
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 600, "null-key rows were dropped")
+    assert(got === expected)
+  }
+
   test("withRunningSum == running-sum window, keyed and global") {
     val df = fixture(0xD15C, 1500)
     val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
