@@ -30,6 +30,30 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("layout() writes z-sorted partitions and drops the key column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x1A)
+    val df = Seq.fill(2000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y")
+    val out = ZOrder.layout(df, Seq("x", "y"), 8, numFiles = 4)
+    assert(out.columns.toSeq === Seq("x", "y"), "layout leaked its key column")
+    assert(out.rdd.getNumPartitions === 4)
+    // rows within each partition (and across partition ids) must be in
+    // global z order — the property the writer's min/max stats rely on
+    val perPart = out.withColumn("z", ZOrder.key(Seq("x", "y"), 8))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("z")))
+    perPart.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.map(_._2)
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b },
+        "rows not z-sorted within a partition")
+    }
+    val bounds = perPart.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pid, rows) => (pid, rows.map(_._2).min, rows.map(_._2).max) }
+    assert(bounds.zip(bounds.tail).forall { case ((_, _, mx), (_, mn, _)) => mx <= mn },
+      s"partition z-ranges overlap: $bounds")
+  }
+
   test("z-ordered ranges are compact in BOTH dimensions (the layout point)") {
     import spark.implicits._
     // a 64x64 grid in z-order, cut into 64 equal files: each file's
