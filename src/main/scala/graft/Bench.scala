@@ -190,21 +190,30 @@ object Bench {
     * load above [[TaintLoadThreshold]] (this JVM is the only intended
     * tenant; ambient load ≈ other tenants' threads stealing the same
     * cores), or burned more than [[TaintCpuRatio]]× the previous
-    * round's committed CPU for the same row AND the row's own CPU
-    * readings are UNSTABLE across reps (two lowest disagree by more
-    * than [[TaintCpuSpread]]). The stability co-condition is a
-    * round-12 refinement: a reproducible CPU jump is a PLAN CHANGE —
-    * this round's ev_anomaly/tpch_q22 moved from single-task windows
-    * to the multi-stage DistributedRank form, reproduced the same
-    * higher CPU on every rep at ambient load 0.3, and were stamped
-    * "tainted" anyway (a false contention signal; a mid-run load
-    * floor cannot fix it because the bench's OWN decaying bursts keep
-    * 1-min load at 2-4 for most rows). Genuine pollution is
-    * stochastic: BENCH_r10's phantom 6-11× rows swung between reps,
-    * and sustained heavy co-tenancy trips the load rule directly. */
+    * round's committed CPU for the same row AND either (a) the
+    * headline rep's CPU is an OUTLIER against the row's own best CPU
+    * reading (more than [[TaintCpuSpread]]× the lowest successful
+    * rep's CPU — a spike confined to the min-wall rep is exactly the
+    * one-rep pollution that must stay guarded; a single-rep row
+    * cannot demonstrate stability and stays guarded too), or (b)
+    * EVERY successful rep started at 1-min load above
+    * [[SustainedLoadThreshold]] — reproducible co-tenancy below the
+    * hard 4.0 threshold inflates CPU consistently on every rep and
+    * would otherwise evade both rules (ADVICE r12). The
+    * outlier/sustained co-condition is a round-12/13 refinement: a
+    * reproducible CPU jump AT QUIET LOAD is a PLAN CHANGE — r12's
+    * ev_anomaly/tpch_q22 moved from single-task windows to the
+    * multi-stage DistributedRank form, reproduced the same higher CPU
+    * on every rep at ambient load 0.3, and were stamped "tainted"
+    * anyway (a false contention signal; a mid-run load floor cannot
+    * fix it because the bench's OWN decaying bursts keep 1-min load
+    * at 2-4 for most rows). Genuine pollution is either stochastic
+    * (BENCH_r10's phantom 6-11× rows swung between reps) or
+    * load-visible on every rep. */
   private[graft] val TaintLoadThreshold = 4.0
   private[graft] val TaintCpuRatio = 3.0
   private[graft] val TaintCpuSpread = 1.3
+  private[graft] val SustainedLoadThreshold = 2.0
 
   /** Is this row's headline measurement contention-tainted? Judged on
     * the MIN-WALL successful rep (the one the headline number comes
@@ -214,14 +223,17 @@ object Bench {
     ok.nonEmpty && {
       val m = ok.minBy(_.wall)
       val cpus = ok.map(_.cpu).filter(_ > 0).sorted
-      // instability is judged on the HEADLINE (min-wall) rep's own CPU
-      // against the row's best CPU reading — a spike confined to the
-      // min-wall rep is exactly the one-rep pollution that must stay
-      // guarded (review r12); a single successful rep cannot
-      // demonstrate stability and stays guarded too
-      val cpuUnstable = cpus.length < 2 || m.cpu > TaintCpuSpread * cpus.head
+      // headline-vs-best comparison: the min-wall rep's CPU is an
+      // outlier against the row's best CPU reading (one-rep pollution
+      // confined to the rep the headline comes from); a single
+      // successful rep cannot demonstrate stability and stays guarded
+      val cpuOutlier = cpus.length < 2 || m.cpu > TaintCpuSpread * cpus.head
+      // sustained sub-threshold co-tenancy: every rep ran at elevated
+      // (>2.0) load, so a consistent CPU blow is contention that
+      // reproduces, not a plan change measured on a quiet host
+      val sustainedLoad = ok.forall(_.load > SustainedLoadThreshold)
       m.load > TaintLoadThreshold ||
-        (cpuUnstable &&
+        ((cpuOutlier || sustainedLoad) &&
           prevCpu.exists(pc => pc > 0 && m.cpu > 0 && m.cpu > TaintCpuRatio * pc))
     }
   }

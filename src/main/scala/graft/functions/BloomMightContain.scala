@@ -27,10 +27,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * bytes (ADVICE r11): a production-sized filter (tens-hundreds of MB
   * at 10^8 keys) would otherwise be re-shipped inside every task's
   * serialized references; the broadcast moves it to executors once
-  * via the torrent path. Equality is by (child, filter-content hash) —
-  * NOT the Broadcast handle's reference identity — so two probes built
-  * from identical filters canonicalize equal and common-subexpression
-  * elimination can dedupe them.
+  * via the torrent path. Equality is by (child, broadcast identity);
+  * because [[BloomMightContain.probe]] memoizes broadcasts on the FULL
+  * serialized filter content, identical filters share one broadcast
+  * and two probes built from them canonicalize equal (CSE dedupes),
+  * while distinct filters can never be merged by a fingerprint
+  * collision.
   *
   * Generated code resolves `broadcast.value()` once per task into a
   * mutable field — per-row cost is the sketch's k hash probes, no
@@ -47,10 +49,15 @@ case class BloomMightContain(child: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"bloom_might_contain requires a bigint key, got ${child.dataType}")
 
-  // content-based equality: Broadcast compares by reference, which
-  // would make semantically identical probes never equal (no CSE)
+  // content-based equality: the memo in [[BloomMightContain.probe]]
+  // keys broadcasts by the FULL serialized filter bytes, so within a
+  // SparkContext identical content ⇒ the same Broadcast instance and
+  // reference equality here IS content equality (CSE merges identical
+  // probes); distinct content ⇒ distinct broadcasts, so a 64-bit
+  // fingerprint collision can never merge semantically different
+  // probes (ADVICE r12)
   override def equals(other: Any): Boolean = other match {
-    case b: BloomMightContain => child == b.child && contentHash == b.contentHash
+    case b: BloomMightContain => child == b.child && (bloomBc eq b.bloomBc)
     case _ => false
   }
   override def hashCode: Int =
@@ -87,16 +94,23 @@ object BloomMightContain {
   // copies of a potentially huge filter on the driver and executors
   // (review r12). Identical filter content reuses one broadcast; the
   // cache is invalidated wholesale if the SparkContext changed (test
-  // suites stop/start sessions).
+  // suites stop/start sessions). Keyed by the FULL serialized bytes
+  // (ByteBuffer equals/hashCode are content-based), not a 64-bit
+  // fingerprint — a fingerprint collision would silently reuse the
+  // wrong filter and introduce false NEGATIVES, i.e. dropped rows
+  // (ADVICE r12). The byte array is probe()-local and never mutated
+  // after wrap.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long,
+    new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer,
       org.apache.spark.broadcast.Broadcast[BloomFilter]]
   @volatile private var cacheCtx: org.apache.spark.SparkContext = null
 
   /** Column-API entry:
     * `df.filter(BloomMightContain.probe(spark, col("k"), bf))`.
-    * Broadcasts the filter (memoized by serialized content) and
-    * fingerprints the content for expression equality. */
+    * Broadcasts the filter (memoized by full serialized content — so
+    * equal content shares one broadcast and expression equality can be
+    * broadcast-identity); the 64-bit fingerprint only seeds the
+    * expression's hashCode. */
   def probe(spark: org.apache.spark.sql.SparkSession, key: Column,
       bloom: BloomFilter): Column = {
     val bytes = {
@@ -109,7 +123,8 @@ object BloomMightContain {
     if (cacheCtx ne sc) synchronized {
       if (cacheCtx ne sc) { cache.clear(); cacheCtx = sc }
     }
-    val bc = cache.computeIfAbsent(h, _ => sc.broadcast(bloom))
+    val bc = cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes),
+      _ => sc.broadcast(bloom))
     GraftExpressionBridge.column(
       BloomMightContain(GraftExpressionBridge.expression(key), bc, h))
   }

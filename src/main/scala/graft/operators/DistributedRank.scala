@@ -56,7 +56,13 @@ object DistributedRank {
     * ORDER BY ...)` without funneling a low-cardinality key's history
     * through one task. `value` must be integral (cast to long) so
     * partial sums are exact and order-independent; NULL values add
-    * nothing, matching SUM's null-skipping. */
+    * nothing, matching SUM's null-skipping — with ONE documented
+    * divergence: a key whose values are ALL NULL yields `runsum`/
+    * `ksum` 0 here, where the SUM window form yields NULL (the long
+    * accumulator has no null state; ADVICE r12). Callers needing the
+    * window's NULL-on-empty convention must nullify via a separate
+    * `count(value)`-per-key check; current consumers pass non-nullable
+    * counts. Pinned by DistributedRankSpec's all-NULL-group case. */
   def withRunningSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: Column): DataFrame =
     runningAgg(df, keys, order, Some(value), aggName = "runsum", totalName = "ksum")
@@ -68,6 +74,13 @@ object DistributedRank {
   private def runningAgg(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: Option[Column], aggName: String, totalName: String): DataFrame = {
     val spark = df.sparkSession
+    // p is the session's shuffle parallelism: the step-3 fan-out below
+    // is bounded by P²×K tiny (long, key, long) tuples — at P=32 that
+    // is ≤1k×K, at a cluster-sized P=2000 it is 4M×K, still far under
+    // one executor's memory for any realistic key cardinality K (the
+    // operator exists precisely because K is LOW). Results are
+    // P-invariant (DistributedRankSpec pins P ∈ {1, 7, 61}); only the
+    // fan-out volume scales with P.
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = value.map(v => df.withColumn("__val", v.cast("long"))).getOrElse(df)
     val partCols = keys.map(col) ++ order

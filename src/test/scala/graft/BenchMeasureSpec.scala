@@ -81,6 +81,17 @@ class BenchMeasureSpec extends AnyFunSuite {
       Bench.Rep(14.2, 99.0, 0.4, 1L, failed = false),
       Bench.Rep(14.0, 97.5, 0.3, 1L, failed = false)))
     assert(!Bench.taintedRes(cpuStable, prevCpu = Some(20.0)))
+    // ...but the SAME stable CPU blow with EVERY rep at elevated
+    // (>2.0) load is sustained sub-threshold co-tenancy → tainted
+    // (ADVICE r12: steady contention below load 4.0 that inflates CPU
+    // consistently must not evade the guard)
+    val sustained = res(Seq(
+      Bench.Rep(13.9, 96.0, 2.5, 1L, failed = false),
+      Bench.Rep(14.2, 99.0, 3.1, 1L, failed = false),
+      Bench.Rep(14.0, 97.5, 2.8, 1L, failed = false)))
+    assert(Bench.taintedRes(sustained, prevCpu = Some(20.0)))
+    // sustained elevated load WITHOUT a CPU blow stays untainted
+    assert(!Bench.taintedRes(sustained, prevCpu = Some(50.0)))
     // an all-FAIL row is a FAIL, not a taint
     val allFail = res(Seq(Bench.Rep(0.1, 0.1, 9.9, -1L, failed = true)))
     assert(!Bench.taintedRes(allFail, prevCpu = Some(1.0)))

@@ -114,4 +114,51 @@ class DistributedRankSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotGlobal === expGlobal)
   }
+
+  test("all-NULL value group sums to 0, not NULL (documented contract)") {
+    // ADVICE r12: the SUM window yields NULL for a key whose values
+    // are all NULL; withRunningSum's long accumulator yields 0. The
+    // scaladoc documents the divergence — this pins it (and pins that
+    // NULL values inside a mixed group add nothing, matching SUM).
+    import spark.implicits._
+    val df = Seq(
+      (0L, "allnull", Option.empty[Long]),
+      (1L, "allnull", Option.empty[Long]),
+      (2L, "mixed", Some(5L)),
+      (3L, "mixed", Option.empty[Long]),
+      (4L, "mixed", Some(2L))
+    ).toDF("id", "key", "w")
+    val got = DistributedRank
+      .withRunningSum(df, Seq("key"), Seq(col("id")), col("w"))
+      .select("id", "runsum", "ksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 0L, 0L), (1L, 0L, 0L), // all-NULL group: 0, NOT null / dropped
+      (2L, 5L, 7L), (3L, 5L, 7L), (4L, 7L, 7L)))
+  }
+
+  test("ranks are invariant across shuffle-partition counts (P sensitivity)") {
+    // VERDICT r12 #8: `p` comes from spark.sql.shuffle.partitions, so
+    // partition boundaries, the P²×K fan-out and the prior-count
+    // attach all change with P — the RESULT must not. Pin exact rank
+    // equality at unusual P values incl. P=1 (degenerate single
+    // slice) and P larger than the row count of some keys.
+    val df = fixture(0x9A27, 800)
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conf = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(conf)
+    try {
+      Seq("1", "7", "61").foreach { p =>
+        spark.conf.set(conf, p)
+        val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+          .select("id", "grank")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === expected, s"rank drift at P=$p")
+      }
+    } finally spark.conf.set(conf, saved)
+  }
 }
