@@ -214,6 +214,21 @@ object VectorOps extends Serializable {
     "vec_ann_pq_rerank" -> ((s, dir) =>
       annPqRerank(s, dir, PqM, PqK, PqIters, PqShortlist)),
 
+    // the composed IVF × PQ index: trained coarse lists + PQ codes
+    // keyed by list, nprobe-pruned ADC scan, exact rerank — see
+    // [[annIvfPq]]
+    "vec_ann_ivfpq" -> ((s, dir) =>
+      annIvfPq(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist)),
+
+    // recall@k of the composed index against the brute-force truth —
+    // the number that says what nprobe-pruning costs ON TOP of PQ
+    // compression (compare: vec_recall_eval_trained = exact scan of
+    // the same probed lists, vec_ann_pq_rerank's spec-pinned 0.70 =
+    // flat ADC over the full corpus)
+    "vec_recall_eval_ivfpq" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir),
+        annIvfPq(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist))),
+
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
     // 2023): seeds = the k lowest vec_ids, every coordinate grid-
@@ -591,15 +606,24 @@ object VectorOps extends Serializable {
     * (sqrt(Σ round(c²·2^20)/2^20)) so the SQL oracle's tcnorm is
     * bit-identical. */
   def annIvfTrained(s: SparkSession, dir: String, iters: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe)
+
+  /** The trained coarse quantizer with engine-lattice norms: k is
+    * EXACTLY the sampled quantizer's list count (a count at plan
+    * time — same tier as a12's bloom build), centroids from
+    * [[kmeansCentroids]], norms via the lattice-rounded quadrature
+    * (sqrt(Σ round(c²·2^20)/2^20)) so the SQL oracle's tcnorm is
+    * bit-identical. Shared by [[annIvfTrained]] and [[annIvfPq]]. */
+  private def trainedCents(s: SparkSession, dir: String,
+      iters: Int): Array[(Long, Array[Double], Double)] = {
     val k = emb(s, dir).filter(col("vec_id") % CentroidStep === 0).count().toInt
-    val cents = kmeansCentroids(s, dir, k, iters).map { case (cid, arr) =>
+    kmeansCentroids(s, dir, k, iters).map { case (cid, arr) =>
       var acc = 0.0
       var d = 0
       while (d < arr.length) { acc += r0(arr(d) * arr(d) * Q); d += 1 }
       (cid, arr, math.sqrt(acc / Q))
     }
-    annIvfCore(s, dir, cents, nprobe)
   }
 
   /** Product-quantized ANN with asymmetric distance (ADC) — the
@@ -635,6 +659,16 @@ object VectorOps extends Serializable {
       iters: Int, shortlist: Int): DataFrame = {
     val sl = rankTopK(annPqScored(s, dir, m, subK, iters), shortlist)
       .select("query_id", "match_id")
+    exactRerank(s, dir, sl)
+  }
+
+  /** Exact-cosine re-rank of a small (query_id, match_id) shortlist:
+    * the shortlist and the query batch both broadcast, so the only
+    * corpus touch is one broadcast-hash-join probe fetching the
+    * shortlisted vectors (at 100 TB: a point-lookup-shaped scan, never
+    * a corpus pass). Shared tail of the flat-PQ and IVF-PQ answer
+    * paths. */
+  private def exactRerank(s: SparkSession, dir: String, sl: DataFrame): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < QueryIds)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
@@ -646,18 +680,50 @@ object VectorOps extends Serializable {
     rankTopK(scored, TopK)
   }
 
+  /** Per-subspace PQ codebooks: m independent exact-lattice Lloyd
+    * trainings over the sliced (snapped) corpus — the compression
+    * model is m×subK×(64/m) doubles, always a broadcast tier. */
+  private def pqBooks(s: SparkSession, ds: Dataset[(Long, Array[Double])],
+      m: Int, subK: Int, iters: Int): Array[Array[(Long, Array[Double])]] = {
+    import s.implicits._
+    val sub = 64 / m
+    (0 until m).map { j =>
+      kmeansLoop(s,
+        ds.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) }
+          .toDF("vec_id", "vq").as[(Long, Array[Double])], // map loses column names
+        subK, iters)
+    }.toArray
+  }
+
+  /** Per-query ADC lookup tables in lattice units — the same round0
+    * quadrature as `nearest`, so table entries equal the oracle's dq
+    * sums. `qs` are the SNAPPED query vectors; the result is a
+    * queries×m×subK table, broadcast to score any code in m lookups. */
+  private def pqTables(qs: Array[(Long, Array[Double])],
+      books: Array[Array[(Long, Array[Double])]]): Map[Long, Array[Map[Long, Double]]] = {
+    val sub = books.head.head._2.length
+    qs.map { case (qid, qv) =>
+      qid -> books.indices.map { j =>
+        val sv = qv.slice(j * sub, (j + 1) * sub)
+        books(j).map { case (cid, cv) =>
+          var acc = 0.0
+          var d = 0
+          while (d < sv.length) {
+            val t = sv(d) - cv(d)
+            acc += graft.functions.Num.round0(t * t * Q)
+            d += 1
+          }
+          cid -> acc
+        }.toMap
+      }.toArray
+    }.toMap
+  }
+
   private def annPqScored(s: SparkSession, dir: String, m: Int, subK: Int,
       iters: Int): DataFrame = {
     import s.implicits._
     val ds = snappedVecs(s, dir)
-    val sub = 64 / m
-    val books: Array[Array[(Long, Array[Double])]] =
-      (0 until m).map { j =>
-        kmeansLoop(s,
-          ds.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) }
-            .toDF("vec_id", "vq").as[(Long, Array[Double])], // map loses column names
-          subK, iters)
-      }.toArray
+    val books = pqBooks(s, ds, m, subK, iters)
     val bcBooks = s.sparkContext.broadcast(books)
     val encoded = ds.mapPartitions { it =>
       val bs = bcBooks.value
@@ -673,24 +739,8 @@ object VectorOps extends Serializable {
         (id, codes)
       }
     }
-    // per-query ADC tables in lattice units — same round0 quadrature
-    // as `nearest`, so table entries equal the oracle's dq sums
     val qs = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
-    val tables: Map[Long, Array[Map[Long, Double]]] = qs.map { case (qid, qv) =>
-      qid -> (0 until m).map { j =>
-        val sv = qv.slice(j * sub, (j + 1) * sub)
-        books(j).map { case (cid, cv) =>
-          var acc = 0.0
-          var d = 0
-          while (d < sv.length) {
-            val t = sv(d) - cv(d)
-            acc += graft.functions.Num.round0(t * t * Q)
-            d += 1
-          }
-          cid -> acc
-        }.toMap
-      }.toArray
-    }.toMap
+    val tables = pqTables(qs, books)
     val bcT = s.sparkContext.broadcast(tables)
     val scored = encoded.mapPartitions { it =>
       val ts = bcT.value
@@ -708,29 +758,127 @@ object VectorOps extends Serializable {
     scored
   }
 
+  /** IVF-PQ — THE billion-vector index layout (Jégou et al. 2011,
+    * FAISS `IVFx,PQy` with by_residual=false): the trained coarse
+    * quantizer of [[annIvfTrained]] partitions the corpus into
+    * inverted lists, each vector is stored as its `m` PQ code bytes
+    * KEYED BY its list id, and a query (a) ranks the nprobe nearest
+    * lists, (b) ADC-scores ONLY the codes in those lists via its
+    * broadcast lookup tables, (c) exact-reranks the shortlist. The
+    * compressed scan therefore touches nprobe/K of the corpus at
+    * m bytes per vector — vs [[annPq]]'s flat scan of every code and
+    * [[annIvf]]'s exact floats inside probed lists.
+    *
+    * Scale (100 TB / 10⁹ vectors): codebooks + coarse centroids +
+    * per-query tables + probe sets are all broadcast tiers; encoding
+    * is ONE narrow pass emitting (id, cid, codes); on a real
+    * deployment the code table is written partitioned by `cid`, so
+    * probing prunes partitions at the source and the scan reads
+    * nprobe/K × m/256 of the float corpus' bytes. No shuffle anywhere
+    * before the final ≤ k×queries×partitions ranking rows.
+    *
+    * Determinism: list assignment is [[annIvfTrained]]'s exact
+    * arithmetic (rounded csim argmax, ties → lower cid), codes/tables
+    * are [[annPq]]'s exact-lattice arithmetic ⇒ the full SQL oracle is
+    * the two existing CTE chains composed (ivfcand ⋈ adc). */
+  def annIvfPq(s: SparkSession, dir: String, m: Int, subK: Int, iters: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val sl = rankTopK(annIvfPqScored(s, dir, m, subK, iters, nprobe), shortlist)
+      .select("query_id", "match_id")
+    exactRerank(s, dir, sl)
+  }
+
+  private def annIvfPqScored(s: SparkSession, dir: String, m: Int,
+      subK: Int, iters: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val ds = snappedVecs(s, dir)
+    val books = pqBooks(s, ds, m, subK, iters)
+    val cents = trainedCents(s, dir, KmeansIters)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    // ONE narrow pass over the corpus emitting (id, list, codes): the
+    // list id from the raw-double csim argmax (identical to
+    // annIvfTrained's assignment), the codes from the snapped-lattice
+    // nearest-subcentroid encoding (identical to annPq's) — the `vq`
+    // column carries the SAME SQL snap expression as snappedVecs so
+    // both arithmetics see exactly their oracle's operands.
+    val e = emb(s, dir)
+      .withColumn("vq", expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)"))
+      .select(col("vec_id"), col("v"), col("norm"), col("vq"))
+    val encoded = e.as[(Long, Array[Double], Double, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val bs = bcBooks.value
+        val sb = bs.head.head._2.length
+        it.map { case (id, v, norm, vq) =>
+          val sims = centroidSims(v, norm, cs)
+          var best = 0
+          var ci = 1
+          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+          val codes = new Array[Long](bs.length)
+          var j = 0
+          while (j < bs.length) {
+            val (bi, _) = nearest(vq.slice(j * sb, (j + 1) * sb), bs(j))
+            codes(j) = bs(j)(bi)._1
+            j += 1
+          }
+          (id, cs(best)._1, codes)
+        }
+      }
+    // the query batch is small by definition: probe lists ranked on
+    // the driver (same (−csim, cid) order as annIvfCore) and ADC
+    // tables from the snapped query vectors
+    val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
+      .filter(col("vec_id") < QueryIds)
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val probes: Map[Long, Set[Long]] = qsRaw.map { case (qid, v, norm) =>
+      val sims = centroidSims(v, norm, cents)
+      qid -> cents.indices.sortBy(i => (-sims(i), cents(i)._1))
+        .take(nprobe).map(cents(_)._1).toSet
+    }.toMap
+    val qsSnap = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
+    val tables = pqTables(qsSnap, books)
+    val bcT = s.sparkContext.broadcast(tables)
+    val bcP = s.sparkContext.broadcast(probes)
+    encoded.mapPartitions { it =>
+      val ts = bcT.value
+      val ps = bcP.value
+      it.flatMap { case (id, cid, codes) =>
+        ts.iterator.collect {
+          case (qid, tabs) if qid != id && ps(qid).contains(cid) =>
+            var adq = 0.0
+            var j = 0
+            while (j < codes.length) { adq += tabs(j)(codes(j)); j += 1 }
+            (qid, id, -(adq / Q))
+        }
+      }
+    }.toDF("query_id", "match_id", "sim")
+  }
+
+  /** Rounded csim of one vector to every coarse centroid — shared by
+    * the distributed list-assignment argmax and the driver-side probe
+    * ranking, in both the exact-IVF and IVF-PQ paths. */
+  private def centroidSims(arr: Array[Double], norm: Double,
+      cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
+    val sims = new Array[Double](cs.length)
+    var ci = 0
+    while (ci < cs.length) {
+      val cv = cs(ci)._2
+      var acc = 0.0
+      var d = 0
+      while (d < arr.length) { acc += r0(arr(d) * cv(d) * Q); d += 1 }
+      sims(ci) = r6(acc / Q / (norm * cs(ci)._3))
+      ci += 1
+    }
+    sims
+  }
+
   private def annIvfCore(s: SparkSession, dir: String,
       cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val bc = s.sparkContext.broadcast(cents)
     val qids = QueryIds
-
-    // rounded csim to every centroid — shared by the distributed argmax
-    // and the driver-side probe ranking
-    def centroidSims(arr: Array[Double], norm: Double,
-        cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
-      val sims = new Array[Double](cs.length)
-      var ci = 0
-      while (ci < cs.length) {
-        val cv = cs(ci)._2
-        var acc = 0.0
-        var d = 0
-        while (d < arr.length) { acc += r0(arr(d) * cv(d) * Q); d += 1 }
-        sims(ci) = r6(acc / Q / (norm * cs(ci)._3))
-        ci += 1
-      }
-      sims
-    }
 
     // one narrow pass over the corpus: nearest list per vector (ties →
     // lower cid, since cents is id-sorted and comparison is strict)
@@ -963,7 +1111,10 @@ object VectorOps extends Serializable {
   // chains; codes = the final assignment a{j}_{iters}; query tables =
   // exact lattice quadrature against c{j}_{iters-1}; ADC = m-way code
   // join + m-way table join summing exact integer-valued dq terms.
-  private val annPqChainSql: String = {
+  // `includeEpos=false` lets a composing query (annIvfPqSql) define
+  // the shared snap table once; `candJoin` restricts the ADC scan to
+  // a candidate CTE — the SQL twin of the nprobe list pruning.
+  private def annPqChain(includeEpos: Boolean, candJoin: String): String = {
     val perSub = (0 until PqM).map { j =>
       val lo = j * (64 / PqM) + 1
       val hi = (j + 1) * (64 / PqM)
@@ -996,16 +1147,20 @@ object VectorOps extends Serializable {
       s"JOIN qt$j q$j ON q$j.cid = v$j.cid$qidCond"
     }.mkString("\n")
     val adq = (0 until PqM).map(j => s"q$j.dq").mkString(" + ")
-    s"""epos AS MATERIALIZED (
+    val eposCte = if (includeEpos)
+      """epos AS MATERIALIZED (
           SELECT vec_id, CAST(g.pos AS INT) AS pos,
                  round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
           FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
-        $perSub,
+        """
+    else ""
+    s"""$eposCte$perSub,
         adc AS MATERIALIZED (
           SELECT q0.qid AS query_id, v0.vec_id AS match_id, $adq AS adq
           FROM a0_$PqIters v0
           $codeJoins
           $tabJoins
+          $candJoin
           WHERE v0.vec_id <> q0.qid),
         pqranked AS MATERIALIZED (
           SELECT query_id, match_id, adq,
@@ -1013,6 +1168,9 @@ object VectorOps extends Serializable {
                                     ORDER BY adq, match_id) AS rk
           FROM adc)"""
   }
+
+  private val annPqChainSql: String =
+    annPqChain(includeEpos = true, candJoin = "")
 
   private val annPqSql: String =
     s"""WITH $annPqChainSql
@@ -1049,9 +1207,89 @@ object VectorOps extends Serializable {
         SELECT query_id, match_id, sim, rk FROM rr
         WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  // SQL twin of annIvfPq — the two existing chains COMPOSED: the
+  // shared epos snap table, the trained-quantizer Lloyd chain +
+  // IVF assignment/probes (verbatim annIvfTrainedSql skeleton), the
+  // probed-list candidate set `ivfcand`, the PQ chain with its ADC
+  // scan restricted to ivfcand, then the standard shortlist + exact
+  // re-rank tail. idx/norms are defined once and shared by the csim
+  // and re-rank stages.
+  private val annIvfPqSql: String = {
+    val last = s"c${KmeansIters - 1}"
+    s"""WITH epos AS MATERIALIZED (
+          SELECT vec_id, CAST(g.pos AS INT) AS pos,
+                 round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
+        ${kmeansCtes(TrainedKSql, KmeansIters - 1, includeEpos = false)},
+        idx AS (SELECT unnest(range(1, 65)) AS i),
+        norms AS MATERIALIZED (
+          SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                        CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+          FROM embeddings, idx GROUP BY vec_id),
+        tcnorm AS (
+          SELECT cid, sqrt(sum(round(cx * cx * 1048576)) / 1048576.0) AS nrm
+          FROM $last GROUP BY cid),
+        cdots AS (
+          SELECT v.vec_id, t.cid,
+                 sum(round(CAST(v.embedding[CAST(t.pos AS INT)] AS DOUBLE) *
+                           t.cx * 1048576)) / 1048576.0 AS dot
+          FROM embeddings v CROSS JOIN $last t
+          GROUP BY 1, 2),
+        csims AS MATERIALIZED (
+          SELECT cd.vec_id, cd.cid, round(cd.dot / (nv.nrm * nc.nrm), 6) AS csim
+          FROM cdots cd
+          JOIN norms nv ON nv.vec_id = cd.vec_id
+          JOIN tcnorm nc ON nc.cid = cd.cid),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid ASC) AS crk
+            FROM csims) t WHERE crk = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid ASC) AS crk
+            FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+        ivfcand AS MATERIALIZED (
+          SELECT p.query_id, a.vec_id AS match_id
+          FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+        ${annPqChain(includeEpos = false,
+          candJoin = "JOIN ivfcand fc ON fc.query_id = q0.qid AND fc.match_id = v0.vec_id")},
+        cand AS (SELECT query_id, match_id FROM pqranked WHERE rk <= $PqShortlist),
+        rdots AS (
+          SELECT c.query_id, c.match_id, $dotSql AS dot
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.query_id
+          JOIN embeddings b ON b.vec_id = c.match_id
+          CROSS JOIN idx
+          GROUP BY 1, 2),
+        rescored AS (
+          SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+          FROM rdots
+          JOIN norms na ON na.vec_id = query_id
+          JOIN norms nb ON nb.vec_id = match_id),
+        rr AS (
+          SELECT query_id, match_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, match_id ASC) AS rk
+          FROM rescored)
+        SELECT query_id, match_id, sim, rk FROM rr
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   def oracle: Map[String, String] = Map(
     "vec_ann_pq" -> annPqSql,
     "vec_ann_pq_rerank" -> annPqRerankSql,
+    "vec_ann_ivfpq" -> annIvfPqSql,
+    "vec_recall_eval_ivfpq" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annIvfPqSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_topk_bruteforce" -> bruteforceSql,
     // recall@k: both sides are the full oracles above nested as
     // subqueries (DuckDB allows WITH inside a derived table)
@@ -1125,13 +1363,19 @@ object VectorOps extends Serializable {
     * `epos` (grid-snapped per-dim table), seed centroids `c0`, then
     * (d_i distances, a_i argmin assignment, c_i mean update) per
     * iteration — the exact SQL twin of [[kmeansAssign]]. */
-  private def kmeansCtes(k: String, iters: Int): String = {
-    val head =
-      s"""epos AS (
+  private def kmeansCtes(k: String, iters: Int,
+      includeEpos: Boolean = true): String = {
+    // a composing query (annIvfPqSql) defines the shared epos snap
+    // table once; the definition here must stay byte-equivalent
+    val eposCte = if (includeEpos)
+      """epos AS (
             SELECT vec_id, CAST(g.pos AS INT) AS pos,
                    round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
             FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
-          c0 AS (SELECT vec_id AS cid, pos, x AS cx FROM epos WHERE vec_id < $k)"""
+          """
+    else ""
+    val head =
+      s"""${eposCte}c0 AS (SELECT vec_id AS cid, pos, x AS cx FROM epos WHERE vec_id < $k)"""
     val its = (1 to iters).map { i =>
       s"""d$i AS (SELECT e.vec_id, c.cid,
                     SUM(round((e.x - c.cx) * (e.x - c.cx) * 1048576.0)) AS dq
