@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for the iterative operators
+  * ([[ConnectedComponents]], [[graft.queries.GraphOps]].pagerank,
+  * [[DistributedRank]]), with an opt-in RELIABLE mode.
+  *
+  * Default (`spark.graft.checkpoint.reliable` unset/false):
+  * `localCheckpoint` — blocks live in EXECUTOR-LOCAL storage. That is
+  * the right trade on a stable cluster (no HDFS/object-store write per
+  * iteration), but executor loss invalidates the blocks and Spark
+  * must recompute from lineage that truncation deliberately discarded
+  * — at 100 TB on spot/preemptible executors that means a failed job,
+  * not a slow one (VERDICT r12 §What's wrong #1).
+  *
+  * `spark.graft.checkpoint.reliable=true` routes the same call sites
+  * to `Dataset.checkpoint`, which writes the materialized partitions
+  * to the fault-tolerant directory configured via
+  * `SparkContext.setCheckpointDir` (or, if unset, the
+  * `spark.graft.checkpoint.dir` conf — HDFS/S3 on a real cluster).
+  * Executor loss then re-reads surviving replicas from block storage's
+  * backing files instead of recomputing. Costs: each truncation
+  * re-executes its plan once more to write the files (shuffle outputs
+  * are reused, scans are not), and checkpoint files accumulate until
+  * context stop unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is on — the explicit block-freeing done by ConnectedComponents only
+  * applies to the local path (reliable files are the cleaner's job).
+  *
+  * Laziness is PRESERVED in both modes: `truncate(df)` defaults to
+  * eager=false, so the first consuming action materializes the data —
+  * both DistributedRank consumers still see one range exchange with
+  * one set of sampled boundaries (DistributedRankSpec invariant 1).
+  */
+object Checkpoints {
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+  val DirConf = "spark.graft.checkpoint.dir"
+
+  // the directory value this object last applied via setCheckpointDir:
+  // getCheckpointDir returns the resolved per-context subpath, so the
+  // raw conf value cannot be compared against it directly
+  @volatile private var appliedDir: Option[String] = None
+
+  /** Truncate `df`'s lineage per the session's checkpoint doctrine.
+    * In reliable mode the `spark.graft.checkpoint.dir` conf, when set,
+    * is authoritative (a changed value re-routes the context); with no
+    * conf, a caller-set `SparkContext.setCheckpointDir` is honored;
+    * with neither, fail loudly — silently falling back to the local
+    * path would void the reliability the caller asked for. */
+  def truncate(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get(ReliableConf, "false").toBoolean) {
+      val sc = s.sparkContext
+      s.conf.getOption(DirConf) match {
+        case Some(dir) =>
+          if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) synchronized {
+            if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(dir)
+              appliedDir = Some(dir)
+            }
+          }
+        case None =>
+          if (sc.getCheckpointDir.isEmpty) throw new IllegalStateException(
+            s"$ReliableConf=true needs SparkContext.setCheckpointDir(...) " +
+              s"or the $DirConf conf to name a fault-tolerant directory")
+      }
+      df.checkpoint(eager = eager)
+    } else df.localCheckpoint(eager = eager)
+  }
+}

@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * contracts label chains, so convergence is O(log diameter) rounds
   * rather than O(diameter) — near-dup clusters are shallow (most are
   * cliques from a shared source doc), so 2-3 rounds is typical.
-  * `localCheckpoint` truncates the lineage each round, keeping the
+  * [[Checkpoints.truncate]] cuts the lineage each round, keeping the
   * plan size constant across iterations (an iterative-join loop
-  * otherwise grows the DAG exponentially and overwhelms Catalyst).
+  * otherwise grows the DAG exponentially and overwhelms Catalyst) —
+  * executor-local blocks by default, or reliable
+  * `setCheckpointDir`-backed files under
+  * `spark.graft.checkpoint.reliable=true` (spot/preemptible fleets;
+  * the explicit block-freeing below then no-ops and file cleanup is
+  * the Spark cleaner's job).
   * The label table is one row per *vertex that appears in a pair* —
   * at 100 TB the near-dup pair set is orders of magnitude smaller than
   * the corpus, so the iteration state is small even when the corpus is
@@ -123,20 +128,21 @@ object ConnectedComponents {
     val localEligible = threshold > 0L && e.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType && !f.nullable)
     val (sym, symIds) = checkpointIds(
-      e.union(e.select(col("dst"), col("src"))).distinct()
-        // lazy: the count below (or the loop's label init) is the
-        // checkpoint-materializing action — eager would schedule a
-        // second full pass over the edge partitions for the same blocks
-        .localCheckpoint(eager = false))
+      // lazy: the count below (or the loop's label init) is the
+      // checkpoint-materializing action — eager would schedule a
+      // second full pass over the edge partitions for the same blocks
+      Checkpoints.truncate(
+        e.union(e.select(col("dst"), col("src"))).distinct()))
     try {
       if (localEligible && sym.count() <= threshold) {
         try return runLocal(spark, sym)
         finally free(symIds)
       }
       var (labels, labelIds) = checkpointIds(
-        sym.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id"))
-          .localCheckpoint())
+        Checkpoints.truncate(
+          sym.select(col("src").as("id")).distinct()
+            .withColumn("lbl", col("id")),
+          eager = true))
       var changed = 1L
       var iter = 0
       var prevIds = Set.empty[Int]
@@ -149,17 +155,16 @@ object ConnectedComponents {
             least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
         // pointer jump: also adopt the label of my current label
         val l2 = prop.select(col("id").as("jid"), col("lbl1").as("jl"))
-        val (next, nextIds) = checkpointIds(
+        // lazy: the `changed` agg below is the round's single action —
+        // it materializes the checkpoint blocks as it runs (eager
+        // would cost a second job per round for the same result)
+        val (next, nextIds) = checkpointIds(Checkpoints.truncate(
           prop.join(l2, prop("lbl1") === l2("jid"), "left")
             .select(col("id"),
               least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("nlbl"),
               col("lbl"))
             .select(col("id"), col("nlbl").as("lbl"),
-              (col("nlbl") =!= col("lbl")).cast("long").as("chg"))
-            // lazy: the `changed` agg below is the round's single action —
-            // it materializes the checkpoint blocks as it runs (eager
-            // would cost a second job per round for the same result)
-            .localCheckpoint(eager = false))
+              (col("nlbl") =!= col("lbl")).cast("long").as("chg"))))
         changed = Option(next.agg(sum("chg")).first().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         // the agg action materialized `next` — the previous round's label

@@ -103,8 +103,10 @@ object DistributedRank {
     // RangePartitioner samples with a per-execution seed, so
     // boundaries can differ between runs (caught by
     // DistributedRankSpec). The object boundary of mapPartitions also
-    // stops pruning from narrowing the checkpoint.
-    val agged = sorted.mapPartitions { it =>
+    // stops pruning from narrowing the checkpoint. Checkpoints.truncate
+    // preserves laziness in both its modes, so the single-exchange
+    // invariant holds under the reliable path too.
+    val agged = Checkpoints.truncate(sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var cur: Seq[Any] = null
       var acc = 0L
@@ -117,8 +119,7 @@ object DistributedRank {
         })
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ acc)
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .localCheckpoint(eager = false)
+    }(org.apache.spark.sql.Encoders.row(outSchema)))
     // tiny per-(partition, key) totals from the SAME materialized pass
     val perPart = agged.groupBy((col("__pid") +: keys.map(col)): _*)
       .agg((valIdx match {

@@ -34,8 +34,18 @@ object GraphOps extends Serializable {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Scaled PageRank (pr = pagerank × N) on the symmetric
-    * customer↔supplier edge set, `iters` damped iterations. */
+    * customer↔supplier edge set, `iters` damped iterations.
+    *
+    * Dangling nodes: there are NONE by construction — the edge set is
+    * symmetrized (`base ∪ baseᵀ`), so every node with an in-edge has
+    * the mirror out-edge and deg ≥ 1 for every rank row; no teleport
+    * mass is ever lost (GraphOpsSpec asserts dst ⊆ src on the fixture
+    * and pins total-mass conservation). Reusing this kernel on a
+    * DIRECTED edge set is NOT supported as-is: dangling nodes (no
+    * out-edges) would silently leak their mass each iteration — add
+    * the standard dangling-mass redistribution term first. */
   def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank iters must be >= 1, got $iters")
     val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     // node ids: even = customer, odd = supplier (collision-free)
@@ -47,10 +57,11 @@ object GraphOps extends Serializable {
     // orders⨝lineitem⨝distinct pipeline, and the per-iteration src
     // joins reuse the checkpointed partitioning instead of
     // re-shuffling the edge table every iteration
-    val edges0 = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(eager = false)
+    val edges0 = graft.operators.Checkpoints.truncate(
+      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
     val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = edges0.join(deg, "src").localCheckpoint(eager = false)
+    val edges = graft.operators.Checkpoints.truncate(edges0.join(deg, "src"))
     var ranks = deg.select(col("src"), lit(1.0).as("r"))
     (1 to iters).foreach { _ =>
       ranks = edges.join(ranks, "src")
@@ -63,8 +74,13 @@ object GraphOps extends Serializable {
       .orderBy("node")
   }
 
+  /** Iteration count surfaced in the registry (VERDICT r12 #7):
+    * `spark.graft.pagerank.iters`, default 3 — the oracle SQL unrolls
+    * exactly 3, so the gate runs the default; the conf is the tuning
+    * knob for ad-hoc use (more iterations = same plan, repeated). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> ((s, dir) => pagerank(s, dir, 3)))
+    "graph_pagerank" -> ((s, dir) =>
+      pagerank(s, dir, s.conf.get("spark.graft.pagerank.iters", "3").toInt)))
 
   private def iterSql(i: Int): String =
     s"""r$i AS (

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SparkTestSession
+
+/** The reliable-checkpoint doctrine must be EXECUTABLE, not prose
+  * (VERDICT r12 #3): with `spark.graft.checkpoint.reliable=true` the
+  * iterative operators (ConnectedComponents, GraphOps.pagerank,
+  * DistributedRank) run green through `Dataset.checkpoint` backed by
+  * the configured fault-tolerant directory, produce bit-identical
+  * results to the default local path, and actually write checkpoint
+  * files there (proof the reliable branch engaged). */
+class CheckpointsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withReliable[T](body: java.io.File => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toFile
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    spark.conf.set(Checkpoints.DirConf, dir.getAbsolutePath)
+    try body(dir)
+    finally {
+      spark.conf.unset(Checkpoints.ReliableConf)
+      spark.conf.unset(Checkpoints.DirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  private def ckptFiles(dir: java.io.File): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else 1
+    walk(dir)
+  }
+
+  test("reliable=true without any directory fails loudly, not silently local") {
+    import spark.implicits._
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "a prior test left a context-level checkpoint dir; conf-error path unobservable")
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Checkpoints.truncate(Seq((1, 2)).toDF("a", "b"))
+      }
+      assert(ex.getMessage.contains(Checkpoints.DirConf))
+    } finally spark.conf.unset(Checkpoints.ReliableConf)
+  }
+
+  test("ConnectedComponents: reliable path green, identical to local path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xCC13)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val expected = ConnectedComponents.run(spark, edges, "a", "b",
+        forceDistributed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withReliable { dir =>
+      val got = ConnectedComponents.run(spark, edges, "a", "b",
+          forceDistributed = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(ckptFiles(dir) > 0, "reliable mode wrote no checkpoint files")
+    }
+  }
+
+  test("pagerank: reliable path green, identical to local path") {
+    val expected = graft.queries.GraphOps.pagerank(spark, sf, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    withReliable { dir =>
+      val got = graft.queries.GraphOps.pagerank(spark, sf, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === expected)
+      assert(ckptFiles(dir) > 0, "reliable mode wrote no checkpoint files")
+    }
+  }
+
+  test("DistributedRank: reliable path green, identical to local path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xD15C13)
+    val df = (0 until 1000).map { i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(50).toDouble)
+    }.toDF("id", "key", "v").repartition(5)
+    val expected = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank", "gcount")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    withReliable { dir =>
+      val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+        .select("id", "grank", "gcount")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(ckptFiles(dir) > 0, "reliable mode wrote no checkpoint files")
+    }
+  }
+
+}
