@@ -22,6 +22,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
+  /** Per-doc BPE token counts via the [[graft.functions.Bpe]] kernel:
+    * one narrow pass; the per-partition word memo bounds kernel calls
+    * by the distinct-word count, not the token stream. */
+  private def bpeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, lang, text) =>
+          var words = 0
+          var n = 0
+          text.split(' ').foreach { w =>
+            words += 1
+            var c = memo.get(w)
+            if (c == null) { c = Integer.valueOf(graft.functions.Bpe.count(w)); memo.put(w, c) }
+            n += c.intValue()
+          }
+          (id, lang, words, n)
+        }
+      }.toDF("doc_id", "lang", "n_words", "n_bpe_tokens")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -536,6 +559,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE token counting — whitespace words are NOT what a trainer
+    // packs; real batch assembly budgets BPE tokens. The kernel is the
+    // vocabulary-pinned merge table in functions/Bpe (pure JVM, zero
+    // deps, merge-order determinism spec-pinned); per-partition word
+    // memoization makes the narrow pass O(distinct words) kernel calls.
+    "text_bpe_tokens" -> ((s, dir) =>
+      bpeCounts(s, dir).select("doc_id", "n_words", "n_bpe_tokens")
+        .orderBy("doc_id")),
+
+    // pipe_pack_sequences' tokenizer-real twin (VERDICT r12 #4): the
+    // same DistributedRank prefix-sum packing, but budgets BPE token
+    // counts (cap 512) instead of whitespace words — the number the
+    // context-window writer actually cares about.
+    "pipe_pack_sequences_bpe" -> ((s, dir) => {
+      val cap = 512L
+      val d = bpeCounts(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_bpe_tokens").cast("bigint").as("n_tokens"))
+      graft.operators.DistributedRank
+        .withRunningSum(d, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("cum_before", col("runsum") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"cum_before DIV $cap").as("bin"),
+          (col("cum_before") % cap).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: top-k tokens by global frequency with a
     // complete deterministic order (count desc, token asc). Partial
     // (map-side) aggregation makes the token histogram a single
@@ -659,6 +709,23 @@ object TextOps {
          JOIN sizes sb ON sb.doc_id = idb)
        SELECT ida, idb, jac FROM jac WHERE jac >= 0.8 ORDER BY ida, idb"""
 
+  /** Shared BPE-count CTE chain (SQL twin of [[bpeCounts]]): space the
+    * characters of each DISTINCT word out, run the merge table as the
+    * multi-pass replace chain from [[graft.functions.Bpe.sqlReplaceChain]]
+    * (see its scaladoc for why one pass per rule is not enough), count
+    * symbols as spaces−1. Encoding runs over the vocabulary only —
+    * the per-doc join fans the tiny count table back out. */
+  private val bpeCntCtes: String = {
+    val spaced = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+    s"""bpev AS (
+          SELECT DISTINCT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+        bpee AS (
+          SELECT w, ${graft.functions.Bpe.sqlReplaceChain(spaced)} AS s FROM bpev),
+        bpec AS (
+          SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS n_sym
+          FROM bpee)"""
+  }
+
   def oracle: Map[String, String] = Map(
     // SQL twin of MinHash.simhash64: FNV-1a per token (u64 HUGEINT
     // fold), per-bit majority vote — see OracleSql
@@ -763,6 +830,30 @@ object TextOps {
          FROM n, unnest(range(1, reps + 1)) AS u(c)
          WHERE reps >= 1
          ORDER BY doc_id, copy""",
+    "text_bpe_tokens" ->
+      s"""WITH $bpeCntCtes,
+          w0 AS (SELECT doc_id, t.w
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w))
+          SELECT w0.doc_id,
+                 CAST(count(*) AS INT) AS n_words,
+                 CAST(sum(c.n_sym) AS INT) AS n_bpe_tokens
+          FROM w0 JOIN bpec c ON c.w = w0.w
+          GROUP BY w0.doc_id ORDER BY doc_id""",
+    "pipe_pack_sequences_bpe" ->
+      s"""WITH $bpeCntCtes,
+          w0 AS (SELECT doc_id, lang, t.w
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+          d AS (SELECT doc_id, lang, CAST(sum(c.n_sym) AS BIGINT) AS n_tokens
+                FROM w0 JOIN bpec c ON c.w = w0.w GROUP BY doc_id, lang),
+          cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM d)
+          SELECT doc_id, lang, n_tokens,
+                 cum_before // 512 AS bin,
+                 cum_before % 512 AS bin_offset
+          FROM cum ORDER BY doc_id""",
     "pipe_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id, lang,
