@@ -18,8 +18,19 @@ object HeavyHitters {
   /** One pass of Misra–Gries with `k` counters. Returns the surviving
     * keys and their (under-)estimates. */
   def misraGries(it: Iterator[Long], k: Int): scala.collection.Map[Long, Long] = {
-    require(k >= 1, "k must be >= 1")
     val m = scala.collection.mutable.LongMap.empty[Long]
+    misraGriesInto(m, it, k)
+    m
+  }
+
+  /** The same pass CONTINUING from a prior summary `m` (≤ k entries) —
+    * the streaming form: a micro-batch's slice folds into GroupState
+    * and the result is identical to one pass over the concatenated
+    * stream, because the state machine's transition depends only on
+    * the current counter map and the next item. */
+  def misraGriesInto(m: scala.collection.mutable.LongMap[Long],
+      it: Iterator[Long], k: Int): Unit = {
+    require(k >= 1, "k must be >= 1")
     it.foreach { x =>
       m.get(x) match {
         case Some(v) => m(x) = v + 1
@@ -31,6 +42,5 @@ object HeavyHitters {
           m.filterInPlace((_, v) => v > 0)
       }
     }
-    m
   }
 }

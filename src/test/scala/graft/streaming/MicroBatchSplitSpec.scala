@@ -341,4 +341,72 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     assert(got === Seq((777L, "a>b>c", 10L)),
       s"equal-ts smaller-id straggler not handled per the documented rule: $got")
   }
+
+  test("heavyHittersStream: cut-invariant candidates, MG guarantee, exact-verify == batch truth") {
+    val (rows, _) = ordered
+    val K = 8
+    val Buckets = 4
+    // batch-side ground truth over the sketched key, in stream order
+    val keyedOrdered = rows.map(r => EventsStream.hitterKey(
+      r.getAs[Long]("event_id"), r.getAs[Long]("user_id")))
+    val counts = keyedOrdered.groupBy(identity)
+      .map { case (k2, a) => k2 -> a.length.toLong }
+    val bucketOf = (key: Long) => EventsStream.hitterBucket(key, Buckets)
+    val bucketTotals = keyedOrdered.groupBy(bucketOf)
+      .map { case (b, a) => b -> a.length.toLong }
+
+    // final candidate set of a run = per bucket, the max-emit_seq rows
+    def finals(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val out = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).flatMap { case (b, rs) =>
+        val latest = rs.filter(_._2 == rs.map(_._2).max)
+        assert(latest.length <= K, s"bucket $b exceeded the k-entry bound")
+        latest.map(_._3).toSeq
+      }.toSet
+    }
+    val rnd = new scala.util.Random(0x4711)
+    val runs = Seq(
+      cutAt(rows, Seq.empty),
+      cutAt(rows, Seq.fill(4)(rnd.nextInt(rows.length))),
+      cutAt(rows, Seq.fill(9)(rnd.nextInt(rows.length)))
+    ).zipWithIndex.map { case (chunks, i) =>
+      finals(runChunked(s"mbs_hh$i", chunks,
+        df => EventsStream.heavyHittersStream(spark, df, K, Buckets)))
+    }
+    // 1. invariance: the MG state machine depends only on stream order,
+    //    which micro-batch cuts preserve
+    assert(runs.tail.forall(_ === runs.head),
+      s"candidate set varies with micro-batch cuts: $runs")
+    // 2. equality with one reference MG pass per bucket over the
+    //    ordered stream (the batch operator's per-partition shape)
+    val ref = keyedOrdered.groupBy(bucketOf).flatMap { case (_, ks) =>
+      graft.operators.HeavyHitters.misraGries(ks.iterator, K).keys
+    }.toSet
+    assert(runs.head === ref, "stream summary != one-pass reference")
+    // 3. the sketch path is genuinely exercised: every bucket holds
+    //    more distinct keys than counters
+    keyedOrdered.groupBy(bucketOf).foreach { case (b, ks) =>
+      assert(ks.distinct.length > K, s"bucket $b never hit the counter bound")
+    }
+    // 4. MG guarantee: every key with bucket-count > n_bucket/k survives
+    val guaranteed = counts.collect {
+      case (key, c) if c * K > bucketTotals(bucketOf(key)) => key
+    }.toSet
+    assert(guaranteed.nonEmpty, "fixture produced no guaranteed hitters")
+    assert(guaranteed.subsetOf(runs.head),
+      s"guaranteed hitters missing: ${guaranteed -- runs.head}")
+    // 5. candidates-then-exact at the final boundary: exact counts over
+    //    candidate keys only, thresholded, equal the full GROUP BY
+    //    HAVING truth (threshold cnt*32 > N: the sketched key halves
+    //    each user's volume to its even event ids, so the heavy users
+    //    sit at ~3-4.5% of N — comfortably above 1/32, far above the
+    //    per-bucket MG guarantee line)
+    val n = keyedOrdered.length
+    val truth = counts.collect { case (key, c) if c * 32 > n => key }.toSet
+    val verified = runs.head.filter(key => counts.getOrElse(key, 0L) * 32 > n)
+    assert(truth.nonEmpty, "degenerate truth set")
+    assert(verified === truth,
+      s"exact-verified candidates != batch truth: $verified vs $truth")
+  }
 }
