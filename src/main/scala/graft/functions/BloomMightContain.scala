@@ -28,11 +28,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * at 10^8 keys) would otherwise be re-shipped inside every task's
   * serialized references; the broadcast moves it to executors once
   * via the torrent path. Equality is by (child, broadcast identity);
-  * because [[BloomMightContain.probe]] memoizes broadcasts on the FULL
-  * serialized filter content, identical filters share one broadcast
-  * and two probes built from them canonicalize equal (CSE dedupes),
-  * while distinct filters can never be merged by a fingerprint
-  * collision.
+  * because [[BloomMightContain.probe]] memoizes broadcasts on a
+  * SHA-256 digest of the serialized filter content, identical filters
+  * share one broadcast and two probes built from them canonicalize
+  * equal (CSE dedupes), while distinct filters can never be merged by
+  * a 64-bit fingerprint collision.
   *
   * Generated code resolves `broadcast.value()` once per task into a
   * mutable field — per-row cost is the sketch's k hash probes, no
@@ -50,8 +50,8 @@ case class BloomMightContain(child: Expression,
       s"bloom_might_contain requires a bigint key, got ${child.dataType}")
 
   // content-based equality: the memo in [[BloomMightContain.probe]]
-  // keys broadcasts by the FULL serialized filter bytes, so within a
-  // SparkContext identical content ⇒ the same Broadcast instance and
+  // keys broadcasts by a SHA-256 digest of the serialized filter, so
+  // within a SparkContext identical content ⇒ the same Broadcast instance and
   // reference equality here IS content equality (CSE merges identical
   // probes); distinct content ⇒ distinct broadcasts, so a 64-bit
   // fingerprint collision can never merge semantically different
@@ -94,12 +94,13 @@ object BloomMightContain {
   // copies of a potentially huge filter on the driver and executors
   // (review r12). Identical filter content reuses one broadcast; the
   // cache is invalidated wholesale if the SparkContext changed (test
-  // suites stop/start sessions). Keyed by the FULL serialized bytes
-  // (ByteBuffer equals/hashCode are content-based), not a 64-bit
-  // fingerprint — a fingerprint collision would silently reuse the
-  // wrong filter and introduce false NEGATIVES, i.e. dropped rows
-  // (ADVICE r12). The byte array is probe()-local and never mutated
-  // after wrap.
+  // suites stop/start sessions). Keyed by a SHA-256 digest of the
+  // FULL serialized bytes, not a 64-bit fingerprint — a 64-bit
+  // collision would silently reuse the wrong filter and introduce
+  // false NEGATIVES, i.e. dropped rows (ADVICE r12); a cryptographic
+  // digest keeps that guarantee without retaining each filter's
+  // multi-MB byte[] in the key set for the context lifetime or paying
+  // O(filter size) on every map lookup (review r13).
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[java.nio.ByteBuffer,
       org.apache.spark.broadcast.Broadcast[BloomFilter]]
@@ -107,7 +108,7 @@ object BloomMightContain {
 
   /** Column-API entry:
     * `df.filter(BloomMightContain.probe(spark, col("k"), bf))`.
-    * Broadcasts the filter (memoized by full serialized content — so
+    * Broadcasts the filter (memoized by a SHA-256 content digest — so
     * equal content shares one broadcast and expression equality can be
     * broadcast-identity); the 64-bit fingerprint only seeds the
     * expression's hashCode. */
@@ -119,11 +120,12 @@ object BloomMightContain {
       out.toByteArray
     }
     val h = Fnv64.hash(bytes)
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val sc = spark.sparkContext
     if (cacheCtx ne sc) synchronized {
       if (cacheCtx ne sc) { cache.clear(); cacheCtx = sc }
     }
-    val bc = cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes),
+    val bc = cache.computeIfAbsent(java.nio.ByteBuffer.wrap(digest),
       _ => sc.broadcast(bloom))
     GraftExpressionBridge.column(
       BloomMightContain(GraftExpressionBridge.expression(key), bc, h))

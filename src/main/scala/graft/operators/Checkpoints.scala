@@ -36,10 +36,14 @@ object Checkpoints {
   val ReliableConf = "spark.graft.checkpoint.reliable"
   val DirConf = "spark.graft.checkpoint.dir"
 
-  // the directory value this object last applied via setCheckpointDir:
-  // getCheckpointDir returns the resolved per-context subpath, so the
-  // raw conf value cannot be compared against it directly
-  @volatile private var appliedDir: Option[String] = None
+  // what this object last applied via setCheckpointDir: the raw conf
+  // value AND the context's resolved per-context subpath it produced
+  // (getCheckpointDir returns the resolved subpath, so the raw value
+  // alone cannot detect an external setCheckpointDir override — review
+  // r13: without the resolved check, a later sc.setCheckpointDir from
+  // other code would silently re-route "reliable" checkpoints away
+  // from the conf's fault-tolerant directory)
+  @volatile private var applied: Option[(String, Option[String])] = None
 
   /** Truncate `df`'s lineage per the session's checkpoint doctrine.
     * In reliable mode the `spark.graft.checkpoint.dir` conf, when set,
@@ -53,10 +57,16 @@ object Checkpoints {
       val sc = s.sparkContext
       s.conf.getOption(DirConf) match {
         case Some(dir) =>
-          if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) synchronized {
-            if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+          // re-apply when the conf value changed OR the context's
+          // resolved dir no longer matches what we applied (an external
+          // setCheckpointDir must not hijack the conf's directory)
+          def stale = !applied.exists { case (raw, resolved) =>
+            raw == dir && resolved == sc.getCheckpointDir
+          }
+          if (stale) synchronized {
+            if (stale) {
               sc.setCheckpointDir(dir)
-              appliedDir = Some(dir)
+              applied = Some((dir, sc.getCheckpointDir))
             }
           }
         case None =>

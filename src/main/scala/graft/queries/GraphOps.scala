@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * nested-loop join shape PlanLint forbids).
   *
   * Scale (100 TB): the degree-enriched edge table is built once and
-  * lazily localCheckpointed (re-read per iteration from block storage,
-  * never re-derived through the orders join); each iteration is one
+  * lazily truncated via [[graft.operators.Checkpoints.truncate]]
+  * (re-read per iteration from block storage — or from reliable
+  * checkpoint files under `spark.graft.checkpoint.reliable` — never
+  * re-derived through the orders join); each iteration is one
   * equi-join on src and one aggregation shuffle on dst — PageRank's
   * canonical Spark shape, broadcast-free, with map-side partial sums.
   */

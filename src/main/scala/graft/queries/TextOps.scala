@@ -34,7 +34,11 @@ object TextOps {
         it.map { case (id, lang, text) =>
           var words = 0
           var n = 0
-          text.split(' ').foreach { w =>
+          // limit -1 keeps trailing empty tokens, matching the oracle's
+          // string_split ('a '.split(' ') alone would drop the trailing
+          // '' and n_words would diverge on trailing-space text; the
+          // empty word BPE-encodes to zero symbols in both engines)
+          text.split(" ", -1).foreach { w =>
             words += 1
             var c = memo.get(w)
             if (c == null) { c = Integer.valueOf(graft.functions.Bpe.count(w)); memo.put(w, c) }

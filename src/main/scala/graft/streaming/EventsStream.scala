@@ -438,10 +438,17 @@ object EventsStream {
     * each bucket re-emits its full surviving candidate set stamped
     * with a per-bucket `emit_seq`; a consumer takes each bucket's
     * max-seq rows as the current candidates (≤ k rows per bucket per
-    * batch — bounded, like the state). */
+    * batch — bounded, like the state), dropping [[EmptySummaryKey]]
+    * sentinel rows, which mark a fold that emptied the summary. */
   final case class MgBucketState(keys: Array[Long], counts: Array[Long],
       emit: Long)
   final case class MgOut(bucket: Int, emit_seq: Long, key: Long, est: Long)
+
+  /** Sentinel key emitted (est=0) when a fold leaves a bucket's summary
+    * EMPTY — without it, the max-emit_seq consumer contract would
+    * silently serve the previous batch's candidates as current (review
+    * r13). Real sketched keys are non-negative by construction. */
+  val EmptySummaryKey: Long = Long.MinValue
 
   /** The sketched key for one event — shared by the stream and the
     * spec's batch truth. */
@@ -480,7 +487,8 @@ object EventsStream {
           val emit = state.getOption.map(_.emit + 1).getOrElse(0L)
           val arr = m.toArray.sortBy(_._1)
           state.update(MgBucketState(arr.map(_._1), arr.map(_._2), emit))
-          arr.iterator.map { case (key, est) => MgOut(bucket, emit, key, est) }
+          if (arr.isEmpty) Iterator.single(MgOut(bucket, emit, EmptySummaryKey, 0L))
+          else arr.iterator.map { case (key, est) => MgOut(bucket, emit, key, est) }
       }
       .toDF("bucket", "emit_seq", "key", "est")
   }

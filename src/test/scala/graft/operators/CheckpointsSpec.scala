@@ -23,10 +23,12 @@ class CheckpointsSpec extends AnyFunSuite {
     finally {
       spark.conf.unset(Checkpoints.ReliableConf)
       spark.conf.unset(Checkpoints.DirConf)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      // deliberately NOT deleted: Spark cannot unset a context's
+      // checkpoint dir, so removing it would leave sc.getCheckpointDir
+      // pointing at a vanished path — later same-JVM reliable use
+      // relying on the caller-set-dir branch would then crash on write
+      // (review r13). A few KB in the test tmpdir for the JVM lifetime
+      // is the cheaper poison.
     }
   }
 

@@ -342,6 +342,51 @@ class MicroBatchSplitSpec extends AnyFunSuite {
       s"equal-ts smaller-id straggler not handled per the documented rule: $got")
   }
 
+  test("a fold that empties a bucket's summary emits the sentinel, not silence") {
+    val schema = ordered._2
+    val tsType = schema(schema.fieldIndex("ts")).dataType
+    def tsVal(us: Long): Any = tsType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+      case org.apache.spark.sql.types.TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L))
+      case org.apache.spark.sql.types.LongType => us * 1000L
+      case other => fail(s"unexpected ts type: $other")
+    }
+    def ev(id: Long, us: Long): Row =
+      Row.fromSeq(schema.fields.map(_.name match {
+        case "event_id" => id
+        case "ts" => tsVal(us)
+        case "user_id" => 3L
+        case "event_type" => "view"
+        case "value" => 1.0
+        case "props" => "{}"
+        case other => fail(s"unexpected column: $other")
+      }).toSeq)
+    val K = 4
+    val Buckets = 4
+    // odd event ids -> unique tail keys; pick K+1 ids landing in ONE
+    // bucket so batch 1 fills the counters with singletons and batch
+    // 2's unseen key triggers the decrement-all that empties them
+    val ids = Iterator.from(1, 2).map(_.toLong)
+      .filter(id => EventsStream.hitterBucket(
+        EventsStream.hitterKey(id, 3L), Buckets) == 0)
+      .take(K + 1).toSeq
+    val t0 = 1700000000000000L
+    val batch1 = ids.take(K).zipWithIndex.map { case (id, i) => ev(id, t0 + i * 1000000L) }
+    val batch2 = Seq(ev(ids.last, t0 + 10000000L))
+    val out = runChunked("mbs_hh_sentinel", Seq(batch1, batch2),
+        df => EventsStream.heavyHittersStream(spark, df, K, Buckets))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b0 = out.filter(_._1 == 0)
+    assert(b0.filter(_._2 == 0L).length === K, "batch 1 did not fill bucket 0")
+    val last = b0.filter(_._2 == b0.map(_._2).max)
+    assert(last.toSeq === Seq((0, 1L, EventsStream.EmptySummaryKey, 0L)),
+      s"emptied summary did not emit the sentinel: ${last.toSeq}")
+  }
+
   test("heavyHittersStream: cut-invariant candidates, MG guarantee, exact-verify == batch truth") {
     val (rows, _) = ordered
     val K = 8
@@ -362,7 +407,7 @@ class MicroBatchSplitSpec extends AnyFunSuite {
       out.groupBy(_._1).flatMap { case (b, rs) =>
         val latest = rs.filter(_._2 == rs.map(_._2).max)
         assert(latest.length <= K, s"bucket $b exceeded the k-entry bound")
-        latest.map(_._3).toSeq
+        latest.map(_._3).filterNot(_ == EventsStream.EmptySummaryKey).toSeq
       }.toSet
     }
     val rnd = new scala.util.Random(0x4711)
