@@ -166,8 +166,13 @@ object Bench {
     * the way BENCH_r08's did. */
   private[graft] def measure(name: String, nReps: Int,
       loadFn: () => Double, cpuNanosFn: () => Long,
-      thunk: () => Long): QRes = {
+      thunk: () => Long, pace: () => Unit = () => ()): QRes = {
     val reps = (1 to nReps).map { _ =>
+      // pace before EVERY rep, not just the row (r13: a GC burst
+      // between a row-level pace check and rep 1 stamped a 3.9 load
+      // on an otherwise quiet run; reps 2-3 also deserve a decayed
+      // start after rep 1's own 32-thread burst)
+      pace()
       val load = loadFn()
       val c0 = cpuNanosFn()
       val t0 = System.nanoTime()
@@ -221,8 +226,8 @@ object Bench {
     * 32-thread bursts from earlier rows neither steal cores from the
     * single-shot osm_big_* probes nor push `load_max` into the 2-4
     * band where it stops being an ambient-quiet signal. Bounded by
-    * the SPARK_GRAFT_BENCH_PACE_S budget (default 900 s shared across
-    * the run; 0 disables pacing). */
+    * the SPARK_GRAFT_BENCH_PACE_S budget (default 1200 s shared across
+    * the run; 0 disables pacing). Applied before every REP. */
   private[graft] val PaceLoadThreshold = 2.0
 
   /** Is this row's headline measurement contention-tainted? Judged on
@@ -356,22 +361,23 @@ object Bench {
     // a contended reading for a regression.
     var backoffBudgetS = 180L
     var paceBudgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_S", "900").toLong
-    val results = headline.filter(qs.contains).map { name =>
-      // let the previous rows' load bursts decay before measuring (see
-      // PaceLoadThreshold) — 1-min load halves in ~40 s idle, so most
-      // waits are short and the shared budget bounds the worst case
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PACE_S", "1200").toLong
+    // let earlier bursts decay before each REP (see PaceLoadThreshold)
+    // — 1-min load halves in ~40 s idle, so most waits are short and
+    // the shared budget bounds the worst case
+    def pace(): Unit =
       while (paceBudgetS > 0 && loadAvg() > PaceLoadThreshold) {
         val w = math.min(5L, paceBudgetS)
         Thread.sleep(w * 1000)
         paceBudgetS -= w
       }
+    val results = headline.filter(qs.contains).map { name =>
       def unpersistAll(): Unit =
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       def once(): QRes = {
         val r = measure(name, 3, loadAvg _, procCpuNanos _,
-          () => qs(name)(spark, sfDir).count())
+          () => qs(name)(spark, sfDir).count(), pace _)
         // drop blocks a query persisted/checkpointed (cluster-cc
         // rounds, pipeline dup-id sets): lingering blocks from one
         // query must not pollute a later query's measurement in this
