@@ -229,6 +229,17 @@ object VectorOps extends Serializable {
       recallEval(bruteforceTopK(s, dir),
         annIvfPq(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist))),
 
+    // residual-encoded IVF-PQ (FAISS by_residual=true) — codebooks
+    // quantize v − centroid(list); see [[annIvfPqRes]]
+    "vec_ann_ivfpq_res" -> ((s, dir) =>
+      annIvfPqRes(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist)),
+
+    // the residual-vs-raw recall A/B at equal code size, lists and
+    // nprobe — reads directly against vec_recall_eval_ivfpq
+    "vec_recall_eval_ivfpq_res" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir),
+        annIvfPqRes(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist))),
+
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
     // 2023): seeds = the k lowest vec_ids, every coordinate grid-
@@ -788,6 +799,114 @@ object VectorOps extends Serializable {
     exactRerank(s, dir, sl)
   }
 
+  /** Residual-encoded IVF-PQ — FAISS's actual default
+    * (`by_residual=true`): PQ codes quantize `v − centroid(list)`
+    * instead of `v`, so the codebooks spend their bits on the
+    * WITHIN-list structure the coarse quantizer already localized —
+    * at equal code size the quantization error drops by roughly the
+    * coarse cell's extent, which is what makes 8–16 byte codes usable
+    * at billion scale. ADC becomes per-(query, probed-list): the
+    * query's residual against each probed centroid gets its own
+    * lookup table (nprobe × m × subK entries per query — still a
+    * broadcast tier).
+    *
+    * Determinism: residuals are RE-SNAPPED to the 2^-20 lattice
+    * (`round((vq−c)·2^20)/2^20`) — vq is lattice-exact and the
+    * centroid coords are exact lattice-mean doubles, so the snapped
+    * residual is bit-identical in both engines and the whole PQ
+    * training/encoding/ADC machinery downstream stays exact ⇒ full
+    * SQL oracle (the trained-IVF chain + residual-sliced Lloyd chains
+    * + per-(query,list) table joins). */
+  def annIvfPqRes(s: SparkSession, dir: String, m: Int, subK: Int,
+      iters: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val sl = rankTopK(annIvfPqResScored(s, dir, m, subK, iters, nprobe), shortlist)
+      .select("query_id", "match_id")
+    exactRerank(s, dir, sl)
+  }
+
+  /** Snap `vq − cent` back onto the 2^-20 lattice (see [[annIvfPqRes]]
+    * determinism note); SQL twin: `round((e.x − c.cx)·2^20)/2^20`. */
+  private def snapRes(vq: Array[Double], cent: Array[Double]): Array[Double] = {
+    val r = new Array[Double](vq.length)
+    var d = 0
+    while (d < vq.length) {
+      r(d) = graft.functions.Num.round0((vq(d) - cent(d)) * Q) / Q
+      d += 1
+    }
+    r
+  }
+
+  private def annIvfPqResScored(s: SparkSession, dir: String, m: Int,
+      subK: Int, iters: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cents = trainedCents(s, dir, KmeansIters)
+    val centById = cents.map(c => c._1 -> c._2).toMap
+    val bcCents = s.sparkContext.broadcast(cents)
+    val e = emb(s, dir)
+      .withColumn("vq", expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)"))
+      .select(col("vec_id"), col("v"), col("norm"), col("vq"))
+    // ONE narrow pass: list assignment (annIvfTrained arithmetic) +
+    // snapped residual; lazily checkpointed because BOTH the codebook
+    // training (m sliced Lloyd loops) and the encoding pass read it
+    val resDs = graft.operators.Checkpoints.truncate(
+      e.as[(Long, Array[Double], Double, Array[Double])].mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v, norm, vq) =>
+          val sims = centroidSims(v, norm, cs)
+          var best = 0
+          var ci = 1
+          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+          (id, cs(best)._1, snapRes(vq, cs(best)._2))
+        }
+      }.toDF("vec_id", "cid", "res"))
+    val books = pqBooks(s,
+      resDs.select(col("vec_id"), col("res")).as[(Long, Array[Double])],
+      m, subK, iters)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val encoded = resDs.as[(Long, Long, Array[Double])].mapPartitions { it =>
+      val bs = bcBooks.value
+      val sb = bs.head.head._2.length
+      it.map { case (id, cid, res) =>
+        val codes = new Array[Long](bs.length)
+        var j = 0
+        while (j < bs.length) {
+          val (bi, _) = nearest(res.slice(j * sb, (j + 1) * sb), bs(j))
+          codes(j) = bs(j)(bi)._1
+          j += 1
+        }
+        (id, cid, codes)
+      }
+    }
+    // per-(query, probed list) residual ADC tables — nprobe tables of
+    // m × subK entries per query, driver-built and broadcast
+    val qsRaw = e.filter(col("vec_id") < QueryIds)
+      .as[(Long, Array[Double], Double, Array[Double])].collect().sortBy(_._1)
+    val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm, _) =>
+      val sims = centroidSims(v, norm, cents)
+      qid -> cents.indices.sortBy(i => (-sims(i), cents(i)._1))
+        .take(nprobe).map(cents(_)._1).toSeq
+    }.toMap
+    val tables: Map[(Long, Long), Array[Map[Long, Double]]] =
+      qsRaw.flatMap { case (qid, _, _, vq) =>
+        probes(qid).map { cid =>
+          (qid, cid) -> pqTables(Array((0L, snapRes(vq, centById(cid)))), books)(0L)
+        }
+      }.toMap
+    val bcT = s.sparkContext.broadcast(tables)
+    encoded.mapPartitions { it =>
+      val ts = bcT.value
+      it.flatMap { case (id, cid, codes) =>
+        ts.iterator.collect {
+          case ((qid, tcid), tabs) if tcid == cid && qid != id =>
+            var adq = 0.0
+            var j = 0
+            while (j < codes.length) { adq += tabs(j)(codes(j)); j += 1 }
+            (qid, id, -(adq / Q))
+        }
+      }
+    }.toDF("query_id", "match_id", "sim")
+  }
+
   private def annIvfPqScored(s: SparkSession, dir: String, m: Int,
       subK: Int, iters: Int, nprobe: Int): DataFrame = {
     import s.implicits._
@@ -1279,10 +1398,145 @@ object VectorOps extends Serializable {
         WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // SQL twin of annIvfPqRes: the trained-IVF skeleton (assigned /
+  // probes / ivfcand, all MATERIALIZED — each is read by 2-3 later
+  // CTEs), snapped per-vector residuals `rres` against the assigned
+  // centroid, residual-sliced Lloyd chains (names r-prefixed), query
+  // residuals PER PROBED LIST (`qres`), per-(query, list, codeword)
+  // ADC tables `rqt{j}`, and the ADC join keyed by the CANDIDATE's
+  // assigned list — then the standard shortlist + exact re-rank tail.
+  private val annIvfPqResSql: String = {
+    val last = s"c${KmeansIters - 1}"
+    val sub = 64 / PqM
+    val perSub = (0 until PqM).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      val e = s"re$j"
+      val its = (1 to PqIters).map { i =>
+        s"""rd${j}_$i AS MATERIALIZED (SELECT e.vec_id, c.cid,
+                SUM(round((e.x - c.cx) * (e.x - c.cx) * 1048576.0)) AS dq
+              FROM $e e JOIN rc${j}_${i - 1} c ON e.pos = c.pos
+              GROUP BY e.vec_id, c.cid),
+            ra${j}_$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+                FROM rd${j}_$i) t WHERE rn = 1),
+            rc${j}_$i AS MATERIALIZED (SELECT a.cid, e.pos, SUM(e.x) / COUNT(*) AS cx
+              FROM ra${j}_$i a JOIN $e e ON a.vec_id = e.vec_id
+              GROUP BY a.cid, e.pos)"""
+      }.mkString(",\n")
+      s"""$e AS MATERIALIZED (SELECT vec_id, pos, x FROM rres WHERE pos BETWEEN $lo AND $hi),
+          rc${j}_0 AS MATERIALIZED (SELECT vec_id AS cid, pos, x AS cx FROM $e WHERE vec_id < $PqK),
+          $its,
+          rqt$j AS MATERIALIZED (SELECT q.query_id, q.cid, b.cid AS bcid,
+                SUM(round((q.x - b.cx) * (q.x - b.cx) * 1048576.0)) AS dq
+              FROM qres q JOIN rc${j}_${PqIters - 1} b ON q.pos = b.pos
+              GROUP BY 1, 2, 3)"""
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM)
+      .map(j => s"JOIN ra${j}_$PqIters v$j ON v$j.vec_id = v0.vec_id").mkString("\n")
+    val tabJoins = (0 until PqM).map { j =>
+      s"JOIN rqt$j t$j ON t$j.query_id = fc.query_id AND t$j.cid = av.cid AND t$j.bcid = v$j.cid"
+    }.mkString("\n")
+    val adq = (0 until PqM).map(j => s"t$j.dq").mkString(" + ")
+    s"""WITH epos AS MATERIALIZED (
+          SELECT vec_id, CAST(g.pos AS INT) AS pos,
+                 round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
+        ${kmeansCtes(TrainedKSql, KmeansIters - 1, includeEpos = false)},
+        idx AS (SELECT unnest(range(1, 65)) AS i),
+        norms AS MATERIALIZED (
+          SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                        CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+          FROM embeddings, idx GROUP BY vec_id),
+        tcnorm AS (
+          SELECT cid, sqrt(sum(round(cx * cx * 1048576)) / 1048576.0) AS nrm
+          FROM $last GROUP BY cid),
+        cdots AS (
+          SELECT v.vec_id, t.cid,
+                 sum(round(CAST(v.embedding[CAST(t.pos AS INT)] AS DOUBLE) *
+                           t.cx * 1048576)) / 1048576.0 AS dot
+          FROM embeddings v CROSS JOIN $last t
+          GROUP BY 1, 2),
+        csims AS MATERIALIZED (
+          SELECT cd.vec_id, cd.cid, round(cd.dot / (nv.nrm * nc.nrm), 6) AS csim
+          FROM cdots cd
+          JOIN norms nv ON nv.vec_id = cd.vec_id
+          JOIN tcnorm nc ON nc.cid = cd.cid),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid ASC) AS crk
+            FROM csims) t WHERE crk = 1),
+        probes AS MATERIALIZED (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid ASC) AS crk
+            FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+        ivfcand AS MATERIALIZED (
+          SELECT p.query_id, a.vec_id AS match_id
+          FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+        rres AS MATERIALIZED (
+          SELECT e.vec_id, e.pos,
+                 round((e.x - c.cx) * 1048576.0) / 1048576.0 AS x
+          FROM epos e
+          JOIN assigned a ON a.vec_id = e.vec_id
+          JOIN $last c ON c.cid = a.cid AND c.pos = e.pos),
+        qres AS MATERIALIZED (
+          SELECT p.query_id, p.cid, e.pos,
+                 round((e.x - c.cx) * 1048576.0) / 1048576.0 AS x
+          FROM probes p
+          JOIN epos e ON e.vec_id = p.query_id
+          JOIN $last c ON c.cid = p.cid AND c.pos = e.pos),
+        $perSub,
+        radc AS MATERIALIZED (
+          SELECT fc.query_id, v0.vec_id AS match_id, $adq AS adq
+          FROM ra0_$PqIters v0
+          $codeJoins
+          JOIN assigned av ON av.vec_id = v0.vec_id
+          JOIN ivfcand fc ON fc.match_id = v0.vec_id
+          $tabJoins),
+        rranked AS MATERIALIZED (
+          SELECT query_id, match_id, adq,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adq, match_id) AS rk
+          FROM radc),
+        cand AS (SELECT query_id, match_id FROM rranked WHERE rk <= $PqShortlist),
+        rdots AS (
+          SELECT c.query_id, c.match_id, $dotSql AS dot
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.query_id
+          JOIN embeddings b ON b.vec_id = c.match_id
+          CROSS JOIN idx
+          GROUP BY 1, 2),
+        rescored AS (
+          SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+          FROM rdots
+          JOIN norms na ON na.vec_id = query_id
+          JOIN norms nb ON nb.vec_id = match_id),
+        rr AS (
+          SELECT query_id, match_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, match_id ASC) AS rk
+          FROM rescored)
+        SELECT query_id, match_id, sim, rk FROM rr
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   def oracle: Map[String, String] = Map(
     "vec_ann_pq" -> annPqSql,
     "vec_ann_pq_rerank" -> annPqRerankSql,
     "vec_ann_ivfpq" -> annIvfPqSql,
+    "vec_ann_ivfpq_res" -> annIvfPqResSql,
+    "vec_recall_eval_ivfpq_res" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annIvfPqResSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_recall_eval_ivfpq" ->
       s"""SELECT t.query_id,
                  round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
