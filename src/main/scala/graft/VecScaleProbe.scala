@@ -120,14 +120,22 @@ object VecScaleProbe {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val maxLoadEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    def load1(): Double =
-      try scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString).getOrElse("9 9").trim.split("\\s+")(0).toDouble
-      catch { case _: Exception => -1.0 }
+    // gate on BOTH the 1- and 5-min averages (the ScaleProbe.loadGate
+    // lesson: the 1-min figure alone admitted a run 1 min after a
+    // stress kill that still burned 2x CPU; the 5-min gate carries a
+    // 2x allowance so one finished burst does not block for minutes)
+    def loads(): (Double, Double) =
+      try {
+        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+          _.mkString).getOrElse("9 9").trim.split("\\s+")
+        (parts(0).toDouble, parts(1).toDouble)
+      } catch { case _: Exception => (-1.0, -1.0) }
+    def noisy(l: (Double, Double)): Boolean =
+      l._1 > maxLoadEnv || l._2 > 2 * maxLoadEnv
     val t0 = System.nanoTime()
-    while (load1() > maxLoadEnv && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
-    val loadStart = load1()
-    val tainted = loadStart > maxLoadEnv
+    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
+    val loadStart = loads()._1
+    val tainted = noisy(loads())
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -153,9 +161,12 @@ object VecScaleProbe {
     // index quality (measured: 50 of ~97 → 0.43)
     val (m, subK, shortlist, topK, qn) = (8, 256, 150, 10, 16)
 
-    // coarse quantizer: id-sampled centroids (cluster-aligned on this
-    // corpus since ids cycle through the 64 centers)
-    val step = math.max(1L, n / k)
+    // coarse quantizer: id-sampled centroids. The step is forced ODD:
+    // ids cycle clusters as id % 64, so an even step visits only
+    // gcd(step, 64)-spaced residues (review r13: step 446 sampled the
+    // 32 even clusters only, leaving odd clusters assigned to remote
+    // near-tied lists); an odd step is coprime to 64 and cycles all.
+    val step = math.max(1L, n / k) | 1L
     val cents: Array[Array[Double]] =
       (0L until n by step).take(k).map(vec).toArray
     val books = trainBooks(0 until 8192, m, subK, iters = 3)
@@ -226,7 +237,12 @@ object VecScaleProbe {
               val h = heaps.getOrElseUpdate(q,
                 scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
               if (h.size < 10) h.enqueue((d, id))
-              else if (d < h.head._1) { h.dequeue(); h.enqueue((d, id)) }
+              // tie rule mirrors the final (d, id) window order: an
+              // equal-distance smaller id must displace the boundary
+              // (the rankTopK lesson — a strict < silently drops it)
+              else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((d, id))
+              }
             }
           }
         }
@@ -263,11 +279,11 @@ object VecScaleProbe {
             .orderBy(col("adq"), col("id"))))
         .filter(col("rk") <= shortlist)
         .select("q", "id")
-      // exact re-rank of the shortlist (the shared engine tail)
-      val bcS = spark.sparkContext.broadcast(
-        sl.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-          .map { case (q, a) => q -> a.map(_._2).toSet })
-      bcS.value.map { case (q, ids) =>
+      // exact re-rank of the shortlist — driver-side over the collected
+      // map (a broadcast here would ship bytes no executor ever reads)
+      val short = sl.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, a) => q -> a.map(_._2).toSet }
+      short.map { case (q, ids) =>
         val qv = bcQ.value(q)
         q -> ids.toSeq.map(id => (l2(vec(id), qv), id)).sorted.take(topK)
           .map(_._2).toSet
@@ -284,9 +300,12 @@ object VecScaleProbe {
 
     // B: write the code table PARTITIONED BY list id, then measure the
     // rows a one-query probed scan actually reads from the source
-    val dir = s"/tmp/graft_vecprobe_v1_$n"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      encoded.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    // always rewritten: a cache keyed on the path would silently serve
+    // STALE assignments after any change to k/vec()/centroid sampling
+    // and every self-check would still pass (review r13); the write is
+    // seconds at this scale
+    val dir = s"/tmp/graft_vecprobe_$n"
+    encoded.write.mode("overwrite").partitionBy("cid").parquet(dir)
     def scanRead(filterLists: Option[Set[Int]]): (Long, Long) = {
       val base = spark.read.parquet(dir)
       val proj = (filterLists match {

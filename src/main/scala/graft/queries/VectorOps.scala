@@ -1298,15 +1298,12 @@ object VectorOps extends Serializable {
 
   // SQL twin of annPqRerank: the ADC shortlist (rk <= 50) re-scored
   // with the exact quantized cosine, then the final top-k
-  private val annPqRerankSql: String =
-    s"""WITH $annPqChainSql,
-        cand AS (SELECT query_id, match_id FROM pqranked WHERE rk <= $PqShortlist),
-        idx AS (SELECT unnest(range(1, 65)) AS i),
-        norms AS MATERIALIZED (
-          SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-                                        CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
-          FROM embeddings, idx GROUP BY vec_id),
-        rdots AS (
+  // Shared exact-rerank tail over a `cand(query_id, match_id)` CTE —
+  // ONE definition of rdots/rescored/rr so the flat-PQ, IVF-PQ and
+  // residual-IVF-PQ oracles cannot drift apart (review r13); callers
+  // must have `idx` and `norms` CTEs in scope.
+  private val rerankTailCtes: String =
+    s"""rdots AS (
           SELECT c.query_id, c.match_id, $dotSql AS dot
           FROM cand c
           JOIN embeddings a ON a.vec_id = c.query_id
@@ -1322,30 +1319,38 @@ object VectorOps extends Serializable {
           SELECT query_id, match_id, sim,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, match_id ASC) AS rk
-          FROM rescored)
-        SELECT query_id, match_id, sim, rk FROM rr
+          FROM rescored)"""
+
+  private val rerankSelect: String =
+    s"""SELECT query_id, match_id, sim, rk FROM rr
         WHERE rk <= $TopK ORDER BY query_id, rk"""
 
-  // SQL twin of annIvfPq — the two existing chains COMPOSED: the
-  // shared epos snap table, the trained-quantizer Lloyd chain +
-  // IVF assignment/probes (verbatim annIvfTrainedSql skeleton), the
-  // probed-list candidate set `ivfcand`, the PQ chain with its ADC
-  // scan restricted to ivfcand, then the standard shortlist + exact
-  // re-rank tail. idx/norms are defined once and shared by the csim
-  // and re-rank stages.
-  private val annIvfPqSql: String = {
-    val last = s"c${KmeansIters - 1}"
-    s"""WITH epos AS MATERIALIZED (
-          SELECT vec_id, CAST(g.pos AS INT) AS pos,
-                 round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
-        ${kmeansCtes(TrainedKSql, KmeansIters - 1, includeEpos = false)},
-        idx AS (SELECT unnest(range(1, 65)) AS i),
+  private val idxNormsCtes: String =
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
         norms AS MATERIALIZED (
           SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
                                         CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
-          FROM embeddings, idx GROUP BY vec_id),
-        tcnorm AS (
+          FROM embeddings, idx GROUP BY vec_id)"""
+
+  // SQL twin of annPqRerank: the ADC shortlist (rk <= 50) re-scored
+  // with the exact quantized cosine, then the final top-k
+  private val annPqRerankSql: String =
+    s"""WITH $annPqChainSql,
+        cand AS (SELECT query_id, match_id FROM pqranked WHERE rk <= $PqShortlist),
+        $idxNormsCtes,
+        $rerankTailCtes
+        $rerankSelect"""
+
+  /** Shared trained-IVF skeleton: tcnorm/cdots/csims/assigned/probes/
+    * ivfcand over the coarse chain's LAST centroid table — one
+    * definition feeding both the raw and residual IVF-PQ oracles
+    * (review r13: two hand-synced copies of this block is exactly the
+    * parity drift kmeansCtes' byte-equivalence warning exists for).
+    * assigned/probes/ivfcand are MATERIALIZED: the residual chain
+    * reads assigned twice (rres + radc) and probes twice
+    * (ivfcand + qres). Expects `epos`, `idx`, `norms` in scope. */
+  private def ivfSkeletonCtes(last: String): String =
+    s"""tcnorm AS (
           SELECT cid, sqrt(sum(round(cx * cx * 1048576)) / 1048576.0) AS nrm
           FROM $last GROUP BY cid),
         cdots AS (
@@ -1359,13 +1364,13 @@ object VectorOps extends Serializable {
           FROM cdots cd
           JOIN norms nv ON nv.vec_id = cd.vec_id
           JOIN tcnorm nc ON nc.cid = cd.cid),
-        assigned AS (
+        assigned AS MATERIALIZED (
           SELECT vec_id, cid FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY csim DESC, cid ASC) AS crk
             FROM csims) t WHERE crk = 1),
-        probes AS (
+        probes AS MATERIALIZED (
           SELECT vec_id AS query_id, cid FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id
@@ -1373,38 +1378,38 @@ object VectorOps extends Serializable {
             FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
         ivfcand AS MATERIALIZED (
           SELECT p.query_id, a.vec_id AS match_id
-          FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+          FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
+
+  private val eposCteM: String =
+    """epos AS MATERIALIZED (
+          SELECT vec_id, CAST(g.pos AS INT) AS pos,
+                 round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g)"""
+
+  // SQL twin of annIvfPq — the two existing chains COMPOSED: the
+  // shared epos snap table, the trained-quantizer Lloyd chain + IVF
+  // skeleton, the probed-list candidate set `ivfcand`, the PQ chain
+  // with its ADC scan restricted to ivfcand, then the shared
+  // shortlist + exact re-rank tail.
+  private val annIvfPqSql: String = {
+    val last = s"c${KmeansIters - 1}"
+    s"""WITH $eposCteM,
+        ${kmeansCtes(TrainedKSql, KmeansIters - 1, includeEpos = false)},
+        $idxNormsCtes,
+        ${ivfSkeletonCtes(last)},
         ${annPqChain(includeEpos = false,
           candJoin = "JOIN ivfcand fc ON fc.query_id = q0.qid AND fc.match_id = v0.vec_id")},
         cand AS (SELECT query_id, match_id FROM pqranked WHERE rk <= $PqShortlist),
-        rdots AS (
-          SELECT c.query_id, c.match_id, $dotSql AS dot
-          FROM cand c
-          JOIN embeddings a ON a.vec_id = c.query_id
-          JOIN embeddings b ON b.vec_id = c.match_id
-          CROSS JOIN idx
-          GROUP BY 1, 2),
-        rescored AS (
-          SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
-          FROM rdots
-          JOIN norms na ON na.vec_id = query_id
-          JOIN norms nb ON nb.vec_id = match_id),
-        rr AS (
-          SELECT query_id, match_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, match_id ASC) AS rk
-          FROM rescored)
-        SELECT query_id, match_id, sim, rk FROM rr
-        WHERE rk <= $TopK ORDER BY query_id, rk"""
+        $rerankTailCtes
+        $rerankSelect"""
   }
 
-  // SQL twin of annIvfPqRes: the trained-IVF skeleton (assigned /
-  // probes / ivfcand, all MATERIALIZED — each is read by 2-3 later
-  // CTEs), snapped per-vector residuals `rres` against the assigned
-  // centroid, residual-sliced Lloyd chains (names r-prefixed), query
-  // residuals PER PROBED LIST (`qres`), per-(query, list, codeword)
-  // ADC tables `rqt{j}`, and the ADC join keyed by the CANDIDATE's
-  // assigned list — then the standard shortlist + exact re-rank tail.
+  // SQL twin of annIvfPqRes: the shared trained-IVF skeleton, snapped
+  // per-vector residuals `rres` against the assigned centroid,
+  // residual-sliced Lloyd chains (names r-prefixed), query residuals
+  // PER PROBED LIST (`qres`), per-(query, list, codeword) ADC tables
+  // `rqt{j}`, the ADC join keyed by the CANDIDATE's assigned list —
+  // then the shared shortlist + exact re-rank tail.
   private val annIvfPqResSql: String = {
     val last = s"c${KmeansIters - 1}"
     val sub = 64 / PqM
@@ -1439,45 +1444,10 @@ object VectorOps extends Serializable {
       s"JOIN rqt$j t$j ON t$j.query_id = fc.query_id AND t$j.cid = av.cid AND t$j.bcid = v$j.cid"
     }.mkString("\n")
     val adq = (0 until PqM).map(j => s"t$j.dq").mkString(" + ")
-    s"""WITH epos AS MATERIALIZED (
-          SELECT vec_id, CAST(g.pos AS INT) AS pos,
-                 round(CAST(embedding[CAST(g.pos AS INT)] AS DOUBLE) * 1048576.0) / 1048576.0 AS x
-          FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g),
+    s"""WITH $eposCteM,
         ${kmeansCtes(TrainedKSql, KmeansIters - 1, includeEpos = false)},
-        idx AS (SELECT unnest(range(1, 65)) AS i),
-        norms AS MATERIALIZED (
-          SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-                                        CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
-          FROM embeddings, idx GROUP BY vec_id),
-        tcnorm AS (
-          SELECT cid, sqrt(sum(round(cx * cx * 1048576)) / 1048576.0) AS nrm
-          FROM $last GROUP BY cid),
-        cdots AS (
-          SELECT v.vec_id, t.cid,
-                 sum(round(CAST(v.embedding[CAST(t.pos AS INT)] AS DOUBLE) *
-                           t.cx * 1048576)) / 1048576.0 AS dot
-          FROM embeddings v CROSS JOIN $last t
-          GROUP BY 1, 2),
-        csims AS MATERIALIZED (
-          SELECT cd.vec_id, cd.cid, round(cd.dot / (nv.nrm * nc.nrm), 6) AS csim
-          FROM cdots cd
-          JOIN norms nv ON nv.vec_id = cd.vec_id
-          JOIN tcnorm nc ON nc.cid = cd.cid),
-        assigned AS MATERIALIZED (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY csim DESC, cid ASC) AS crk
-            FROM csims) t WHERE crk = 1),
-        probes AS MATERIALIZED (
-          SELECT vec_id AS query_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY csim DESC, cid ASC) AS crk
-            FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
-        ivfcand AS MATERIALIZED (
-          SELECT p.query_id, a.vec_id AS match_id
-          FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+        $idxNormsCtes,
+        ${ivfSkeletonCtes(last)},
         rres AS MATERIALIZED (
           SELECT e.vec_id, e.pos,
                  round((e.x - c.cx) * 1048576.0) / 1048576.0 AS x
@@ -1504,26 +1474,10 @@ object VectorOps extends Serializable {
                                     ORDER BY adq, match_id) AS rk
           FROM radc),
         cand AS (SELECT query_id, match_id FROM rranked WHERE rk <= $PqShortlist),
-        rdots AS (
-          SELECT c.query_id, c.match_id, $dotSql AS dot
-          FROM cand c
-          JOIN embeddings a ON a.vec_id = c.query_id
-          JOIN embeddings b ON b.vec_id = c.match_id
-          CROSS JOIN idx
-          GROUP BY 1, 2),
-        rescored AS (
-          SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
-          FROM rdots
-          JOIN norms na ON na.vec_id = query_id
-          JOIN norms nb ON nb.vec_id = match_id),
-        rr AS (
-          SELECT query_id, match_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, match_id ASC) AS rk
-          FROM rescored)
-        SELECT query_id, match_id, sim, rk FROM rr
-        WHERE rk <= $TopK ORDER BY query_id, rk"""
+        $rerankTailCtes
+        $rerankSelect"""
   }
+
 
   def oracle: Map[String, String] = Map(
     "vec_ann_pq" -> annPqSql,
