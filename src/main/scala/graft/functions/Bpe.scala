@@ -24,6 +24,14 @@ package graft.functions
   * times — abutting chains of n occurrences resolve in n passes, and
   * n is bounded by wordlen/2. Symbols never contain spaces, so passes
   * are otherwise idempotent.
+  *
+  * Base-symbol domain: CODEPOINTS, on both sides. The SQL spaces
+  * characters out with RE2 `(?s)(.)` — `.` matches whole codepoints
+  * and, under `(?s)`, newlines too — so [[encode]] iterates
+  * codepoints (a surrogate pair is ONE base symbol, a newline is a
+  * symbol like any other), keeping the JVM kernel and the oracle in
+  * lockstep on non-ASCII and newline-bearing text (ADVICE r13 #1;
+  * BpeSpec pins both cases).
   */
 object Bpe extends Serializable {
 
@@ -53,10 +61,23 @@ object Bpe extends Serializable {
     * corpus' longest word (8 chars). */
   val SqlPasses = 5
 
+  /** Codepoint split — the base-symbol domain shared with the SQL
+    * twin's `(?s)(.)` spacing (see the object scaladoc). */
+  private[graft] def baseSymbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Encode one word: per rule, one left-to-right pass merging every
     * non-overlapping adjacent (x, y) into xy. */
   def encode(word: String): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = baseSymbols(word)
     Merges.foreach { case (x, y) =>
       if (syms.length > 1) {
         val out = Vector.newBuilder[String]

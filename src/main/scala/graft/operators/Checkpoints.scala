@@ -70,11 +70,20 @@ object Checkpoints {
             }
           }
         case None =>
-          if (sc.getCheckpointDir.isEmpty) throw new IllegalStateException(
-            s"$ReliableConf=true needs SparkContext.setCheckpointDir(...) " +
-              s"or the $DirConf conf to name a fault-tolerant directory")
+          requireReliableDir(sc.getCheckpointDir)
       }
       df.checkpoint(eager = eager)
     } else df.localCheckpoint(eager = eager)
   }
+
+  /** The no-directory guard of reliable mode, factored out so its
+    * error path is unit-testable regardless of whether earlier suites
+    * already set the shared context's checkpoint dir (ADVICE r13 #4):
+    * with no `spark.graft.checkpoint.dir` conf and no context-level
+    * dir, fail loudly — silently falling back to localCheckpoint
+    * would void the reliability the caller asked for. */
+  private[graft] def requireReliableDir(contextDir: Option[String]): Unit =
+    if (contextDir.isEmpty) throw new IllegalStateException(
+      s"$ReliableConf=true needs SparkContext.setCheckpointDir(...) " +
+        s"or the $DirConf conf to name a fault-tolerant directory")
 }

@@ -720,7 +720,10 @@ object TextOps {
     * symbols as spaces−1. Encoding runs over the vocabulary only —
     * the per-doc join fans the tiny count table back out. */
   private val bpeCntCtes: String = {
-    val spaced = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+    // (?s) so a newline inside a word is spaced like any other symbol;
+    // RE2's '.' matches whole codepoints, matching Bpe.baseSymbols'
+    // codepoint iteration (ADVICE r13 #1)
+    val spaced = """' ' || regexp_replace(w, '(?s)(.)', '\1 ', 'g')"""
     s"""bpev AS (
           SELECT DISTINCT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w)),
         bpee AS (

@@ -416,9 +416,15 @@ object EventsStream {
     * summary and folds each micro-batch's slice into it via
     * [[graft.operators.HeavyHitters.misraGriesInto]] — the state
     * machine's transition depends only on (current counters, next
-    * item), so the result is IDENTICAL to one pass over the full
-    * (ts_us, event_id)-ordered stream, and therefore invariant under
-    * micro-batch boundary placement (MicroBatchSplitSpec).
+    * item), so as long as micro-batch cuts PRESERVE event-time order
+    * (each batch's events follow the previous batch's, the regime
+    * MicroBatchSplitSpec exercises), the result is identical to one
+    * pass over the full (ts_us, event_id)-ordered stream regardless
+    * of where the cuts land. Late-arriving data breaks that scope:
+    * per-batch sorting cannot restore global order across batches, so
+    * under out-of-order ingestion only the Misra–Gries
+    * candidate-superset guarantee below survives, not pass-for-pass
+    * determinism (ADVICE r13 #2).
     *
     * Guarantee carried over from the batch operator: any key whose
     * count in its bucket's stream exceeds n_bucket/k survives. The
@@ -428,8 +434,8 @@ object EventsStream {
     * (MicroBatchSplitSpec pins it against the batch truth).
     *
     * The sketched key mixes the heavy user keys with a unique
-    * per-event tail (`user_id` for even event ids, a shifted
-    * `event_id` otherwise) — the hitter-shaped distribution (few heavy
+    * per-event tail (`user_id` for even event ids, a low-bit-tagged
+    * `event_id` otherwise — see [[hitterKey]]) — the hitter-shaped distribution (few heavy
     * keys over an unbounded tail) that makes a bounded sketch
     * necessary in the first place; sketching `user_id` alone would
     * never exercise a decrement round at this fixture's cardinality.
@@ -451,9 +457,13 @@ object EventsStream {
   val EmptySummaryKey: Long = Long.MinValue
 
   /** The sketched key for one event — shared by the stream and the
-    * spec's batch truth. */
+    * spec's batch truth. The user-id space and the per-event tail
+    * space are DISJOINT-TAGGED by the low bit (user keys even, event
+    * keys odd) — an additive offset would alias the spaces once
+    * user_id crosses the offset, silently merging distinct hitters
+    * into one counter (ADVICE r13 #3). */
   def hitterKey(eventId: Long, userId: Long): Long =
-    if (eventId % 2 == 0) userId else 1000000L + eventId
+    if (eventId % 2 == 0) userId << 1 else (eventId << 1) | 1L
 
   /** Bucket of a sketched key: multiplicative scramble before the
     * modulus — plain `key % buckets` would correlate with the key

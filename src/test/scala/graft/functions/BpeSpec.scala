@@ -25,7 +25,7 @@ class BpeSpec extends AnyFunSuite {
     * occurrence, re-evaluate from scratch. The slowest, most
     * conservative formulation. */
   private def iterative(word: String): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = Bpe.baseSymbols(word)
     var done = false
     while (!done) {
       val hit = Bpe.Merges.find { case (x, y) =>
@@ -78,5 +78,19 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encode("table") === Vector("ta", "b", "le"))
     assert(Bpe.encode("customer") === Vector("c", "u", "st", "o", "m", "er"))
     assert(Bpe.count("window") < "window".length, "no compression on 'window'")
+  }
+
+  test("base-symbol domain is codepoints: newline and non-BMP text match the SQL's (?s)(.)") {
+    // RE2 '(?s)(.)' spaces a word of N codepoints into N symbols; the
+    // kernel must count the same N (ADVICE r13 #1). '\n' is a symbol;
+    // an astral codepoint (surrogate pair in UTF-16) is ONE symbol.
+    assert(Bpe.baseSymbols("a\nb") === Vector("a", "\n", "b"))
+    assert(Bpe.count("a\nb") === 3)
+    val astral = new String(Character.toChars(0x1F600)) // one codepoint, two chars
+    assert(Bpe.baseSymbols("x" + astral + "y") === Vector("x", astral, "y"))
+    assert(Bpe.count("x" + astral + "y") === 3,
+      "surrogate pair counted as two base symbols — diverges from RE2 codepoint '.'")
+    // segmentation stays lossless on mixed content
+    assert(Bpe.encode("the\nth" + astral).mkString === "the\nth" + astral)
   }
 }

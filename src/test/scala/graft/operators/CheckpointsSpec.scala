@@ -39,6 +39,18 @@ class CheckpointsSpec extends AnyFunSuite {
     walk(dir)
   }
 
+  test("reliable-mode no-directory guard always throws (order-independent unit path)") {
+    // ADVICE r13 #4: the integration form below assume-skips whenever
+    // an earlier suite set the shared context's checkpoint dir, so the
+    // error path's coverage was suite-order dependent. The guard is a
+    // pure function of the context-dir state — exercise it directly.
+    val ex = intercept[IllegalStateException] {
+      Checkpoints.requireReliableDir(None)
+    }
+    assert(ex.getMessage.contains(Checkpoints.DirConf))
+    Checkpoints.requireReliableDir(Some("/anywhere")) // dir present: no throw
+  }
+
   test("reliable=true without any directory fails loudly, not silently local") {
     import spark.implicits._
     assume(spark.sparkContext.getCheckpointDir.isEmpty,

@@ -9,6 +9,20 @@ import graft.multimodal.MultimodalOps
 class EventsStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("hitterKey: user and event-tail key spaces are disjoint at any magnitude") {
+    // ADVICE r13 #3: the old additive offset aliased user_id >= 1e6
+    // with event-tail keys. Low-bit tagging keeps them disjoint for
+    // every id this side of Long overflow.
+    val ids = Seq(0L, 1L, 3L, 999999L, 1000000L, 1000001L, 123456789L, (1L << 40))
+    val userKeys = ids.map(u => EventsStream.hitterKey(2L, u)).toSet
+    val eventKeys = ids.map(e => EventsStream.hitterKey(e * 2 + 1, 7L)).toSet
+    assert(userKeys.forall(k => (k & 1L) == 0L), "user keys must be even-tagged")
+    assert(eventKeys.forall(k => (k & 1L) == 1L), "event tail keys must be odd-tagged")
+    assert(userKeys.intersect(eventKeys).isEmpty)
+    assert(ids.forall(u => EventsStream.hitterKey(2L, u) >= 0L),
+      "sentinel disjointness relies on real keys staying non-negative")
+  }
+
   test("windowedCounts over readStream matches the batch result") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
