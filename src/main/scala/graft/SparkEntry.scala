@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ RelationalOps.analyticsQueries ++
       TextOps.queries ++ VectorOps.queries ++
-      PipelineOps.queries ++ GraphOps.queries ++ OsmQueries.queries ++ Map(
+      PipelineOps.queries ++ GraphOps.queries ++ SearchOps.queries ++ OsmQueries.queries ++ Map(
       "q1_agg" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         s.read.parquet(s"$dir/lineitem.parquet")
@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ RelationalOps.analyticsOracle ++
       TextOps.oracle ++ VectorOps.oracle ++
-      PipelineOps.oracle ++ GraphOps.oracle ++ OsmQueries.oracle ++ Map(
+      PipelineOps.oracle ++ GraphOps.oracle ++ SearchOps.oracle ++ OsmQueries.oracle ++ Map(
       "q1_agg" -> "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
 }

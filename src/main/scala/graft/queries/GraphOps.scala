@@ -80,9 +80,62 @@ object GraphOps extends Serializable {
     * `spark.graft.pagerank.iters`, default 3 — the oracle SQL unrolls
     * exactly 3, so the gate runs the default; the conf is the tuning
     * knob for ad-hoc use (more iterations = same plan, repeated). */
+  /** Degree-oriented (compact-forward) triangle listing. Input: an
+    * undirected distinct edge table (u, v) with u < v. Each edge is
+    * ORIENTED from its lower-(deg, id) endpoint to the higher; wedges
+    * are enumerated at their lowest-ordered vertex (two oriented
+    * out-edges) and closed by a semi join against the oriented edge
+    * between the two wedge tips — each triangle is found exactly once,
+    * at its minimum-(deg, id) corner.
+    *
+    * Why orient by DEGREE instead of the id order the input already
+    * has: the wedge join fans out quadratically in the max OUT-degree,
+    * and id-orientation leaves hub vertices (present in real dedup
+    * graphs: one template document near-duplicating thousands) with
+    * out-degree ≈ their full degree. Degree-orientation bounds every
+    * out-degree by O(√m) (a vertex keeps an out-edge only toward
+    * HIGHER-degree endpoints, and there can only be √(2m) vertices of
+    * degree ≥ √(2m)), so the wedge stage is O(m^1.5) worst-case and
+    * arboricity-bounded in practice — the standard distributed
+    * triangle bound. GraphTrianglesSpec pins parity with a naive
+    * closed-form count on random graphs including a star + hub
+    * fixture where id-orientation would wedge quadratically. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val p = edges.toDF("u", "v")
+    val deg = p.select(col("u").as("x")).union(p.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val pd = p
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // u < v throughout, so lexicographic (deg, id) order reduces to
+    // du <= dv (ties break toward the smaller id, which is u)
+    val oriented = pd.select(
+      when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
+      when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddst"))
+    val e1 = oriented.select(col("src"), col("dst").as("b1"), col("ddst").as("db1"))
+    val e2 = oriented.select(col("src"), col("dst").as("b2"), col("ddst").as("db2"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("db1") < col("db2") ||
+        (col("db1") === col("db2") && col("b1") < col("b2")))
+    // the closing edge for tips ordered (db1,b1) < (db2,b2) is, by the
+    // same orientation rule, exactly (src=b1, dst=b2)
+    val closed = wedges.join(
+      oriented.select(col("src").as("b1"), col("dst").as("b2")),
+      Seq("b1", "b2"), "left_semi")
+    closed
+      .select(array_sort(array(col("src"), col("b1"), col("b2"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+      .orderBy("a", "b", "c")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
-      pagerank(s, dir, s.conf.get("spark.graft.pagerank.iters", "3").toInt)))
+      pagerank(s, dir, s.conf.get("spark.graft.pagerank.iters", "3").toInt)),
+    // mutual near-duplicate triples on the simhash pair graph — the
+    // clique-ish structure a dedup-cluster QA pass looks for
+    "graph_triangles" -> ((s, dir) =>
+      triangles(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))))
 
   private def iterSql(i: Int): String =
     s"""r$i AS (
@@ -92,6 +145,16 @@ object GraphOps extends Serializable {
           GROUP BY e.dst)"""
 
   def oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ${OracleSql.simhashCte},
+          p AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+          SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+          FROM p e1 JOIN p e2 ON e1.idb = e2.ida
+          JOIN p e3 ON e3.ida = e1.ida AND e3.idb = e2.idb
+          ORDER BY a, b, c""",
     "graph_pagerank" ->
       s"""WITH e0 AS (
             SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

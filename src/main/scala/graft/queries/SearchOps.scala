@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval over the document corpus — the sparse/lexical complement
+  * to VectorOps' dense ANN stack, plus the fusion that makes the two
+  * a production retrieval pipeline (RAG data curation, dedup-aware
+  * sampling, eval-set mining):
+  *
+  *  - `text_chunk`: sliding-window chunking (size 32, stride 24
+  *    tokens) — the narrow flatMap that fans documents out into the
+  *    retrieval/embedding units every RAG pipeline starts from.
+  *  - `search_bm25_topk`: BM25 top-k retrieval through the
+  *    inverted-index plan shape (posting lists = `tf` grouped by
+  *    term; the query-term table and the vocabulary-sized `df` table
+  *    ride as broadcasts; candidates are generated per posting-list
+  *    entry, never per (query × doc)).
+  *  - `search_hybrid_rrf`: Reciprocal Rank Fusion of the BM25 ranks
+  *    with the trained-IVF dense ANN ranks — score = Σ 1/(60+rank),
+  *    the standard hybrid-search combiner.
+  *
+  * Determinism doctrine (the ln-free BM25 variant): classic BM25's
+  * `ln((N-df+0.5)/(df+0.5) + 1)` is the ONE sub-expression whose
+  * value is not IEEE-defined (libm vs Math.log may differ at 1 ulp),
+  * so the oracled scoring uses the exact-rational idf
+  * `(N+1)/(df+0.5) = (2N+2)/(2df+1)` — the log's argument itself,
+  * skipping the log. Monotone in df like the classic weight, and the
+  * whole per-term score becomes a ratio of two exact BIGINTs:
+  *
+  *   term = 88·(N+1)·tf·S / ((2df+1)·(20·tf·S + 6·S + 18·dl·N))
+  *
+  * (k1 = 6/5, b = 3/4, avgdl = S/N multiplied through; N docs,
+  * S total tokens, dl doc length). Numerator and denominator stay
+  * far below 2^53, int→double conversion and division are correctly
+  * rounded in every IEEE engine, and the quotient is snapped to the
+  * 2^-20 lattice so the per-(query,doc) SUM is exact and
+  * order-independent — the vec_kmeans doctrine applied to retrieval.
+  * The log-idf variant is pinned separately in SearchOpsSpec (same
+  * top-k on the fixture corpus; rank-equivalence is per-term, not
+  * global, so the spec asserts the fixture outcome, not an identity).
+  *
+  * Scale (100 TB): tokenize/tf/dl are one shuffle each on (doc, term)
+  * / doc; `df` and the query-term table are vocabulary- and
+  * query-batch-sized broadcasts; per-query top-k goes through
+  * [[VectorOps.rankTopK]]'s per-partition bounded heap, so the final
+  * ranking window sees ≤ k × nQueries × numPartitions rows — no
+  * corpus-sized per-query funnel. RRF fuses two already-top-k lists
+  * (≤ 2k rows per query by construction). Corpus scalars (N, S) are
+  * two longs collected at plan time — the a12-bloom bounded planning
+  * tier; folding them in as literals keeps the per-term arithmetic
+  * codegen'd and avoids the constant-key-join
+  * BroadcastNestedLoopJoin trap (PlanLint-forbidden).
+  */
+object SearchOps extends Serializable {
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+  /** Query docs: doc_id < 5 — aligned with VectorOps' `vec_id < 5`
+    * query batch so the hybrid fusion joins the two stacks on the
+    * same query ids (documents and embeddings share the id domain). */
+  private val NQueries = 5
+  private val TopK = 10
+  /** RRF smoothing constant (Cormack et al. 2009's k=60). */
+  private val RrfK = 60
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** (doc_id, term) token stream — `split(_, " ", -1)` keeps trailing
+    * empties like DuckDB's string_split (the Scala-split trap). */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+
+  /** Sliding-window chunking: windows of [[ChunkSize]] tokens every
+    * [[ChunkStride]] (8-token overlap), last window ragged; every doc
+    * yields ≥ 1 chunk. Pure narrow per-row flatMap — the whole plan
+    * is one codegen'd stage over the scan, nothing shuffles until the
+    * presentation sort. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    t.withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $ChunkSize, 0L) + ${ChunkStride - 1}) div $ChunkStride"))))
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n") - col("chunk_id") * ChunkStride, lit(ChunkSize.toLong))
+          .as("n_tokens"),
+        array_join(
+          slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)),
+          " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** BM25 top-k, query-by-example (each query doc's distinct terms as
+    * the query), ln-free rational idf (object scaladoc). Returns
+    * (query_id, match_id, score, rk), self-match excluded. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus scalars at plan time (bounded planning tier): N docs,
+    // S total tokens — two longs, one aggregation job
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val n = g.getLong(0)
+    val sTok = g.getLong(1)
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = tf.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // posting-list candidate generation: broadcast the query terms
+    // into the tf (posting) table — work is Σ posting-list lengths of
+    // query terms, never |queries| × |corpus|
+    val cand = tf.join(broadcast(q), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val terms = cand.join(broadcast(dfr), Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("tq", expr(
+        s"round(cast(88L * ${n + 1}L * tf * ${sTok}L as double) / " +
+          s"cast((2L*df + 1L) * (20L * tf * ${sTok}L + ${6 * sTok}L + 18L * dl * ${n}L) as double)" +
+          s" * 1048576d) / 1048576d"))
+    val scores = terms.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("tq")), 6).as("sim"))
+      .select(col("query_id"), col("doc_id").as("match_id"), col("sim"))
+    VectorOps.rankTopK(scores, TopK).withColumnRenamed("sim", "score")
+  }
+
+  /** Reciprocal Rank Fusion of the sparse (BM25) and dense
+    * (trained-IVF ANN) top-k lists: rrf = Σ 1/(60+rank) over the
+    * lists a doc appears in, re-ranked. Every arithmetic step is a
+    * single IEEE op on identical inputs in both engines (1.0/(60+rk)
+    * then one addition), so no lattice snap is needed. The per-query
+    * candidate set is ≤ 2·k rows by construction, so the ranking
+    * window is bounded regardless of corpus size. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(bm25TopK(s, dir), VectorOps.annIvfTrainedDefault(s, dir), TopK)
+
+  /** The fusion itself, over any two (query_id, match_id, rk) ranked
+    * lists — factored out so the spec can pin the arithmetic on
+    * hand-built lists. */
+  private[graft] def rrfFuse(sparse: DataFrame, dense: DataFrame,
+      k: Int): DataFrame = {
+    val sp = sparse.select(col("query_id"), col("match_id"), col("rk").as("rks"))
+    val de = dense.select(col("query_id"), col("match_id"), col("rk").as("rkd"))
+    val fused = sp.join(de, Seq("query_id", "match_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rks")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rkd")), lit(0.0)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("match_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "match_id", "rrf", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
+    "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
+    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)))
+
+  /** Shared BM25 CTE chain (SQL twin of [[bm25TopK]] minus the final
+    * projection) — also nested by the hybrid oracle. */
+  private val bm25Sql: String =
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        gl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+        qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < $NQueries),
+        cand AS (
+          SELECT qt.query_id, tf.doc_id, tf.term, tf.tf FROM qt JOIN tf USING (term)
+          WHERE tf.doc_id <> qt.query_id),
+        trm AS (
+          SELECT query_id, c.doc_id,
+                 round(CAST(88 * (gl.n + 1) * c.tf * gl.s AS DOUBLE)
+                       / CAST((2 * dfr.df + 1) * (20 * c.tf * gl.s + 6 * gl.s + 18 * dl.dl * gl.n) AS DOUBLE)
+                       * 1048576) / 1048576.0 AS tq
+          FROM cand c JOIN dfr USING (term) JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN gl),
+        bscore AS (SELECT query_id, doc_id, round(sum(tq), 6) AS score FROM trm GROUP BY 1, 2),
+        branked AS (
+          SELECT query_id, doc_id AS match_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+          FROM bscore)
+        SELECT query_id, match_id, score, rk FROM branked
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  def oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents),
+          gs AS (SELECT unnest(range(0, 1000)) AS g),
+          c AS (
+            SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,
+                   least(n - g * $ChunkStride, $ChunkSize) AS n_tokens,
+                   array_to_string(
+                     toks[(CAST(g * $ChunkStride + 1 AS INT)):(CAST(g * $ChunkStride + $ChunkSize AS INT))],
+                     ' ') AS chunk
+            FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)
+          SELECT doc_id, chunk_id, n_tokens, chunk FROM c ORDER BY doc_id, chunk_id""",
+    "search_bm25_topk" -> bm25Sql,
+    "search_hybrid_rrf" ->
+      s"""WITH sp AS MATERIALIZED ($bm25Sql),
+          de AS MATERIALIZED (${VectorOps.oracle("vec_ann_ivf_trained")}),
+          fused AS (
+            SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+                   coalesce(sp.match_id, de.match_id) AS match_id,
+                   round(coalesce(1.0 / ($RrfK + sp.rk), 0) +
+                         coalesce(1.0 / ($RrfK + de.rk), 0), 6) AS rrf
+            FROM sp FULL OUTER JOIN de
+              ON sp.query_id = de.query_id AND sp.match_id = de.match_id),
+          rranked AS (
+            SELECT query_id, match_id, rrf,
+                   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, match_id ASC) AS rk
+            FROM fused)
+          SELECT query_id, match_id, rrf, rk FROM rranked
+          WHERE rk <= $TopK ORDER BY query_id, rk""")
+}

@@ -52,6 +52,11 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The hamming ≤ 3 near-dup pair graph over the corpus — the edge
+    * input of [[GraphOps.triangles]] (`graph_triangles`). */
+  private[graft] def simhashPairsForGraph(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(docs(s, dir), 3)
+
   /** Distinct character 3-grams per doc as a long (doc_id, gram) table. */
   private def gramTable(d: DataFrame): DataFrame =
     d.select(col("doc_id"),

@@ -620,6 +620,11 @@ object VectorOps extends Serializable {
       nprobe: Int): DataFrame =
     annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe)
 
+  /** The gate-default trained-IVF list (the `vec_ann_ivf_trained`
+    * tuning) — the dense side of [[SearchOps.hybridRrf]]. */
+  private[graft] def annIvfTrainedDefault(s: SparkSession, dir: String): DataFrame =
+    annIvfTrained(s, dir, KmeansIters, NProbe)
+
   /** The trained coarse quantizer with engine-lattice norms: k is
     * EXACTLY the sampled quantizer's list count (a count at plan
     * time — same tier as a12's bloom build), centroids from
