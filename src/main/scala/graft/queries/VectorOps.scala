@@ -240,6 +240,16 @@ object VectorOps extends Serializable {
       recallEval(bruteforceTopK(s, dir),
         annIvfPqRes(s, dir, PqM, PqK, PqIters, NProbe, PqShortlist))),
 
+    // 8-bit scalar quantization flat scan (FAISS SQ8) — the 8×
+    // compression / near-exact-recall point of the quantization
+    // family; see [[annSq8]]
+    "vec_ann_sq8" -> ((s, dir) => annSq8(s, dir)),
+
+    // recall@k of the SQ8 scan against the full-precision truth —
+    // reads against vec_ann_pq's 32×-compression recall
+    "vec_recall_eval_sq8" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir), annSq8(s, dir))),
+
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
     // 2023): seeds = the k lowest vec_ids, every coordinate grid-
@@ -624,6 +634,77 @@ object VectorOps extends Serializable {
     * tuning) — the dense side of [[SearchOps.hybridRrf]]. */
   private[graft] def annIvfTrainedDefault(s: SparkSession, dir: String): DataFrame =
     annIvfTrained(s, dir, KmeansIters, NProbe)
+
+  /** Scalar quantization (FAISS ScalarQuantizer QT_8bit): each
+    * dimension mapped to one byte on the corpus' per-dimension
+    * [min, max] grid — 8× scan compression over float64 working
+    * vectors (4× over the stored float32) with near-exact recall,
+    * the cheap middle ground between full-precision flat scan and
+    * PQ's 32×. Scoring is ASYMMETRIC (query full-precision vs decoded
+    * codes), like the ADC convention of the PQ family.
+    *
+    * Determinism: min/max are exact order-independent aggregates;
+    * encode `round((x-mn)/(mx-mn)·255)` and decode
+    * `mn + code/255·(mx-mn)` are fixed sequences of correctly-rounded
+    * IEEE ops, so both engines produce bit-identical decoded doubles,
+    * and the scoring reuses the 2^-20-lattice quantized cosine
+    * (per-product snap ⇒ exact order-independent sums). A constant
+    * dimension (mx = mn) encodes 0 and decodes to mn in both engines.
+    *
+    * The per-dimension (mn, mx) table is 128 doubles collected at
+    * plan time — the centroid planning tier. The flat code scan is
+    * the SQ analogue of vec_topk_bruteforce (broadcast queries, one
+    * narrow decode+score pass, bounded-heap top-k); for nprobe-pruned
+    * scans compose with the IVF lists exactly as vec_ann_ivfpq does. */
+  /** The per-dimension [min, max] grid as two array literals (plan
+    * time, 128 doubles). */
+  private def sq8Grid(e: DataFrame): (Column, Column) = {
+    val mm = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("d").collect()
+    (array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*),
+      array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*))
+  }
+
+  private def sq8Encode(v: Column, mnC: Column, mxC: Column): Column =
+    transform(v, (x, i) => {
+      val mn = element_at(mnC, i + 1)
+      val mx = element_at(mxC, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(round((x - mn) / (mx - mn) * lit(255.0)).cast("int"))
+    })
+
+  private def sq8Decode(codes: Column, mnC: Column, mxC: Column): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(mnC, i + 1)
+      val mx = element_at(mxC, i + 1)
+      mn + c.cast("double") / lit(255.0) * (mx - mn)
+    })
+
+  private[graft] def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (mnC, mxC) = sq8Grid(e)
+    val dec = e.select(col("vec_id").as("match_id"),
+        sq8Decode(sq8Encode(col("v"), mnC, mxC), mnC, mxC).as("vb"))
+      .withColumn("nb", expr(
+        s"sqrt(aggregate(vb, 0.0d, (a, x) -> a + round(x * x * ${Q}d)) / ${Q}d)"))
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val scored = dec.join(broadcast(q))
+      .filter(col("match_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+    rankTopK(scored, TopK)
+  }
+
+  /** (vec_id, codes, decoded) — exposed for Sq8Spec's byte-range and
+    * reconstruction-error pins. */
+  private[graft] def sq8Table(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (mnC, mxC) = sq8Grid(e)
+    e.select(col("vec_id"), col("v"),
+        sq8Encode(col("v"), mnC, mxC).as("codes"))
+      .withColumn("decoded", sq8Decode(col("codes"), mnC, mxC))
+  }
 
   /** The trained coarse quantizer with engine-lattice norms: k is
     * EXACTLY the sampled quantizer's list count (a count at plan
@@ -1484,7 +1565,56 @@ object VectorOps extends Serializable {
   }
 
 
+  /** SQL twin of [[annSq8]]: per-dim min/max, encode/decode as the
+    * identical correctly-rounded op sequence, decoded-norm quadrature
+    * and quantized asymmetric cosine on the standard skeleton. */
+  private val annSq8Sql =
+    s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        mm AS (
+          SELECT i, min(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mn,
+                 max(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mx
+          FROM embeddings, idx GROUP BY i),
+        dec AS (
+          SELECT e.vec_id, m.i,
+                 m.mn + (CASE WHEN m.mx = m.mn THEN 0
+                         ELSE CAST(round((CAST(e.embedding[CAST(m.i AS INT)] AS DOUBLE) - m.mn)
+                                         / (m.mx - m.mn) * 255) AS INT) END)
+                       / 255.0 * (m.mx - m.mn) AS dv
+          FROM embeddings e, mm m),
+        dnorm AS (
+          SELECT vec_id, sqrt(sum(round(dv * dv * 1048576)) / 1048576.0) AS nrm
+          FROM dec GROUP BY vec_id),
+        qnorm AS (
+          SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                                        CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
+          FROM embeddings, idx WHERE vec_id < $QueryIds GROUP BY vec_id),
+        dots AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS match_id,
+                 sum(round(CAST(q.embedding[CAST(d.i AS INT)] AS DOUBLE) * d.dv * 1048576)) / 1048576.0 AS dot
+          FROM embeddings q JOIN dec d ON q.vec_id < $QueryIds AND d.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, match_id, round(dot / (qn.nrm * dn.nrm), 6) AS sim
+          FROM dots
+          JOIN qnorm qn ON qn.vec_id = query_id
+          JOIN dnorm dn ON dn.vec_id = match_id),
+        ranked AS (
+          SELECT query_id, match_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, match_id ASC) AS rk
+          FROM scored)
+        SELECT query_id, match_id, sim, rk FROM ranked
+        WHERE rk <= $TopK ORDER BY query_id, rk"""
+
   def oracle: Map[String, String] = Map(
+    "vec_ann_sq8" -> annSq8Sql,
+    "vec_recall_eval_sq8" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annSq8Sql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_pq" -> annPqSql,
     "vec_ann_pq_rerank" -> annPqRerankSql,
     "vec_ann_ivfpq" -> annIvfPqSql,

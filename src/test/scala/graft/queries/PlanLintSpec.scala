@@ -22,7 +22,11 @@ class PlanLintSpec extends AnyFunSuite {
   private val nestedLoopAllowed =
     Set("vec_topk_bruteforce", "vec_neardup_pairs",
       "vec_recall_eval", "vec_recall_eval_ivf", "vec_recall_eval_trained",
-      "vec_recall_eval_ivfpq", "vec_recall_eval_ivfpq_res")
+      "vec_recall_eval_ivfpq", "vec_recall_eval_ivfpq_res",
+      // SQ8 is deliberately a FLAT scan over decoded codes (the
+      // brute-force shape at 8× compression); its recall eval embeds
+      // both it and the brute-force truth
+      "vec_ann_sq8", "vec_recall_eval_sq8")
   // the 2M-node scale probes generate their extract on first touch —
   // too heavy for a lint pass that only inspects plans
   private val skip = Set("osm_big_pois", "osm_big_topology", "osm_big_buildings")
