@@ -39,7 +39,7 @@ object Bench {
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",
     "ev_asof_join", "ev_range_join", "ev_funnel", "ev_retention", "ev_top_paths",
-    "ev_anomaly", "ev_sliding_agg", "ev_locf_resample",
+    "ev_anomaly", "ev_sliding_agg", "ev_locf_resample", "ev_attribution",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "pipe_pii_mask", "pipe_pack_sequences",
     "text_bpe_tokens", "pipe_pack_sequences_bpe", "text_vocab_topk",

@@ -124,6 +124,53 @@ object PipelineOps {
         .orderBy("probe_id")
     }),
 
+    // Position-based (U-shaped 40/20/40) multi-touch attribution:
+    // every purchase distributes exactly 100 credit hundredths over
+    // its view/click touches in the 7-day lookback — first and last
+    // touch 40 each, the middle 20 split by integer div with the
+    // remainder to the earliest middles (n=1 → 100, n=2 → 50/50).
+    // Integer credits are the pipe_mix_weighted doctrine: exact,
+    // engine-independent, and per-conversion sums are EXACTLY 100
+    // (AttributionSpec pins it). The touch×conversion pairing is the
+    // ev_range_join bucketization — conversions explode into the 8
+    // day-buckets their lookback covers and the join is EQUI on
+    // (user_id, day) with the residual range predicate, so the
+    // comparison space stays per-(user, day)-cell at any scale; the
+    // position window partitions by conv_id (per-conversion touch
+    // count is activity-bounded, never corpus-bounded).
+    "ev_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400L * 1000000L
+      val lookUs = 7L * dayUs
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", graft.streaming.EventTime.tsUs(ev0))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts_us").as("cts"))
+        .withColumn("bucket", explode(sequence(
+          expr(s"(cts - $lookUs) div $dayUs"), expr(s"cts div $dayUs"))))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("event_type").as("touch_type"), col("ts_us").as("tts"))
+        .withColumn("bucket", expr(s"tts div $dayUs"))
+      val cand = conv.join(touch, Seq("user_id", "bucket"))
+        .filter(col("tts") < col("cts") && col("tts") >= col("cts") - lookUs)
+      val wOrd = Window.partitionBy("conv_id").orderBy("tts", "touch_id")
+      cand
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("conv_id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("credit", expr(
+          """cast(case when n = 1 then 100 when n = 2 then 50
+                       when idx = 1 or idx = n then 40
+                       else 20 div (n - 2) +
+                            (case when idx - 2 < 20 % (n - 2) then 1 else 0 end)
+                  end as int)"""))
+        .select("conv_id", "touch_id", "touch_type", "credit")
+        .orderBy("conv_id", "touch_id")
+    }),
+
     // dedup-on-ingest, batch form: first event (by event time) per
     // (user_id, event_type); EventsStream.dedupStream is the
     // state-store streaming twin (EventsStreamSpec). Ordering is
@@ -673,6 +720,30 @@ object PipelineOps {
           AND epoch_us(c.ts) > epoch_us(v.ts)
           AND epoch_us(c.ts) <= epoch_us(v.ts) + 3600000000
          ORDER BY view_id, click_id""",
+    "ev_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         conv AS (
+           SELECT event_id AS conv_id, user_id, ts_us AS cts FROM ev
+           WHERE event_type = 'purchase'),
+         touch AS (
+           SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts_us AS tts
+           FROM ev WHERE event_type IN ('view', 'click')),
+         cand AS (
+           SELECT c.conv_id, t.touch_id, t.touch_type, t.tts
+           FROM conv c JOIN touch t ON t.user_id = c.user_id
+            AND t.tts < c.cts AND t.tts >= c.cts - 604800000000),
+         pos AS (
+           SELECT conv_id, touch_id, touch_type,
+                  row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) AS idx,
+                  count(*) OVER (PARTITION BY conv_id) AS n
+           FROM cand)
+         SELECT conv_id, touch_id, touch_type,
+                CAST(CASE WHEN n = 1 THEN 100 WHEN n = 2 THEN 50
+                     WHEN idx = 1 OR idx = n THEN 40
+                     ELSE 20 // (n - 2) + CASE WHEN idx - 2 < 20 % (n - 2) THEN 1 ELSE 0 END
+                END AS INT) AS credit
+         FROM pos ORDER BY conv_id, touch_id""",
     "ev_asof_join" ->
       """WITH u AS (
            SELECT event_id, user_id, ts, event_type,
