@@ -291,6 +291,82 @@ object EventsStream {
     * committed high-water mark are dropped (shared ts-only rule — day
     * attribution only needs the µs timestamp, and an equal-ts replay
     * cannot change an already-set bit). */
+  /** Stateful streaming twin of `ev_attribution` (position-based
+    * U-shaped multi-touch attribution): per-user GroupState buffers
+    * the view/click touches of the trailing 7-day lookback in
+    * (ts_us, event_id) order; each arriving purchase closes its
+    * attribution IMMEDIATELY from the buffered touches, so the
+    * transition depends only on (state, next item) and — under
+    * order-preserving micro-batch cuts, the regime every twin here
+    * documents — the union of emitted credit rows equals the batch
+    * query's result at every batch boundary (MicroBatchSplitSpec).
+    *
+    * Straggler rule: lexicographic (ts_us, event_id) like pathsStream
+    * — position credits are order-sensitive even among equal-µs ties,
+    * and an at-least-once replay of a buffered touch would inflate n.
+    *
+    * State bound: touches inside one 7-day window per user (the same
+    * activity bound the batch plan's per-conversion window carries).
+    * A touch older than highwater − 7d can never enter a future
+    * lookback (a future purchase's cts ≥ the highwater), so it is
+    * evicted on every fold — state never grows with stream length. */
+  final case class AttrState(lastTsUs: Long, lastId: Long,
+      touches: Vector[(Long, Long, String)])
+  final case class AttrOut(conv_id: Long, touch_id: Long,
+      touch_type: String, credit: Int)
+
+  def attributionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val LookUs = 7L * 86400L * 1000000L
+    events.select(col("event_id"), col("user_id"),
+        EventTime.tsUs(events).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[AttrState]) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          var st = state.getOption.getOrElse(
+            AttrState(Long.MinValue, Long.MinValue, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          evs.foreach { case (id, _, ts, typ) =>
+            val fresh = st.lastTsUs == Long.MinValue ||
+              ts > st.lastTsUs || (ts == st.lastTsUs && id > st.lastId)
+            if (fresh) {
+              typ match {
+                case "view" | "click" =>
+                  st = st.copy(lastTsUs = ts, lastId = id,
+                    touches = st.touches :+ ((ts, id, typ)))
+                case "purchase" =>
+                  // strict tts < cts like the batch query; buffer is
+                  // already (tts, id)-sorted, so zipWithIndex IS the
+                  // position order
+                  val win = st.touches.filter(t => t._1 < ts && t._1 >= ts - LookUs)
+                  val n = win.length
+                  win.zipWithIndex.foreach { case ((_, tid, tty), i0) =>
+                    val idx = i0 + 1
+                    val credit =
+                      if (n == 1) 100
+                      else if (n == 2) 50
+                      else if (idx == 1 || idx == n) 40
+                      else 20 / (n - 2) + (if (idx - 2 < 20 % (n - 2)) 1 else 0)
+                    out += AttrOut(id, tid, tty, credit)
+                  }
+                  st = st.copy(lastTsUs = ts, lastId = id)
+                case _ =>
+                  st = st.copy(lastTsUs = ts, lastId = id)
+              }
+              st = st.copy(touches =
+                st.touches.dropWhile(_._1 < st.lastTsUs - LookUs))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("conv_id", "touch_id", "touch_type", "credit")
+  }
+
   final case class RetState(lastTsUs: Long, d0: Long, seen: Long)
   final case class RetOut(user_id: Long, cohort_day: Long, day_offset: Long)
 

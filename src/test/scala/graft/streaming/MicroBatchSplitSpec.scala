@@ -177,6 +177,25 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("attributionStream credit rows equal the batch ev_attribution under random cuts") {
+    val (rows, _) = ordered
+    val expected = graft.queries.PipelineOps.queries("ev_attribution")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(expected.nonEmpty, "degenerate fixture: no attributed conversions")
+    Seq(0xA77B1, 0x40204).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 3 + rnd.nextInt(4)
+      val chunks = cutAt(rows, Seq.fill(nCuts)(1 + rnd.nextInt(rows.length - 1)))
+      val got = runChunked(s"mbs_attr_$seed", chunks,
+          df => EventsStream.attributionStream(spark, df))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSeq.sorted
+      assert(got === expected,
+        s"attributionStream not invariant under seed 0x${seed.toHexString}")
+    }
+  }
+
   test("locfStream grid rows equal the batch LOCF resample under random cuts") {
     val (rows, schema) = ordered
     val batch = graft.queries.PipelineOps.queries("ev_locf_resample")(spark, fixtureDir)
