@@ -79,8 +79,14 @@ object SearchOps extends Serializable {
     * yields ≥ 1 chunk. Pure narrow per-row flatMap — the whole plan
     * is one codegen'd stage over the scan, nothing shuffles until the
     * presentation sort. */
-  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
-    val t = docs(s, dir)
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkTransform(docs(s, dir)).orderBy("doc_id", "chunk_id")
+
+  /** The chunking transform alone (no presentation sort) — stateless
+    * and narrow, so it runs unchanged on a readStream source
+    * ([[graft.streaming.DocsStream.chunkStream]]). */
+  private[graft] def chunkTransform(d: DataFrame): DataFrame = {
+    val t = d
       .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     t.withColumn("chunk_id",
@@ -92,7 +98,6 @@ object SearchOps extends Serializable {
         array_join(
           slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)),
           " ").as("chunk"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** BM25 top-k, query-by-example (each query doc's distinct terms as

@@ -49,4 +49,12 @@ object DocsStream {
       .map { case (id, _, lang) => (id, lang) }
       .toDF("doc_id", "lang")
   }
+
+  /** Chunking-on-ingest: [[graft.queries.SearchOps.chunkTransform]]
+    * applied to a streaming source — stateless and narrow (one
+    * codegen'd explode per doc), so each micro-batch chunks exactly
+    * the docs it carries and the union over batches equals the batch
+    * `text_chunk` result regardless of cut placement (DocsStreamSpec). */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.SearchOps.chunkTransform(docs)
 }

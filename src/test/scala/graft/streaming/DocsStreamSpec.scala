@@ -46,4 +46,35 @@ class DocsStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream chunking == batch text_chunk, split across two micro-batches") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = graft.queries.SearchOps.chunkDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    // two batches cut mid-corpus: chunking is stateless per doc, so
+    // the union must equal the batch result regardless of the cut
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val streamDir = java.nio.file.Files.createTempDirectory("chunkstream")
+    val streamIn = spark.readStream.schema(docs.schema)
+      .parquet(s"$streamDir/*")
+    val q = DocsStream.chunkStream(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunked")
+      .start()
+    try {
+      Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.toSeq.asJava, docs.schema)
+          .coalesce(1).write.parquet(s"$streamDir/b$i")
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("chunked")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
