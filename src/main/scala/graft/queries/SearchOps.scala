@@ -160,10 +160,34 @@ object SearchOps extends Serializable {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-doc top-3 TF-IDF keywords (rational idf — same ln-free
+    * doctrine as BM25; score = tf·(2N+2)/(2df+1), an exact int ratio).
+    * The ranking window partitions by doc_id, whose term count is
+    * DOC-LENGTH-bounded — never corpus-bounded — so no pre-prune tier
+    * is needed. df rides as a vocabulary-sized broadcast. */
+  def keywordTopK(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // every doc yields >= 1 token (split of "" is [""]), so the doc
+    // count IS count(DISTINCT tok.doc_id) — one cheap plan-time count
+    val n = docs(s, dir).count()
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfr), Seq("term"))
+      .withColumn("score", round(
+        expr(s"cast(${2 * n + 2}L * tf as double) / cast(2L*df + 1L as double)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
     "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
-    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)))
+    "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
+    "text_keyword_topk" -> ((s, dir) => keywordTopK(s, dir)))
 
   /** Shared BM25 CTE chain (SQL twin of [[bm25TopK]] minus the final
     * projection) — also nested by the hybrid oracle. */
@@ -208,6 +232,22 @@ object SearchOps extends Serializable {
             FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)
           SELECT doc_id, chunk_id, n_tokens, chunk FROM c ORDER BY doc_id, chunk_id""",
     "search_bm25_topk" -> bm25Sql,
+    "text_keyword_topk" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          gl AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+          sc AS (
+            SELECT doc_id, term,
+                   round(CAST((2 * gl.n + 2) * tf AS DOUBLE) / CAST(2 * dfr.df + 1 AS DOUBLE), 6) AS score
+            FROM tf JOIN dfr USING (term) CROSS JOIN gl),
+          krk AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+            FROM sc)
+          SELECT doc_id, term, score, rk FROM krk WHERE rk <= 3
+          ORDER BY doc_id, rk""",
     "search_hybrid_rrf" ->
       s"""WITH sp AS MATERIALIZED ($bm25Sql),
           de AS MATERIALIZED (${VectorOps.oracle("vec_ann_ivf_trained")}),
