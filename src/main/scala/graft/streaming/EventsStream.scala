@@ -291,6 +291,49 @@ object EventsStream {
     * committed high-water mark are dropped (shared ts-only rule — day
     * attribution only needs the µs timestamp, and an equal-ts replay
     * cannot change an already-set bit). */
+  /** Streaming DDSketch quantiles — percentiles-on-ingest, the
+    * monitoring form of [[graft.operators.QuantileSketch]]. One
+    * GroupState per event_type holds the bucket histogram (size
+    * logarithmic in the value range, independent of stream length);
+    * each micro-batch folds its values in and re-emits the current
+    * p50/p95 stamped with a per-key emit_seq (max-seq row = current,
+    * the heavyHittersStream consumer contract).
+    *
+    * Because the sketch is a pure histogram, the folded state — and
+    * therefore the final emitted quantiles — is invariant under ANY
+    * re-batching or re-ordering of the stream, a strictly stronger
+    * guarantee than the order-preserving-cut scope the ordered twins
+    * carry (MicroBatchSplitSpec feeds it a shuffled stream and pins
+    * equality with the batch sketch). */
+  final case class QsState(dd: graft.operators.QuantileSketch.DD, emit: Long)
+  final case class QsOut(event_type: String, emit_seq: Long,
+      p50: Double, p95: Double, n: Long)
+
+  def quantileStream(spark: SparkSession, events: DataFrame,
+      alpha: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.QuantileSketch
+    val gamma = QuantileSketch.gammaFor(alpha)
+    events.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[(String, Double)],
+            state: GroupState[QsState]) =>
+          var st = state.getOption.getOrElse(
+            QsState(QuantileSketch.DD(0L, Map.empty), 0L))
+          var dd = st.dd
+          it.foreach { case (_, v) => dd = QuantileSketch.add(dd, v, gamma) }
+          st = QsState(dd, st.emit + 1)
+          state.update(st)
+          Iterator.single(QsOut(typ, st.emit,
+            QuantileSketch.quantile(dd, 0.5, gamma),
+            QuantileSketch.quantile(dd, 0.95, gamma), dd.n))
+      }
+      .toDF("event_type", "emit_seq", "p50", "p95", "n")
+  }
+
   /** Stateful streaming twin of `ev_attribution` (position-based
     * U-shaped multi-touch attribution): per-user GroupState buffers
     * the view/click touches of the trailing 7-day lookback in

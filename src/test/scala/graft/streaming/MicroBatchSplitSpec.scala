@@ -177,6 +177,36 @@ class MicroBatchSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileStream final sketch equals the batch sketch even under a SHUFFLED stream") {
+    import graft.operators.QuantileSketch
+    val (rows, _) = ordered
+    val gamma = QuantileSketch.gammaFor(0.01)
+    val batchDf = spark.read.parquet(s"$fixtureDir/events.parquet")
+    val expected = QuantileSketch.groupSketch(batchDf, "event_type", "value")
+      .map { case (k, dd) =>
+        k -> (QuantileSketch.quantile(dd, 0.5, gamma),
+          QuantileSketch.quantile(dd, 0.95, gamma), dd.n) }
+    assert(expected.nonEmpty)
+    def finals(df: DataFrame): Map[String, (Double, Double, Long)] =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, rs) =>
+          val last = rs.maxBy(_._2)
+          k -> (last._3, last._4, last._5)
+        }
+    // ordered cuts AND a full shuffle: the histogram state is
+    // order-independent, a stronger scope than the ordered twins'
+    val rnd = new scala.util.Random(0xDD5)
+    val shuffled = rnd.shuffle(rows.toSeq).toArray
+    Seq(cutAt(rows, Seq.fill(4)(rnd.nextInt(rows.length))),
+        cutAt(shuffled, Seq.fill(6)(rnd.nextInt(rows.length)))).zipWithIndex
+      .foreach { case (chunks, i) =>
+        val got = finals(runChunked(s"mbs_qs$i", chunks,
+          df => EventsStream.quantileStream(spark, df)))
+        assert(got === expected, s"quantileStream variant $i diverged")
+      }
+  }
+
   test("attributionStream credit rows equal the batch ev_attribution under random cuts") {
     val (rows, _) = ordered
     val expected = graft.queries.PipelineOps.queries("ev_attribution")(spark, fixtureDir)
