@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 /** DDSketch (Masson, Lee & Rim, VLDB 2019): a mergeable quantile
@@ -22,9 +21,10 @@ import org.apache.spark.sql.functions.col
   *
   * Scale (100 TB): the sketch size is logarithmic in DYNAMIC RANGE
   * and independent of row count — range 10^5 at α = 0.01 is ~575
-  * buckets, broadcastable — and the [[aggregator]] form rides
-  * Catalyst's two-phase aggregation, so the shuffle carries one
-  * bucket map per (partition × group), never rows.
+  * buckets, broadcastable — and both entry points fold rows through
+  * a per-partition MUTABLE histogram (no per-row persistent-map
+  * allocation on the hot path) and only ship per-(partition × group)
+  * sketches through the shuffle, never rows.
   *
   * No DuckDB oracle by design (the HLL-sketch pattern,
   * a13_distinct_exact): bucketing uses the JVM's `ln`, which has no
@@ -61,6 +61,27 @@ object QuantileSketch extends Serializable {
     }
   }
 
+  /** Fold a whole value stream into `base` through ONE mutable
+    * histogram, building the immutable DD once at the end — the
+    * hot-path form (review r14: per-row immutable `Map.updated`
+    * allocates a persistent-map spine per input row; at 100 TB that
+    * is pure GC pressure for buffer-private state). Semantically
+    * identical to folding [[add]] per row. */
+  private[graft] def foldValues(base: DD, it: Iterator[Double],
+      gamma: Double): DD = {
+    var zeros = 0L
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    it.foreach { x =>
+      require(x >= 0, s"DDSketch domain is non-negative, got $x")
+      if (x == 0.0) zeros += 1
+      else {
+        val b = bucket(x, gamma).toLong
+        m.update(b, m.getOrElse(b, 0L) + 1L)
+      }
+    }
+    base.merge(DD(zeros, m.iterator.map { case (k, v) => k.toInt -> v }.toMap))
+  }
+
   /** q-quantile estimate (q ∈ [0, 1]): the value at rank
     * floor(q·(n−1)), each positive bucket i estimated at its
     * γ-midpoint 2γ^i/(γ+1) — the paper's bound-attaining choice. */
@@ -83,48 +104,52 @@ object QuantileSketch extends Serializable {
     }
   }
 
-  /** Catalyst-integrated form for global `agg` and typed
-    * `groupByKey(...).agg` — map-side partial merge IS the sketch
-    * merge. */
-  def aggregator(alpha: Double): Aggregator[Double, DD, DD] =
-    new Aggregator[Double, DD, DD] {
-      private val gamma = gammaFor(alpha)
-      def zero: DD = DD(0L, Map.empty)
-      def reduce(b: DD, a: Double): DD = add(b, a, gamma)
-      def merge(b1: DD, b2: DD): DD = b1.merge(b2)
-      def finish(r: DD): DD = r
-      def bufferEncoder: Encoder[DD] = Encoders.product[DD]
-      def outputEncoder: Encoder[DD] = Encoders.product[DD]
-    }
-
-  /** Global sketch of a numeric column. */
+  /** Global sketch of a numeric column: one mutable-histogram fold
+    * per partition (narrow), then a merge of the per-partition
+    * sketches — the shuffle-free treeable form; the rows never leave
+    * their partitions. */
   def sketch(df: DataFrame, valueCol: String, alpha: Double = 0.01): DD = {
     val s = df.sparkSession
     import s.implicits._
+    val gamma = gammaFor(alpha)
     df.select(col(valueCol).cast("double")).as[Double]
-      .select(aggregator(alpha).toColumn).head()
+      .mapPartitions(it => Iterator.single(foldValues(DD(0L, Map.empty), it, gamma)))
+      .reduce((a, b) => a.merge(b))
   }
 
-  /** The keyed-input form for `groupByKey(...).agg`. */
-  def keyedAggregator(alpha: Double): Aggregator[(String, Double), DD, DD] =
-    new Aggregator[(String, Double), DD, DD] {
-      private val gamma = gammaFor(alpha)
-      def zero: DD = DD(0L, Map.empty)
-      def reduce(b: DD, a: (String, Double)): DD = add(b, a._2, gamma)
-      def merge(b1: DD, b2: DD): DD = b1.merge(b2)
-      def finish(r: DD): DD = r
-      def bufferEncoder: Encoder[DD] = Encoders.product[DD]
-      def outputEncoder: Encoder[DD] = Encoders.product[DD]
-    }
-
-  /** Per-group sketches keyed by a string column. */
+  /** Per-group sketches keyed by a string column: per-(partition ×
+    * key) mutable folds emit one sketch each, so the shuffle carries
+    * ≤ groups × partitions bucket maps — never rows — and
+    * `reduceGroups` merges them with map-side partials. */
   def groupSketch(df: DataFrame, keyCol: String, valueCol: String,
       alpha: Double = 0.01): Map[String, DD] = {
     val s = df.sparkSession
     import s.implicits._
+    val gamma = gammaFor(alpha)
     df.select(col(keyCol), col(valueCol).cast("double")).as[(String, Double)]
+      .mapPartitions { it =>
+        val zeros = scala.collection.mutable.HashMap.empty[String, Long]
+        val hists = scala.collection.mutable
+          .HashMap.empty[String, scala.collection.mutable.LongMap[Long]]
+        it.foreach { case (k, x) =>
+          require(x >= 0, s"DDSketch domain is non-negative, got $x")
+          if (x == 0.0) zeros.update(k, zeros.getOrElse(k, 0L) + 1L)
+          else {
+            val m = hists.getOrElseUpdate(k,
+              scala.collection.mutable.LongMap.empty[Long])
+            val b = bucket(x, gamma).toLong
+            m.update(b, m.getOrElse(b, 0L) + 1L)
+          }
+        }
+        (zeros.keySet ++ hists.keySet).iterator.map { k =>
+          k -> DD(zeros.getOrElse(k, 0L),
+            hists.get(k).map(_.iterator.map { case (a, c) => a.toInt -> c }.toMap)
+              .getOrElse(Map.empty))
+        }
+      }
       .groupByKey(_._1)
-      .agg(keyedAggregator(alpha).toColumn.name("dd"))
+      .reduceGroups((a, b) => (a._1, a._2.merge(b._2)))
+      .map { case (k, (_, dd)) => (k, dd) }
       .collect().toMap
   }
 }

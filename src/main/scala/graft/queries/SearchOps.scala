@@ -168,9 +168,12 @@ object SearchOps extends Serializable {
   def keywordTopK(s: SparkSession, dir: String): DataFrame = {
     val tok = tokens(s, dir)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // every doc yields >= 1 token (split of "" is [""]), so the doc
-    // count IS count(DISTINCT tok.doc_id) — one cheap plan-time count
-    val n = docs(s, dir).count()
+    // N must equal the oracle's count(DISTINCT tok.doc_id): every
+    // NON-NULL text yields >= 1 token (split of "" is [""]) but a
+    // NULL text yields no tok rows in either engine, so count docs
+    // with text IS NOT NULL — a bare count() would run one doc high
+    // on a null-bearing corpus and skew every idf (review r14)
+    val n = docs(s, dir).filter(col("text").isNotNull).count()
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
@@ -222,6 +225,11 @@ object SearchOps extends Serializable {
             SELECT doc_id, string_split(text, ' ') AS toks,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
             FROM documents),
+          -- bounded-range idiom (DuckDB lacks lateral generate_series
+          -- over an outer column): covers docs up to 1000 chunks =
+          -- ~24k tokens; the Spark side is uncapped, so SearchOpsSpec
+          -- asserts the corpus stays far below the bound (max 99
+          -- tokens today) — a longer future corpus must raise it
           gs AS (SELECT unnest(range(0, 1000)) AS g),
           c AS (
             SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,

@@ -304,7 +304,14 @@ object EventsStream {
     * re-batching or re-ordering of the stream, a strictly stronger
     * guarantee than the order-preserving-cut scope the ordered twins
     * carry (MicroBatchSplitSpec feeds it a shuffled stream and pins
-    * equality with the batch sketch). */
+    * equality with the batch sketch).
+    *
+    * Out-of-domain values (negative or NaN — outside DDSketch's
+    * non-negative domain) are FILTERED at the stream boundary rather
+    * than folded: a monitoring stream must not be killed by one bad
+    * record, and the sketch's `require` would terminate the whole
+    * query for every key (review r14). Batch comparisons must apply
+    * the same `value >= 0` predicate. */
   final case class QsState(dd: graft.operators.QuantileSketch.DD, emit: Long)
   final case class QsOut(event_type: String, emit_seq: Long,
       p50: Double, p95: Double, n: Long)
@@ -316,6 +323,8 @@ object EventsStream {
     import graft.operators.QuantileSketch
     val gamma = QuantileSketch.gammaFor(alpha)
     events.select(col("event_type"), col("value").cast("double"))
+      // NaN fails the predicate too — dropped, not folded
+      .filter(col("value") >= 0)
       .as[(String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -323,8 +332,8 @@ object EventsStream {
             state: GroupState[QsState]) =>
           var st = state.getOption.getOrElse(
             QsState(QuantileSketch.DD(0L, Map.empty), 0L))
-          var dd = st.dd
-          it.foreach { case (_, v) => dd = QuantileSketch.add(dd, v, gamma) }
+          // one mutable-histogram fold per micro-batch (review r14)
+          val dd = QuantileSketch.foldValues(st.dd, it.map(_._2), gamma)
           st = QsState(dd, st.emit + 1)
           state.update(st)
           Iterator.single(QsOut(typ, st.emit,

@@ -20,6 +20,14 @@ class SearchOpsSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rows.map(_._1).toSet === docs.keySet, "every doc must chunk (>= 1 chunk each)")
+    // the DuckDB oracle's bounded-range idiom caps at 1000 chunks/doc
+    // while the Spark side is uncapped (review r14): fail HERE, with a
+    // pointer, long before a longer corpus turns that into a
+    // mysterious oracle mismatch
+    val maxChunks = rows.groupBy(_._1).valuesIterator.map(_.length).max
+    assert(maxChunks < 900,
+      s"$maxChunks chunks on one doc approaches the oracle's range(0,1000) cap " +
+        "— raise gs in SearchOps.oracle(text_chunk) first")
     rows.groupBy(_._1).foreach { case (d, cs) =>
       val toks = docs(d).split(" ", -1)
       val sorted = cs.sortBy(_._2)
