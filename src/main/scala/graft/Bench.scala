@@ -34,7 +34,7 @@ object Bench {
     // vectors
     "vec_topk_bruteforce", "vec_ann_lsh", "vec_ann_ivf", "vec_ann_ivf_trained",
     "vec_ann_pq", "vec_ann_pq_rerank", "vec_ann_ivfpq", "vec_ann_ivfpq_res",
-    "vec_ann_sq8",
+    "vec_ann_sq8", "vec_ann_ivfsq8",
     "vec_neardup_lsh", "vec_kmeans", "vec_semdedup",
     // events / multimodal / integrated pipeline
     "ev_window_agg", "ev_sessionize", "ev_view_click_join", "ev_dedup_first",

@@ -250,6 +250,17 @@ object VectorOps extends Serializable {
     "vec_recall_eval_sq8" -> ((s, dir) =>
       recallEval(bruteforceTopK(s, dir), annSq8(s, dir))),
 
+    // the composed IVF × SQ8 index (FAISS "IVF{k},SQ8"): trained
+    // lists key the byte-code table, nprobe-pruned asymmetric scan —
+    // see [[annIvfSq8]]
+    "vec_ann_ivfsq8" -> ((s, dir) => annIvfSq8(s, dir, NProbe)),
+
+    // probed-list loss is the ONLY loss at SQ8 precision: reads
+    // directly against vec_recall_eval_trained (exact scan of the
+    // same lists)
+    "vec_recall_eval_ivfsq8" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir), annIvfSq8(s, dir, NProbe))),
+
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
     // 2023): seeds = the k lowest vec_ids, every coordinate grid-
@@ -692,6 +703,64 @@ object VectorOps extends Serializable {
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = dec.join(broadcast(q))
       .filter(col("match_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+    rankTopK(scored, TopK)
+  }
+
+  /** The composed IVF × SQ8 index: trained coarse lists key the
+    * 1-byte-per-dim code table, queries probe `nprobe` lists and
+    * asymmetric-score only those candidates — the FAISS "IVF{k},SQ8"
+    * factory string. Between IVF-PQ (8 bytes/vector, rerank needed)
+    * and exact-scan IVF (512 bytes working set): 64 bytes/vector and
+    * recall equal to the exact probed scan (SQ8's flat recall is 1.0
+    * at sf0.01, so the probed-list loss — vec_recall_eval_trained's
+    * 0.88 — is the ONLY loss; vec_recall_eval_ivfsq8 reads directly
+    * against it). At scale the decode table is stored cid-partitioned
+    * exactly like the PQ code table VecScaleProbe measures (1.8%
+    * source scan at 200k vectors).
+    *
+    * List assignment is bit-identical to annIvfTrained's (same
+    * centroidSims argmax, lowest cid on ties); decode/scoring are
+    * [[annSq8]]'s. */
+  private[graft] def annIvfSq8(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cents = trainedCents(s, dir, KmeansIters)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val e = emb(s, dir)
+    val assign = e.select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v, norm) =>
+          val sims = centroidSims(v, norm, cs)
+          var best = 0
+          var ci = 1
+          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+          (id, cs(best)._1)
+        }
+      }.toDF("match_id", "cid")
+    // query probe lists on the driver — the query batch is small by
+    // definition; same (−csim, cid) order as the SQL's probes CTE
+    val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
+      .filter(col("vec_id") < QueryIds)
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val probePairs = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
+      val sims = centroidSims(v, norm, cents)
+      cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
+        .map(i => (qid, cents(i)._1))
+    }.toDF("query_id", "cid")
+    val (mnC, mxC) = sq8Grid(e)
+    val dec = e.select(col("vec_id").as("match_id"),
+        sq8Decode(sq8Encode(col("v"), mnC, mxC), mnC, mxC).as("vb"))
+      .withColumn("nb", expr(
+        s"sqrt(aggregate(vb, 0.0d, (a, x) -> a + round(x * x * ${Q}d)) / ${Q}d)"))
+    val q = e.filter(col("vec_id") < QueryIds)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val scored = assign.join(broadcast(probePairs), Seq("cid"))
+      .filter(col("match_id") =!= col("query_id"))
+      .join(dec, Seq("match_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
     rankTopK(scored, TopK)
   }
@@ -1254,9 +1323,13 @@ object VectorOps extends Serializable {
   // assigns against), then the identical IVF skeleton with the
   // trained centroids as the coarse quantizer. Centroid norms use the
   // same lattice-rounded quadrature as the engine.
-  private val annIvfTrainedSql: String = {
+  /** The trained-IVF chain up through the probed-list candidate set
+    * `cand` (query_id, match_id) — shared by the exact-scan trained
+    * IVF oracle and the composed IVF-SQ8 oracle. Leaves `idx`,
+    * `norms`, `cand` in scope. */
+  private val ivfTrainedCandPrefix: String = {
     val last = s"c${KmeansIters - 1}"
-    s"""WITH ${kmeansCtes(TrainedKSql, KmeansIters - 1)},
+    s"""${kmeansCtes(TrainedKSql, KmeansIters - 1)},
           idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
             SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
@@ -1290,7 +1363,11 @@ object VectorOps extends Serializable {
               FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
           cand AS (
             SELECT p.query_id, a.vec_id AS match_id
-            FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+            FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
+  }
+
+  private val annIvfTrainedSql: String =
+    s"""WITH $ivfTrainedCandPrefix,
           dots AS (
             SELECT c.query_id, c.match_id, $dotSql AS dot
             FROM cand c
@@ -1310,7 +1387,46 @@ object VectorOps extends Serializable {
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk"""
-  }
+
+  /** SQL twin of [[annIvfSq8]]: the trained-IVF candidate prefix
+    * composed with the SQ8 decode chain — asymmetric decoded cosine
+    * over the probed lists only (`norms` doubles as the query-norm
+    * table; per-dim grid/decode identical to annSq8Sql's). */
+  private val annIvfSq8Sql: String =
+    s"""WITH $ivfTrainedCandPrefix,
+          mm AS (
+            SELECT i, min(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mn,
+                   max(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mx
+            FROM embeddings, idx GROUP BY i),
+          dec AS (
+            SELECT e.vec_id, m.i,
+                   m.mn + (CASE WHEN m.mx = m.mn THEN 0
+                           ELSE CAST(round((CAST(e.embedding[CAST(m.i AS INT)] AS DOUBLE) - m.mn)
+                                           / (m.mx - m.mn) * 255) AS INT) END)
+                         / 255.0 * (m.mx - m.mn) AS dv
+            FROM embeddings e, mm m),
+          dnorm AS (
+            SELECT vec_id, sqrt(sum(round(dv * dv * 1048576)) / 1048576.0) AS nrm
+            FROM dec GROUP BY vec_id),
+          sdots AS (
+            SELECT c.query_id, c.match_id,
+                   sum(round(CAST(q.embedding[CAST(d.i AS INT)] AS DOUBLE) * d.dv * 1048576)) / 1048576.0 AS dot
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN dec d ON d.vec_id = c.match_id
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * dn.nrm), 6) AS sim
+            FROM sdots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN dnorm dn ON dn.vec_id = match_id),
+          ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM scored)
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK ORDER BY query_id, rk"""
 
   // SQL twin of annPq: per-subspace (pos-sliced epos) unrolled Lloyd
   // chains; codes = the final assignment a{j}_{iters}; query tables =
@@ -1607,6 +1723,14 @@ object VectorOps extends Serializable {
         WHERE rk <= $TopK ORDER BY query_id, rk"""
 
   def oracle: Map[String, String] = Map(
+    "vec_ann_ivfsq8" -> annIvfSq8Sql,
+    "vec_recall_eval_ivfsq8" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceSql) t
+          LEFT JOIN ($annIvfSq8Sql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_sq8" -> annSq8Sql,
     "vec_recall_eval_sq8" ->
       s"""SELECT t.query_id,

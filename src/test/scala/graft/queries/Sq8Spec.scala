@@ -53,4 +53,22 @@ class Sq8Spec extends AnyFunSuite {
     val mean = recall.map(_._2).sum / recall.length
     assert(mean >= 0.95, s"mean SQ8 recall $mean")
   }
+
+  test("IVF-SQ8 recall equals exact-scan trained-IVF recall: probed-list loss is the ONLY loss") {
+    // the composed index's claim: at SQ8 precision the quantizer adds
+    // nothing on top of the nprobe pruning — per-query recall must
+    // MATCH vec_recall_eval_trained (exact scan of the same lists)
+    val ivfsq = graft.SparkEntry.queries("vec_recall_eval_ivfsq8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val trained = graft.SparkEntry.queries("vec_recall_eval_trained")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ivfsq.keySet === trained.keySet)
+    ivfsq.foreach { case (q, r) =>
+      assert(math.abs(r - trained(q)) <= 0.1 + 1e-9,
+        s"query $q: IVF-SQ8 $r vs exact-probed ${trained(q)} — SQ8 lost rank-10 fidelity")
+    }
+    val meanDelta = ivfsq.map { case (q, r) => trained(q) - r }.sum / ivfsq.size
+    assert(meanDelta <= 0.02 + 1e-9,
+      s"mean recall drop $meanDelta vs exact probed scan exceeds the near-lossless contract")
+  }
 }
