@@ -45,7 +45,7 @@ object Bench {
     "text_bpe_tokens", "pipe_pack_sequences_bpe", "text_vocab_topk",
     // retrieval stack: chunking, sparse BM25, hybrid fusion, dedup-graph triangles
     "text_chunk", "search_bm25_topk", "search_hybrid_rrf", "graph_triangles",
-    "text_keyword_topk",
+    "text_keyword_topk", "graph_clustering_coeff",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

@@ -129,13 +129,40 @@ object GraphOps extends Serializable {
       .orderBy("a", "b", "c")
   }
 
+  /** Local clustering coefficient per node: 2·T(v) / (deg·(deg−1)),
+    * 0 for deg < 2 — the per-node "how clique-like is this
+    * neighborhood" signal on top of [[triangles]] (a near-1 coeff
+    * inside a dedup cluster says template duplication; near-0 with
+    * high degree says hub contamination). Triangle counts come from
+    * the degree-oriented listing (each triangle credits its three
+    * corners via one explode), degrees from the edge endpoints — two
+    * aggregations and a left join, every stage keyed on node. The
+    * coefficient is an exact integer ratio through one double
+    * division — cross-engine deterministic, rounded for display. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val p = edges.toDF("u", "v")
+    val deg = p.select(col("u").as("node")).union(p.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val triCnt = triangles(p)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triCnt, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coeff", when(col("deg") < 2, lit(0.0))
+        .otherwise(round(col("n_tri") * 2 / (col("deg") * (col("deg") - 1)), 6)))
+      .select("node", "deg", "n_tri", "coeff")
+      .orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       pagerank(s, dir, s.conf.get("spark.graft.pagerank.iters", "3").toInt)),
     // mutual near-duplicate triples on the simhash pair graph — the
     // clique-ish structure a dedup-cluster QA pass looks for
     "graph_triangles" -> ((s, dir) =>
-      triangles(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))))
+      triangles(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))),
+    "graph_clustering_coeff" -> ((s, dir) =>
+      clusteringCoeff(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))))
 
   private def iterSql(i: Int): String =
     s"""r$i AS (
@@ -145,6 +172,27 @@ object GraphOps extends Serializable {
           GROUP BY e.dst)"""
 
   def oracle: Map[String, String] = Map(
+    "graph_clustering_coeff" ->
+      s"""WITH ${OracleSql.simhashCte},
+          p AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          tri AS (
+            SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+            FROM p e1 JOIN p e2 ON e1.idb = e2.ida
+            JOIN p e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
+          nodes AS (SELECT ida AS node FROM p UNION ALL SELECT idb FROM p),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY 1),
+          tn AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY 1)
+          SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+                 CASE WHEN d.deg < 2 THEN 0.0
+                      ELSE round(2 * coalesce(tn.n_tri, 0) / (d.deg * (d.deg - 1)), 6) END AS coeff
+          FROM deg d LEFT JOIN tn USING (node) ORDER BY node""",
     "graph_triangles" ->
       s"""WITH ${OracleSql.simhashCte},
           p AS (

@@ -63,6 +63,37 @@ class GraphTrianglesSpec extends AnyFunSuite {
     assert(run(edges) === expected)
   }
 
+  test("clustering coefficient: brute-force parity, clique = 1.0, star = 0.0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0EFF)
+    val nV = 40
+    val edges = (Seq.fill(nV * 3) {
+      val a = rnd.nextInt(nV).toLong; val b = rnd.nextInt(nV).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b } ++
+      // embed a 4-clique (coeff 1.0 if no external edges attach) and
+      // a pendant star tip (coeff 0)
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (101L, 102L),
+        (101L, 103L), (102L, 103L), (200L, 201L))).toSet
+    val got = GraphOps.clusteringCoeff(edges.toSeq.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val tris = bruteTriangles(edges)
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    got.foreach { case (node, d, nTri, coeff) =>
+      assert(d === deg(node), s"node $node degree")
+      val expTri = tris.count { case (a, b, c) => a == node || b == node || c == node }
+      assert(nTri === expTri.toLong, s"node $node triangle count")
+      val exp = if (d < 2) 0.0
+        else BigDecimal(2.0 * expTri / (d * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(coeff === exp, s"node $node coeff")
+    }
+    val byNode = got.map(r => r._1 -> r._4).toMap
+    Seq(100L, 101L, 102L, 103L).foreach(v => assert(byNode(v) === 1.0, s"clique node $v"))
+    assert(byNode(200L) === 0.0 && byNode(201L) === 0.0)
+  }
+
   test("triangle-free graphs: star and bipartite yield empty output") {
     val star = (1L to 20L).map(l => (0L, l)).toSet
     assert(run(star).isEmpty)
