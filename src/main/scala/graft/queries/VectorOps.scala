@@ -692,13 +692,19 @@ object VectorOps extends Serializable {
       mn + c.cast("double") / lit(255.0) * (mx - mn)
     })
 
-  private[graft] def annSq8(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  /** The decoded-SQ8 corpus table (match_id, vb, nb) — shared by the
+    * flat scan and the IVF-composed scan. */
+  private def sq8DecTable(e: DataFrame): DataFrame = {
     val (mnC, mxC) = sq8Grid(e)
-    val dec = e.select(col("vec_id").as("match_id"),
+    e.select(col("vec_id").as("match_id"),
         sq8Decode(sq8Encode(col("v"), mnC, mxC), mnC, mxC).as("vb"))
       .withColumn("nb", expr(
         s"sqrt(aggregate(vb, 0.0d, (a, x) -> a + round(x * x * ${Q}d)) / ${Q}d)"))
+  }
+
+  private[graft] def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val dec = sq8DecTable(e)
     val q = e.filter(col("vec_id") < QueryIds)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = dec.join(broadcast(q))
@@ -733,11 +739,7 @@ object VectorOps extends Serializable {
       .mapPartitions { it =>
         val cs = bcCents.value
         it.map { case (id, v, norm) =>
-          val sims = centroidSims(v, norm, cs)
-          var best = 0
-          var ci = 1
-          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
-          (id, cs(best)._1)
+          (id, cs(nearestCidIdx(centroidSims(v, norm, cs)))._1)
         }
       }.toDF("match_id", "cid")
     // query probe lists on the driver — the query batch is small by
@@ -746,15 +748,9 @@ object VectorOps extends Serializable {
       .filter(col("vec_id") < QueryIds)
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     val probePairs = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
-      val sims = centroidSims(v, norm, cents)
-      cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
-        .map(i => (qid, cents(i)._1))
+      probeCids(v, norm, cents, nprobe).map(cid => (qid, cid))
     }.toDF("query_id", "cid")
-    val (mnC, mxC) = sq8Grid(e)
-    val dec = e.select(col("vec_id").as("match_id"),
-        sq8Decode(sq8Encode(col("v"), mnC, mxC), mnC, mxC).as("vb"))
-      .withColumn("nb", expr(
-        s"sqrt(aggregate(vb, 0.0d, (a, x) -> a + round(x * x * ${Q}d)) / ${Q}d)"))
+    val dec = sq8DecTable(e)
     val q = e.filter(col("vec_id") < QueryIds)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = assign.join(broadcast(probePairs), Seq("cid"))
@@ -1007,10 +1003,7 @@ object VectorOps extends Serializable {
       e.as[(Long, Array[Double], Double, Array[Double])].mapPartitions { it =>
         val cs = bcCents.value
         it.map { case (id, v, norm, vq) =>
-          val sims = centroidSims(v, norm, cs)
-          var best = 0
-          var ci = 1
-          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+          val best = nearestCidIdx(centroidSims(v, norm, cs))
           (id, cs(best)._1, snapRes(vq, cs(best)._2))
         }
       }.toDF("vec_id", "cid", "res"))
@@ -1037,9 +1030,7 @@ object VectorOps extends Serializable {
     val qsRaw = e.filter(col("vec_id") < QueryIds)
       .as[(Long, Array[Double], Double, Array[Double])].collect().sortBy(_._1)
     val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm, _) =>
-      val sims = centroidSims(v, norm, cents)
-      qid -> cents.indices.sortBy(i => (-sims(i), cents(i)._1))
-        .take(nprobe).map(cents(_)._1).toSeq
+      qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
     val tables: Map[(Long, Long), Array[Map[Long, Double]]] =
       qsRaw.flatMap { case (qid, _, _, vq) =>
@@ -1085,10 +1076,7 @@ object VectorOps extends Serializable {
         val bs = bcBooks.value
         val sb = bs.head.head._2.length
         it.map { case (id, v, norm, vq) =>
-          val sims = centroidSims(v, norm, cs)
-          var best = 0
-          var ci = 1
-          while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+          val best = nearestCidIdx(centroidSims(v, norm, cs))
           val codes = new Array[Long](bs.length)
           var j = 0
           while (j < bs.length) {
@@ -1106,9 +1094,7 @@ object VectorOps extends Serializable {
       .filter(col("vec_id") < QueryIds)
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     val probes: Map[Long, Set[Long]] = qsRaw.map { case (qid, v, norm) =>
-      val sims = centroidSims(v, norm, cents)
-      qid -> cents.indices.sortBy(i => (-sims(i), cents(i)._1))
-        .take(nprobe).map(cents(_)._1).toSet
+      qid -> probeCids(v, norm, cents, nprobe).toSet
     }.toMap
     val qsSnap = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
     val tables = pqTables(qsSnap, books)
@@ -1132,6 +1118,27 @@ object VectorOps extends Serializable {
   /** Rounded csim of one vector to every coarse centroid — shared by
     * the distributed list-assignment argmax and the driver-side probe
     * ranking, in both the exact-IVF and IVF-PQ paths. */
+  /** Nearest-list argmax over [[centroidSims]] output — ties fall to
+    * the LOWER cid (cents are cid-sorted, comparison strict). The ONE
+    * tie-break every IVF family member must share; a divergent copy
+    * breaks engine/oracle parity for exactly one query family
+    * (review r14 pass 2). Returns the index into `cs`. */
+  private def nearestCidIdx(sims: Array[Double]): Int = {
+    var best = 0
+    var ci = 1
+    while (ci < sims.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
+    best
+  }
+
+  /** A query's nprobe probe lists in (−csim, cid) order — the shared
+    * driver-side ranking (the SQL `probes` CTE's crk order). */
+  private def probeCids(v: Array[Double], norm: Double,
+      cents: Array[(Long, Array[Double], Double)], nprobe: Int): Seq[Long] = {
+    val sims = centroidSims(v, norm, cents)
+    cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
+      .map(cents(_)._1).toSeq
+  }
+
   private def centroidSims(arr: Array[Double], norm: Double,
       cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
     val sims = new Array[Double](cs.length)
@@ -1159,11 +1166,7 @@ object VectorOps extends Serializable {
     val assigned = e.as[(Long, Array[Double], Double)].mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, v, norm) =>
-        val sims = centroidSims(v, norm, cs)
-        var best = 0
-        var ci = 1
-        while (ci < cs.length) { if (sims(ci) > sims(best)) best = ci; ci += 1 }
-        (id, v, norm, cs(best)._1)
+        (id, v, norm, cs(nearestCidIdx(centroidSims(v, norm, cs)))._1)
       }
     }.toDF("vec_id", "v", "norm", "cid")
 
@@ -1172,9 +1175,7 @@ object VectorOps extends Serializable {
     val probes = e.filter(col("vec_id") < qids)
       .as[(Long, Array[Double], Double)].collect()
       .flatMap { case (id, v, norm) =>
-        val sims = centroidSims(v, norm, cents)
-        cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
-          .map(i => (id, v, norm, cents(i)._1))
+        probeCids(v, norm, cents, nprobe).map(cid => (id, v, norm, cid))
       }.toSeq.toDF("query_id", "va", "na", "cid")
     // exact scoring inside the probed lists only
     val scored = assigned.join(broadcast(probes), Seq("cid"))

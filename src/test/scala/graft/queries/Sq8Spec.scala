@@ -63,12 +63,13 @@ class Sq8Spec extends AnyFunSuite {
     val trained = graft.SparkEntry.queries("vec_recall_eval_trained")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(ivfsq.keySet === trained.keySet)
+    // EXACT per-query equality (review r14 pass 2: the doc claims
+    // equality, so the spec must enforce equality — a legitimate
+    // future fixture where SQ8 precision costs a rank-10 hit should
+    // fail here loudly and relax this consciously)
     ivfsq.foreach { case (q, r) =>
-      assert(math.abs(r - trained(q)) <= 0.1 + 1e-9,
-        s"query $q: IVF-SQ8 $r vs exact-probed ${trained(q)} — SQ8 lost rank-10 fidelity")
+      assert(r === trained(q),
+        s"query $q: IVF-SQ8 $r != exact-probed ${trained(q)} — SQ8 lost rank-10 fidelity")
     }
-    val meanDelta = ivfsq.map { case (q, r) => trained(q) - r }.sum / ivfsq.size
-    assert(meanDelta <= 0.02 + 1e-9,
-      s"mean recall drop $meanDelta vs exact probed scan exceeds the near-lossless contract")
   }
 }
