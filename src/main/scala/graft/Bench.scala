@@ -42,7 +42,7 @@ object Bench {
     "ev_anomaly", "ev_sliding_agg", "ev_locf_resample", "ev_attribution",
     "mm_features", "pipe_clean_corpus", "pipe_sample_stratified",
     "pipe_decontaminate", "pipe_pii_mask", "pipe_pack_sequences",
-    "text_bpe_tokens", "pipe_pack_sequences_bpe", "text_vocab_topk",
+    "text_bpe_tokens", "text_bpe_train", "pipe_pack_sequences_bpe", "text_vocab_topk",
     // retrieval stack: chunking, sparse BM25, hybrid fusion, dedup-graph triangles
     "text_chunk", "search_bm25_topk", "search_hybrid_rrf", "graph_triangles",
     "text_keyword_topk", "graph_clustering_coeff",

@@ -74,26 +74,33 @@ object Bpe extends Serializable {
     out.result()
   }
 
+  /** One left-to-right pass merging every non-overlapping adjacent
+    * (x, y) into xy — the shared kernel of [[encode]] and the trainer
+    * (`text_bpe_train`)'s segmentation update. */
+  private[graft] def mergePass(syms: Vector[String], x: String,
+      y: String): Vector[String] = {
+    if (syms.length < 2) syms
+    else {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += x + y
+          i += 2
+        } else {
+          out += syms(i)
+          i += 1
+        }
+      }
+      out.result()
+    }
+  }
+
   /** Encode one word: per rule, one left-to-right pass merging every
     * non-overlapping adjacent (x, y) into xy. */
   def encode(word: String): Vector[String] = {
     var syms: Vector[String] = baseSymbols(word)
-    Merges.foreach { case (x, y) =>
-      if (syms.length > 1) {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
-            out += x + y
-            i += 2
-          } else {
-            out += syms(i)
-            i += 1
-          }
-        }
-        syms = out.result()
-      }
-    }
+    Merges.foreach { case (x, y) => syms = mergePass(syms, x, y) }
     syms
   }
 

@@ -80,6 +80,40 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.count("window") < "window".length, "no compression on 'window'")
   }
 
+  test("trainer: distributed bpeTrain equals the classic single-machine reference") {
+    // classic reference on the sf0.001 corpus vocabulary
+    val spark = graft.sources.SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().foreach { r =>
+        r.getString(0).split(" ", -1).foreach(w =>
+          words.update(w, words.getOrElse(w, 0L) + 1L)) }
+    var seg = words.keys.map(w => w -> Bpe.baseSymbols(w)).toMap
+    val ref = (1 to 8).map { i =>
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        val s = seg(w)
+        (0 until s.length - 1).foreach { j =>
+          pc.update((s(j), s(j + 1)), pc.getOrElse((s(j), s(j + 1)), 0L) + c) }
+      }
+      val ((l, r), n) = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      seg = seg.map { case (w, s) => w -> Bpe.mergePass(s, l, r) }
+      (i, l, r, n)
+    }
+    val got = graft.queries.TextOps.bpeTrain(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === ref)
+    // learned merges actually compress: re-encoding with them shortens
+    // the corpus vs raw codepoints
+    val rawSyms = words.map { case (w, c) => Bpe.baseSymbols(w).length * c }.sum
+    val trained = got.map { case (_, l, r, _) => (l, r) }
+    val encSyms = words.map { case (w, c) =>
+      trained.foldLeft(Bpe.baseSymbols(w))((s, m) => Bpe.mergePass(s, m._1, m._2)).length * c
+    }.sum
+    assert(encSyms < rawSyms, s"trained merges do not compress ($encSyms vs $rawSyms)")
+  }
+
   test("base-symbol domain is codepoints: newline and non-BMP text match the SQL's (?s)(.)") {
     // RE2 '(?s)(.)' spaces a word of N codepoints into N symbols; the
     // kernel must count the same N (ADVICE r13 #1). '\n' is a symbol;
