@@ -76,10 +76,6 @@ object GraphOps extends Serializable {
       .orderBy("node")
   }
 
-  /** Iteration count surfaced in the registry (VERDICT r12 #7):
-    * `spark.graft.pagerank.iters`, default 3 — the oracle SQL unrolls
-    * exactly 3, so the gate runs the default; the conf is the tuning
-    * knob for ad-hoc use (more iterations = same plan, repeated). */
   /** Degree-oriented (compact-forward) triangle listing. Input: an
     * undirected distinct edge table (u, v) with u < v. Each edge is
     * ORIENTED from its lower-(deg, id) endpoint to the higher; wedges
@@ -101,7 +97,11 @@ object GraphOps extends Serializable {
     * closed-form count on random graphs including a star + hub
     * fixture where id-orientation would wedge quadratically. */
   def triangles(edges: DataFrame): DataFrame = {
-    val p = edges.toDF("u", "v")
+    // the edge table feeds FIVE consumers (two deg joins, two wedge
+    // sides, the closing-edge semi join) — truncate once so an
+    // expensive upstream (the simhash pair generation) never
+    // re-executes per branch (review r14 pass 3)
+    val p = graft.operators.Checkpoints.truncate(edges.toDF("u", "v"))
     val deg = p.select(col("u").as("x")).union(p.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val pd = p
@@ -140,7 +140,10 @@ object GraphOps extends Serializable {
     * coefficient is an exact integer ratio through one double
     * division — cross-engine deterministic, rounded for display. */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val p = edges.toDF("u", "v")
+    // truncated here AND inside triangles: the second checkpoint is a
+    // cheap re-materialization of already-local blocks, while skipping
+    // either would re-run the upstream pair generation per branch
+    val p = graft.operators.Checkpoints.truncate(edges.toDF("u", "v"))
     val deg = p.select(col("u").as("node")).union(p.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val triCnt = triangles(p)
@@ -154,6 +157,10 @@ object GraphOps extends Serializable {
       .orderBy("node")
   }
 
+  /** Iteration count surfaced in the registry (VERDICT r12 #7):
+    * `spark.graft.pagerank.iters`, default 3 — the oracle SQL unrolls
+    * exactly 3, so the gate runs the default; the conf is the tuning
+    * knob for ad-hoc use (more iterations = same plan, repeated). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       pagerank(s, dir, s.conf.get("spark.graft.pagerank.iters", "3").toInt)),

@@ -54,6 +54,9 @@ object TextOps {
     * codepoint segmentation of the (word, count) vocabulary, then k
     * times pick the most frequent adjacent symbol pair (ties: (l, r)
     * lexicographic) and merge every non-overlapping occurrence.
+    * Variant note: SELF-pairs (l == r) are excluded from selection in
+    * both engines — see the in-loop comment for why the SQL twin
+    * cannot reproduce the kernel on long identical-symbol runs.
     * Returns the learned table (rank, lft, rgt, n) — the model a
     * tokenizer like [[graft.functions.Bpe]] pins as its `Merges`.
     *
@@ -80,22 +83,47 @@ object TextOps {
       .select(explode(split(col("text"), " ", -1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-    var seg = vocab.map { case (w, c) =>
-      (graft.functions.Bpe.baseSymbols(w), c) }
+    // truncate the INITIAL segmentation too: the corpus-sized (word,
+    // count) aggregation is training's one heavy stage, and without
+    // this it executes twice (iteration 1's argmax + the first lazy
+    // checkpoint's materialization) — review r14 pass 3
+    var seg = graft.operators.Checkpoints.truncate(
+        vocab.map { case (w, c) =>
+          (graft.functions.Bpe.baseSymbols(w), c) }.toDF("syms", "cnt"))
+      .as[(Vector[String], Long)]
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
     (1 to k).foreach { i =>
-      val top = seg.flatMap { case (syms, c) =>
-          (0 until syms.length - 1).map(j => (syms(j), syms(j + 1), c)) }
-        .toDF("l", "r", "c")
-        .groupBy("l", "r").agg(sum(col("c")).as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((i, l, r, n))
-      seg = graft.operators.Checkpoints.truncate(
-          seg.map { case (syms, c) =>
-            (graft.functions.Bpe.mergePass(syms, l, r), c) }.toDF("syms", "cnt"))
-        .as[(Vector[String], Long)]
+      if (!exhausted) {
+        // SELF-PAIR merges (l == r) are EXCLUDED, in both engines: the
+        // oracle's multi-pass replace cannot reproduce the kernel's
+        // left-to-right scan on runs of >= 6 identical symbols (the
+        // resume-after-match strands every third symbol — review r14
+        // pass 3), so the trained variant restricts selection to
+        // l <> r. Deterministic and domain-general; documented where
+        // the merge table's consumers read it.
+        val top = seg.flatMap { case (syms, c) =>
+            (0 until syms.length - 1).map(j => (syms(j), syms(j + 1), c)) }
+          .toDF("l", "r", "c")
+          .filter(col("l") =!= col("r"))
+          .groupBy("l", "r").agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).collect().headOption
+        top match {
+          case None =>
+            // pair supply exhausted (fully merged / single-symbol
+            // vocab): stop — the oracle's empty t$it CTE likewise
+            // stops contributing rows, so shapes agree
+            exhausted = true
+          case Some(row) =>
+            val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((i, l, r, n))
+            seg = graft.operators.Checkpoints.truncate(
+                seg.map { case (syms, c) =>
+                  (graft.functions.Bpe.mergePass(syms, l, r), c) }.toDF("syms", "cnt"))
+              .as[(Vector[String], Long)]
+        }
+      }
     }
     merges.result().toDF("rank", "lft", "rgt", "n").orderBy("rank")
   }
@@ -807,7 +835,10 @@ object TextOps {
       """vocab AS (
           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)""",
-      "bidx AS (SELECT unnest(range(1, 64)) AS i)",
+      // bounded-range idiom: covers words up to 512 codepoints (the
+      // Spark side is uncapped — BpeSpec asserts the corpus max stays
+      // far below; a longer-token future corpus must raise this)
+      "bidx AS (SELECT unnest(range(1, 512)) AS i)",
       """seg0 AS MATERIALIZED (
           SELECT w, cnt, ' ' || regexp_replace(w, '(?s)(.)', '\1 ', 'g') AS s FROM vocab)""") ++
       (0 until k).flatMap { it =>
@@ -816,7 +847,9 @@ object TextOps {
               SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
                      CAST(sum(cnt) AS BIGINT) AS n
               FROM (SELECT cnt, string_split(trim(s), ' ') AS syms FROM seg$it), bidx
-              WHERE i <= len(syms) - 1 GROUP BY 1, 2)""",
+              WHERE i <= len(syms) - 1
+                AND syms[CAST(i AS INT)] <> syms[CAST(i AS INT) + 1]
+              GROUP BY 1, 2)""",
           s"t$it AS MATERIALIZED (SELECT l, r, n FROM p$it ORDER BY n DESC, l ASC, r ASC LIMIT 1)") ++
           (if (it < k - 1)
             Seq(s"""seg${it + 1} AS MATERIALIZED (

@@ -1115,9 +1115,6 @@ object VectorOps extends Serializable {
     }.toDF("query_id", "match_id", "sim")
   }
 
-  /** Rounded csim of one vector to every coarse centroid — shared by
-    * the distributed list-assignment argmax and the driver-side probe
-    * ranking, in both the exact-IVF and IVF-PQ paths. */
   /** Nearest-list argmax over [[centroidSims]] output — ties fall to
     * the LOWER cid (cents are cid-sorted, comparison strict). The ONE
     * tie-break every IVF family member must share; a divergent copy
@@ -1139,6 +1136,9 @@ object VectorOps extends Serializable {
       .map(cents(_)._1).toSeq
   }
 
+  /** Rounded csim of one vector to every coarse centroid — shared by
+    * the distributed list-assignment argmax and the driver-side probe
+    * ranking, in both the exact-IVF and IVF-PQ paths. */
   private def centroidSims(arr: Array[Double], norm: Double,
       cs: Array[(Long, Array[Double], Double)]): Array[Double] = {
     val sims = new Array[Double](cs.length)

@@ -97,13 +97,23 @@ class BpeSpec extends AnyFunSuite {
         (0 until s.length - 1).foreach { j =>
           pc.update((s(j), s(j + 1)), pc.getOrElse((s(j), s(j + 1)), 0L) + c) }
       }
-      val ((l, r), n) = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      // self-pairs excluded — the trained variant's documented
+      // selection rule (TextOps.bpeTrain)
+      val ((l, r), n) = pc.toSeq.filter { case ((a, b), _) => a != b }
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
       seg = seg.map { case (w, s) => w -> Bpe.mergePass(s, l, r) }
       (i, l, r, n)
     }
     val got = graft.queries.TextOps.bpeTrain(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq === ref)
+    // the oracle's bounded-range pair index covers words <= 512
+    // codepoints (the Spark side is uncapped) — fail here with a
+    // pointer long before a longer-token corpus turns the cap into a
+    // mysterious oracle mismatch (review r14 pass 3)
+    val maxLen = words.keys.map(w => Bpe.baseSymbols(w).length).max
+    assert(maxLen < 450,
+      s"max word length $maxLen approaches bpeTrainSql's range(1,512) cap — raise bidx first")
     // learned merges actually compress: re-encoding with them shortens
     // the corpus vs raw codepoints
     val rawSyms = words.map { case (w, c) => Bpe.baseSymbols(w).length * c }.sum
