@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, isnan}
 
 /** DDSketch (Masson, Lee & Rim, VLDB 2019): a mergeable quantile
   * sketch with a RELATIVE-error guarantee that is fully DETERMINISTIC
@@ -41,6 +41,51 @@ object QuantileSketch extends Serializable {
       o.counts.foldLeft(counts) { case (m, (k, v)) =>
         m.updated(k, m.getOrElse(k, 0L) + v)
       })
+  }
+
+  /** THE shared domain predicate of every entry point, batch and
+    * stream: finite, non-null, non-negative. One rule, applied at the
+    * DataFrame boundary, so batch/stream comparisons never depend on a
+    * caller remembering it (ADVICE r14 #3 — `.as[Double]` on a null
+    * throws, and a monitoring path must drop a bad record, not die).
+    * NOTE `c >= 0` ALONE keeps NaN: Spark SQL orders NaN greater than
+    * every double, so the explicit `!isnan` is load-bearing. */
+  private[graft] def inDomain(c: Column): Column =
+    c.isNotNull && !isnan(c) && (c >= 0)
+
+  /** Lowest-bucket collapse (the paper's bounded-memory variant):
+    * while the histogram exceeds `maxBuckets`, merge the two LOWEST
+    * buckets — equivalently, fold all mass below the maxBuckets-th
+    * highest key into that key. Values in the collapsed region are
+    * over-estimated (up to the collapse floor's upper bound), so the
+    * α guarantee is kept EXACTLY for every quantile whose rank falls
+    * at or above the collapsed mass — the high quantiles a bounded
+    * monitoring sketch exists to serve — and the worst low-quantile
+    * answer is the collapse floor itself, never garbage.
+    *
+    * Determinism is PRESERVED: collapse pushes mass UP toward the
+    * m-th highest key, and the m-th highest key of a merged sketch is
+    * ≥ that of each input, so collapsing after every fold/merge or
+    * once at the end yields the identical final sketch (the
+    * QuantileSketchSpec partitioning test runs with the cap on).
+    * `maxBuckets <= 0` disables (the exact-histogram default; the
+    * corpus columns need ~575 buckets at α = 0.01 — the cap is armor
+    * for adversarial dynamic range, e.g. a stream mixing µs latencies
+    * with byte counts). */
+  def collapse(s: DD, maxBuckets: Int): DD = {
+    if (maxBuckets <= 0 || s.counts.size <= maxBuckets) s
+    else {
+      val keysDesc = s.counts.keysIterator.toArray.sortInPlace().reverse
+      val floor = keysDesc(maxBuckets - 1)
+      var low = 0L
+      val kept = Map.newBuilder[Int, Long]
+      s.counts.foreach { case (k, v) =>
+        if (k < floor) low += v
+        else if (k > floor) kept += (k -> v)
+      }
+      kept += (floor -> (s.counts(floor) + low))
+      DD(s.zeros, kept.result())
+    }
   }
 
   def gammaFor(alpha: Double): Double = {
@@ -107,26 +152,36 @@ object QuantileSketch extends Serializable {
   /** Global sketch of a numeric column: one mutable-histogram fold
     * per partition (narrow), then a merge of the per-partition
     * sketches — the shuffle-free treeable form; the rows never leave
-    * their partitions. */
-  def sketch(df: DataFrame, valueCol: String, alpha: Double = 0.01): DD = {
+    * their partitions. Out-of-domain values (null / NaN / negative)
+    * are dropped at the boundary by [[inDomain]] — the same rule the
+    * streaming twin applies, so batch and stream always sketch the
+    * same value set. `maxBuckets > 0` arms the [[collapse]] bound
+    * (applied per partition fold AND per merge, which the collapse
+    * determinism argument makes equivalent to one final pass). */
+  def sketch(df: DataFrame, valueCol: String, alpha: Double = 0.01,
+      maxBuckets: Int = 0): DD = {
     val s = df.sparkSession
     import s.implicits._
     val gamma = gammaFor(alpha)
-    df.select(col(valueCol).cast("double")).as[Double]
-      .mapPartitions(it => Iterator.single(foldValues(DD(0L, Map.empty), it, gamma)))
-      .reduce((a, b) => a.merge(b))
+    df.select(col(valueCol).cast("double").as("v"))
+      .filter(inDomain(col("v"))).as[Double]
+      .mapPartitions(it => Iterator.single(
+        collapse(foldValues(DD(0L, Map.empty), it, gamma), maxBuckets)))
+      .reduce((a, b) => collapse(a.merge(b), maxBuckets))
   }
 
   /** Per-group sketches keyed by a string column: per-(partition ×
     * key) mutable folds emit one sketch each, so the shuffle carries
     * ≤ groups × partitions bucket maps — never rows — and
-    * `reduceGroups` merges them with map-side partials. */
+    * `reduceGroups` merges them with map-side partials. Domain and
+    * bucket-bound rules are [[sketch]]'s. */
   def groupSketch(df: DataFrame, keyCol: String, valueCol: String,
-      alpha: Double = 0.01): Map[String, DD] = {
+      alpha: Double = 0.01, maxBuckets: Int = 0): Map[String, DD] = {
     val s = df.sparkSession
     import s.implicits._
     val gamma = gammaFor(alpha)
-    df.select(col(keyCol), col(valueCol).cast("double")).as[(String, Double)]
+    df.select(col(keyCol), col(valueCol).cast("double").as("v"))
+      .filter(inDomain(col("v"))).as[(String, Double)]
       .mapPartitions { it =>
         val zeros = scala.collection.mutable.HashMap.empty[String, Long]
         val hists = scala.collection.mutable
@@ -142,13 +197,13 @@ object QuantileSketch extends Serializable {
           }
         }
         (zeros.keySet ++ hists.keySet).iterator.map { k =>
-          k -> DD(zeros.getOrElse(k, 0L),
+          k -> collapse(DD(zeros.getOrElse(k, 0L),
             hists.get(k).map(_.iterator.map { case (a, c) => a.toInt -> c }.toMap)
-              .getOrElse(Map.empty))
+              .getOrElse(Map.empty)), maxBuckets)
         }
       }
       .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, a._2.merge(b._2)))
+      .reduceGroups((a, b) => (a._1, collapse(a._2.merge(b._2), maxBuckets)))
       .map { case (k, (_, dd)) => (k, dd) }
       .collect().toMap
   }

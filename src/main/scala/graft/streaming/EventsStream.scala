@@ -306,25 +306,29 @@ object EventsStream {
     * carry (MicroBatchSplitSpec feeds it a shuffled stream and pins
     * equality with the batch sketch).
     *
-    * Out-of-domain values (negative or NaN — outside DDSketch's
-    * non-negative domain) are FILTERED at the stream boundary rather
-    * than folded: a monitoring stream must not be killed by one bad
-    * record, and the sketch's `require` would terminate the whole
-    * query for every key (review r14). Batch comparisons must apply
-    * the same `value >= 0` predicate. */
+    * Out-of-domain values (null, NaN, or negative — outside
+    * DDSketch's non-negative domain) are FILTERED at the stream
+    * boundary rather than folded: a monitoring stream must not be
+    * killed by one bad record, and the sketch's `require` would
+    * terminate the whole query for every key (review r14). The
+    * predicate is [[graft.operators.QuantileSketch.inDomain]] — the
+    * SAME rule the batch entry points apply internally (ADVICE r14
+    * #3), so batch/stream comparisons need no caller-side filter.
+    * `maxBuckets > 0` arms the collapsing bound per fold; the batch
+    * twin with the same cap produces the identical sketch (collapse
+    * determinism — see [[graft.operators.QuantileSketch.collapse]]). */
   final case class QsState(dd: graft.operators.QuantileSketch.DD, emit: Long)
   final case class QsOut(event_type: String, emit_seq: Long,
       p50: Double, p95: Double, n: Long)
 
   def quantileStream(spark: SparkSession, events: DataFrame,
-      alpha: Double = 0.01): DataFrame = {
+      alpha: Double = 0.01, maxBuckets: Int = 0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.QuantileSketch
     val gamma = QuantileSketch.gammaFor(alpha)
-    events.select(col("event_type"), col("value").cast("double"))
-      // NaN fails the predicate too — dropped, not folded
-      .filter(col("value") >= 0)
+    events.select(col("event_type"), col("value").cast("double").as("value"))
+      .filter(QuantileSketch.inDomain(col("value")))
       .as[(String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -332,8 +336,11 @@ object EventsStream {
             state: GroupState[QsState]) =>
           var st = state.getOption.getOrElse(
             QsState(QuantileSketch.DD(0L, Map.empty), 0L))
-          // one mutable-histogram fold per micro-batch (review r14)
-          val dd = QuantileSketch.foldValues(st.dd, it.map(_._2), gamma)
+          // one mutable-histogram fold per micro-batch (review r14);
+          // the per-fold collapse composes to the same sketch as one
+          // final collapse (determinism argument in [[collapse]])
+          val dd = QuantileSketch.collapse(
+            QuantileSketch.foldValues(st.dd, it.map(_._2), gamma), maxBuckets)
           st = QsState(dd, st.emit + 1)
           state.update(st)
           Iterator.single(QsOut(typ, st.emit,

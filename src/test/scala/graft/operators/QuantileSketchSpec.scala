@@ -74,6 +74,63 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(dd.n === li.count())
   }
 
+  test("out-of-domain values (null / NaN / negative) are dropped, not thrown") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](1.0, null, Double.NaN, -5.0, 100.0, 0.0)
+      .toDF("v")
+    val dd = QuantileSketch.sketch(df, "v", Alpha)
+    // only 1.0, 100.0 and the zero survive the shared domain rule
+    assert(dd.n === 3L)
+    assert(dd.zeros === 1L)
+    val grouped = QuantileSketch.groupSketch(
+      Seq(("a", java.lang.Double.valueOf(2.0)), ("a", null),
+        ("b", java.lang.Double.valueOf(Double.NaN)),
+        ("b", java.lang.Double.valueOf(-1.0))).toDF("k", "v"), "k", "v", Alpha)
+    assert(grouped("a").n === 1L)
+    // b's rows are all out-of-domain -> the key vanishes entirely
+    assert(!grouped.contains("b"))
+  }
+
+  test("collapse bounds buckets; high-quantile alpha bound survives") {
+    val gamma = QuantileSketch.gammaFor(Alpha)
+    val MaxB = 64
+    val dd = QuantileSketch.sketch(li, "l_extendedprice", Alpha, MaxB)
+    assert(dd.counts.size <= MaxB, s"${dd.counts.size} buckets > cap $MaxB")
+    assert(dd.n === QuantileSketch.sketch(li, "l_extendedprice", Alpha).n)
+    // the uncapped sketch needs ~2x the cap here, so low buckets WERE
+    // collapsed — and every quantile whose rank clears the collapsed
+    // mass still meets the alpha bound vs the exact percentile
+    val uncapped = QuantileSketch.sketch(li, "l_extendedprice", Alpha)
+    assert(uncapped.counts.size > MaxB, "fixture no longer exercises collapse")
+    val floor = dd.counts.keysIterator.min
+    val collapsedMass = dd.counts(floor)
+    val qs = Seq(0.5, 0.75, 0.95, 0.99).filter { q =>
+      math.floor(q * (dd.n - 1)) >= collapsedMass + dd.zeros
+    }
+    assert(qs.nonEmpty, "no quantile clears the collapsed region — widen MaxB")
+    val exact = li.select(
+      qs.map(q => expr(s"percentile(l_extendedprice, $q)").as(s"q$q")): _*)
+      .head()
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val est = QuantileSketch.quantile(dd, q, gamma)
+      val ex = exact.getDouble(i)
+      assert(math.abs(est - ex) <= Alpha * ex * 1.0001,
+        s"capped q=$q: |$est - $ex| exceeds alpha bound")
+    }
+  }
+
+  test("collapse determinism: any partitioning/merge order, same capped sketch") {
+    val MaxB = 64
+    val base = QuantileSketch.sketch(li, "l_extendedprice", Alpha, MaxB)
+    val repart = QuantileSketch.sketch(li.repartition(13), "l_extendedprice", Alpha, MaxB)
+    val single = QuantileSketch.sketch(li.coalesce(1), "l_extendedprice", Alpha, MaxB)
+    assert(base === repart)
+    assert(base === single)
+    // collapsing per-merge == collapsing the exact sketch once at the end
+    val exact = QuantileSketch.sketch(li, "l_extendedprice", Alpha)
+    assert(base === QuantileSketch.collapse(exact, MaxB))
+  }
+
   test("zero handling and the zero bucket's quantile") {
     val gamma = QuantileSketch.gammaFor(Alpha)
     var dd = QuantileSketch.DD(0L, Map.empty)
