@@ -27,16 +27,25 @@ import org.apache.spark.sql.functions._
   * so the oracled scoring uses the exact-rational idf
   * `(N+1)/(df+0.5) = (2N+2)/(2df+1)` — the log's argument itself,
   * skipping the log. Monotone in df like the classic weight, and the
-  * whole per-term score becomes a ratio of two exact BIGINTs:
+  * per-term score factors into TWO double ratios:
   *
-  *   term = 88·(N+1)·tf·S / ((2df+1)·(20·tf·S + 6·S + 18·dl·N))
+  *   term = [(2N+2)/(2df+1)] · [44·tf·S / (20·tf·S + 6·S + 18·dl·N)]
   *
-  * (k1 = 6/5, b = 3/4, avgdl = S/N multiplied through; N docs,
-  * S total tokens, dl doc length). Numerator and denominator stay
-  * far below 2^53, int→double conversion and division are correctly
-  * rounded in every IEEE engine, and the quotient is snapped to the
-  * 2^-20 lattice so the per-(query,doc) SUM is exact and
-  * order-independent — the vec_kmeans doctrine applied to retrieval.
+  * (idf × tf-saturation; k1 = 6/5, b = 3/4, avgdl = S/N multiplied
+  * through; N docs, S total tokens, dl doc length). Every product is
+  * computed IN DOUBLE with a parenthesized, left-associated op
+  * sequence written identically in both engines — overflow-safe at
+  * ANY corpus scale (the largest intermediate, 20·tf·S, is ~1e26 at
+  * 100 TB: far inside double range, where the single-BIGINT form
+  * 88·(N+1)·tf·S would silently wrap int64 past N·S ≈ 1e17
+  * — ADVICE r14). Determinism survives the move off exact integers:
+  * ×, +, /, and int→double conversion are each correctly rounded and
+  * IEEE-defined, so a fixed op tree on identical integer inputs is
+  * bit-identical across engines (the RRF argument); only
+  * REASSOCIATION is forbidden, hence the explicit parentheses. The
+  * quotient is snapped to the 2^-20 lattice so the per-(query,doc)
+  * SUM is order-independent — the vec_kmeans doctrine applied to
+  * retrieval.
   * The log-idf variant is pinned separately in SearchOpsSpec (same
   * top-k on the fixture corpus; rank-equivalence is per-term, not
   * global, so the spec asserts the fixture outcome, not an identity).
@@ -122,8 +131,8 @@ object SearchOps extends Serializable {
       .filter(col("doc_id") =!= col("query_id"))
     val terms = cand.join(broadcast(dfr), Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("tq", expr(
-        s"round(cast(88L * ${n + 1}L * tf * ${sTok}L as double) / " +
-          s"cast((2L*df + 1L) * (20L * tf * ${sTok}L + ${6 * sTok}L + 18L * dl * ${n}L) as double)" +
+        s"round((cast(${2 * n + 2}L as double) / cast(2L*df + 1L as double)) * " +
+          s"((44d * tf * ${sTok}L) / ((20d * tf * ${sTok}L) + (6d * ${sTok}L) + (18d * dl * ${n}L)))" +
           s" * 1048576d) / 1048576d"))
     val scores = terms.groupBy("query_id", "doc_id")
       .agg(round(sum(col("tq")), 6).as("sim"))
@@ -207,8 +216,8 @@ object SearchOps extends Serializable {
           WHERE tf.doc_id <> qt.query_id),
         trm AS (
           SELECT query_id, c.doc_id,
-                 round(CAST(88 * (gl.n + 1) * c.tf * gl.s AS DOUBLE)
-                       / CAST((2 * dfr.df + 1) * (20 * c.tf * gl.s + 6 * gl.s + 18 * dl.dl * gl.n) AS DOUBLE)
+                 round((CAST(2 * gl.n + 2 AS DOUBLE) / CAST(2 * dfr.df + 1 AS DOUBLE))
+                       * ((44.0 * c.tf * gl.s) / ((20.0 * c.tf * gl.s) + (6.0 * gl.s) + (18.0 * dl.dl * gl.n)))
                        * 1048576) / 1048576.0 AS tq
           FROM cand c JOIN dfr USING (term) JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN gl),
         bscore AS (SELECT query_id, doc_id, round(sum(tq), 6) AS score FROM trm GROUP BY 1, 2),

@@ -101,6 +101,23 @@ class BpeSpec extends AnyFunSuite {
       // selection rule (TextOps.bpeTrain)
       val ((l, r), n) = pc.toSeq.filter { case ((a, b), _) => a != b }
         .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      // the oracle resolves an abutting chain of k occurrences of the
+      // SELECTED pair in ~k replace passes — assert the corpus never
+      // presents a chain longer than SqlPasses at the segmentation
+      // state the merge actually applies to (ADVICE r14: the <450
+      // word-length guard alone admits a >10-symbol alternation that
+      // would silently diverge from mergePass's single scan)
+      val maxChain = seg.valuesIterator.map { s =>
+        var best = 0; var run = 0; var j = 0
+        while (j < s.length - 1) {
+          if (s(j) == l && s(j + 1) == r) { run += 1; if (run > best) best = run; j += 2 }
+          else { run = 0; j += 1 }
+        }
+        best
+      }.max
+      assert(maxChain <= Bpe.SqlPasses,
+        s"iteration $i pair ($l,$r): abutting chain of $maxChain occurrences " +
+          s"exceeds SqlPasses=${Bpe.SqlPasses} — the SQL oracle would under-merge; raise SqlPasses")
       seg = seg.map { case (w, s) => w -> Bpe.mergePass(s, l, r) }
       (i, l, r, n)
     }
