@@ -128,6 +128,45 @@ object TextOps {
     merges.result().toDF("rank", "lft", "rgt", "n").orderBy("rank")
   }
 
+  /** Encode the corpus WITH the table [[bpeTrain]] just learned
+    * (`text_bpe_apply`) — the end-to-end in-engine tokenizer loop:
+    * train k merges, broadcast the learned (lft, rgt) sequence into
+    * the [[graft.functions.Bpe]] kernel primitives, and emit per-doc
+    * token counts exactly like the pinned-table `text_bpe_tokens`.
+    * The trained table is k rows — a model-sized broadcast (the
+    * kmeans-centroid tier), so the encode pass stays one narrow
+    * mapPartitions with a per-partition word memo bounding kernel work
+    * by distinct words, not the token stream. */
+  private[graft] def bpeApplyCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = bpeTrain(s, dir).select("lft", "rgt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toVector
+    val bc = s.sparkContext.broadcast(table)
+    docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val merges = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, lang, text) =>
+          var words = 0
+          var n = 0
+          // limit -1 keeps trailing empties — the bpeCounts rationale
+          text.split(" ", -1).foreach { w =>
+            words += 1
+            var c = memo.get(w)
+            if (c == null) {
+              val syms = merges.foldLeft(graft.functions.Bpe.baseSymbols(w)) {
+                (acc, m) => graft.functions.Bpe.mergePass(acc, m._1, m._2) }
+              c = Integer.valueOf(syms.length)
+              memo.put(w, c)
+            }
+            n += c.intValue()
+          }
+          (id, lang, words, n)
+        }
+      }.toDF("doc_id", "lang", "n_words", "n_bpe_tokens")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -660,6 +699,29 @@ object TextOps {
     // oracle unrolls the k argmax+merge iterations as CTE chains
     "text_bpe_train" -> ((s, dir) => bpeTrain(s, dir)),
 
+    // encode with the TRAINED table (train + broadcast + count in one
+    // query — the tokenizer loop closed end-to-end); the oracle chains
+    // the trainer's FINAL segmentation CTE into the count aggregation
+    "text_bpe_apply" -> ((s, dir) =>
+      bpeApplyCounts(s, dir).select("doc_id", "n_words", "n_bpe_tokens")
+        .orderBy("doc_id")),
+
+    // pipe_pack_sequences_bpe's trained twin: budget the LEARNED
+    // tokenizer's counts instead of the pinned table's
+    "pipe_pack_sequences_trained" -> ((s, dir) => {
+      val cap = 512L
+      val d = bpeApplyCounts(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_bpe_tokens").cast("bigint").as("n_tokens"))
+      graft.operators.DistributedRank
+        .withRunningSum(d, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("cum_before", col("runsum") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"cum_before DIV $cap").as("bin"),
+          (col("cum_before") % cap).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // pipe_pack_sequences' tokenizer-real twin (VERDICT r12 #4): the
     // same DistributedRank prefix-sum packing, but budgets BPE token
     // counts (cap 512) instead of whitespace words — the number the
@@ -827,11 +889,11 @@ object TextOps {
     * seg/t are MATERIALIZED — each feeds two consumers and a plain
     * CTE chain of depth k would re-evaluate the replace chains
     * exponentially (the r12 PQ-oracle trap). */
-  private def bpeTrainSql(k: Int): String = {
+  private def bpeTrainCtes(k: Int, finalSeg: Boolean): Seq[String] = {
     def repN(e: String): String =
       (1 to graft.functions.Bpe.SqlPasses).foldLeft(e)((a, _) =>
         s"replace($a, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')")
-    val ctes = Seq(
+    Seq(
       """vocab AS (
           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)""",
@@ -851,16 +913,36 @@ object TextOps {
                 AND syms[CAST(i AS INT)] <> syms[CAST(i AS INT) + 1]
               GROUP BY 1, 2)""",
           s"t$it AS MATERIALIZED (SELECT l, r, n FROM p$it ORDER BY n DESC, l ASC, r ASC LIMIT 1)") ++
-          (if (it < k - 1)
+          // LEFT JOIN ON TRUE + CASE, not CROSS JOIN: if pair supply
+          // exhausts (empty t$it) the segmentation must pass through
+          // UNCHANGED — a cross join would empty every later seg and
+          // silently zero the apply oracle's counts, where the engine
+          // just stops adding merges
+          (if (it < k - 1 || finalSeg)
             Seq(s"""seg${it + 1} AS MATERIALIZED (
-                SELECT w, cnt, ${repN("s")} AS s FROM seg$it CROSS JOIN t$it)""")
+                SELECT w, cnt, CASE WHEN t.l IS NULL THEN s ELSE ${repN("s")} END AS s
+                FROM seg$it LEFT JOIN t$it t ON TRUE)""")
           else Nil)
       }
+  }
+
+  private def bpeTrainSql(k: Int): String = {
     val sel = (0 until k)
       .map(i => s"SELECT ${i + 1} AS rank, l AS lft, r AS rgt, n FROM t$i")
       .mkString(" UNION ALL ")
-    s"WITH ${ctes.mkString(",\n")} SELECT rank, lft, rgt, n FROM ($sel) ORDER BY rank"
+    s"WITH ${bpeTrainCtes(k, finalSeg = false).mkString(",\n")} " +
+      s"SELECT rank, lft, rgt, n FROM ($sel) ORDER BY rank"
   }
+
+  /** Trained-tokenizer count CTEs (SQL twin of [[bpeApplyCounts]]):
+    * the trainer chain's FINAL segmentation seg$k, counted as
+    * spaces − 1 per word — the bpeCntCtes counting rule applied to the
+    * LEARNED table instead of the pinned one. */
+  private def bpeApplyCtes(k: Int): String =
+    s"""${bpeTrainCtes(k, finalSeg = true).mkString(",\n")},
+        bpact AS (
+          SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS n_sym
+          FROM seg$k)"""
 
   def oracle: Map[String, String] = Map(
     // SQL twin of MinHash.simhash64: FNV-1a per token (u64 HUGEINT
@@ -967,6 +1049,30 @@ object TextOps {
          WHERE reps >= 1
          ORDER BY doc_id, copy""",
     "text_bpe_train" -> bpeTrainSql(8),
+    "text_bpe_apply" ->
+      s"""WITH ${bpeApplyCtes(8)},
+          w0 AS (SELECT doc_id, t.w
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w))
+          SELECT w0.doc_id,
+                 CAST(count(*) AS INT) AS n_words,
+                 CAST(sum(b.n_sym) AS INT) AS n_bpe_tokens
+          FROM w0 JOIN bpact b ON b.w = w0.w
+          GROUP BY w0.doc_id ORDER BY doc_id""",
+    "pipe_pack_sequences_trained" ->
+      s"""WITH ${bpeApplyCtes(8)},
+          w0 AS (SELECT doc_id, lang, t.w
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+          d AS (SELECT doc_id, lang, CAST(sum(b.n_sym) AS BIGINT) AS n_tokens
+                FROM w0 JOIN bpact b ON b.w = w0.w GROUP BY doc_id, lang),
+          cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM d)
+          SELECT doc_id, lang, n_tokens,
+                 cum_before // 512 AS bin,
+                 cum_before % 512 AS bin_offset
+          FROM cum ORDER BY doc_id""",
     "text_bpe_tokens" ->
       s"""WITH $bpeCntCtes,
           w0 AS (SELECT doc_id, t.w

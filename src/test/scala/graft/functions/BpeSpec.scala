@@ -139,6 +139,18 @@ class BpeSpec extends AnyFunSuite {
       trained.foldLeft(Bpe.baseSymbols(w))((s, m) => Bpe.mergePass(s, m._1, m._2)).length * c
     }.sum
     assert(encSyms < rawSyms, s"trained merges do not compress ($encSyms vs $rawSyms)")
+    // the tokenizer loop CLOSED: text_bpe_apply (train → broadcast →
+    // encode) must count exactly what the reference's final
+    // segmentation counts, per document
+    val applied = graft.queries.TextOps.bpeApplyCounts(spark, sf)
+      .select("doc_id", "n_words", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (ws.length, ws.map(w => seg(w).length).sum)
+      }.toMap
+    assert(applied === expect)
   }
 
   test("base-symbol domain is codepoints: newline and non-BMP text match the SQL's (?s)(.)") {
