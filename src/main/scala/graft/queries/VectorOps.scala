@@ -1032,18 +1032,20 @@ object VectorOps extends Serializable {
     val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm, _) =>
       qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
-    val tables: Map[(Long, Long), Array[Map[Long, Double]]] =
-      qsRaw.flatMap { case (qid, _, _, vq) =>
-        probes(qid).map { cid =>
-          (qid, cid) -> pqTables(Array((0L, snapRes(vq, centById(cid)))), books)(0L)
-        }
-      }.toMap
+    val qvq: Map[Long, Array[Double]] =
+      qsRaw.map { case (qid, _, _, vq) => qid -> vq }.toMap
+    // cid-indexed residual tables ([[tablesByList]]): per corpus row
+    // the scorer touches only the queries probing THAT row's list
+    val tables: Map[Long, Array[(Long, Array[Map[Long, Double]])]] =
+      tablesByList(probes, (qid, cid) =>
+        pqTables(Array((0L, snapRes(qvq(qid), centById(cid)))), books)(0L))
     val bcT = s.sparkContext.broadcast(tables)
+    val noQ = Array.empty[(Long, Array[Map[Long, Double]])]
     encoded.mapPartitions { it =>
       val ts = bcT.value
       it.flatMap { case (id, cid, codes) =>
-        ts.iterator.collect {
-          case ((qid, tcid), tabs) if tcid == cid && qid != id =>
+        ts.getOrElse(cid, noQ).iterator.collect {
+          case (qid, tabs) if qid != id =>
             var adq = 0.0
             var j = 0
             while (j < codes.length) { adq += tabs(j)(codes(j)); j += 1 }
@@ -1093,19 +1095,22 @@ object VectorOps extends Serializable {
     val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
       .filter(col("vec_id") < QueryIds)
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    val probes: Map[Long, Set[Long]] = qsRaw.map { case (qid, v, norm) =>
-      qid -> probeCids(v, norm, cents, nprobe).toSet
+    val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm) =>
+      qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
     val qsSnap = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
     val tables = pqTables(qsSnap, books)
-    val bcT = s.sparkContext.broadcast(tables)
-    val bcP = s.sparkContext.broadcast(probes)
+    // cid-indexed ([[tablesByList]]): the non-residual tables are
+    // per-query only, shared by reference across that query's lists
+    val byList: Map[Long, Array[(Long, Array[Map[Long, Double]])]] =
+      tablesByList(probes, (qid, _) => tables(qid))
+    val bcT = s.sparkContext.broadcast(byList)
+    val noQ = Array.empty[(Long, Array[Map[Long, Double]])]
     encoded.mapPartitions { it =>
       val ts = bcT.value
-      val ps = bcP.value
       it.flatMap { case (id, cid, codes) =>
-        ts.iterator.collect {
-          case (qid, tabs) if qid != id && ps(qid).contains(cid) =>
+        ts.getOrElse(cid, noQ).iterator.collect {
+          case (qid, tabs) if qid != id =>
             var adq = 0.0
             var j = 0
             while (j < codes.length) { adq += tabs(j)(codes(j)); j += 1 }
@@ -1135,6 +1140,22 @@ object VectorOps extends Serializable {
     cents.indices.sortBy(i => (-sims(i), cents(i)._1)).take(nprobe)
       .map(cents(_)._1).toSeq
   }
+
+  /** Index the broadcast per-query ADC state BY LIST ID: probe pairs
+    * (qid → its nprobe cids) invert to cid → the queries probing that
+    * list, each carrying its table from `table(qid, cid)`. The probed
+    * scorers look up `byList(cid)` per corpus row, so per-row work is
+    * O(queries actually probing that row's list) — NOT O(total query
+    * batch), which a flat map scan per row degenerates to the moment
+    * the batch grows past the demo 5 (a 10k-query recall eval paid
+    * 10k tuple checks per row — VERDICT r14 #1). Total broadcast size
+    * is unchanged: Σ|probes| entries either way. */
+  private[graft] def tablesByList[T](probes: Map[Long, Seq[Long]],
+      table: (Long, Long) => T): Map[Long, Array[(Long, T)]] =
+    probes.toSeq
+      .flatMap { case (qid, cids) => cids.map(cid => cid -> (qid, table(qid, cid))) }
+      .groupBy(_._1)
+      .map { case (cid, xs) => cid -> xs.map(_._2).sortBy(_._1).toArray }
 
   /** Rounded csim of one vector to every coarse centroid — shared by
     * the distributed list-assignment argmax and the driver-side probe
