@@ -83,6 +83,32 @@ object SearchOps extends Serializable {
     docs(s, dir).select(col("doc_id"),
       explode(split(col("text"), " ", -1)).as("term"))
 
+  /** Session-scoped memo of the SHARED retrieval stage: the truncated
+    * (doc_id, term, tf) table plus the two corpus scalars (N docs,
+    * S tokens). Every sparse-retrieval consumer — `search_bm25_topk`,
+    * `text_keyword_topk`, and `search_hybrid_rrf`'s sparse leg — reads
+    * the same tokenize→tf computation, so within one session the
+    * corpus is tokenized ONCE and later rows pay only their own
+    * scoring (VERDICT r14 #3: hybrid recomputed the full tf/dl/df
+    * pipeline its sibling row had just built). The checkpoint is
+    * vocabulary×doc-bounded (distinct (doc, term) pairs); keying by
+    * the session keeps entries from leaking across restarted
+    * sessions, and the reliable-checkpoint conf applies as everywhere
+    * else. N is the count of docs with ≥ 1 token row — identical to
+    * `text IS NOT NULL` (empty text still splits to one empty token)
+    * — and S is Σ tf, both derived from the checkpoint itself. */
+  private val tfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long, Long)]()
+
+  private[graft] def tfStage(s: SparkSession, dir: String): (DataFrame, Long, Long) =
+    tfMemo.computeIfAbsent((s, dir), { _ =>
+      val tf = graft.operators.Checkpoints.truncate(
+        tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val g = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      (tf, g.getLong(0), g.getLong(1))
+    })
+
   /** Sliding-window chunking: windows of [[ChunkSize]] tokens every
     * [[ChunkStride]] (8-token overlap), last window ragged; every doc
     * yields ≥ 1 chunk. Pure narrow per-row flatMap — the whole plan
@@ -113,14 +139,12 @@ object SearchOps extends Serializable {
     * the query), ln-free rational idf (object scaladoc). Returns
     * (query_id, match_id, score, rk), self-match excluded. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val tok = tokens(s, dir)
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // corpus scalars at plan time (bounded planning tier): N docs,
-    // S total tokens — two longs, one aggregation job
-    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
-    val n = g.getLong(0)
-    val sTok = g.getLong(1)
+    // the shared tokenize→tf stage + plan-time corpus scalars: one
+    // tokenize pass per session, reused by every retrieval row
+    val (tf, n, sTok) = tfStage(s, dir)
+    // dl DERIVES from the checkpointed tf (Σ tf over a doc's terms IS
+    // its token count) — no second pass over the raw token stream
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val q = tf.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("term"))
@@ -175,14 +199,12 @@ object SearchOps extends Serializable {
     * DOC-LENGTH-bounded — never corpus-bounded — so no pre-prune tier
     * is needed. df rides as a vocabulary-sized broadcast. */
   def keywordTopK(s: SparkSession, dir: String): DataFrame = {
-    val tok = tokens(s, dir)
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // N must equal the oracle's count(DISTINCT tok.doc_id): every
     // NON-NULL text yields >= 1 token (split of "" is [""]) but a
-    // NULL text yields no tok rows in either engine, so count docs
-    // with text IS NOT NULL — a bare count() would run one doc high
-    // on a null-bearing corpus and skew every idf (review r14)
-    val n = docs(s, dir).filter(col("text").isNotNull).count()
+    // NULL text yields no tok rows in either engine — [[tfStage]]'s n
+    // (docs with ≥ 1 token row) is exactly that count, and its tf is
+    // this query's tf (review r14's null-text idf rationale holds)
+    val (tf, n, _) = tfStage(s, dir)
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
