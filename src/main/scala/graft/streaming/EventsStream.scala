@@ -240,24 +240,46 @@ object EventsStream {
     * ts-only rule): path formation is order-sensitive even among
     * equal-µs ties, so an equal-ts event with a smaller id than the
     * committed mark would re-order history and is dropped. The global
-    * top-k aggregation happens downstream of this append stream. */
+    * top-k aggregation happens downstream of this append stream.
+    *
+    * KEY-POPULATION bound (VERDICT r14 #2): a key idle past
+    * `idleEvictUs` (default 7 days) is REMOVED by event-time timeout.
+    * Unlike attributionStream's eviction this one is a DOCUMENTED
+    * SEMANTIC CHOICE, not an identity: the carried (t1, t2) pair dies
+    * with the state, so a trigram never spans an idle gap longer than
+    * the horizon — the session-scoped reading of path analysis.
+    * Batch parity holds exactly while no user idles past the horizon
+    * (the fixture's max intra-user gap is ~4 days;
+    * MicroBatchSplitSpec stays green with eviction armed, and
+    * StateEvictionSpec pins the store shrinking). `idleEvictUs <= 0`
+    * disables eviction (the unbounded batch-parity form). */
   final case class PathState(lastTsUs: Long, lastId: Long, t1: String, t2: String)
   final case class PathOut(user_id: Long, path: String, ts_us: Long, event_id: Long)
 
-  def pathsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+  def pathsStream(spark: SparkSession, events: DataFrame,
+      idleEvictUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (idleEvictUs > 0) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.select(col("event_id"), col("user_id"),
-        EventTime.tsUs(events).as("ts_us"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        EventTime.tsUs(events).as("ts_us"), col("event_type"),
+        timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
+      .withWatermark("ts_ts", "10 minutes")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (user: Long, it: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
             state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val evs = it.toArray.sortBy(e => (e._3, e._1))
           var st = state.getOption.getOrElse(
             PathState(Long.MinValue, Long.MinValue, null, null))
-          val out = evs.flatMap { case (eid, _, ts, typ) =>
+          val out = evs.flatMap { case (eid, _, ts, typ, _) =>
             // drop (ts, id) <= committed mark: strictly-older events
             // AND exact redeliveries of the newest event — an
             // at-least-once duplicate of (lastTs, lastId) would
@@ -275,7 +297,12 @@ object EventsStream {
             }
           }
           state.update(st)
+          if (idleEvictUs > 0)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsUs / 1000L + idleEvictUs / 1000L,
+                state.getCurrentWatermarkMs()) + 1L)
           out.iterator
+          }
       }
       .toDF("user_id", "path", "ts_us", "event_id")
   }
@@ -290,7 +317,18 @@ object EventsStream {
     * reproduces the batch cohort table. Stragglers older than the
     * committed high-water mark are dropped (shared ts-only rule — day
     * attribution only needs the µs timestamp, and an equal-ts replay
-    * cannot change an already-set bit). */
+    * cannot change an already-set bit).
+    *
+    * NO idle-key eviction, deliberately (VERDICT r14 #2 carve-out):
+    * the state's cohort_day is the user's IDENTITY here — evicting an
+    * idle user and seeing them return would re-cohort them at the
+    * return day and emit a row the batch table never contains (a
+    * false "new user"), unlike attribution/paths where an evicted
+    * key's future output is respectively identical / documented-
+    * session-scoped. Retention state must live as long as returns
+    * matter; its 16 bytes/user is the price of cohort identity, and
+    * the 64-day emission horizon bounds per-key OUTPUT, not the
+    * key's lifetime. */
   /** Streaming DDSketch quantiles — percentiles-on-ingest, the
     * monitoring form of [[graft.operators.QuantileSketch]]. One
     * GroupState per event_type holds the bucket histogram (size
@@ -368,7 +406,20 @@ object EventsStream {
     * activity bound the batch plan's per-conversion window carries).
     * A touch older than highwater − 7d can never enter a future
     * lookback (a future purchase's cts ≥ the highwater), so it is
-    * evicted on every fold — state never grows with stream length. */
+    * evicted on every fold — state never grows with stream length.
+    *
+    * KEY-POPULATION bound (VERDICT r14 #2): content per key was
+    * bounded but a user seen once held a state entry forever — at
+    * stream scale the store grows with lifetime uniques. An
+    * event-time timeout now REMOVES a key once the watermark passes
+    * its last activity + the 7-day lookback. Eviction is
+    * SEMANTICS-PRESERVING here: every buffered touch is ≤ the user's
+    * last activity, so at eviction time every touch is > 7d behind
+    * the watermark, and any future event the watermark admits has
+    * ts ≥ watermark — outside every future purchase's lookback. The
+    * straggler mark is also safely dropped: rows older than the
+    * watermark never reach the function (StateEvictionSpec pins the
+    * state count shrinking and output equality with eviction on). */
   final case class AttrState(lastTsUs: Long, lastId: Long,
       touches: Vector[(Long, Long, String)])
   final case class AttrOut(conv_id: Long, touch_id: Long,
@@ -378,18 +429,25 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val LookUs = 7L * 86400L * 1000000L
+    val LookMs = LookUs / 1000L
     events.select(col("event_id"), col("user_id"),
-        EventTime.tsUs(events).as("ts_us"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        EventTime.tsUs(events).as("ts_us"), col("event_type"),
+        timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
+      .withWatermark("ts_ts", "10 minutes")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[(Long, Long, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
             state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val evs = it.toArray.sortBy(e => (e._3, e._1))
           var st = state.getOption.getOrElse(
             AttrState(Long.MinValue, Long.MinValue, Vector.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
-          evs.foreach { case (id, _, ts, typ) =>
+          evs.foreach { case (id, _, ts, typ, _) =>
             val fresh = st.lastTsUs == Long.MinValue ||
               ts > st.lastTsUs || (ts == st.lastTsUs && id > st.lastId)
             if (fresh) {
@@ -421,7 +479,14 @@ object EventsStream {
             }
           }
           state.update(st)
+          // evict once the watermark passes lastActivity + lookback
+          // (max with the current watermark: Spark requires the stamp
+          // strictly ahead of it, and a key whose horizon the
+          // watermark already passed should age out next batch)
+          state.setTimeoutTimestamp(
+            math.max(st.lastTsUs / 1000L + LookMs, state.getCurrentWatermarkMs()) + 1L)
           out.iterator
+          }
       }
       .toDF("conv_id", "touch_id", "touch_type", "credit")
   }
