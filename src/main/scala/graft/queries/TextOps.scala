@@ -789,6 +789,52 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM perplexity quality filter — the CCNet/Gopher-style
+    // language-model gate (Wenzek et al. 2020): train bigram counts
+    // IN-ENGINE over the corpus, score each doc by how surprising its
+    // own bigrams are under that model, flag the worst percentile.
+    // Model: add-one-smoothed conditional q(w2|w1)⁻¹ =
+    // (c(w1·)+V)/(c(w1,w2)+1) — the log's ARGUMENT, per the BM25
+    // ln-free doctrine (libm ln has no cross-engine bit contract; the
+    // rational is monotone in the true surprisal per term). Each term
+    // snaps to the 2^-20 lattice so the per-doc SUM is exact and
+    // order-independent; the doc score is the arithmetic mean (the
+    // deterministic aggregation — documented difference from the
+    // geometric mean true perplexity takes). Worst-percentile flag via
+    // DistributedRank percent_rank ≥ 0.99 on (ppx, doc_id) — the
+    // ev_anomaly rank-threshold pattern, scale-safe (no
+    // single-partition window).
+    //
+    // Scale (100 TB): the bigram explode is one narrow pass; model
+    // state is vocabulary²-BOUNDED (c(w1,w2) and c(w1·) tables — one
+    // shuffle each off the truncated bigram stream); V is a plan-time
+    // scalar literal (the a12-bloom tier); scoring is two model joins
+    // (Zipf-bounded — AQE broadcasts/skews them) + one doc_id shuffle.
+    "text_ngram_ppx" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+      val big = graft.operators.Checkpoints.truncate(
+        t.filter(size(col("ts")) >= 2).select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(ts)-2), i -> named_struct('w1', ts[i], 'w2', ts[i+1]))"))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val uc = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val v = t.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      val scored = big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .withColumn("q", expr(
+          s"round(cast(cu + ${v}L as double) / cast(cb + 1L as double) * 1048576d) / 1048576d"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("q")) / count(lit(1)), 6).as("ppx"))
+      graft.operators.DistributedRank.withPercentRank(
+          scored, Seq.empty, Seq(col("ppx"), col("doc_id")))
+        .withColumn("flagged", when(col("pr") >= 0.99, 1).otherwise(0))
+        .select("doc_id", "n_bigrams", "ppx", "flagged")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality signals (Rae et al. 2021,
     // "Scaling Language Models", App. A1.1): per-document duplicate-
     // token fraction and the character fraction of the most frequent
@@ -1048,6 +1094,31 @@ object TextOps {
          FROM n, unnest(range(1, reps + 1)) AS u(c)
          WHERE reps >= 1
          ORDER BY doc_id, copy""",
+    "text_ngram_ppx" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         -- bounded-range idiom (no lateral generate_series in DuckDB):
+         -- covers docs to 1023 bigrams; the corpus max is ~99 tokens
+         gs AS (SELECT unnest(range(1, 1024)) AS i),
+         big AS (
+           SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+           FROM t JOIN gs ON i <= len(ts) - 1),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY 1, 2),
+         uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM big GROUP BY 1),
+         vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                FROM (SELECT unnest(ts) AS w FROM t)),
+         q AS (
+           SELECT doc_id,
+                  round(CAST(cu + vs.v AS DOUBLE) / CAST(cb + 1 AS DOUBLE)
+                        * 1048576) / 1048576.0 AS q
+           FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vs),
+         d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      round(sum(q) / count(*), 6) AS ppx
+               FROM q GROUP BY 1),
+         r AS (SELECT doc_id, n_bigrams, ppx,
+                      percent_rank() OVER (ORDER BY ppx, doc_id) AS pr
+               FROM d)
+         SELECT doc_id, n_bigrams, ppx, CAST(pr >= 0.99 AS INT) AS flagged
+         FROM r ORDER BY doc_id""",
     "text_bpe_train" -> bpeTrainSql(8),
     "text_bpe_apply" ->
       s"""WITH ${bpeApplyCtes(8)},
