@@ -854,6 +854,20 @@ object VectorOps extends Serializable {
     rankTopK(scored, TopK)
   }
 
+  /** Session-scoped codebook memo, keyed by (session, dir, input tag,
+    * m, subK, iters) — the [[trainedCents]] index-artifact doctrine
+    * applied to PQ: the m Lloyd trainings are deterministic functions
+    * of the corpus (and, for the residual tag, of the memoized coarse
+    * quantizer), so per-query retraining repeated the identical model
+    * build for every PQ family member in a session. */
+  private val booksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int, Int, Int), Array[Array[(Long, Array[Double])]]]()
+
+  private def memoBooks(s: SparkSession, dir: String, tag: String, m: Int,
+      subK: Int, iters: Int)(train: => Array[Array[(Long, Array[Double])]])
+      : Array[Array[(Long, Array[Double])]] =
+    booksMemo.computeIfAbsent((s, dir, tag, m, subK, iters), _ => train)
+
   /** Per-subspace PQ codebooks: m independent exact-lattice Lloyd
     * trainings over the sliced (snapped) corpus — the compression
     * model is m×subK×(64/m) doubles, always a broadcast tier. */
@@ -897,7 +911,7 @@ object VectorOps extends Serializable {
       iters: Int): DataFrame = {
     import s.implicits._
     val ds = snappedVecs(s, dir)
-    val books = pqBooks(s, ds, m, subK, iters)
+    val books = memoBooks(s, dir, "pq", m, subK, iters)(pqBooks(s, ds, m, subK, iters))
     val bcBooks = s.sparkContext.broadcast(books)
     val encoded = ds.mapPartitions { it =>
       val bs = bcBooks.value
@@ -1019,9 +1033,9 @@ object VectorOps extends Serializable {
           (id, cs(best)._1, snapRes(vq, cs(best)._2))
         }
       }.toDF("vec_id", "cid", "res"))
-    val books = pqBooks(s,
+    val books = memoBooks(s, dir, "pqres", m, subK, iters)(pqBooks(s,
       resDs.select(col("vec_id"), col("res")).as[(Long, Array[Double])],
-      m, subK, iters)
+      m, subK, iters))
     val bcBooks = s.sparkContext.broadcast(books)
     val encoded = resDs.as[(Long, Long, Array[Double])].mapPartitions { it =>
       val bs = bcBooks.value
@@ -1071,7 +1085,7 @@ object VectorOps extends Serializable {
       subK: Int, iters: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val ds = snappedVecs(s, dir)
-    val books = pqBooks(s, ds, m, subK, iters)
+    val books = memoBooks(s, dir, "pq", m, subK, iters)(pqBooks(s, ds, m, subK, iters))
     val cents = trainedCents(s, dir, KmeansIters)
     val bcBooks = s.sparkContext.broadcast(books)
     val bcCents = s.sparkContext.broadcast(cents)
