@@ -124,6 +124,42 @@ object PipelineOps {
         .orderBy("probe_id")
     }),
 
+    // RFM segmentation (recency / frequency / monetary) — the classic
+    // customer-value quartile grid, over purchase events: days since
+    // last purchase (µs integer DIV — the ev_retention day-bucket
+    // rule), purchase count, and the decimal-exact value sum, each
+    // quartiled by the scale-safe DistributedRank ntile (complete
+    // (metric, user_id) orders — no single-partition window at any
+    // corpus size) and composed into the 111..444 segment code. The
+    // corpus high-water timestamp is one plan-time scalar (the
+    // a12-bloom bounded tier). Users with no purchase have no RFM row
+    // by definition.
+    "ev_rfm" -> ((s, dir) => {
+      import graft.operators.DistributedRank
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), graft.streaming.EventTime.tsUs(ev).as("us"),
+          col("value"))
+      val mx = p.agg(max(col("us"))).collect()(0).getLong(0)
+      val u = p.groupBy("user_id").agg(
+        expr(s"(${mx}L - max(us)) DIV 86400000000").as("r_days"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("monetary"))
+      val r1 = DistributedRank.withNtile(u, Seq.empty,
+          Seq(col("r_days"), col("user_id")), 4)
+        .withColumnRenamed("nt", "r_q").drop("grank", "gcount")
+      val r2 = DistributedRank.withNtile(r1, Seq.empty,
+          Seq(col("n_purchases"), col("user_id")), 4)
+        .withColumnRenamed("nt", "f_q").drop("grank", "gcount")
+      val r3 = DistributedRank.withNtile(r2, Seq.empty,
+          Seq(col("monetary"), col("user_id")), 4)
+        .withColumnRenamed("nt", "m_q").drop("grank", "gcount")
+      r3.withColumn("segment", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .select("user_id", "r_days", "n_purchases", "monetary",
+          "r_q", "f_q", "m_q", "segment")
+        .orderBy("user_id")
+    }),
+
     // Position-based (U-shaped 40/20/40) multi-touch attribution:
     // every purchase distributes exactly 100 credit hundredths over
     // its view/click touches in the 7-day lookback — first and last
@@ -720,6 +756,26 @@ object PipelineOps {
           AND epoch_us(c.ts) > epoch_us(v.ts)
           AND epoch_us(c.ts) <= epoch_us(v.ts) + 3600000000
          ORDER BY view_id, click_id""",
+    "ev_rfm" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) AS us, value
+           FROM events WHERE event_type = 'purchase'),
+         mx AS (SELECT max(us) AS m FROM p),
+         u AS (
+           SELECT user_id,
+                  (mx.m - max(us)) // 86400000000 AS r_days,
+                  CAST(count(*) AS BIGINT) AS n_purchases,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+           FROM p CROSS JOIN mx GROUP BY user_id, mx.m),
+         q AS (
+           SELECT user_id, r_days, n_purchases, monetary,
+                  CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS INT) AS r_q,
+                  CAST(ntile(4) OVER (ORDER BY n_purchases, user_id) AS INT) AS f_q,
+                  CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INT) AS m_q
+           FROM u)
+         SELECT user_id, r_days, n_purchases, monetary, r_q, f_q, m_q,
+                r_q * 100 + f_q * 10 + m_q AS segment
+         FROM q ORDER BY user_id""",
     "ev_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),

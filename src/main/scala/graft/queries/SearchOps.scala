@@ -217,10 +217,43 @@ object SearchOps extends Serializable {
       .orderBy("doc_id", "rk")
   }
 
+  /** Exact phrase search through the POSITIONAL inverted-index plan
+    * shape (`search_phrase`): postings carry (doc, position, term);
+    * a phrase query seeds candidates from its FIRST term's posting
+    * list (work = that list's length, never the corpus) and each
+    * subsequent term is one co-partitioned equi-join on
+    * (doc, position+offset) — the adjacency verification a positional
+    * index does, as joins Catalyst can shuffle on (doc_id, p).
+    * Query-by-example: each query doc's leading bigram is its phrase;
+    * output counts exact consecutive occurrences per matching doc,
+    * self-matches excluded. The phrase table is query-batch-sized and
+    * rides as a broadcast. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+    // positional postings, truncated once — both adjacency sides read it
+    val pos = graft.operators.Checkpoints.truncate(
+      t.select(col("doc_id"), posexplode(col("ts")).as(Seq("p", "term"))))
+    val phrases = t.filter(col("doc_id") < NQueries && size(col("ts")) >= 2)
+      .select(col("doc_id").as("query_id"),
+        col("ts")(0).as("w1"), col("ts")(1).as("w2"))
+    val a = pos.select(col("doc_id").as("match_id"), col("p"), col("term"))
+    val b = pos.select(col("doc_id").as("match_id"),
+      (col("p") - 1).as("p"), col("term").as("term2"))
+    a.join(broadcast(phrases), col("term") === col("w1") &&
+        col("match_id") =!= col("query_id"))
+      .join(b, Seq("match_id", "p"))
+      .filter(col("term2") === col("w2"))
+      .groupBy("query_id", "match_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("query_id", "match_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
     "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
+    "search_phrase" -> ((s, dir) => phraseSearch(s, dir)),
     "text_keyword_topk" -> ((s, dir) => keywordTopK(s, dir)))
 
   /** Shared BM25 CTE chain (SQL twin of [[bm25TopK]] minus the final
@@ -271,6 +304,19 @@ object SearchOps extends Serializable {
             FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)
           SELECT doc_id, chunk_id, n_tokens, chunk FROM c ORDER BY doc_id, chunk_id""",
     "search_bm25_topk" -> bm25Sql,
+    "search_phrase" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          q AS (SELECT doc_id AS query_id, ts[1] AS w1, ts[2] AS w2
+                FROM t WHERE doc_id < $NQueries AND len(ts) >= 2),
+          gs AS (SELECT unnest(range(1, 1024)) AS i),
+          pos AS (SELECT doc_id, CAST(i AS INT) AS p, ts[CAST(i AS INT)] AS term,
+                         ts[CAST(i AS INT) + 1] AS term2
+                  FROM t JOIN gs ON i <= len(ts) - 1)
+          SELECT q.query_id, pos.doc_id AS match_id,
+                 CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM q JOIN pos
+            ON pos.term = q.w1 AND pos.term2 = q.w2 AND pos.doc_id <> q.query_id
+          GROUP BY 1, 2 ORDER BY query_id, match_id""",
     "text_keyword_topk" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
