@@ -131,6 +131,42 @@ object AudioCodec {
 
   /** Zero-crossing count over a mono view — the classic cheap
     * voiced/unvoiced signal feature. */
+  /** Linear-interpolation resample to `outRate` — EXACT integer
+    * arithmetic throughout so the result is engine-independent: output
+    * sample k sits at input position k·inRate/outRate (an exact
+    * rational), i = the truncating integer quotient, and the
+    * interpolated value (s_i·(den−rem) + s_{i+1}·rem) / den uses
+    * TRUNCATING division (Scala's Long `/`), which is what DuckDB's
+    * `//` does on negatives too (floorDiv is NOT — it differs on
+    * negative interpolants). nOut = (n−1)·outRate/inRate + 1 keeps
+    * every interpolation inside the input (the last output lands
+    * exactly on the last input sample or earlier). Mono PCM only —
+    * resampling interleaved channels independently is a `toMono`
+    * composition away. */
+  def resampleLinear(a: Audio, outRate: Int): Audio = {
+    require(outRate > 0, s"outRate must be positive, got $outRate")
+    require(a.channels == 1, "resampleLinear expects mono PCM (compose with toMono)")
+    val n = a.samples.length
+    if (n == 0) Audio(outRate, a.channels, Array.empty)
+    else {
+      val den = outRate.toLong
+      val nOut = ((n - 1).toLong * outRate / a.sampleRate + 1).toInt
+      val out = new Array[Short](nOut)
+      var k = 0
+      while (k < nOut) {
+        val num = k.toLong * a.sampleRate
+        val i = (num / den).toInt
+        val rem = num % den
+        val v =
+          if (rem == 0L) a.samples(i).toLong
+          else (a.samples(i).toLong * (den - rem) + a.samples(i + 1).toLong * rem) / den
+        out(k) = v.toShort
+        k += 1
+      }
+      Audio(outRate, a.channels, out)
+    }
+  }
+
   def zeroCrossings(a: Audio): Int = {
     val m = toMono(a)
     var n = 0

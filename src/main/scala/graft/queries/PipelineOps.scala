@@ -375,6 +375,36 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // REAL audio resample in the correctness gate: the mm_wav_decode
+    // PCM (32 samples @ 8 kHz from the doc's first 64 bytes) runs
+    // WAV-encode → chunk-walk decode → linear 8 kHz→12 kHz resample
+    // (exact integer interpolation on the k·in/out rational grid —
+    // AudioCodec.resampleLinear), and the oracle recomputes the 47
+    // interpolated samples directly from the text bytes: a truncation
+    // vs floor defect, an off-grid position, or a byte-order slip in
+    // the resampled PCM fails the hash.
+    "mm_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val bytes = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = Array.tabulate(32)(i => bb.getShort(i * 2))
+          val a = graft.multimodal.AudioCodec.decode(
+            graft.multimodal.AudioCodec.encodeWav(
+              graft.multimodal.AudioCodec.Audio(8000, 1, samples))).get
+          val r = graft.multimodal.AudioCodec.resampleLinear(a, 12000)
+          var sum = 0L
+          r.samples.foreach(sum += _)
+          (id, r.samples.length, sum,
+            graft.multimodal.AudioCodec.zeroCrossings(r),
+            graft.functions.Fnv64.hash(graft.multimodal.AudioCodec.pcmBytes(r)))
+        })
+        .toDF("doc_id", "n_samples", "sample_sum", "zero_crossings", "sample_fp")
+        .orderBy("doc_id")
+    }),
+
     // multimodal frame sampling: every 4th 32-byte "frame", each frame
     // reduced to content statistics (byte sum + order-sensitive FNV) so
     // the oracle verifies the frame PAYLOAD — an off-by-one frame
@@ -868,6 +898,59 @@ object PipelineOps {
             FROM bytes GROUP BY doc_id)
           SELECT z.doc_id, 32 AS n_samples,
                  CAST(sum(z.s) AS BIGINT) AS sample_sum,
+                 CAST(sum(z.x) AS INT) AS zero_crossings,
+                 ${sb("fp.f")} AS sample_fp
+          FROM zc z JOIN fp ON fp.doc_id = z.doc_id
+          GROUP BY z.doc_id, fp.f ORDER BY z.doc_id"""
+    },
+
+    // the mm_wav_decode sample chain + the exact-rational linear
+    // interpolation grid: out k sits at k·8000/12000, value =
+    // (s_i·(den−rem) + s_{i+1}·rem) // den with DuckDB's TRUNCATING
+    // `//` — the same semantics as the kernel's Long division
+    "mm_audio_resample" -> {
+      import OracleSql._
+      s"""WITH bytes AS (
+            SELECT doc_id, CAST(j AS INT) AS j,
+                   CASE WHEN j < strlen(text)
+                        THEN ord(substr(text, CAST(j AS INT) + 1, 1))
+                        ELSE 0 END::HUGEINT AS b
+            FROM documents, unnest(range(0, 64)) AS t(j)),
+          samples AS (
+            SELECT lo.doc_id, lo.j // 2 AS k,
+                   CASE WHEN lo.b + 256 * hi.b >= 32768
+                        THEN lo.b + 256 * hi.b - 65536
+                        ELSE lo.b + 256 * hi.b END AS s
+            FROM bytes lo JOIN bytes hi
+              ON hi.doc_id = lo.doc_id AND hi.j = lo.j + 1
+            WHERE lo.j % 2 = 0),
+          grid AS (
+            SELECT doc_id, CAST(k AS INT) AS k,
+                   (k * 8000) // 12000 AS i, (k * 8000) % 12000 AS rem
+            FROM (SELECT DISTINCT doc_id FROM samples), unnest(range(0, 47)) AS g(k)),
+          rv AS (
+            SELECT grid.doc_id, grid.k,
+                   CASE WHEN rem = 0 THEN s0.s
+                        ELSE (s0.s * (12000 - rem) + s1.s * rem) // 12000 END AS v
+            FROM grid
+            JOIN samples s0 ON s0.doc_id = grid.doc_id AND s0.k = grid.i
+            LEFT JOIN samples s1 ON s1.doc_id = grid.doc_id AND s1.k = grid.i + 1),
+          zc AS (
+            SELECT doc_id, k, v,
+                   CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY k) IS NOT NULL
+                         AND ((lag(v) OVER (PARTITION BY doc_id ORDER BY k) < 0) != (v < 0))
+                        THEN 1 ELSE 0 END AS x
+            FROM rv),
+          rb AS (
+            SELECT doc_id, k * 2 + CAST(j AS INT) AS j2,
+                   CASE WHEN j = 0 THEN (((v % 65536) + 65536) % 65536) % 256
+                        ELSE (((v % 65536) + 65536) % 65536) // 256 END::HUGEINT AS b
+            FROM rv, unnest(range(0, 2)) AS tb(j)),
+          fp AS (
+            SELECT doc_id, ${fnvList("list(b ORDER BY j2)")} AS f
+            FROM rb GROUP BY doc_id)
+          SELECT z.doc_id, 47 AS n_samples,
+                 CAST(sum(z.v) AS BIGINT) AS sample_sum,
                  CAST(sum(z.x) AS INT) AS zero_crossings,
                  ${sb("fp.f")} AS sample_fp
           FROM zc z JOIN fp ON fp.doc_id = z.doc_id

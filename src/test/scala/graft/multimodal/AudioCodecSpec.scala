@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.AudioCodec.{decode, encodeWav, toMono, zeroCrossings, Audio}
+import graft.multimodal.AudioCodec.{decode, encodeWav, resampleLinear, toMono, zeroCrossings, Audio}
 
 /** The library-free RIFF/WAVE PCM codec: 16-bit round-trips, 8-bit
   * widening, chunk-list walking (extra chunks before data, word
@@ -86,6 +86,33 @@ class AudioCodecSpec extends AnyFunSuite {
     b.putInt(0, 0x46464952).putInt(4, 56).putInt(8, 0x45564157)
     b.putInt(12, 0x61746164 /* data */).putInt(16, 0x7FFFFFF0)
     assert(decode(b.array()).isEmpty) // must return None, never throw
+  }
+
+  test("resampleLinear: identity at equal rates, exact midpoints, endpoint preservation") {
+    val a = Audio(8000, 1, Array[Short](0, 300, -600, 900))
+    // same rate in == out: every grid point lands on an input sample
+    assert(resampleLinear(a, 8000).samples.toSeq === a.samples.toSeq)
+    // 2x upsample: midpoints are exact integer averages with
+    // TRUNCATING division ((300 + -600)/2 = -150, (-600+900)/2 = 150)
+    val up = resampleLinear(a, 16000)
+    assert(up.sampleRate === 16000)
+    assert(up.samples.toSeq === Seq[Short](0, 150, 300, -150, -600, 150, 900))
+    // the last output is exactly the last input (nOut math keeps the
+    // grid inside the signal)
+    assert(up.samples.last === a.samples.last)
+    // 3:2 downsample-ish grid hits thirds: pos 2/3 of the way from
+    // 0->300 with truncation toward zero: (0*1 + 300*2)/3 = 200
+    val r = resampleLinear(Audio(8000, 1, Array[Short](0, 300)), 12000)
+    assert(r.samples.toSeq === Seq[Short](0, 200))
+    // negative interpolants truncate toward zero (the DuckDB // rule),
+    // NOT floor: (0*1 + -301*2)/3 = -200 (floor would give -201)
+    val neg = resampleLinear(Audio(8000, 1, Array[Short](0, -301)), 12000)
+    assert(neg.samples.toSeq === Seq[Short](0, -200))
+    // mono contract
+    intercept[IllegalArgumentException] {
+      resampleLinear(Audio(8000, 2, Array[Short](1, 2)), 12000)
+    }
+    assert(resampleLinear(Audio(8000, 1, Array.empty[Short]), 12000).samples.isEmpty)
   }
 
   test("toMono averages with toward-zero truncation; zero crossings count strict sign flips") {
