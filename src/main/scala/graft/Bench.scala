@@ -46,6 +46,10 @@ object Bench {
     // retrieval stack: chunking, sparse BM25, hybrid fusion, dedup-graph triangles
     "text_chunk", "search_bm25_topk", "search_hybrid_rrf", "graph_triangles",
     "text_keyword_topk", "graph_clustering_coeff",
+    // round-15 additions: trained-tokenizer loop, LM quality filter,
+    // k-core QA, RFM grid, positional phrase search, audio resample
+    "text_bpe_apply", "pipe_pack_sequences_trained", "text_ngram_ppx",
+    "graph_kcore", "ev_rfm", "search_phrase", "mm_audio_resample",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

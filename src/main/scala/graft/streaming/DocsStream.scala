@@ -57,4 +57,40 @@ object DocsStream {
     * `text_chunk` result regardless of cut placement (DocsStreamSpec). */
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.SearchOps.chunkTransform(docs)
+
+  /** Phrase-detection-on-ingest: the streaming form of
+    * `search_phrase`. The phrase table is query-batch-sized and
+    * static (alert phrases are curated, like benchmark fingerprints),
+    * so matching is a STATELESS per-doc kernel against a broadcast
+    * array — each arriving doc is scanned once for every phrase's
+    * exact adjacency, no state store, and the union over any
+    * micro-batch cuts equals the batch positional-index result
+    * (DocsStreamSpec pins parity including the self-match exclusion).
+    * Overlapping occurrences count per POSITION, matching the batch
+    * (doc, p)/(doc, p+1) join semantics. */
+  def phraseStream(docs: DataFrame,
+      phrases: Array[(Long, String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(phrases)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ph = bc.value
+        it.flatMap { case (id, text) =>
+          val ts = text.split(" ", -1)
+          ph.iterator.flatMap { case (qid, w1, w2) =>
+            if (qid == id) None
+            else {
+              var n = 0L
+              var i = 0
+              while (i < ts.length - 1) {
+                if (ts(i) == w1 && ts(i + 1) == w2) n += 1
+                i += 1
+              }
+              if (n > 0) Some((qid, id, n)) else None
+            }
+          }
+        }
+      }.toDF("query_id", "match_id", "n_occurrences")
+  }
 }

@@ -77,4 +77,36 @@ class DocsStreamSpec extends AnyFunSuite {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("stream phrase detection == batch search_phrase under a mid-corpus cut") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = graft.queries.SearchOps.phraseSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "degenerate fixture: no phrase matches")
+    // the same query-by-example phrase table the batch row derives:
+    // each query doc's leading bigram
+    val phrases = docs.filter(col("doc_id") < 5)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .collect { case (id, ts) if ts.length >= 2 => (id, ts(0), ts(1)) }
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val streamDir = java.nio.file.Files.createTempDirectory("phrasestream")
+    val streamIn = spark.readStream.schema(docs.schema).parquet(s"$streamDir/*")
+    val q = DocsStream.phraseStream(streamIn, phrases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phrased")
+      .start()
+    try {
+      Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.toSeq.asJava, docs.schema)
+          .coalesce(1).write.parquet(s"$streamDir/b$i")
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("phrased")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
