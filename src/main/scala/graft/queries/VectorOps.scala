@@ -40,7 +40,16 @@ object VectorOps extends Serializable {
       (acc, x) => acc + x) / lit(Q)) / (na * nb)
 
   /** Query set: vec_id < 5 — stands in for an external query batch. */
-  private val QueryIds = 5
+  /** ANN query batch bound: `vec_id < queryIds(s)`. The conf
+    * `spark.graft.ann.queryBatch` is the ad-hoc knob; the DuckDB
+    * oracles unroll the DEFAULT batch, so the gate always runs the
+    * default (the `spark.graft.pagerank.iters` doctrine). The probed
+    * scorers' per-row work is batch-size-independent (tablesByList),
+    * so a 10k-query recall-eval batch changes a broadcast size, not
+    * the plan shape. */
+  private val QueryIdsDefault = 5
+  private def queryIds(s: SparkSession): Int =
+    s.conf.get("spark.graft.ann.queryBatch", QueryIdsDefault.toString).toInt
   private val TopK = 10
 
   /** Exact per-query top-k of a scored candidate table. A bare
@@ -111,7 +120,7 @@ object VectorOps extends Serializable {
     * asc). Shared by vec_topk_bruteforce and the recall evaluator. */
   private def bruteforceTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < QueryIds)
+    val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb"))
     val scored = c.join(broadcast(q))
@@ -123,7 +132,7 @@ object VectorOps extends Serializable {
   /** recall@k of an ANN result against the brute-force truth — the
     * metric a production pipeline tracks when tuning plane count /
     * nprobe. The semi join on (query, match) keys is truth-sized
-    * (QueryIds × k rows), so the eval itself is never the bottleneck —
+    * (queryBatch × k rows), so the eval itself is never the bottleneck —
     * the inputs are. Missing queries (empty bucket) score recall 0. */
   private def recallEval(truthFull: DataFrame, annFull: DataFrame): DataFrame = {
     val truth = truthFull.select("query_id", "match_id")
@@ -145,7 +154,7 @@ object VectorOps extends Serializable {
     // ANN quality evaluation: recall@k of the LSH path against the
     // brute-force truth — the metric a production pipeline tracks when
     // tuning plane count / nprobe. Both sides are engine queries; the
-    // semi join on (query, match) keys is truth-sized (QueryIds × k
+    // semi join on (query, match) keys is truth-sized (queryBatch × k
     // rows), so the eval itself is never the bottleneck — the inputs
     // are. Missing queries (empty LSH bucket) score recall 0.
     "vec_recall_eval" -> ((s, dir) =>
@@ -462,7 +471,7 @@ object VectorOps extends Serializable {
           }
         }
       val e = bucketed.toDF("vec_id", "v", "norm", "bucket")
-      val q = e.filter(col("vec_id") < QueryIds)
+      val q = e.filter(col("vec_id") < queryIds(s))
         .select(col("vec_id").as("query_id"), col("v").as("va"),
           col("norm").as("na"), col("bucket"))
       val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"),
@@ -705,7 +714,7 @@ object VectorOps extends Serializable {
   private[graft] def annSq8(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val dec = sq8DecTable(e)
-    val q = e.filter(col("vec_id") < QueryIds)
+    val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = dec.join(broadcast(q))
       .filter(col("match_id") =!= col("query_id"))
@@ -745,13 +754,13 @@ object VectorOps extends Serializable {
     // query probe lists on the driver — the query batch is small by
     // definition; same (−csim, cid) order as the SQL's probes CTE
     val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
-      .filter(col("vec_id") < QueryIds)
+      .filter(col("vec_id") < queryIds(s))
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     val probePairs = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
       probeCids(v, norm, cents, nprobe).map(cid => (qid, cid))
     }.toDF("query_id", "cid")
     val dec = sq8DecTable(e)
-    val q = e.filter(col("vec_id") < QueryIds)
+    val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = assign.join(broadcast(probePairs), Seq("cid"))
       .filter(col("match_id") =!= col("query_id"))
@@ -844,7 +853,7 @@ object VectorOps extends Serializable {
     * paths. */
   private def exactRerank(s: SparkSession, dir: String, sl: DataFrame): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < QueryIds)
+    val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
     val scored = e.select(col("vec_id").as("match_id"), col("v").as("vb"),
         col("norm").as("nb"))
@@ -927,7 +936,7 @@ object VectorOps extends Serializable {
         (id, codes)
       }
     }
-    val qs = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
+    val qs = ds.filter(col("vec_id") < queryIds(s)).collect().sortBy(_._1)
     val tables = pqTables(qs, books)
     val bcT = s.sparkContext.broadcast(tables)
     val scored = encoded.mapPartitions { it =>
@@ -1053,7 +1062,7 @@ object VectorOps extends Serializable {
     }
     // per-(query, probed list) residual ADC tables — nprobe tables of
     // m × subK entries per query, driver-built and broadcast
-    val qsRaw = e.filter(col("vec_id") < QueryIds)
+    val qsRaw = e.filter(col("vec_id") < queryIds(s))
       .as[(Long, Array[Double], Double, Array[Double])].collect().sortBy(_._1)
     val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm, _) =>
       qid -> probeCids(v, norm, cents, nprobe)
@@ -1119,12 +1128,12 @@ object VectorOps extends Serializable {
     // the driver (same (−csim, cid) order as annIvfCore) and ADC
     // tables from the snapped query vectors
     val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
-      .filter(col("vec_id") < QueryIds)
+      .filter(col("vec_id") < queryIds(s))
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm) =>
       qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
-    val qsSnap = ds.filter(col("vec_id") < QueryIds).collect().sortBy(_._1)
+    val qsSnap = ds.filter(col("vec_id") < queryIds(s)).collect().sortBy(_._1)
     val tables = pqTables(qsSnap, books)
     // cid-indexed ([[tablesByList]]): the non-residual tables are
     // per-query only, shared by reference across that query's lists
@@ -1206,7 +1215,7 @@ object VectorOps extends Serializable {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val bc = s.sparkContext.broadcast(cents)
-    val qids = QueryIds
+    val qids = queryIds(s)
 
     // one narrow pass over the corpus: nearest list per vector (ties →
     // lower cid, since cents is id-sorted and comparison is strict)
@@ -1244,7 +1253,7 @@ object VectorOps extends Serializable {
             FROM embeddings, idx GROUP BY vec_id),
           dots AS (
             SELECT a.vec_id AS query_id, b.vec_id AS match_id, $dotSql AS dot
-            FROM embeddings a JOIN embeddings b ON a.vec_id < $QueryIds
+            FROM embeddings a JOIN embeddings b ON a.vec_id < $QueryIdsDefault
                  AND b.vec_id <> a.vec_id
             CROSS JOIN idx
             GROUP BY 1, 2),
@@ -1290,7 +1299,7 @@ object VectorOps extends Serializable {
           cand AS (
             SELECT q.vec_id AS query_id, b.vec_id AS match_id
             FROM buckets q JOIN buckets b ON q.bucket = b.bucket
-            WHERE q.vec_id < $QueryIds AND b.vec_id <> q.vec_id),
+            WHERE q.vec_id < $QueryIdsDefault AND b.vec_id <> q.vec_id),
           dots AS (
             SELECT c.query_id, c.match_id, $dotSql AS dot
             FROM cand c
@@ -1342,7 +1351,7 @@ object VectorOps extends Serializable {
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY csim DESC, cid ASC) AS crk
-              FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+              FROM csims WHERE vec_id < $QueryIdsDefault) t WHERE crk <= $NProbe),
           cand AS (
             SELECT p.query_id, a.vec_id AS match_id
             FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id),
@@ -1408,7 +1417,7 @@ object VectorOps extends Serializable {
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY csim DESC, cid ASC) AS crk
-              FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+              FROM csims WHERE vec_id < $QueryIdsDefault) t WHERE crk <= $NProbe),
           cand AS (
             SELECT p.query_id, a.vec_id AS match_id
             FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
@@ -1507,7 +1516,7 @@ object VectorOps extends Serializable {
           qt$j AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid,
                 SUM(round((q.x - c.cx) * (q.x - c.cx) * 1048576.0)) AS dq
               FROM $e q JOIN c${j}_${PqIters - 1} c ON q.pos = c.pos
-              WHERE q.vec_id < $QueryIds GROUP BY 1, 2)"""
+              WHERE q.vec_id < $QueryIdsDefault GROUP BY 1, 2)"""
     }.mkString(",\n")
     val codeJoins = (1 until PqM)
       .map(j => s"JOIN a${j}_$PqIters v$j ON v$j.vec_id = v0.vec_id").mkString("\n")
@@ -1625,7 +1634,7 @@ object VectorOps extends Serializable {
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY csim DESC, cid ASC) AS crk
-            FROM csims WHERE vec_id < $QueryIds) t WHERE crk <= $NProbe),
+            FROM csims WHERE vec_id < $QueryIdsDefault) t WHERE crk <= $NProbe),
         ivfcand AS MATERIALIZED (
           SELECT p.query_id, a.vec_id AS match_id
           FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
@@ -1751,11 +1760,11 @@ object VectorOps extends Serializable {
         qnorm AS (
           SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
                                         CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0) AS nrm
-          FROM embeddings, idx WHERE vec_id < $QueryIds GROUP BY vec_id),
+          FROM embeddings, idx WHERE vec_id < $QueryIdsDefault GROUP BY vec_id),
         dots AS (
           SELECT q.vec_id AS query_id, d.vec_id AS match_id,
                  sum(round(CAST(q.embedding[CAST(d.i AS INT)] AS DOUBLE) * d.dv * 1048576)) / 1048576.0 AS dot
-          FROM embeddings q JOIN dec d ON q.vec_id < $QueryIds AND d.vec_id <> q.vec_id
+          FROM embeddings q JOIN dec d ON q.vec_id < $QueryIdsDefault AND d.vec_id <> q.vec_id
           GROUP BY 1, 2),
         scored AS (
           SELECT query_id, match_id, round(dot / (qn.nrm * dn.nrm), 6) AS sim

@@ -50,6 +50,17 @@ class ProbeIndexSpec extends AnyFunSuite {
       "per-row work scales with the total batch — the index regressed to a flat scan")
   }
 
+  test("spark.graft.ann.queryBatch widens the query batch (oracle gates the default)") {
+    val spark = graft.sources.SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    def queryCount(): Long = VectorOps.queries("vec_ann_ivf_trained")(spark, sf)
+      .select("query_id").distinct().count()
+    assert(queryCount() === 5L, "default batch is the oracle-pinned 5")
+    spark.conf.set("spark.graft.ann.queryBatch", "12")
+    try assert(queryCount() === 12L, "conf did not widen the batch")
+    finally spark.conf.unset("spark.graft.ann.queryBatch")
+  }
+
   test("indexed scoring equals the flat per-row scan it replaced") {
     val tbl = (qid: Long, cid: Long) => qid * 1000003L + cid
     val byList = VectorOps.tablesByList(probes, tbl)
