@@ -281,6 +281,34 @@ object ImageCodec {
   }
 
   /** BGR → gray (integer BT.601-ish weights 29/150/77 out of 256). */
+  /** dHash (difference hash) — the classic perceptual image
+    * fingerprint: one bit per horizontally adjacent pixel pair,
+    * set when the LEFT pixel is brighter. Requires a grayscale grid
+    * with exactly 64 comparisons ((width−1)·height == 64 — the
+    * canonical 9×8 thumbnail), which is what makes the result a
+    * SimHash-shaped 64-bit key: hamming distance measures visual
+    * difference and the lossless banding/sub-split pair machinery
+    * applies unchanged. Bit index is row-major over comparisons. */
+  def dhash64(img: Image): Long = {
+    require(img.channels == 1, s"dhash64 expects grayscale, got ${img.channels} channels")
+    require((img.width - 1) * img.height == 64,
+      s"dhash64 needs (width-1)*height == 64 (e.g. 9x8), got ${img.width}x${img.height}")
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < img.height) {
+      var c = 0
+      while (c < img.width - 1) {
+        if ((img.data(r * img.width + c) & 0xff) > (img.data(r * img.width + c + 1) & 0xff))
+          h |= 1L << bit
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   def toGray(img: Image): Image = {
     if (img.channels == 1) img
     else {

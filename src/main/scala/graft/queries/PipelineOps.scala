@@ -405,6 +405,29 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // MULTIMODAL NEAR-DUP DEDUP — the perceptual bridge between the
+    // media family and the dedup family: each doc's first 72 bytes
+    // become a 9×8 grayscale thumbnail (through the real PGM
+    // encode→decode path), dHash gives the classic 64-bit perceptual
+    // fingerprint (one brighter-than bit per adjacent pixel pair),
+    // and the SAME lossless banding/sub-split machinery as text
+    // SimHash emits all pairs within hamming ≤ 3 — visually-near
+    // duplicates. At scale this is how image corpora dedup: a 64-bit
+    // key per image, band-bucketed, never all-pairs.
+    "mm_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val dh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 72)
+          val img = graft.multimodal.ImageCodec.decode(
+            graft.multimodal.ImageCodec.encodePgm(
+              graft.multimodal.ImageCodec.Image(9, 8, 1, px))).get
+          (id, graft.multimodal.ImageCodec.dhash64(img))
+        }).toDF("doc_id", "simhash")
+      TextOps.fingerprintPairs(dh, 3).orderBy("ida", "idb")
+    }),
+
     // multimodal frame sampling: every 4th 32-byte "frame", each frame
     // reduced to content statistics (byte sum + order-sensitive FNV) so
     // the oracle verifies the frame PAYLOAD — an off-by-one frame
@@ -955,6 +978,38 @@ object PipelineOps {
                  ${sb("fp.f")} AS sample_fp
           FROM zc z JOIN fp ON fp.doc_id = z.doc_id
           GROUP BY z.doc_id, fp.f ORDER BY z.doc_id"""
+    },
+
+    // dHash recomputed from the text bytes: bit k compares thumbnail
+    // byte (k//8)*9 + k%8 against its right neighbor (zero-padded to
+    // 72); u64 fold + two's-complement via the simhash sb helper; the
+    // engine's banding is lossless so direct all-pairs IS the oracle
+    "mm_phash_pairs" -> {
+      import OracleSql._
+      s"""WITH grid AS (
+            SELECT doc_id, CAST(k AS INT) AS bit, text
+            FROM documents, unnest(range(0, 64)) AS t(k)),
+          bits AS (
+            SELECT doc_id, bit,
+                   CASE WHEN
+                     (CASE WHEN (bit // 8) * 9 + (bit % 8) < strlen(text)
+                           THEN ord(substr(text, (bit // 8) * 9 + (bit % 8) + 1, 1))
+                           ELSE 0 END)
+                     >
+                     (CASE WHEN (bit // 8) * 9 + (bit % 8) + 1 < strlen(text)
+                           THEN ord(substr(text, (bit // 8) * 9 + (bit % 8) + 2, 1))
+                           ELSE 0 END)
+                   THEN 1 ELSE 0 END AS v
+            FROM grid),
+          bitrows AS (SELECT unnest(range(0, 64)) AS bit, unnest($Pow2) AS p),
+          dh AS (
+            SELECT doc_id, ${sb("sum(CASE WHEN v = 1 THEN p ELSE 0::HUGEINT END)")} AS h
+            FROM bits JOIN bitrows USING (bit) GROUP BY doc_id)
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.h, b.h)) <= 3
+          ORDER BY ida, idb"""
     },
 
     // pixel-verifying resize oracle (see resizePxOracleSql)

@@ -210,11 +210,17 @@ object TextOps {
     * pairwise width ≤ cap² at every level. The committed
     * bench/simhash_probe artifact (graft.SimhashCapProbe) pins the
     * identity at 1M docs with the cap engaged. */
-  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame =
+    fingerprintPairs(simhashes(d), maxHamming)
+
+  /** The banded pair machinery over ANY (doc_id, simhash) 64-bit
+    * fingerprint table — shared by text SimHash and the image dHash
+    * (`mm_phash_pairs`): the pigeonhole/sub-split argument depends
+    * only on the key being 64 bits, not on what hashed into it. */
+  private[graft] def fingerprintPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole covers hamming <= 3")
-    val s = d.sparkSession
+    val s = sh.sparkSession
     import s.implicits._
-    val sh = simhashes(d)
     val bandCols = array((0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
     // In-bucket generation instead of a band self-join: a hot 16-bit

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.ImageCodec.{decode, encodeBmp, encodeJpeg, encodePgm, encodePng, resizeNearest, toGray, Image}
+import graft.multimodal.ImageCodec.{decode, dhash64, encodeBmp, encodeJpeg, encodePgm, encodePng, resizeNearest, toGray, Image}
 
 /** The real image codec paths: BMP/PGM round-trips (pure byte
   * parsing), PNG/JPEG/GIF via the JDK's javax.imageio, padding,
@@ -189,5 +189,24 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(img.isDefined, "gray+alpha PNG must decode, not fall to the stub")
     assert(img.get.channels === 1 && img.get.width === 3 && img.get.height === 2)
     assert(img.get.data.toSeq === Seq(0, 10, 20, 30, 40, 50).map(_.toByte))
+  }
+
+  test("dhash64: brighter-left bits in row-major comparison order; grid contract enforced") {
+    // all-equal pixels -> no bit set; a single brighter pixel at
+    // (r=0, c=0) sets exactly bit 0 (the comparison against c=1)
+    val flat = Array.fill[Byte](72)(50)
+    assert(dhash64(Image(9, 8, 1, flat)) === 0L)
+    val one = flat.clone(); one(0) = 100.toByte
+    assert(dhash64(Image(9, 8, 1, one)) === 1L)
+    // brighter pixel at (r=2, c=3): bit r*8+c = 19 set (left of c=4),
+    // and bit 18 CLEARED comparison (c=2 vs brighter c=3) stays 0
+    val mid = flat.clone(); mid(2 * 9 + 3) = 200.toByte
+    assert(dhash64(Image(9, 8, 1, mid)) === (1L << 19))
+    // unsigned byte comparison: 0xFF (=-1 signed) is BRIGHTER than 1
+    val ub = flat.clone(); ub(0) = 0xFF.toByte; ub(1) = 1
+    assert((dhash64(Image(9, 8, 1, ub)) & 1L) === 1L)
+    // grid contract: (w-1)*h must be 64 and grayscale only
+    intercept[IllegalArgumentException](dhash64(Image(8, 8, 1, Array.fill[Byte](64)(0))))
+    intercept[IllegalArgumentException](dhash64(Image(9, 8, 3, Array.fill[Byte](216)(0))))
   }
 }
