@@ -140,7 +140,11 @@ object PipelineOps {
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), graft.streaming.EventTime.tsUs(ev).as("us"),
           col("value"))
-      val mx = p.agg(max(col("us"))).collect()(0).getLong(0)
+      // zero purchases => max(us) is NULL: fold to 0 and let the
+      // empty pipeline flow through — the oracle's empty table, not a
+      // driver NPE (review r15)
+      val mxRow = p.agg(max(col("us"))).collect()(0)
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       val u = p.groupBy("user_id").agg(
         expr(s"(${mx}L - max(us)) DIV 86400000000").as("r_days"),
         count(lit(1)).as("n_purchases"),

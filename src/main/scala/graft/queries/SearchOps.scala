@@ -100,7 +100,12 @@ object SearchOps extends Serializable {
   private val tfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Long, Long)]()
 
-  private[graft] def tfStage(s: SparkSession, dir: String): (DataFrame, Long, Long) =
+  private[graft] def tfStage(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    // purge entries pinned to STOPPED sessions on every access —
+    // without this the map strongly holds dead sessions (and their
+    // checkpointed DataFrames) for the JVM's lifetime in a
+    // multi-session host like a notebook server (review r15)
+    tfMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     tfMemo.computeIfAbsent((s, dir), { _ =>
       val tf = graft.operators.Checkpoints.truncate(
         tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
@@ -108,6 +113,7 @@ object SearchOps extends Serializable {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       (tf, g.getLong(0), g.getLong(1))
     })
+  }
 
   /** Sliding-window chunking: windows of [[ChunkSize]] tokens every
     * [[ChunkStride]] (8-token overlap), last window ragged; every doc

@@ -22,10 +22,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
-  /** Per-doc BPE token counts via the [[graft.functions.Bpe]] kernel:
-    * one narrow pass; the per-partition word memo bounds kernel calls
-    * by the distinct-word count, not the token stream. */
-  private def bpeCounts(s: SparkSession, dir: String): DataFrame = {
+  /** ONE per-doc token-counting pass, parameterized by the per-word
+    * counter — the shared body of the pinned-table and trained-table
+    * BPE counts (review r15: two verbatim copies of the counting rule
+    * could drift independently). One narrow pass; the per-partition
+    * word memo bounds `countOf` calls by the distinct-word count, not
+    * the token stream. */
+  private def tokenCounts(s: SparkSession, dir: String)(
+      countOf: String => Int): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
@@ -41,13 +45,18 @@ object TextOps {
           text.split(" ", -1).foreach { w =>
             words += 1
             var c = memo.get(w)
-            if (c == null) { c = Integer.valueOf(graft.functions.Bpe.count(w)); memo.put(w, c) }
+            if (c == null) { c = Integer.valueOf(countOf(w)); memo.put(w, c) }
             n += c.intValue()
           }
           (id, lang, words, n)
         }
       }.toDF("doc_id", "lang", "n_words", "n_bpe_tokens")
   }
+
+  /** Per-doc BPE token counts via the pinned-table
+    * [[graft.functions.Bpe]] kernel. */
+  private def bpeCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(s, dir)(graft.functions.Bpe.count)
 
   /** Train a BPE merge table FROM the corpus (`text_bpe_train`) —
     * classic agglomerative BPE (Sennrich et al. 2016): start from
@@ -138,33 +147,14 @@ object TextOps {
     * mapPartitions with a per-partition word memo bounding kernel work
     * by distinct words, not the token stream. */
   private[graft] def bpeApplyCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val table = bpeTrain(s, dir).select("lft", "rgt").collect()
       .map(r => (r.getString(0), r.getString(1))).toVector
     val bc = s.sparkContext.broadcast(table)
-    docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        val merges = bc.value
-        val memo = new java.util.HashMap[String, Integer]()
-        it.map { case (id, lang, text) =>
-          var words = 0
-          var n = 0
-          // limit -1 keeps trailing empties — the bpeCounts rationale
-          text.split(" ", -1).foreach { w =>
-            words += 1
-            var c = memo.get(w)
-            if (c == null) {
-              val syms = merges.foldLeft(graft.functions.Bpe.baseSymbols(w)) {
-                (acc, m) => graft.functions.Bpe.mergePass(acc, m._1, m._2) }
-              c = Integer.valueOf(syms.length)
-              memo.put(w, c)
-            }
-            n += c.intValue()
-          }
-          (id, lang, words, n)
-        }
-      }.toDF("doc_id", "lang", "n_words", "n_bpe_tokens")
+    tokenCounts(s, dir) { w =>
+      bc.value.foldLeft(graft.functions.Bpe.baseSymbols(w)) {
+        (acc, m) => graft.functions.Bpe.mergePass(acc, m._1, m._2)
+      }.length
+    }
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =

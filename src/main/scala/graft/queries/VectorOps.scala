@@ -798,7 +798,9 @@ object VectorOps extends Serializable {
     (SparkSession, String, Int), Array[(Long, Array[Double], Double)]]()
 
   private def trainedCents(s: SparkSession, dir: String,
-      iters: Int): Array[(Long, Array[Double], Double)] =
+      iters: Int): Array[(Long, Array[Double], Double)] = {
+    // drop entries of stopped sessions — the tfStage purge rule
+    centsMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     centsMemo.computeIfAbsent((s, dir, iters), { _ =>
       val k = emb(s, dir).filter(col("vec_id") % CentroidStep === 0).count().toInt
       kmeansCentroids(s, dir, k, iters).map { case (cid, arr) =>
@@ -808,6 +810,7 @@ object VectorOps extends Serializable {
         (cid, arr, math.sqrt(acc / Q))
       }
     })
+  }
 
   /** Product-quantized ANN with asymmetric distance (ADC) — the
     * memory-bound half of an IVF-PQ index: the 64-dim float corpus
@@ -874,8 +877,11 @@ object VectorOps extends Serializable {
 
   private def memoBooks(s: SparkSession, dir: String, tag: String, m: Int,
       subK: Int, iters: Int)(train: => Array[Array[(Long, Array[Double])]])
-      : Array[Array[(Long, Array[Double])]] =
+      : Array[Array[(Long, Array[Double])]] = {
+    // drop entries of stopped sessions — the tfStage purge rule
+    booksMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     booksMemo.computeIfAbsent((s, dir, tag, m, subK, iters), _ => train)
+  }
 
   /** Per-subspace PQ codebooks: m independent exact-lattice Lloyd
     * trainings over the sliced (snapped) corpus — the compression

@@ -77,7 +77,10 @@ object DocsStream {
       .mapPartitions { it =>
         val ph = bc.value
         it.flatMap { case (id, text) =>
-          val ts = text.split(" ", -1)
+          // a null-text record must be SKIPPED, not kill the query —
+          // the quantileStream bad-record doctrine; the batch twin's
+          // SQL split() is null-safe the same way (review r15)
+          val ts = if (text == null) Array.empty[String] else text.split(" ", -1)
           ph.iterator.flatMap { case (qid, w1, w2) =>
             if (qid == id) None
             else {

@@ -252,7 +252,13 @@ object EventsStream {
     * (the fixture's max intra-user gap is ~4 days;
     * MicroBatchSplitSpec stays green with eviction armed, and
     * StateEvictionSpec pins the store shrinking). `idleEvictUs <= 0`
-    * disables eviction (the unbounded batch-parity form). */
+    * disables eviction (the unbounded batch-parity form — no
+    * watermark is attached at all, restoring the r14 shape exactly).
+    * When armed, the watermark DELAY equals the idle horizon so the
+    * engine's late-input filter can only drop what the horizon
+    * already declared dead (review r15 — a short fixed delay would
+    * silently drop cross-user disorder the per-user straggler rule
+    * used to absorb). */
   final case class PathState(lastTsUs: Long, lastId: Long, t1: String, t2: String)
   final case class PathOut(user_id: Long, path: String, ts_us: Long, event_id: Long)
 
@@ -263,10 +269,14 @@ object EventsStream {
     val timeoutConf =
       if (idleEvictUs > 0) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events.select(col("event_id"), col("user_id"),
-        EventTime.tsUs(events).as("ts_us"), col("event_type"),
-        timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
-      .withWatermark("ts_ts", "10 minutes")
+    val selected = events.select(col("event_id"), col("user_id"),
+      EventTime.tsUs(events).as("ts_us"), col("event_type"),
+      timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
+    val marked =
+      if (idleEvictUs > 0)
+        selected.withWatermark("ts_ts", s"${idleEvictUs / 1000000L} seconds")
+      else selected
+    marked
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
@@ -419,7 +429,17 @@ object EventsStream {
     * ts ≥ watermark — outside every future purchase's lookback. The
     * straggler mark is also safely dropped: rows older than the
     * watermark never reach the function (StateEvictionSpec pins the
-    * state count shrinking and output equality with eviction on). */
+    * state count shrinking and output equality with eviction on).
+    *
+    * The watermark DELAY is the full 7-day lookback, not a token
+    * 10 minutes: with EventTimeTimeout armed the engine filters
+    * late-vs-watermark input before the state function, and a short
+    * delay would silently drop cross-user disorder the per-user
+    * straggler rule used to absorb (review r15). A 7-day allowance
+    * keeps every arrival the BATCH query could still credit (older
+    * than that is outside any live lookback anyway); eviction then
+    * fires at ~14 idle days in event time — later, but still
+    * bounded. */
   final case class AttrState(lastTsUs: Long, lastId: Long,
       touches: Vector[(Long, Long, String)])
   final case class AttrOut(conv_id: Long, touch_id: Long,
@@ -433,7 +453,7 @@ object EventsStream {
     events.select(col("event_id"), col("user_id"),
         EventTime.tsUs(events).as("ts_us"), col("event_type"),
         timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
-      .withWatermark("ts_ts", "10 minutes")
+      .withWatermark("ts_ts", "7 days")
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
