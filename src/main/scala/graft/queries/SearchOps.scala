@@ -255,8 +255,27 @@ object SearchOps extends Serializable {
       .orderBy("query_id", "match_id")
   }
 
+  /** Paragraph-level exact dedup (`dedup_chunk_exact`): duplicate
+    * detection at CHUNK granularity — the standard pretraining
+    * sub-document pass (boilerplate headers/footers duplicate across
+    * documents whose bodies differ, so doc-level hashing misses them).
+    * One narrow chunk explode + one hash groupBy shuffle; canonical
+    * owner is the lexicographic-min (doc, chunk) via a struct min —
+    * no window, no second shuffle. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkTransform(docs(s, dir))
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("c"),
+        count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+      .select(col("chunk_hash"), col("c.doc_id").as("canonical_doc"),
+        col("c.chunk_id").as("canonical_chunk"), col("n_dups"))
+      .orderBy("chunk_hash")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
+    "dedup_chunk_exact" -> ((s, dir) => chunkDedup(s, dir)),
     "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "search_phrase" -> ((s, dir) => phraseSearch(s, dir)),
@@ -289,26 +308,45 @@ object SearchOps extends Serializable {
         SELECT query_id, match_id, score, rk FROM branked
         WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  /** Shared chunking CTE chain (t → gs → c) — nested by both the
+    * text_chunk and dedup_chunk_exact oracles. */
+  private val chunkCtes: String =
+    s"""t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        -- bounded-range idiom (DuckDB lacks lateral generate_series
+        -- over an outer column): covers docs up to 1000 chunks =
+        -- ~24k tokens; the Spark side is uncapped, so SearchOpsSpec
+        -- asserts the corpus stays far below the bound (max 99
+        -- tokens today) — a longer future corpus must raise it
+        gs AS (SELECT unnest(range(0, 1000)) AS g),
+        c AS (
+          SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,
+                 least(n - g * $ChunkStride, $ChunkSize) AS n_tokens,
+                 array_to_string(
+                   toks[(CAST(g * $ChunkStride + 1 AS INT)):(CAST(g * $ChunkStride + $ChunkSize AS INT))],
+                   ' ') AS chunk
+          FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)"""
+
   def oracle: Map[String, String] = Map(
     "text_chunk" ->
-      s"""WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-            FROM documents),
-          -- bounded-range idiom (DuckDB lacks lateral generate_series
-          -- over an outer column): covers docs up to 1000 chunks =
-          -- ~24k tokens; the Spark side is uncapped, so SearchOpsSpec
-          -- asserts the corpus stays far below the bound (max 99
-          -- tokens today) — a longer future corpus must raise it
-          gs AS (SELECT unnest(range(0, 1000)) AS g),
-          c AS (
-            SELECT doc_id, CAST(g AS BIGINT) AS chunk_id,
-                   least(n - g * $ChunkStride, $ChunkSize) AS n_tokens,
-                   array_to_string(
-                     toks[(CAST(g * $ChunkStride + 1 AS INT)):(CAST(g * $ChunkStride + $ChunkSize AS INT))],
-                     ' ') AS chunk
-            FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)
+      s"""WITH $chunkCtes
           SELECT doc_id, chunk_id, n_tokens, chunk FROM c ORDER BY doc_id, chunk_id""",
+    "dedup_chunk_exact" ->
+      s"""WITH $chunkCtes,
+          h AS (SELECT md5(chunk) AS chunk_hash, doc_id, chunk_id FROM c),
+          g2 AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_dups
+                 FROM h GROUP BY 1),
+          canon AS (
+            SELECT chunk_hash, doc_id AS canonical_doc, chunk_id AS canonical_chunk,
+                   row_number() OVER (PARTITION BY chunk_hash
+                                      ORDER BY doc_id, chunk_id) AS rk
+            FROM h)
+          SELECT g2.chunk_hash, canonical_doc, canonical_chunk, n_dups
+          FROM g2 JOIN canon USING (chunk_hash)
+          WHERE rk = 1 AND n_dups > 1
+          ORDER BY chunk_hash""",
     "search_bm25_topk" -> bm25Sql,
     "search_phrase" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
