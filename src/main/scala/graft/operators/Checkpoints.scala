@@ -76,6 +76,30 @@ object Checkpoints {
     } else df.localCheckpoint(eager = eager)
   }
 
+  /** PINNED persisted-RDD ids: session-scoped SHARED stages (e.g.
+    * SearchOps.tfStage's memoized tf checkpoint) register here so a
+    * blanket persisted-block sweep (Bench's per-query unpersistAll)
+    * skips them. A lazily localCheckpointed dataset whose blocks are
+    * dropped is UNRECOVERABLE — the lineage was truncated by design —
+    * so sweeping a memoized stage doesn't slow the next consumer, it
+    * FAILS it (round-15 bench: search_hybrid_rrf / text_keyword_topk
+    * all-FAIL after the bm25 row's sweep dropped the shared tf). */
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  def pin(id: Int): Unit = pinnedIds.add(id)
+
+  def isPinned(id: Int): Boolean = pinnedIds.contains(Integer.valueOf(id))
+
+  /** Run `materialize` and pin every persisted RDD it ADDS — the
+    * precise way to pin a lazy checkpoint (its RDD id only exists
+    * once the first action materializes the blocks). */
+  def pinNewlyPersisted[T](s: org.apache.spark.sql.SparkSession)(materialize: => T): T = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val out = materialize
+    (s.sparkContext.getPersistentRDDs.keySet -- before).foreach(pin)
+    out
+  }
+
   /** The no-directory guard of reliable mode, factored out so its
     * error path is unit-testable regardless of whether earlier suites
     * already set the shared context's checkpoint dir (ADVICE r13 #4):

@@ -107,8 +107,16 @@ object SearchOps extends Serializable {
     // multi-session host like a notebook server (review r15)
     tfMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     tfMemo.computeIfAbsent((s, dir), { _ =>
-      val tf = graft.operators.Checkpoints.truncate(
-        tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      // PIN the checkpoint's persisted RDD: a memoized lazy checkpoint
+      // swept by a blanket unpersist is unrecoverable (lineage
+      // truncated), so the shared stage registers its RDD ids with
+      // Checkpoints.pin for sweeps to skip. The RDD registers in
+      // getPersistentRDDs at the localCheckpoint CALL (truncate), not
+      // at first materialization — wrap the truncate, not the collect.
+      val tf = graft.operators.Checkpoints.pinNewlyPersisted(s) {
+        graft.operators.Checkpoints.truncate(
+          tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      }
       val g = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       (tf, g.getLong(0), g.getLong(1))

@@ -126,4 +126,17 @@ class SearchOpsSpec extends AnyFunSuite {
       (300L, r6(1.0 / 62), 3),
       (400L, r6(1.0 / 63), 4)))
   }
+
+  test("shared tf stage survives a blanket persisted-block sweep (pin registry)") {
+    // build + memoize + PIN the shared stage
+    assert(SearchOps.bm25TopK(spark, sf).count() > 0)
+    // the Bench-style sweep: drop every persisted block EXCEPT pins —
+    // before the pin registry this made every later tfStage consumer
+    // fail (lineage-truncated checkpoint, blocks gone)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!graft.operators.Checkpoints.isPinned(id)) rdd.unpersist(blocking = true)
+    }
+    assert(SearchOps.keywordTopK(spark, sf).count() > 0)
+    assert(SearchOps.hybridRrf(spark, sf).count() > 0)
+  }
 }
