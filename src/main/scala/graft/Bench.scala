@@ -381,14 +381,12 @@ object Bench {
         paceBudgetS -= w
       }
     val results = headline.filter(qs.contains).map { name =>
-      // skip PINNED ids: session-scoped shared stages (tfStage) are
-      // lazily-checkpointed with truncated lineage — sweeping them
+      // the pinned-aware sweep: session-scoped shared stages (tfStage)
+      // are lazily-checkpointed with truncated lineage — sweeping them
       // doesn't slow the next consumer, it fails it (all-FAIL
       // search_hybrid_rrf/text_keyword_topk, round 15)
       def unpersistAll(): Unit =
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!graft.operators.Checkpoints.isPinned(id)) rdd.unpersist(blocking = false)
-        }
+        graft.operators.Checkpoints.unpersistUnpinned(spark)
       def once(): QRes = {
         val r = measure(name, 3, loadAvg _, procCpuNanos _,
           () => qs(name)(spark, sfDir).count(), pace _)

@@ -61,9 +61,7 @@ object PlanMetrics {
       println(s"\n========== $name ==========")
       // warmup rep: JIT + codegen, excluded from the recorded breakdown
       SparkEntry.queries(name)(spark, sfDir).count()
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!graft.operators.Checkpoints.isPinned(id)) rdd.unpersist(blocking = true)
-      }
+      graft.operators.Checkpoints.unpersistUnpinned(spark, blocking = true)
       rows.clear()
       record = true
       val n = SparkEntry.queries(name)(spark, sfDir).count()
@@ -77,9 +75,7 @@ object PlanMetrics {
       val totCpu = rows.map(_.cpuMs).sum / 1000.0
       val totRun = rows.map(_.runMs).sum / 1000.0
       println(f"TOTAL executor run=$totRun%.2f s cpu=$totCpu%.2f s over ${rows.size} stages")
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!graft.operators.Checkpoints.isPinned(id)) rdd.unpersist(blocking = true)
-      }
+      graft.operators.Checkpoints.unpersistUnpinned(spark, blocking = true)
     }
     spark.stop()
   }

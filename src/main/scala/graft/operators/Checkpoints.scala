@@ -78,27 +78,55 @@ object Checkpoints {
 
   /** PINNED persisted-RDD ids: session-scoped SHARED stages (e.g.
     * SearchOps.tfStage's memoized tf checkpoint) register here so a
-    * blanket persisted-block sweep (Bench's per-query unpersistAll)
-    * skips them. A lazily localCheckpointed dataset whose blocks are
-    * dropped is UNRECOVERABLE — the lineage was truncated by design —
-    * so sweeping a memoized stage doesn't slow the next consumer, it
+    * blanket persisted-block sweep ([[unpersistUnpinned]], used by
+    * Bench's per-query cleanup and PlanMetrics) skips them. A lazily
+    * localCheckpointed dataset whose blocks are dropped is
+    * UNRECOVERABLE — the lineage was truncated by design — so
+    * sweeping a memoized stage doesn't slow the next consumer, it
     * FAILS it (round-15 bench: search_hybrid_rrf / text_keyword_topk
-    * all-FAIL after the bm25 row's sweep dropped the shared tf). */
-  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    * all-FAIL after the bm25 row's sweep dropped the shared tf).
+    *
+    * Keys are (applicationId, rddId), NOT bare ids: RDD ids are
+    * per-SparkContext counters from 0, so a bare-id pin from a
+    * stopped context would permanently exempt an arbitrary RDD of
+    * the next context from every sweep (review r15 pass 2). */
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  def pin(id: Int): Unit = pinnedIds.add(id)
-
-  def isPinned(id: Int): Boolean = pinnedIds.contains(Integer.valueOf(id))
-
-  /** Run `materialize` and pin every persisted RDD it ADDS — the
-    * precise way to pin a lazy checkpoint (its RDD id only exists
-    * once the first action materializes the blocks). */
-  def pinNewlyPersisted[T](s: org.apache.spark.sql.SparkSession)(materialize: => T): T = {
-    val before = s.sparkContext.getPersistentRDDs.keySet
-    val out = materialize
-    (s.sparkContext.getPersistentRDDs.keySet -- before).foreach(pin)
-    out
+  /** Pin the persisted RDD BACKING a just-checkpointed dataset —
+    * extracted from its LogicalRDD plan leaf, so exactly the intended
+    * RDD is pinned (a persisted-set snapshot diff would race with any
+    * other thread persisting concurrently). `Dataset.checkpoint` /
+    * `localCheckpoint` register the persisted RDD and wrap it in
+    * LogicalRDD at the CALL, eager or lazy, which is what makes this
+    * exact. Returns `df` for inline use. */
+  def pinCheckpointed(df: DataFrame): DataFrame = {
+    val app = df.sparkSession.sparkContext.applicationId
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.foreach(id => pinnedIds.add(app -> id))
+    df
   }
+
+  def isPinned(sc: org.apache.spark.SparkContext, id: Int): Boolean =
+    pinnedIds.contains(sc.applicationId -> id)
+
+  /** THE sweep: unpersist every persisted RDD of the session except
+    * pinned shared stages. All blanket cleanups must come through
+    * here so pin semantics live in one place. */
+  def unpersistUnpinned(s: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit =
+    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!isPinned(s.sparkContext, id)) rdd.unpersist(blocking)
+    }
+
+  /** Drop memo entries whose session is stopped — the shared purge
+    * rule of every session-keyed cache (tfStage, trainedCents,
+    * memoBooks), factored so the three cannot drift (review r15
+    * pass 2). */
+  def purgeStopped[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(
+      session: K => org.apache.spark.sql.SparkSession): Unit =
+    m.entrySet().removeIf(e => session(e.getKey).sparkContext.isStopped)
 
   /** The no-directory guard of reliable mode, factored out so its
     * error path is unit-testable regardless of whether earlier suites

@@ -105,18 +105,15 @@ object SearchOps extends Serializable {
     // without this the map strongly holds dead sessions (and their
     // checkpointed DataFrames) for the JVM's lifetime in a
     // multi-session host like a notebook server (review r15)
-    tfMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    graft.operators.Checkpoints.purgeStopped(tfMemo)(_._1)
     tfMemo.computeIfAbsent((s, dir), { _ =>
-      // PIN the checkpoint's persisted RDD: a memoized lazy checkpoint
-      // swept by a blanket unpersist is unrecoverable (lineage
-      // truncated), so the shared stage registers its RDD ids with
-      // Checkpoints.pin for sweeps to skip. The RDD registers in
-      // getPersistentRDDs at the localCheckpoint CALL (truncate), not
-      // at first materialization — wrap the truncate, not the collect.
-      val tf = graft.operators.Checkpoints.pinNewlyPersisted(s) {
+      // PIN the checkpoint's persisted RDD (extracted from the plan's
+      // LogicalRDD leaf): a memoized lazy checkpoint swept by a
+      // blanket unpersist is unrecoverable — lineage truncated — so
+      // every sweep (Checkpoints.unpersistUnpinned) must skip it
+      val tf = graft.operators.Checkpoints.pinCheckpointed(
         graft.operators.Checkpoints.truncate(
-          tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-      }
+          tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
       val g = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       (tf, g.getLong(0), g.getLong(1))
@@ -135,7 +132,12 @@ object SearchOps extends Serializable {
     * and narrow, so it runs unchanged on a readStream source
     * ([[graft.streaming.DocsStream.chunkStream]]). */
   private[graft] def chunkTransform(d: DataFrame): DataFrame = {
-    val t = d
+    // a NULL text yields NO chunks, matching the oracle (whose range
+    // join condition against a NULL bound eliminates the doc) — the
+    // unguarded form emitted one (chunk_id 0, n_tokens −1, null)
+    // row per null doc, a latent oracle divergence on a null-bearing
+    // corpus (review r15 pass 2)
+    val t = d.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     t.withColumn("chunk_id",

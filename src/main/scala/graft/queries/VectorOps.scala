@@ -799,8 +799,8 @@ object VectorOps extends Serializable {
 
   private def trainedCents(s: SparkSession, dir: String,
       iters: Int): Array[(Long, Array[Double], Double)] = {
-    // drop entries of stopped sessions — the tfStage purge rule
-    centsMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    // drop entries of stopped sessions — the shared purge rule
+    graft.operators.Checkpoints.purgeStopped(centsMemo)(_._1)
     centsMemo.computeIfAbsent((s, dir, iters), { _ =>
       val k = emb(s, dir).filter(col("vec_id") % CentroidStep === 0).count().toInt
       kmeansCentroids(s, dir, k, iters).map { case (cid, arr) =>
@@ -878,8 +878,8 @@ object VectorOps extends Serializable {
   private def memoBooks(s: SparkSession, dir: String, tag: String, m: Int,
       subK: Int, iters: Int)(train: => Array[Array[(Long, Array[Double])]])
       : Array[Array[(Long, Array[Double])]] = {
-    // drop entries of stopped sessions — the tfStage purge rule
-    booksMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    // drop entries of stopped sessions — the shared purge rule
+    graft.operators.Checkpoints.purgeStopped(booksMemo)(_._1)
     booksMemo.computeIfAbsent((s, dir, tag, m, subK, iters), _ => train)
   }
 

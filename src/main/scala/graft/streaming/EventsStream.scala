@@ -252,8 +252,10 @@ object EventsStream {
     * (the fixture's max intra-user gap is ~4 days;
     * MicroBatchSplitSpec stays green with eviction armed, and
     * StateEvictionSpec pins the store shrinking). `idleEvictUs <= 0`
-    * disables eviction (the unbounded batch-parity form — no
-    * watermark is attached at all, restoring the r14 shape exactly).
+    * disables eviction — no watermark is attached at all, so
+    * arbitrarily late rows reach the per-user straggler rule
+    * (strictly CLOSER to batch parity than r14's unconditional
+    * 10-minute late filter, not identical to it).
     * When armed, the watermark DELAY equals the idle horizon so the
     * engine's late-input filter can only drop what the horizon
     * already declared dead (review r15 — a short fixed delay would
@@ -274,7 +276,10 @@ object EventsStream {
       timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
     val marked =
       if (idleEvictUs > 0)
-        selected.withWatermark("ts_ts", s"${idleEvictUs / 1000000L} seconds")
+        // microseconds, NOT a seconds truncation: a fractional-second
+        // horizon would otherwise get a STRICTER late filter than the
+        // horizon itself declares dead (review r15 pass 2)
+        selected.withWatermark("ts_ts", s"$idleEvictUs microseconds")
       else selected
     marked
       .as[(Long, Long, Long, String, java.sql.Timestamp)]

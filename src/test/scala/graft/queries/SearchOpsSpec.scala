@@ -133,9 +133,7 @@ class SearchOpsSpec extends AnyFunSuite {
     // the Bench-style sweep: drop every persisted block EXCEPT pins —
     // before the pin registry this made every later tfStage consumer
     // fail (lineage-truncated checkpoint, blocks gone)
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!graft.operators.Checkpoints.isPinned(id)) rdd.unpersist(blocking = true)
-    }
+    graft.operators.Checkpoints.unpersistUnpinned(spark, blocking = true)
     assert(SearchOps.keywordTopK(spark, sf).count() > 0)
     assert(SearchOps.hybridRrf(spark, sf).count() > 0)
   }
