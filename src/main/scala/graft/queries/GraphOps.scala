@@ -157,6 +157,48 @@ object GraphOps extends Serializable {
       .orderBy("node")
   }
 
+  /** Synchronous label propagation (`graph_lpa`, Raghavan et al.
+    * 2007) over the symmetric order graph: every node starts as its
+    * own label and each iteration adopts the most frequent label
+    * among its neighbors PLUS ITSELF (the self-preference vote that
+    * damps the bipartite-graph oscillation plain sync LPA suffers),
+    * ties to the SMALLEST label — a complete deterministic rule, so
+    * a fixed iteration count is oracle-unrollable exactly like
+    * pagerank. Each iteration is one src-join on the checkpointed
+    * edges + two node-keyed aggregations (vote counts, then the
+    * argmax via a (cnt, −lbl) struct max — no per-node window).
+    * Labels are node ids (longs ≥ 0), so −lbl is a safe tie-break
+    * encoding. */
+  def labelProp(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"lpa iters must be >= 1, got $iters")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = graft.operators.Checkpoints.truncate(
+      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
+    labelPropOn(edges, iters)
+  }
+
+  /** The LPA loop over any symmetric (src, dst) edge table. */
+  private[graft] def labelPropOn(edges: DataFrame, iters: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to iters).foreach { _ =>
+      val votes = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(labels.select(col("node"), col("lbl")))
+      labels = graft.operators.Checkpoints.truncate(
+        votes.groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
   /** One k-peel to fixpoint: repeatedly drop nodes with degree < k
     * (and their edges) until nothing changes — what survives is the
     * k-core. Each pass is one endpoint-union aggregation + two semi
@@ -236,7 +278,11 @@ object GraphOps extends Serializable {
     // idempotent) and GraphKcoreSpec guards both budgets vs the corpus
     "graph_kcore" -> ((s, dir) =>
       coreNumbers(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"),
-        KcoreMax, KcorePasses)))
+        KcoreMax, KcorePasses)),
+    // community detection on the order graph — the oracle unrolls the
+    // default iteration count (the pagerank doctrine)
+    "graph_lpa" -> ((s, dir) =>
+      labelProp(s, dir, s.conf.get("spark.graft.lpa.iters", "3").toInt)))
 
   private[graft] val KcoreMax = 4
   private[graft] val KcorePasses = 6
@@ -281,7 +327,27 @@ object GraphOps extends Serializable {
         GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** LPA iteration i as vote/count/argmax CTEs over l${i-1}. */
+  private def lpaIterSql(i: Int): String =
+    s"""v$i AS (
+          SELECT e.dst AS node, l.lbl FROM edges e JOIN l${i - 1} l ON e.src = l.node
+          UNION ALL SELECT node, lbl FROM l${i - 1}),
+        c$i AS (SELECT node, lbl, count(*) AS cnt FROM v$i GROUP BY 1, 2),
+        l$i AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rk
+            FROM c$i) t WHERE rk = 1)"""
+
   def oracle: Map[String, String] = Map(
+    "graph_lpa" ->
+      s"""WITH e0 AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+          ${lpaIterSql(1)}, ${lpaIterSql(2)}, ${lpaIterSql(3)}
+          SELECT node, lbl AS community FROM l3 ORDER BY node""",
     "graph_kcore" -> kcoreSql(KcoreMax, KcorePasses),
     "graph_clustering_coeff" ->
       s"""WITH ${OracleSql.simhashCte},

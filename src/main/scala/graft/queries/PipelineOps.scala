@@ -409,6 +409,36 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Scene-cut detection — the video-curation primitive on top of
+    // the frame model: consecutive 32-byte frames differenced
+    // per-byte (sum of absolute differences, the classic shot-boundary
+    // signal), a transition is a CUT when SAD ≥ 1000 (between the
+    // corpus median ~911 and p90 ~1071 — a meaningful split, not a
+    // degenerate flag). One narrow pass, integer arithmetic only; at
+    // scale this is a per-video mapPartitions over the frame stream,
+    // no shuffle before the presentation sort.
+    "mm_scene_cut" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val bytes = text.getBytes("UTF-8")
+            val nf = bytes.length / 32
+            (1 until nf).iterator.map { f =>
+              var diff = 0L
+              var j = 0
+              while (j < 32) {
+                diff += math.abs((bytes(f * 32 + j) & 0xff) - (bytes((f - 1) * 32 + j) & 0xff))
+                j += 1
+              }
+              (id, f, diff, if (diff >= 1000L) 1 else 0)
+            }
+          }
+        }).toDF("doc_id", "frame_ix", "diff", "is_cut")
+        .orderBy("doc_id", "frame_ix")
+    }),
+
     // MULTIMODAL NEAR-DUP DEDUP — the perceptual bridge between the
     // media family and the dedup family: each doc's first 72 bytes
     // become a 9×8 grayscale thumbnail (through the real PGM
@@ -983,6 +1013,26 @@ object PipelineOps {
           FROM zc z JOIN fp ON fp.doc_id = z.doc_id
           GROUP BY z.doc_id, fp.f ORDER BY z.doc_id"""
     },
+
+    // consecutive-frame SAD recomputed from the text bytes; the
+    // threshold literal must match the engine's
+    "mm_scene_cut" ->
+      """WITH frames AS (
+           SELECT doc_id, CAST(f AS INT) AS fx, text
+           FROM documents, unnest(range(0, strlen(text) // 32)) AS t(f)),
+         bytes AS (
+           SELECT doc_id, fx, CAST(j AS INT) AS j,
+                  ord(substr(text, fx * 32 + CAST(j AS INT) + 1, 1)) AS b
+           FROM frames, unnest(range(0, 32)) AS tj(j)),
+         d AS (
+           SELECT a.doc_id, a.fx AS frame_ix,
+                  CAST(sum(abs(a.b - p.b)) AS BIGINT) AS diff
+           FROM bytes a JOIN bytes p
+             ON p.doc_id = a.doc_id AND p.fx = a.fx - 1 AND p.j = a.j
+           GROUP BY 1, 2)
+         SELECT doc_id, frame_ix, diff,
+                CAST(diff >= 1000 AS INT) AS is_cut
+         FROM d ORDER BY doc_id, frame_ix""",
 
     // dHash recomputed from the text bytes: bit k compares thumbnail
     // byte (k//8)*9 + k%8 against its right neighbor (zero-padded to

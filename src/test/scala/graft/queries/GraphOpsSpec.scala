@@ -80,4 +80,43 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(default === byIter(2), "default registry iters is not 3 (oracle contract)")
   }
+
+  test("labelProp: two cliques with one bridge resolve to two communities") {
+    import spark.implicits._
+    // K4 on 0-3, K4 on 10-13, bridge 3-10; symmetric edge table
+    val cl = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)) ++
+      (for { a <- 10L to 13L; b <- (a + 1) to 13L } yield (a, b)) :+ ((3L, 10L))
+    val edges = cl.toDF("src", "dst")
+      .unionByName(cl.map(_.swap).toDF("src", "dst"))
+    val got = GraphOps.labelPropOn(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to its min label; the bridge endpoints
+    // stay with their own clique (self + 3 clique votes beat 1 bridge)
+    assert((0L to 3L).forall(got(_) == 0L), s"clique A: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"clique B: $got")
+  }
+
+  test("labelProp equals a single-machine replica of the same sync rule") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x17A15)
+    val n = 30
+    val es = (for { a <- 0L until n; b <- (a + 1) until n
+                    if rnd.nextDouble() < 0.12 } yield (a, b)).toSeq
+    val edges = es.toDF("src", "dst").unionByName(es.map(_.swap).toDF("src", "dst"))
+    val iters = 3
+    val got = GraphOps.labelPropOn(edges, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: synchronous, neighbors + self, ties to smallest label
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lbl = lbl.map { case (v, _) =>
+        val votes = (adj(v).map(lbl) :+ lbl(v)).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lbl)
+  }
 }
