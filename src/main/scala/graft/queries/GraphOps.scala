@@ -46,22 +46,36 @@ object GraphOps extends Serializable {
     * DIRECTED edge set is NOT supported as-is: dangling nodes (no
     * out-edges) would silently leak their mass each iteration — add
     * the standard dangling-mass redistribution term first. */
-  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    require(iters >= 1, s"pagerank iters must be >= 1, got $iters")
+  /** THE symmetric order-graph edge table — node ids even = customer,
+    * odd = supplier (collision-free) — materialized ONCE,
+    * hash-partitioned on src: downstream branches would otherwise
+    * re-derive the whole orders⨝lineitem⨝distinct pipeline, and
+    * per-iteration src joins reuse the checkpointed partitioning
+    * instead of re-shuffling every iteration. Shared by pagerank and
+    * labelProp (review r15 pass 3: a drifted copy would silently skew
+    * one query family while the other keeps passing); the oracle-side
+    * twin is [[orderEdgesCtes]]. */
+  private def symmetricOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    // node ids: even = customer, odd = supplier (collision-free)
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // materialize the symmetric edge set ONCE, hash-partitioned on src:
-    // the degree branch would otherwise re-derive the whole
-    // orders⨝lineitem⨝distinct pipeline, and the per-iteration src
-    // joins reuse the checkpointed partitioning instead of
-    // re-shuffling the edge table every iteration
-    val edges0 = graft.operators.Checkpoints.truncate(
+    graft.operators.Checkpoints.truncate(
       base.union(base.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src")))
+  }
+
+  /** SQL twin of [[symmetricOrderEdges]] (the e0/edges CTE pair). */
+  private val orderEdgesCtes: String =
+    """e0 AS (
+         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+
+  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank iters must be >= 1, got $iters")
+    val edges0 = symmetricOrderEdges(s, dir)
     val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = graft.operators.Checkpoints.truncate(edges0.join(deg, "src"))
     var ranks = deg.select(col("src"), lit(1.0).as("r"))
@@ -171,15 +185,7 @@ object GraphOps extends Serializable {
     * encoding. */
   def labelProp(s: SparkSession, dir: String, iters: Int): DataFrame = {
     require(iters >= 1, s"lpa iters must be >= 1, got $iters")
-    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = graft.operators.Checkpoints.truncate(
-      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
-    labelPropOn(edges, iters)
+    labelPropOn(symmetricOrderEdges(s, dir), iters)
   }
 
   /** The LPA loop over any symmetric (src, dst) edge table. */
@@ -282,10 +288,15 @@ object GraphOps extends Serializable {
     // community detection on the order graph — the oracle unrolls the
     // default iteration count (the pagerank doctrine)
     "graph_lpa" -> ((s, dir) =>
-      labelProp(s, dir, s.conf.get("spark.graft.lpa.iters", "3").toInt)))
+      labelProp(s, dir,
+        s.conf.get("spark.graft.lpa.iters", LpaIters.toString).toInt)))
 
   private[graft] val KcoreMax = 4
   private[graft] val KcorePasses = 6
+  /** LPA default iteration count — the SAME constant drives the
+    * registry default and the oracle's unroll depth (the
+    * KcoreMax/KcorePasses pattern; GraphOpsSpec pins the contract). */
+  private[graft] val LpaIters = 3
 
   private def iterSql(i: Int): String =
     s"""r$i AS (
@@ -341,13 +352,10 @@ object GraphOps extends Serializable {
 
   def oracle: Map[String, String] = Map(
     "graph_lpa" ->
-      s"""WITH e0 AS (
-            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $orderEdgesCtes,
           l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-          ${lpaIterSql(1)}, ${lpaIterSql(2)}, ${lpaIterSql(3)}
-          SELECT node, lbl AS community FROM l3 ORDER BY node""",
+          ${(1 to LpaIters).map(lpaIterSql).mkString(",\n")}
+          SELECT node, lbl AS community FROM l$LpaIters ORDER BY node""",
     "graph_kcore" -> kcoreSql(KcoreMax, KcorePasses),
     "graph_clustering_coeff" ->
       s"""WITH ${OracleSql.simhashCte},
@@ -381,10 +389,7 @@ object GraphOps extends Serializable {
           JOIN p e3 ON e3.ida = e1.ida AND e3.idb = e2.idb
           ORDER BY a, b, c""",
     "graph_pagerank" ->
-      s"""WITH e0 AS (
-            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $orderEdgesCtes,
           deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
           r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) AS r FROM deg),
           ${iterSql(1)}, ${iterSql(2)}, ${iterSql(3)}

@@ -10,6 +10,12 @@ import graft.multimodal.MultimodalOps
   * EventsStreamSpec) and multimodal binary-column plumbing. */
 object PipelineOps {
 
+  /** Scene-cut SAD threshold — ONE constant drives the engine
+    * predicate and the oracle SQL (review r15 pass 3: bare twin
+    * literals coupled only by a comment). Calibrated between the
+    * corpus transition median (~911) and p90 (~1071). */
+  private val SceneCutThreshold = 1000L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -432,7 +438,7 @@ object PipelineOps {
                 diff += math.abs((bytes(f * 32 + j) & 0xff) - (bytes((f - 1) * 32 + j) & 0xff))
                 j += 1
               }
-              (id, f, diff, if (diff >= 1000L) 1 else 0)
+              (id, f, diff, if (diff >= SceneCutThreshold) 1 else 0)
             }
           }
         }).toDF("doc_id", "frame_ix", "diff", "is_cut")
@@ -1014,10 +1020,13 @@ object PipelineOps {
           GROUP BY z.doc_id, fp.f ORDER BY z.doc_id"""
     },
 
-    // consecutive-frame SAD recomputed from the text bytes; the
-    // threshold literal must match the engine's
+    // consecutive-frame SAD recomputed from the text bytes (the
+    // ord(substr)/getBytes("UTF-8") equivalence is the mm family's
+    // standing ASCII-corpus contract — a non-ASCII fixture breaks
+    // every row built on it, not just this one); the threshold is the
+    // shared SceneCutThreshold constant
     "mm_scene_cut" ->
-      """WITH frames AS (
+      s"""WITH frames AS (
            SELECT doc_id, CAST(f AS INT) AS fx, text
            FROM documents, unnest(range(0, strlen(text) // 32)) AS t(f)),
          bytes AS (
@@ -1031,7 +1040,7 @@ object PipelineOps {
              ON p.doc_id = a.doc_id AND p.fx = a.fx - 1 AND p.j = a.j
            GROUP BY 1, 2)
          SELECT doc_id, frame_ix, diff,
-                CAST(diff >= 1000 AS INT) AS is_cut
+                CAST(diff >= $SceneCutThreshold AS INT) AS is_cut
          FROM d ORDER BY doc_id, frame_ix""",
 
     // dHash recomputed from the text bytes: bit k compares thumbnail
