@@ -111,6 +111,29 @@ object Checkpoints {
   def isPinned(sc: org.apache.spark.SparkContext, id: Int): Boolean =
     pinnedIds.contains(sc.applicationId -> id)
 
+  /** The persisted-RDD ids backing `df`'s checkpoint (its LogicalRDD
+    * plan leaves) — the same extraction [[pinCheckpointed]] pins. */
+  def checkpointRddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
+  /** UNPIN a shared stage and release its persisted blocks — the
+    * explicit end-of-life hook for a session-scoped memoized
+    * checkpoint (ADVICE r15: pins were otherwise unremovable while
+    * the context lived, so a long-lived host querying many dirs
+    * accumulated pinned blocks no sweep could reclaim). Memo owners
+    * (e.g. SearchOps.evictTfStage) remove their map entry FIRST, then
+    * call this — order matters: a concurrent consumer that grabbed
+    * the dying entry fails once, and the next call rebuilds. */
+  def unpinAndUnpersist(df: DataFrame, blocking: Boolean = false): Unit = {
+    val sc = df.sparkSession.sparkContext
+    checkpointRddIds(df).foreach { id =>
+      pinnedIds.remove(sc.applicationId -> id)
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking))
+    }
+  }
+
   /** THE sweep: unpersist every persisted RDD of the session except
     * pinned shared stages. All blanket cleanups must come through
     * here so pin semantics live in one place. */

@@ -397,7 +397,12 @@ object PipelineOps {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val bytes = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
+          // null text = empty payload (zero-padded), matching the
+          // oracle's bytes CTE which keeps the doc with b=0 everywhere
+          // (CASE … ELSE 0 is null-falsy); a row-drop here would
+          // diverge — and the unguarded getBytes NPE'd (ADVICE r15)
+          val bytes = java.util.Arrays.copyOf(
+            (if (text == null) "" else text).getBytes("UTF-8"), 64)
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val samples = Array.tabulate(32)(i => bb.getShort(i * 2))
@@ -459,7 +464,11 @@ object PipelineOps {
       val dh = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 72)
+          // null text = all-zero thumbnail (dHash 0), matching the
+          // oracle's bits CTE (NULL comparisons are falsy → v=0 per
+          // bit); a row-drop would diverge — ADVICE r15 null guard
+          val px = java.util.Arrays.copyOf(
+            (if (text == null) "" else text).getBytes("UTF-8"), 72)
           val img = graft.multimodal.ImageCodec.decode(
             graft.multimodal.ImageCodec.encodePgm(
               graft.multimodal.ImageCodec.Image(9, 8, 1, px))).get

@@ -106,6 +106,27 @@ object SearchOps extends Serializable {
     // checkpointed DataFrames) for the JVM's lifetime in a
     // multi-session host like a notebook server (review r15)
     graft.operators.Checkpoints.purgeStopped(tfMemo)(_._1)
+    // staleness probe (ADVICE r15): a memoized entry whose backing RDD
+    // was unpersisted OUTSIDE the pin discipline (raw rdd.unpersist by
+    // external code) is unrecoverable — lineage truncated — and would
+    // fail every consumer for the session's lifetime; drop and rebuild
+    // instead. This catches deregistration, not executor block loss:
+    // on preemptible/spot executors the local blocks themselves can
+    // vanish while the registration survives, and the rebuild-level
+    // remedy there is `spark.graft.checkpoint.reliable=true` (blocks
+    // re-read from fault-tolerant files) or an explicit
+    // [[evictTfStage]] from the consumer's failure handler.
+    tfMemo.computeIfPresent((s, dir), { (_, entry) =>
+      val live = s.sparkContext.getPersistentRDDs
+      if (graft.operators.Checkpoints.checkpointRddIds(entry._1)
+          .forall(live.contains)) entry
+      else {
+        // release the dead entry's leftover pins so the registry
+        // doesn't accumulate ids that no sweep will ever see again
+        graft.operators.Checkpoints.unpinAndUnpersist(entry._1)
+        null // computeIfPresent contract: null removes the entry
+      }
+    })
     tfMemo.computeIfAbsent((s, dir), { _ =>
       // PIN the checkpoint's persisted RDD (extracted from the plan's
       // LogicalRDD leaf): a memoized lazy checkpoint swept by a
@@ -119,6 +140,19 @@ object SearchOps extends Serializable {
       (tf, g.getLong(0), g.getLong(1))
     })
   }
+
+  /** Explicit end-of-life for the shared tf stage of (session, dir):
+    * removes the memo entry, unpins its checkpoint and releases the
+    * persisted blocks (Checkpoints.unpinAndUnpersist — ADVICE r15:
+    * pins were otherwise unremovable while the context lived, so a
+    * long-lived host querying many dirs accumulated unsweepable
+    * blocks). Also the consumer-side recovery hook: a retrieval query
+    * failing on lost checkpoint blocks evicts + retries, which
+    * rebuilds the stage from source. */
+  def evictTfStage(s: SparkSession, dir: String): Unit =
+    Option(tfMemo.remove((s, dir))).foreach { case (tf, _, _) =>
+      graft.operators.Checkpoints.unpinAndUnpersist(tf)
+    }
 
   /** Sliding-window chunking: windows of [[ChunkSize]] tokens every
     * [[ChunkStride]] (8-token overlap), last window ragged; every doc

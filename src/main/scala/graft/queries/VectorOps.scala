@@ -883,6 +883,17 @@ object VectorOps extends Serializable {
     booksMemo.computeIfAbsent((s, dir, tag, m, subK, iters), _ => train)
   }
 
+  /** Drop every memoized index model (coarse quantizer + PQ codebooks)
+    * of (session, dir) — the SearchOps.evictTfStage sibling for the
+    * driver-array memos (ADVICE r15: session-keyed caches needed an
+    * explicit eviction path for long-lived multi-dir hosts). These
+    * hold no persisted blocks, so eviction is a plain map removal;
+    * the next ANN call retrains the identical deterministic model. */
+  def evictModels(s: SparkSession, dir: String): Unit = {
+    centsMemo.keySet.removeIf(k => k._1 == s && k._2 == dir)
+    booksMemo.keySet.removeIf(k => k._1 == s && k._2 == dir)
+  }
+
   /** Per-subspace PQ codebooks: m independent exact-lattice Lloyd
     * trainings over the sliced (snapped) corpus — the compression
     * model is m×subK×(64/m) doubles, always a broadcast tier. */

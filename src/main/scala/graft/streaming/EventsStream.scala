@@ -440,11 +440,15 @@ object EventsStream {
     * 10 minutes: with EventTimeTimeout armed the engine filters
     * late-vs-watermark input before the state function, and a short
     * delay would silently drop cross-user disorder the per-user
-    * straggler rule used to absorb (review r15). A 7-day allowance
-    * keeps every arrival the BATCH query could still credit (older
-    * than that is outside any live lookback anyway); eviction then
-    * fires at ~14 idle days in event time — later, but still
-    * bounded. */
+    * straggler rule used to absorb (review r15). Batch parity is
+    * therefore BOUNDED-DISORDER CONDITIONAL (the pathsStream framing,
+    * ADVICE r15): a touch arriving ≤ 7 days behind the global max
+    * event time is always admitted, but one further behind is dropped
+    * by the pre-state watermark filter even though a purchase that is
+    * itself late (ts ≥ watermark) could still have credited it in
+    * batch — the old per-user straggler rule absorbed that cross-user
+    * disorder, the watermark cannot. Eviction then fires at ~14 idle
+    * days in event time — later, but still bounded. */
   final case class AttrState(lastTsUs: Long, lastId: Long,
       touches: Vector[(Long, Long, String)])
   final case class AttrOut(conv_id: Long, touch_id: Long,

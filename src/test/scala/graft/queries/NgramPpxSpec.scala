@@ -15,6 +15,22 @@ class NgramPpxSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("corpus stays far inside the oracle's range(1,1024) bigram cap") {
+    // the text_ngram_ppx oracle enumerates bigram positions via
+    // range(1, 1024) while the Spark side is uncapped (ADVICE r15): a
+    // doc with > 1023 bigrams would surface as a bare oracle hash
+    // mismatch — fail HERE with the bound named instead (the chunkCtes
+    // maxChunks<900 doctrine)
+    import org.apache.spark.sql.functions._
+    val maxToks = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ", -1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getInt(0)
+    assert(maxToks < 900,
+      s"a $maxToks-token doc approaches the oracle's range(1,1024) bigram cap " +
+        "— raise gs in TextOps.oracle(text_ngram_ppx) first")
+  }
+
   test("doc scores equal the classic add-one bigram reference; worst 1% flagged") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

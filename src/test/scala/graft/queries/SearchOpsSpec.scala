@@ -127,6 +127,21 @@ class SearchOpsSpec extends AnyFunSuite {
       (400L, r6(1.0 / 63), 4)))
   }
 
+  test("corpus stays far inside the phrase oracle's range(1,1024) position cap") {
+    // the search_phrase oracle's bounded-range idiom enumerates
+    // positions via range(1, 1024) while the Spark posexplode side is
+    // uncapped (ADVICE r15): a doc with > 1023 bigram positions would
+    // surface as a bare oracle hash mismatch — fail HERE with the
+    // bound named instead (the chunkCtes maxChunks<900 doctrine)
+    val maxToks = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ", -1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getInt(0)
+    assert(maxToks < 900,
+      s"a $maxToks-token doc approaches the oracle's range(1,1024) position cap " +
+        "— raise gs in SearchOps.oracle(search_phrase) first")
+  }
+
   test("shared tf stage survives a blanket persisted-block sweep (pin registry)") {
     // build + memoize + PIN the shared stage
     assert(SearchOps.bm25TopK(spark, sf).count() > 0)
@@ -136,5 +151,41 @@ class SearchOpsSpec extends AnyFunSuite {
     graft.operators.Checkpoints.unpersistUnpinned(spark, blocking = true)
     assert(SearchOps.keywordTopK(spark, sf).count() > 0)
     assert(SearchOps.hybridRrf(spark, sf).count() > 0)
+  }
+
+  test("evictTfStage unpins, releases blocks, and the next call rebuilds (ADVICE r15)") {
+    import graft.operators.Checkpoints
+    val (tf1, n1, s1) = SearchOps.tfStage(spark, sf)
+    val ids1 = Checkpoints.checkpointRddIds(tf1)
+    assert(ids1.nonEmpty, "tf stage must be a pinned checkpoint")
+    assert(ids1.forall(Checkpoints.isPinned(spark.sparkContext, _)))
+    SearchOps.evictTfStage(spark, sf)
+    // pins removed AND the persisted registration released — a
+    // long-lived host can now actually reclaim the stage's blocks
+    assert(ids1.forall(id => !Checkpoints.isPinned(spark.sparkContext, id)))
+    assert(ids1.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
+    // next access rebuilds a FRESH checkpoint with identical scalars
+    val (tf2, n2, s2) = SearchOps.tfStage(spark, sf)
+    assert((n2, s2) === ((n1, s1)))
+    assert(Checkpoints.checkpointRddIds(tf2).toSet.intersect(ids1.toSet).isEmpty,
+      "rebuild must not serve the evicted checkpoint")
+    assert(SearchOps.keywordTopK(spark, sf).count() > 0)
+  }
+
+  test("tfStage staleness probe: an externally-unpersisted entry is rebuilt, not served") {
+    import graft.operators.Checkpoints
+    val (tf1, _, _) = SearchOps.tfStage(spark, sf)
+    val ids1 = Checkpoints.checkpointRddIds(tf1)
+    // raw unpersist OUTSIDE the pin discipline (external code): the
+    // memoized entry is now unrecoverable (lineage truncated) — before
+    // the probe, every later consumer in the session failed on it
+    ids1.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    val (tf2, _, _) = SearchOps.tfStage(spark, sf)
+    assert(Checkpoints.checkpointRddIds(tf2).toSet.intersect(ids1.toSet).isEmpty,
+      "stale entry served instead of rebuilt")
+    assert(tf2.count() > 0)
+    // the dead entry's pins were released, not leaked
+    assert(ids1.forall(id => !Checkpoints.isPinned(spark.sparkContext, id)))
   }
 }
