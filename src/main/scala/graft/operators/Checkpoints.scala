@@ -118,6 +118,17 @@ object Checkpoints {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
 
+  /** Staleness probe for a memoized pinned checkpoint: true when any
+    * of its backing RDD registrations is gone (raw `rdd.unpersist` by
+    * external code) — the entry is then unrecoverable (lineage
+    * truncated) and must be evicted + rebuilt, not served
+    * (ADVICE r15). Shared by SearchOps.tfStage and GraphOps'
+    * community-label memo so the probe rule cannot drift. */
+  def stale(df: DataFrame): Boolean = {
+    val live = df.sparkSession.sparkContext.getPersistentRDDs
+    !checkpointRddIds(df).forall(live.contains)
+  }
+
   /** UNPIN a shared stage and release its persisted blocks — the
     * explicit end-of-life hook for a session-scoped memoized
     * checkpoint (ADVICE r15: pins were otherwise unremovable while

@@ -185,7 +185,7 @@ object GraphOps extends Serializable {
     * encoding. */
   def labelProp(s: SparkSession, dir: String, iters: Int): DataFrame = {
     require(iters >= 1, s"lpa iters must be >= 1, got $iters")
-    labelPropOn(symmetricOrderEdges(s, dir), iters)
+    lpaLabels(s, dir, iters)
   }
 
   /** The LPA loop over any symmetric (src, dst) edge table. */
@@ -203,6 +203,101 @@ object GraphOps extends Serializable {
           .select(col("node"), (-col("m.nl")).as("lbl")))
     }
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
+  /** Session-scoped memo of the LPA community labels on the order
+    * graph — the tfStage doctrine applied to graph analytics: the
+    * labels are an ANALYSIS ARTIFACT (detect once, grade/consume
+    * many), and within one session `graph_lpa` and `graph_modularity`
+    * would otherwise each pay the full iteration loop for the SAME
+    * deterministic result. The memoized frame is the final
+    * iteration's checkpoint (node-count-sized), PINNED against
+    * blanket sweeps and materialized eagerly so its lineage
+    * truncation can never race a sweep of the intermediate
+    * iterations' blocks. */
+  private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private def lpaLabels(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    graft.operators.Checkpoints.purgeStopped(lpaMemo)(_._1)
+    // staleness probe — an externally-unpersisted entry is rebuilt,
+    // not served (the shared Checkpoints.stale rule)
+    lpaMemo.computeIfPresent((s, dir, iters), { (_, entry) =>
+      if (!graft.operators.Checkpoints.stale(entry)) entry
+      else { graft.operators.Checkpoints.unpinAndUnpersist(entry); null }
+    })
+    lpaMemo.computeIfAbsent((s, dir, iters), { _ =>
+      val labels = labelPropOn(symmetricOrderEdges(s, dir), iters)
+      labels.count() // materialize BEFORE the intermediates can be swept
+      graft.operators.Checkpoints.pinCheckpointed(labels)
+    })
+  }
+
+  /** Drop the memoized community labels of (session, dir) — the
+    * evictTfStage sibling (unpin + release blocks; next call
+    * rebuilds). */
+  def evictLpaLabels(s: SparkSession, dir: String): Unit = {
+    val it = lpaMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s && e.getKey._2 == dir) {
+        it.remove()
+        graft.operators.Checkpoints.unpinAndUnpersist(e.getValue)
+      }
+    }
+  }
+
+  /** Modularity (Newman's Q) of the LPA communities — the quality
+    * score that closes the detect→cluster→grade loop exactly like
+    * `vec_recall_eval` grades the ANN path (VERDICT r15 #3):
+    *
+    *   Q = Σ_c [ e_c/m − (deg_c / 2m)² ]
+    *     = Σ_c (int_deg_c · m2 − deg_sum_c²) / m2²
+    *
+    * with m2 = 2m the DIRECTED edge count of the symmetric table,
+    * int_deg_c the directed same-community edge count (= 2·e_c), and
+    * deg_sum_c the community's degree mass. One src-label join + one
+    * dst-label join + two community-keyed aggregations — every
+    * shuffle keys on node or community. The numerator is EXACT
+    * BIGINT arithmetic summed exactly in both engines, finished by a
+    * single double division (cross-engine bit-identical; |num| ≤
+    * 2·m2² keeps int64 safe to ~2·10⁹ directed edges — past that,
+    * promote num to DECIMAL, the money-sum doctrine). m2 is a
+    * plan-time scalar (the a12-bloom bounded tier; a constant-key
+    * join would constant-fold into BroadcastNestedLoopJoin).
+    *
+    * Output: one row per community (n_nodes, deg_sum, int_deg, q
+    * contribution) plus the global row under community = −1 whose `q`
+    * IS the modularity. */
+  def modularity(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val edges = symmetricOrderEdges(s, dir)
+    val lab = lpaLabels(s, dir, iters)
+    val m2 = edges.count()
+    val la = lab.select(col("node").as("src"), col("community").as("ca"))
+    val lb = lab.select(col("node").as("dst"), col("community").as("cb"))
+    val din = edges.join(la, "src").join(lb, "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("int_deg"))
+    val per = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(la, "src")
+      .groupBy(col("ca").as("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(din, Seq("community"), "left")
+      .withColumn("int_deg", coalesce(col("int_deg"), lit(0L)))
+      .withColumn("num",
+        expr(s"int_deg * ${m2}L - deg_sum * deg_sum"))
+    val total = per.agg(
+        sum(col("n_nodes")).as("n_nodes"), sum(col("deg_sum")).as("deg_sum"),
+        sum(col("int_deg")).as("int_deg"), sum(col("num")).as("num"))
+      .select(lit(-1L).as("community"), col("n_nodes"), col("deg_sum"),
+        col("int_deg"), col("num"))
+    per.select("community", "n_nodes", "deg_sum", "int_deg", "num")
+      .unionByName(total)
+      .withColumn("q", round(
+        col("num").cast("double") / lit((m2 * m2).toDouble), 6))
+      .select("community", "n_nodes", "deg_sum", "int_deg", "q")
+      .orderBy("community")
   }
 
   /** One k-peel to fixpoint: repeatedly drop nodes with degree < k
@@ -286,9 +381,16 @@ object GraphOps extends Serializable {
       coreNumbers(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"),
         KcoreMax, KcorePasses)),
     // community detection on the order graph — the oracle unrolls the
-    // default iteration count (the pagerank doctrine)
+    // default iteration count (the pagerank doctrine); labels come
+    // from the session-scoped memo shared with graph_modularity
     "graph_lpa" -> ((s, dir) =>
       labelProp(s, dir,
+        s.conf.get("spark.graft.lpa.iters", LpaIters.toString).toInt)),
+    // grade the detected communities — Newman's Q over the SAME
+    // memoized labels (detect→cluster→score, the vec_recall_eval
+    // composition doctrine)
+    "graph_modularity" -> ((s, dir) =>
+      modularity(s, dir,
         s.conf.get("spark.graft.lpa.iters", LpaIters.toString).toInt)))
 
   private[graft] val KcoreMax = 4
@@ -356,6 +458,43 @@ object GraphOps extends Serializable {
           l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
           ${(1 to LpaIters).map(lpaIterSql).mkString(",\n")}
           SELECT node, lbl AS community FROM l$LpaIters ORDER BY node""",
+    // the LPA chain + exact-BIGINT per-community numerators finished
+    // by one double division (engine twin: GraphOps.modularity);
+    // DuckDB SUMs return HUGEINT — CAST before arithmetic/hashing
+    "graph_modularity" ->
+      s"""WITH $orderEdgesCtes,
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+          ${(1 to LpaIters).map(lpaIterSql).mkString(",\n")},
+          lab AS (SELECT node, lbl AS community FROM l$LpaIters),
+          gl AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+          din AS (
+            SELECT la.community, CAST(count(*) AS BIGINT) AS int_deg
+            FROM edges e
+            JOIN lab la ON la.node = e.src
+            JOIN lab lb ON lb.node = e.dst
+            WHERE la.community = lb.community GROUP BY 1),
+          dg AS (
+            SELECT la.community, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY src) d
+            JOIN lab la ON la.node = d.src GROUP BY 1),
+          per AS (
+            SELECT dg.community, dg.n_nodes, dg.deg_sum,
+                   COALESCE(din.int_deg, 0) AS int_deg,
+                   COALESCE(din.int_deg, 0) * gl.m2 - dg.deg_sum * dg.deg_sum AS num,
+                   gl.m2 AS m2
+            FROM dg LEFT JOIN din USING (community) CROSS JOIN gl)
+          SELECT community, n_nodes, deg_sum, int_deg,
+                 round(CAST(num AS DOUBLE) / CAST(m2 * m2 AS DOUBLE), 6) AS q
+          FROM per
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST(sum(n_nodes) AS BIGINT),
+                 CAST(sum(deg_sum) AS BIGINT), CAST(sum(int_deg) AS BIGINT),
+                 round(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                       / CAST(any_value(m2) * any_value(m2) AS DOUBLE), 6)
+          FROM per
+          ORDER BY community""",
     "graph_kcore" -> kcoreSql(KcoreMax, KcorePasses),
     "graph_clustering_coeff" ->
       s"""WITH ${OracleSql.simhashCte},

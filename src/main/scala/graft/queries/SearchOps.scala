@@ -117,9 +117,7 @@ object SearchOps extends Serializable {
     // re-read from fault-tolerant files) or an explicit
     // [[evictTfStage]] from the consumer's failure handler.
     tfMemo.computeIfPresent((s, dir), { (_, entry) =>
-      val live = s.sparkContext.getPersistentRDDs
-      if (graft.operators.Checkpoints.checkpointRddIds(entry._1)
-          .forall(live.contains)) entry
+      if (!graft.operators.Checkpoints.stale(entry._1)) entry
       else {
         // release the dead entry's leftover pins so the registry
         // doesn't accumulate ids that no sweep will ever see again
