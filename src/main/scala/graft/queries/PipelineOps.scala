@@ -678,6 +678,13 @@ object PipelineOps {
         .orderBy("ida", "idb")
     }),
 
+    // Span-REMOVAL substring dedup (`pipe_remove_dup_spans`) — the
+    // transformation the detection stack feeds (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better":
+    // cut every cross-document verbatim span, keep the first
+    // occurrence). See [[removeDupSpans]].
+    "pipe_remove_dup_spans" -> ((s, dir) => removeDupSpans(s, dir)),
+
     // PII masking/redaction — the regex scrub step of a training
     // pipeline. The synthetic corpus carries no real PII, so the query
     // first derives a deterministic contact tail per doc (email +
@@ -807,6 +814,107 @@ object PipelineOps {
         .orderBy(col("n").desc, col("path"))
     })
   )
+
+  /** Span-removal substring dedup — turns the detection the winnow
+    * family does (`dedup_substring_pairs`) into the TRANSFORMATION a
+    * production curation run executes (Lee et al. 2022): every
+    * verbatim cross-document span of ≥ [[DupSpanMinChars]] chars is
+    * CUT from the higher-id document; the lexicographically-first
+    * (lowest-id) owner keeps its copy — the pipe_keep_best doctrine
+    * at span granularity.
+    *
+    * Mechanics (exact, not sampled): per-position k-grams (k =
+    * [[DupSpanGram]], the raw 20-char substring as the join key — so
+    * a matched diagonal RUN is verbatim by construction, no
+    * hash-collision caveat); matches against LOWER-id docs group by
+    * (doc, owner, diagonal) and gaps-and-islands turns consecutive
+    * positions into maximal runs; runs of ≥ 31 grams = spans of
+    * ≥ 50 chars; per-doc interval union (overlap-or-adjacent merge)
+    * then one `aggregate` higher-order fold cuts the spans out of the
+    * text — no per-char explode on the output side.
+    *
+    * Scale (100 TB): the gram table is a narrow per-row explode
+    * (~len rows/doc); the only data-sized shuffles key on gram /
+    * (doc, owner, diag) / doc, and every window partition is
+    * doc-length-bounded. Join volume is Σ per-gram df² — the true
+    * overlap mass, not all-pairs; a boilerplate-heavy corpus bounds
+    * it with `spark.graft.dupspans.maxGramDf` (> 0 drops grams
+    * appearing in more than that many documents BEFORE the pair
+    * join — the dedup_substring_pairs shingle-df guard; default 0 =
+    * off for exact oracle parity, and at winnow-candidate scale the
+    * pair prefilter from `dedup_substring_pairs` can gate the
+    * positional join entirely). */
+  private[graft] val DupSpanGram = 20
+  private[graft] val DupSpanMinChars = 50
+
+  def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = DupSpanGram
+    val minRun = DupSpanMinChars - k + 1 // 31: run length ⇒ span ≥ 50 chars
+    val d = t(s, dir, "documents")
+    val g0 = d.filter(length(col("text")) >= k) // null-safe: length(NULL) filters out
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"), expr(s"substring(text, pos, $k)").as("gram"))
+    val maxDf = s.conf.get("spark.graft.dupspans.maxGramDf", "0").toInt
+    val g1 =
+      if (maxDf <= 0) g0
+      else {
+        val cp = g0.localCheckpoint(eager = false)
+        val hot = cp.select("doc_id", "gram").distinct()
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("gram")
+        cp.join(hot, Seq("gram"), "left_anti")
+      }
+    // two join consumers — materialize the gram stage once (lazily)
+    val g = graft.operators.Checkpoints.truncate(g1)
+    val a = g.select(col("gram"), col("doc_id").as("ida"), col("pos").as("pa"))
+    val b = g.select(col("gram"), col("doc_id").as("idb"), col("pos").as("pb"))
+    val mt = a.join(b, Seq("gram")).filter(col("ida") < col("idb"))
+      .select(col("idb"), col("pb"), col("ida"), (col("pb") - col("pa")).as("dg"))
+    // gaps-and-islands on each (doc, owner, diagonal): consecutive pb
+    // runs are maximal verbatim matches
+    val wRun = Window.partitionBy("idb", "ida", "dg").orderBy("pb")
+    val spans = mt
+      .withColumn("isl", col("pb") - row_number().over(wRun))
+      .groupBy("idb", "ida", "dg", "isl")
+      .agg(min(col("pb")).as("s"), (max(col("pb")) + (k - 1)).as("e"),
+        count(lit(1)).as("rl"))
+      .filter(col("rl") >= minRun)
+      .select("idb", "s", "e").distinct()
+    // per-doc interval union: overlap-or-adjacent spans merge into
+    // maximal removed char runs
+    val wIv = Window.partitionBy("idb").orderBy("s", "e")
+    val iv = spans
+      .withColumn("pmax", max(col("e")).over(
+        wIv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wIv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("idb", "grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivAgg = iv.groupBy("idb").agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("n_chars_removed"))
+    // one fold over the (doc-bounded) interval array cuts the spans:
+    // acc = (prev end, kept text so far); finish appends the tail
+    val cut = expr(
+      """aggregate(ivs,
+           named_struct('pe', 0, 'acc', cast('' as string)),
+           (ac, x) -> named_struct(
+             'pe', x.e,
+             'acc', concat(ac.acc, substring(text, ac.pe + 1, x.s - ac.pe - 1))),
+           ac -> concat(ac.acc, substring(text, ac.pe + 1, length(text) - ac.pe)))""")
+    d.join(ivAgg, col("doc_id") === col("idb"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_chars_removed"), lit(0L)).as("n_chars_removed"),
+        when(col("ivs").isNull, col("text")).otherwise(cut).as("clean_text"))
+      .orderBy("doc_id")
+  }
 
   def oracle: Map[String, String] = Map(
     "pipe_clean_corpus" ->
@@ -1248,6 +1356,69 @@ object PipelineOps {
           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the same per-position raw-gram diagonal-run machinery as the
+    // engine (equi-join on the 20-char substring itself — verbatim by
+    // construction), gaps-and-islands twice: consecutive positions →
+    // runs, then overlapping spans → merged intervals; clean text via
+    // ordered piece concatenation (prototyped against a Python
+    // replica before the Scala side was written — round-16 doctrine)
+    "pipe_remove_dup_spans" ->
+      s"""WITH g AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   substr(text, CAST(i AS INT), $DupSpanGram) AS gram
+            FROM documents, unnest(range(1, 1000)) AS t(i)
+            WHERE i <= strlen(text) - ${DupSpanGram - 1}),
+          mt AS (
+            SELECT b.doc_id AS idb, b.pos AS pb, a.doc_id AS ida,
+                   b.pos - a.pos AS dg
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          runs AS (
+            SELECT idb, ida, dg, pb,
+                   pb - row_number() OVER (PARTITION BY idb, ida, dg ORDER BY pb) AS isl
+            FROM mt),
+          spans AS (
+            SELECT idb, CAST(min(pb) AS INT) AS s,
+                   CAST(max(pb) + ${DupSpanGram - 1} AS INT) AS e
+            FROM runs GROUP BY idb, ida, dg, isl
+            HAVING count(*) >= ${DupSpanMinChars - DupSpanGram + 1}),
+          iv0 AS (SELECT DISTINCT idb, s, e FROM spans),
+          m1 AS (
+            SELECT idb, s, e,
+                   max(e) OVER (PARTITION BY idb ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM iv0),
+          m2 AS (SELECT idb, s, e,
+                        CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+                 FROM m1),
+          m3 AS (SELECT idb, s, e,
+                        SUM(brk) OVER (PARTITION BY idb ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS grp
+                 FROM m2),
+          iv AS (SELECT idb, grp, MIN(s) AS s, MAX(e) AS e FROM m3 GROUP BY 1, 2),
+          istats AS (SELECT idb, CAST(count(*) AS BIGINT) AS n_spans,
+                            CAST(sum(e - s + 1) AS BIGINT) AS n_chars_removed,
+                            max(e) AS last_e
+                     FROM iv GROUP BY idb),
+          seg AS (SELECT idb, s, e,
+                         COALESCE(lag(e) OVER (PARTITION BY idb ORDER BY s), 0) AS pe
+                  FROM iv),
+          pieces AS (
+            SELECT seg.idb, seg.s AS o,
+                   substr(d.text, seg.pe + 1, seg.s - seg.pe - 1) AS piece
+            FROM seg JOIN documents d ON d.doc_id = seg.idb
+            UNION ALL
+            SELECT st.idb, 2147483647, substr(d.text, CAST(st.last_e + 1 AS INT))
+            FROM istats st JOIN documents d ON d.doc_id = st.idb),
+          cleant AS (SELECT idb, string_agg(piece, '' ORDER BY o) AS clean_text
+                     FROM pieces GROUP BY idb)
+          SELECT d.doc_id, COALESCE(st.n_spans, 0) AS n_spans,
+                 COALESCE(st.n_chars_removed, 0) AS n_chars_removed,
+                 COALESCE(c.clean_text, d.text) AS clean_text
+          FROM documents d
+          LEFT JOIN istats st ON st.idb = d.doc_id
+          LEFT JOIN cleant c ON c.idb = d.doc_id
+          ORDER BY d.doc_id""",
 
     // same contact derivation, RE2 'g' replace; patterns live in the
     // Java-regex ∩ RE2 common subset (char classes + bounded repeats,
