@@ -19,6 +19,20 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Winnow fingerprint table (k=20, w=4) over a documents frame —
+    * the shared detection stage of [[pipe_decontaminate]],
+    * `dedup_substring_pairs` and [[fullCuration]]. Narrow (~len/w
+    * fingerprints per doc, no shuffle); NOT distinct — call sites
+    * that must not multiply pair weight dedup themselves. */
+  private def winnowFps(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
+      })
+      .toDF("doc_id", "fp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The integrated training-data preparation pipeline: token/quality
@@ -541,17 +555,12 @@ object PipelineOps {
     // is small and broadcast into the semi-join, and the final
     // anti-join keys on doc_id — no all-pairs anything.
     "pipe_decontaminate" -> ((s, dir) => {
-      import s.implicits._
       val d = t(s, dir, "documents")
       // k=20 shingles (w=4 → shared runs of >= 23 chars contaminate):
       // short shingles collide on common phrases and would flag the
       // whole corpus; 20 chars is in the spirit of the 13-token
       // overlap units used for LM benchmark decontamination
-      val fps = d.select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
-        })
-        .toDF("doc_id", "fp")
+      val fps = winnowFps(s, d)
       val benchFps = fps.filter(col("doc_id") % 97 === 0).select("fp").distinct()
       val contaminated = fps.join(benchFps, Seq("fp"), "left_semi")
         .select("doc_id").distinct()
@@ -650,13 +659,7 @@ object PipelineOps {
     // against the tiny over-cap fp set. Default 0 (off) keeps exact
     // oracle parity; SubstringPairsSpec pins the collapse under cap.
     "dedup_substring_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val d = t(s, dir, "documents")
-      val raw = d.select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
-        })
-        .toDF("doc_id", "fp")
+      val raw = winnowFps(s, t(s, dir, "documents"))
         .distinct() // an fp repeated INSIDE one doc must not multiply pair weight
       val maxDf = s.conf.get("spark.graft.winnow.maxFpDf", "0").toInt
       val fps = if (maxDf <= 0) raw else {
@@ -684,6 +687,12 @@ object PipelineOps {
     // cut every cross-document verbatim span, keep the first
     // occurrence). See [[removeDupSpans]].
     "pipe_remove_dup_spans" -> ((s, dir) => removeDupSpans(s, dir)),
+
+    // End-to-end curation integration: six stages in ONE declarative
+    // plan — quality gate → chunk-exact dedup → MinHash near-dup
+    // removal → benchmark decontamination → PII mask → weighted mix +
+    // train split. See [[fullCuration]].
+    "pipe_full_curation" -> ((s, dir) => fullCuration(s, dir)),
 
     // PII masking/redaction — the regex scrub step of a training
     // pipeline. The synthetic corpus carries no real PII, so the query
@@ -916,22 +925,128 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end curation integration row (`pipe_full_curation`):
+    * the six already-proven stages composed in ONE plan/session —
+    *   1. quality gate (token/length floors — pipe_clean_corpus's),
+    *   2. chunk-exact dedup (drop docs holding a duplicated chunk
+    *      whose canonical owner is another doc — dedup_chunk_exact's
+    *      min-struct canon, pipe_keep_best doctrine),
+    *   3. MinHash-LSH near-dup removal (verified pairs, higher id
+    *      drops — pipe_clean_corpus's policy),
+    *   4. benchmark decontamination (winnow-fingerprint overlap with
+    *      the doc_id % 97 benchmark subset — pipe_decontaminate's),
+    *   5. PII masking (the fixture contact synthesis + global regex
+    *      redaction — pipe_pii_mask's),
+    *   6. mixture weighting + train/val/test split
+    *      (pipe_mix_weighted + pipe_train_split's integer-exact
+    *      hundredths/bucket arithmetic).
+    *
+    * Drop sets are computed corpus-globally and SUBTRACTED (set
+    * subtraction commutes, so stage order can't change the answer and
+    * the oracle composes the existing per-stage CTEs verbatim). Each
+    * drop set is duplicate-mass-sized — tiny vs the corpus — so the
+    * single unioned anti-join broadcasts under AQE; the narrow stages
+    * (quality, mask, mix, split) fuse into the surviving-docs scan.
+    * Total cost ≈ the three detection stages alone, sub-additive vs
+    * running the six standalone rows (the bench row pins it). The
+    * near-dup pair stage reuses pipe_clean_corpus's lazy
+    * localCheckpoint so LSH signatures materialize exactly once. */
+  def fullCuration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quality = d
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
+    // stage 2: chunk-exact drop set — canonical owner is min(doc_id)
+    // of the group (min struct(doc_id, chunk_id) orders doc first)
+    val chunks = SearchOps.chunkTransform(d)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+    val chunkGroups = chunks.groupBy("chunk_hash")
+      .agg(min("doc_id").as("cdoc"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val chunkDrop = chunks.join(chunkGroups, "chunk_hash")
+      .filter(col("doc_id") =!= col("cdoc"))
+      .select(col("doc_id").as("did"))
+    // stage 3: near-dup drop set (LSH candidates, exact-verified)
+    val nearDup = TextOps.minhashNearDupPairs(s, dir)
+      .select(col("idb").as("did"))
+    // stage 4: contamination drop set (winnow k=20/w=4 overlap with
+    // the benchmark subset — includes the benchmark docs themselves)
+    val fps = winnowFps(s, d)
+    val benchFps = fps.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+    val contaminated = fps.join(benchFps, Seq("fp"), "left_semi")
+      .select(col("doc_id").as("did"))
+    // one unioned drop set, one anti-join; lazy localCheckpoint so the
+    // three detection pipelines execute exactly once at first action
+    // (SchemaDriftSpec analyzes without executing — must stay lazy)
+    val dropSet = chunkDrop.unionByName(nearDup).unionByName(contaminated)
+      .distinct().localCheckpoint(eager = false)
+    val surv = quality.join(dropSet, quality("doc_id") === dropSet("did"), "left_anti")
+    // stage 5: PII mask over the synthesized contact tail
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val contact = concat(col("text"), lit(" reach user"),
+      col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val masked = surv.withColumn("masked",
+      regexp_replace(regexp_replace(contact, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+    // stage 6: integer-hundredths mixture weights + split label
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val w100 = (srcNum % 4) * 75 + 50
+    val hash = (col("doc_id") * lit(48271L)) % 65536L % 100L
+    masked
+      .withColumn("reps",
+        (w100 / 100).cast("int") + when(hash < w100 % 100, 1).otherwise(0))
+      .filter(col("reps") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("reps"))).as("copy"),
+        when(hash < 90, "train").when(hash < 95, "val")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_tokens"), length(col("masked")).as("masked_len"))
+      .select(col("doc_id"), col("copy").cast("bigint").as("copy"),
+        col("split"), col("lang"), col("n_tokens"), col("masked_len"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** 3-gram Jaccard ≥ 0.8 near-dup drop-set CTEs (idx → grams →
+    * sizes → inter → dups) — the exact twin of the verified MinHash
+    * pair set; nested by the pipe_clean_corpus and
+    * pipe_full_curation oracles. */
+  private def jaccardDupsCtes: String =
+    """idx AS (SELECT unnest(range(1, 1000)) AS g),
+       grams AS (
+         SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 3) AS gram
+         FROM documents JOIN idx ON g <= greatest(length(text) - 2, 1)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dups AS (
+         SELECT DISTINCT idb AS dup_id FROM inter
+         JOIN sizes sa ON sa.doc_id = ida
+         JOIN sizes sb ON sb.doc_id = idb
+         WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)"""
+
+  /** Winnow (k=20, w=4) fingerprint CTEs (sel → fps) — SQL twin of
+    * [[winnowFps]]; nested by the pipe_decontaminate,
+    * dedup_substring_pairs and pipe_full_curation oracles. */
+  private def winnowFpsCtes: String =
+    s"""sel AS (${winnowSelSql(20)}),
+        fps AS (
+          SELECT doc_id, w_h AS fp FROM sel WHERE m >= 4 AND pos <= m - 3
+          UNION
+          SELECT doc_id, hh FROM sel WHERE m < 4)"""
+
+  /** Decontamination CTEs: [[winnowFpsCtes]] + the benchmark-subset
+    * overlap drop set (bench → bad). */
+  private def contamCtes: String =
+    s"""$winnowFpsCtes,
+        bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+        bad AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bench b ON f.fp = b.fp)"""
+
   def oracle: Map[String, String] = Map(
     "pipe_clean_corpus" ->
-      """WITH idx AS (SELECT unnest(range(1, 1000)) AS g),
-         grams AS (
-           SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), 3) AS gram
-           FROM documents JOIN idx ON g <= greatest(length(text) - 2, 1)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         dups AS (
-           SELECT DISTINCT idb AS dup_id FROM inter
-           JOIN sizes sa ON sa.doc_id = ida
-           JOIN sizes sb ON sb.doc_id = idb
-           WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)
+      s"""WITH $jaccardDupsCtes
          SELECT doc_id,
                 length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                 lang
@@ -1303,13 +1418,7 @@ object PipelineOps {
     // window exists), docs sharing any fingerprint with the benchmark
     // subset are excluded
     "pipe_decontaminate" ->
-      s"""WITH sel AS (${winnowSelSql(20)}),
-          fps AS (
-            SELECT doc_id, w_h AS fp FROM sel WHERE m >= 4 AND pos <= m - 3
-            UNION
-            SELECT doc_id, hh FROM sel WHERE m < 4),
-          bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
-          bad AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bench b ON f.fp = b.fp)
+      s"""WITH $contamCtes
           SELECT doc_id, lang FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id""",
@@ -1348,11 +1457,7 @@ object PipelineOps {
     // same winnow fingerprint table as pipe_decontaminate (UNION
     // dedups to distinct (doc, fp)), then the fp-keyed pair join
     "dedup_substring_pairs" ->
-      s"""WITH sel AS (${winnowSelSql(20)}),
-          fps AS (
-            SELECT doc_id, w_h AS fp FROM sel WHERE m >= 4 AND pos <= m - 3
-            UNION
-            SELECT doc_id, hh FROM sel WHERE m < 4)
+      s"""WITH $winnowFpsCtes
           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -1419,6 +1524,55 @@ object PipelineOps {
           LEFT JOIN istats st ON st.idb = d.doc_id
           LEFT JOIN cleant c ON c.idb = d.doc_id
           ORDER BY d.doc_id""",
+
+    // the six per-stage oracles composed verbatim: the three drop-set
+    // CTE families (3-gram jaccard dups / chunk-hash canon / winnow
+    // contamination) subtracted from the quality gate, then the mask/
+    // mix/split expressions from their standalone rows. MATERIALIZED
+    // on the heavy detection CTEs (the PQ-oracle lesson)
+    "pipe_full_curation" ->
+      raw"""WITH $jaccardDupsCtes,
+          ${SearchOps.chunkCtes},
+          ch AS (SELECT md5(chunk) AS chunk_hash, doc_id FROM c),
+          cg AS (SELECT chunk_hash, min(doc_id) AS cdoc, count(*) AS n
+                 FROM ch GROUP BY 1),
+          cdrop AS MATERIALIZED (
+            SELECT DISTINCT ch.doc_id FROM ch JOIN cg USING (chunk_hash)
+            WHERE cg.n > 1 AND ch.doc_id <> cg.cdoc),
+          $contamCtes,
+          surv AS (
+            SELECT doc_id, text, lang, source,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 10
+              AND length(text) >= 60
+              AND doc_id NOT IN (SELECT dup_id FROM dups)
+              AND doc_id NOT IN (SELECT doc_id FROM cdrop)
+              AND doc_id NOT IN (SELECT doc_id FROM bad)),
+          mk AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   regexp_replace(regexp_replace(
+                     text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                     '@mail.example or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+            FROM surv),
+          rp AS (
+            SELECT doc_id, lang, n_tokens, length(masked) AS masked_len,
+                   ((CAST(substr(source, 4) AS INT) % 4) * 75 + 50) // 100 +
+                   CASE WHEN (doc_id * 48271) % 65536 % 100 <
+                             ((CAST(substr(source, 4) AS INT) % 4) * 75 + 50) % 100
+                        THEN 1 ELSE 0 END AS reps
+            FROM mk)
+          SELECT doc_id, CAST(u.c AS BIGINT) AS copy,
+                 CASE WHEN (doc_id * 48271) % 65536 % 100 < 90 THEN 'train'
+                      WHEN (doc_id * 48271) % 65536 % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 lang, n_tokens, masked_len
+          FROM rp, unnest(range(1, reps + 1)) AS u(c)
+          WHERE reps >= 1
+          ORDER BY doc_id, copy""",
 
     // same contact derivation, RE2 'g' replace; patterns live in the
     // Java-regex ∩ RE2 common subset (char classes + bounded repeats,

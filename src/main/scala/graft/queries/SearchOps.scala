@@ -350,9 +350,10 @@ object SearchOps extends Serializable {
         SELECT query_id, match_id, score, rk FROM branked
         WHERE rk <= $TopK ORDER BY query_id, rk"""
 
-  /** Shared chunking CTE chain (t → gs → c) — nested by both the
-    * text_chunk and dedup_chunk_exact oracles. */
-  private val chunkCtes: String =
+  /** Shared chunking CTE chain (t → gs → c) — nested by the
+    * text_chunk and dedup_chunk_exact oracles here and by the
+    * pipe_full_curation oracle (PipelineOps). */
+  private[queries] val chunkCtes: String =
     s"""t AS (
           SELECT doc_id, string_split(text, ' ') AS toks,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
