@@ -964,7 +964,14 @@ object RelationalOps {
       val avgq = li.groupBy("l_partkey")
         .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("avg_qty"))
-      li.join(avgq, Seq("l_partkey"))
+      // explicit broadcast: avgq is bounded by the FILTERED part dim
+      // (one row per surviving partkey — the same cardinality bound
+      // that justifies broadcast(p) above), so the probe join must
+      // never be a sort-merge of the big lineitem side. Leaving it to
+      // AQE's runtime flip made the plan timing-dependent: the r15
+      // bench read this row anywhere between 0.6 and 1.0 s where the
+      // hinted plan is stable (~2x less CPU than the SMJ form).
+      li.join(broadcast(avgq), Seq("l_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double") / 7.0, 6).as("avg_yearly"),
