@@ -157,6 +157,97 @@ object TextOps {
     }
   }
 
+  /** Train a unigram-LM piece vocabulary FROM the corpus
+    * (`text_unigram_train`) — the SentencePiece-style complement of
+    * [[bpeTrain]] (Kudo 2018), as hard-EM:
+    *  - SEED: every substring occurrence of the (word, freq) vocab up
+    *    to [[graft.functions.UnigramLm.MaxPiece]] chars, frequency-
+    *    weighted; probabilities = lattice numerators c·2^20 div T;
+    *  - E-step: Viterbi-segment each distinct word under the current
+    *    model ([[graft.functions.UnigramLm.viterbi]] — broadcast,
+    *    model-sized); piece usage counts are frequency-weighted
+    *    exact integer sums;
+    *  - M-step: new counts = usage, plus a +1 single-char floor so
+    *    every corpus character stays segmentable; unused multi-char
+    *    pieces PRUNE themselves (count 0 → dropped) — the EM's
+    *    vocabulary shrink;
+    *  - [[graft.functions.UnigramLm.Iters]] iterations, unrolled in
+    *    the oracle as DP-position CTE chains (the vec_kmeans
+    *    doctrine; prototyped in DuckDB against a Python replica
+    *    before this Scala existed).
+    *
+    * Scale (100 TB): training state is VOCABULARY-sized — one
+    * (word, freq) aggregation up front (checkpoint-truncated), per
+    * iteration one narrow Viterbi flatMap over the distinct vocab +
+    * one piece-keyed count shuffle, and a model-sized collect (the
+    * kmeans-centroid tier). The seed substring table is
+    * distinct-words × ~MaxPiece·len pieces; a boilerplate-heavy real
+    * corpus bounds it with `spark.graft.unigram.maxSeedVocab` (> 0
+    * keeps the top-N seed pieces by (count, piece) plus all single
+    * chars — SentencePiece's own frequency-threshold seeding; default
+    * 0 = unlimited for exact oracle parity). */
+  private[graft] def unigramModel(s: SparkSession, dir: String): Vector[(String, Long, Long)] = {
+    import s.implicits._
+    import graft.functions.UnigramLm.{MaxPiece, Lattice, Iters}
+    val words = graft.operators.Checkpoints.truncate(
+        docs(s, dir)
+          .select(explode(split(col("text"), " ", -1)).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy("w").agg(count(lit(1)).as("f")))
+      .as[(String, Long)]
+    val seed0 = words.flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(MaxPiece, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
+    val cap = s.conf.get("spark.graft.unigram.maxSeedVocab", "0").toInt
+    val seedDf =
+      if (cap <= 0) seed0
+      else seed0.orderBy(col("c").desc, col("piece").asc).limit(cap)
+        .unionByName(seed0.filter(length(col("piece")) === 1))
+        .groupBy("piece").agg(max("c").as("c"))
+    val seed = seedDf.as[(String, Long)].collect() // vocab-sized model tier
+    // corpus character set = the seed's single-char pieces (chars are
+    // always seeded: every char is a substring occurrence)
+    val chars = seed.iterator.map(_._1).filter(_.length == 1).toSet
+    def toNum(cnt: Iterable[(String, Long)]): Map[String, Long] = {
+      val t = cnt.iterator.map(_._2).sum
+      cnt.iterator.map { case (p, c) => p -> c * Lattice / t }.toMap
+    }
+    var model = toNum(seed)
+    var counts = Map.empty[String, Long]
+    (1 to Iters).foreach { _ =>
+      val bc = s.sparkContext.broadcast(model)
+      val usage = words.flatMap { case (w, f) =>
+          graft.functions.UnigramLm.viterbi(w, bc.value).map(p => (p, f))
+        }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
+        .as[(String, Long)].collect().toMap
+      counts = (usage.keySet ++ chars).iterator.map { p =>
+        p -> (usage.getOrElse(p, 0L) + (if (p.length == 1) 1L else 0L))
+      }.toMap
+      model = toNum(counts)
+    }
+    counts.toVector.sortBy(_._1).map { case (p, c) => (p, c, model(p)) }
+  }
+
+  /** `text_unigram_train`'s DataFrame form: (piece, cnt, p_num). */
+  private[graft] def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramModel(s, dir).toDF("piece", "cnt", "p_num").orderBy("piece")
+  }
+
+  /** Encode the corpus WITH the just-trained unigram model
+    * (`text_unigram_apply`) — Viterbi decode under the broadcast
+    * final model, per-partition word memo, exactly the
+    * [[bpeApplyCounts]] shape. */
+  private[graft] def unigramApplyCounts(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModel(s, dir).map(m => m._1 -> m._3).toMap
+    val bc = s.sparkContext.broadcast(model)
+    tokenCounts(s, dir)(w => graft.functions.UnigramLm.viterbi(w, bc.value).length)
+      .withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -695,6 +786,19 @@ object TextOps {
     // oracle unrolls the k argmax+merge iterations as CTE chains
     "text_bpe_train" -> ((s, dir) => bpeTrain(s, dir)),
 
+    // SentencePiece-style unigram-LM training (hard-EM) — see
+    // [[unigramModel]]; the oracle unrolls the EM iterations as
+    // Viterbi-DP position CTE chains
+    "text_unigram_train" -> ((s, dir) => unigramTrain(s, dir)),
+
+    // Viterbi-encode the corpus with the TRAINED unigram model — the
+    // second tokenizer family's loop closed end-to-end like
+    // text_bpe_apply
+    "text_unigram_apply" -> ((s, dir) =>
+      unigramApplyCounts(s, dir)
+        .select("doc_id", "n_words", "n_unigram_tokens")
+        .orderBy("doc_id")),
+
     // encode with the TRAINED table (train + broadcast + count in one
     // query — the tokenizer loop closed end-to-end); the oracle chains
     // the trainer's FINAL segmentation CTE into the count aggregation
@@ -986,6 +1090,107 @@ object TextOps {
           SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS n_sym
           FROM seg$k)"""
 
+  /** Viterbi-DP CTE chain under model CTE `modelCte` (piece, num) →
+    * `final$tag(w, f, path)`: one CTE per word position j, each the
+    * argmax over ≤ MaxPiece arms (last-piece length l) extending
+    * position j−l — `ORDER BY s DESC, l DESC` is the kernel's total
+    * tie rule. Paths carry the piece sequence as a chr(31)-joined
+    * string (one leading separator per piece). MATERIALIZED on every
+    * b CTE: each is referenced by up to MaxPiece later positions and
+    * plain inlining would re-evaluate the chain exponentially (the
+    * PQ-oracle lesson). SQL twin of
+    * [[graft.functions.UnigramLm.viterbi]]; prototyped in DuckDB
+    * against a Python replica before the Scala side was written. */
+  private def unigramDpCtes(tag: String, modelCte: String): String = {
+    import graft.functions.UnigramLm.{MaxPiece, MaxWordSql, Lattice}
+    val b0 = s"b${tag}_0 AS MATERIALIZED (SELECT w, f, CAST(1.0 AS DOUBLE) AS s, '' AS path FROM w0)"
+    val bj = (1 to MaxWordSql).map { j =>
+      val arms = (1 to math.min(j, MaxPiece)).map { l =>
+        s"""SELECT a.w, a.f, a.s * (CAST(m.num AS DOUBLE) / $Lattice.0) AS s, $l AS l,
+                   a.path || chr(31) || substr(a.w, ${j - l + 1}, $l) AS path
+            FROM b${tag}_${j - l} a JOIN $modelCte m ON m.piece = substr(a.w, ${j - l + 1}, $l)
+            WHERE length(a.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      s"""b${tag}_$j AS MATERIALIZED (SELECT w, f, s, path FROM (
+            SELECT w, f, s, path,
+                   row_number() OVER (PARTITION BY w ORDER BY s DESC, l DESC) AS rk
+            FROM ($arms) z) zz WHERE rk = 1)"""
+    }
+    val fin = (1 to MaxWordSql)
+      .map(j => s"SELECT w, f, path FROM b${tag}_$j WHERE length(w) = $j")
+      .mkString(" UNION ALL ")
+    (Seq(b0) ++ bj :+ s"final$tag AS MATERIALIZED ($fin)").mkString(",\n")
+  }
+
+  /** Unigram trainer CTEs (SQL twin of [[unigramModel]]): the
+    * (word, freq) vocab w0, the frequency-weighted substring seed
+    * model m0, the corpus char set, then per EM iteration one
+    * [[unigramDpCtes]] Viterbi pass + the usage-count M-step with the
+    * +1 single-char floor → model mi$it(piece, c, num). */
+  private def unigramTrainCtes: String = {
+    import graft.functions.UnigramLm.{MaxPiece, MaxWordSql, Lattice, Iters}
+    val base =
+      s"""w0 AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+            WHERE length(w) >= 1 GROUP BY w),
+          sub AS (
+            SELECT w, f, substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+            FROM w0, unnest(range(1, ${MaxWordSql + 1})) AS ti(i),
+                 unnest(range(1, ${MaxPiece + 1})) AS tl(l)
+            WHERE i + l - 1 <= length(w)),
+          c0s AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM sub GROUP BY piece),
+          t0s AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c0s),
+          m0 AS MATERIALIZED (
+            SELECT piece, CAST(c AS BIGINT) * $Lattice // t AS num FROM c0s, t0s),
+          chars AS (
+            SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+            FROM w0, unnest(range(1, ${MaxWordSql + 1})) AS ti(i)
+            WHERE i <= length(w))"""
+    val iters = (1 to Iters).map { it =>
+      val mPrev = if (it == 1) "m0" else s"mi${it - 1}"
+      s"""${unigramDpCtes(s"i$it", mPrev)},
+          ui$it AS (
+            SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+              SELECT f, unnest(string_split(path, chr(31))) AS piece FROM finali$it) z
+            WHERE piece <> '' GROUP BY piece),
+          ci$it AS (
+            SELECT coalesce(u.piece, ch.piece) AS piece,
+                   CAST(coalesce(u.c, 0) +
+                        CASE WHEN ch.piece IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS c
+            FROM ui$it u FULL OUTER JOIN chars ch ON u.piece = ch.piece),
+          ti$it AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ci$it),
+          mi$it AS MATERIALIZED (
+            SELECT piece, c, CAST(c AS BIGINT) * $Lattice // t AS num FROM ci$it, ti$it)"""
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH $unigramTrainCtes
+        SELECT piece, c AS cnt, num AS p_num
+        FROM mi${graft.functions.UnigramLm.Iters} ORDER BY piece"""
+
+  /** Apply oracle: the trainer chain + ONE more Viterbi pass under
+    * the final model; per-word piece count = the path's separator
+    * count; per-doc sums LEFT JOIN so the empty word ('' from
+    * trailing/double spaces — never in w0) counts 0 pieces exactly
+    * like the kernel. */
+  private def unigramApplySql: String = {
+    import graft.functions.UnigramLm.Iters
+    s"""WITH $unigramTrainCtes,
+        ${unigramDpCtes("ap", s"mi$Iters")},
+        wp AS (
+          SELECT w, CAST(length(path) - length(replace(path, chr(31), '')) AS INT) AS np
+          FROM finalap),
+        dw AS (SELECT doc_id, t.w
+               FROM documents, unnest(string_split(text, ' ')) AS t(w))
+        SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+               CAST(sum(coalesce(wp.np, 0)) AS INT) AS n_unigram_tokens
+        FROM dw LEFT JOIN wp ON wp.w = dw.w
+        GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   def oracle: Map[String, String] = Map(
     // SQL twin of MinHash.simhash64: FNV-1a per token (u64 HUGEINT
     // fold), per-bit majority vote — see OracleSql
@@ -1116,6 +1321,8 @@ object TextOps {
          SELECT doc_id, n_bigrams, ppx, CAST(pr >= 0.99 AS INT) AS flagged
          FROM r ORDER BY doc_id""",
     "text_bpe_train" -> bpeTrainSql(8),
+    "text_unigram_train" -> unigramTrainSql,
+    "text_unigram_apply" -> unigramApplySql,
     "text_bpe_apply" ->
       s"""WITH ${bpeApplyCtes(8)},
           w0 AS (SELECT doc_id, t.w
