@@ -76,14 +76,20 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 30L * 60 * 1000000L
+    // eviction is a streaming-execution concern: batch-mode
+    // flatMapGroupsWithState sees each group exactly once and discards
+    // state afterwards (a timeout can never fire) and has NO watermark
+    // for getCurrentWatermarkMs to read — arming EventTimeTimeout
+    // there threw on the batch-consumption contract EventTimeSpec pins
+    val evict = idleEvictUs > 0 && events.isStreaming
     val timeoutConf =
-      if (idleEvictUs > 0) GroupStateTimeout.EventTimeTimeout
+      if (evict) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val selected = events.select(col("event_id"), col("user_id"),
       EventTime.tsUs(events).as("ts_us"),
       timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
     val marked =
-      if (idleEvictUs > 0) selected.withWatermark("ts_ts", s"$idleEvictUs microseconds")
+      if (evict) selected.withWatermark("ts_ts", s"$idleEvictUs microseconds")
       else selected
     marked
       .as[(Long, Long, Long, java.sql.Timestamp)]
@@ -115,7 +121,7 @@ object EventsStream {
             }
           }
           state.update(st)
-          if (idleEvictUs > 0)
+          if (evict)
             state.setTimeoutTimestamp(
               math.max(st.lastTsUs / 1000L + idleEvictUs / 1000L,
                 state.getCurrentWatermarkMs()) + 1L)
@@ -343,14 +349,17 @@ object EventsStream {
       idleEvictUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // streaming-only arming — same rationale as sessionizeStream's
+    // `evict`: batch execution has no watermark and no timeouts
+    val evict = idleEvictUs > 0 && events.isStreaming
     val timeoutConf =
-      if (idleEvictUs > 0) GroupStateTimeout.EventTimeTimeout
+      if (evict) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     val selected = events.select(col("event_id"), col("user_id"),
       EventTime.tsUs(events).as("ts_us"), col("event_type"),
       timestamp_micros(EventTime.tsUs(events)).as("ts_ts"))
     val marked =
-      if (idleEvictUs > 0)
+      if (evict)
         // microseconds, NOT a seconds truncation: a fractional-second
         // horizon would otherwise get a STRICTER late filter than the
         // horizon itself declares dead (review r15 pass 2)
@@ -387,7 +396,7 @@ object EventsStream {
             }
           }
           state.update(st)
-          if (idleEvictUs > 0)
+          if (evict)
             state.setTimeoutTimestamp(
               math.max(st.lastTsUs / 1000L + idleEvictUs / 1000L,
                 state.getCurrentWatermarkMs()) + 1L)
