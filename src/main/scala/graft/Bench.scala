@@ -53,7 +53,7 @@ object Bench {
     "dedup_chunk_exact", "graph_lpa", "mm_scene_cut",
     // round-16 additions
     "graph_modularity", "pipe_remove_dup_spans", "pipe_full_curation",
-    "text_unigram_train", "text_unigram_apply",
+    "text_unigram_train", "text_unigram_apply", "mm_video_neardup",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

@@ -32,12 +32,44 @@ object Winnow {
     out
   }
 
+  /** k-gram hashes over a sequence of u64 VALUES (not characters) —
+    * the generalization winnowing needs when the "symbols" are
+    * themselves fingerprints (per-frame perceptual hashes in
+    * mm_video_neardup): same polynomial fold (h·Base + v, u64 wrap)
+    * plus the splitmix64 finalizer. k is tiny (frame grams), so the
+    * direct O(n·k) recompute beats carrying a modular inverse.
+    * Fewer values than one gram → no grams (a clip shorter than k
+    * frames cannot be shared at gram granularity). */
+  def rollingHashesLongs(vals: Array[Long], k: Int): Array[Long] = {
+    val n = vals.length
+    if (n < k) return Array.emptyLongArray
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = h * Base + vals(j); j += 1 }
+      out(i) = MinHash.splitmix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprints of a u64-value sequence — the same window
+    * rule as [[fingerprints]] over [[rollingHashesLongs]] grams.
+    * Guarantee: any shared run of ≥ w + k − 1 aligned values yields a
+    * shared fingerprint. */
+  def fingerprintsLongs(vals: Array[Long], k: Int, w: Int): Array[Long] =
+    winnow(rollingHashesLongs(vals, k), w)
+
   /** Winnowed fingerprint set: min hash of each w-window, rightmost
     * minimum wins ties (the standard robust-winnowing rule), deduped.
     * Hashes are u64 values — the window minimum uses UNSIGNED order
     * (so a SQL oracle over HUGEINT [0,2^64) reproduces the selection). */
-  def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
-    val hs = rollingHashes(text, k)
+  def fingerprints(text: String, k: Int, w: Int): Array[Long] =
+    winnow(rollingHashes(text, k), w)
+
+  private def winnow(hs: Array[Long], w: Int): Array[Long] = {
     // strictly fewer hashes than one window: no window exists, degrade
     // to all hashes (hs.length == w has exactly one window and must go
     // through the loop — `<=` here skipped it, returning w hashes

@@ -16,6 +16,15 @@ object PipelineOps {
     * corpus transition median (~911) and p90 (~1071). */
   private val SceneCutThreshold = 1000L
 
+  /** Video near-dup frame model: 72-byte frames (the 9×8 dHash
+    * thumbnail — the mm_phash_pairs kernel per FRAME), frame-hash
+    * grams of [[VideoGramK]] hashes winnowed over windows of
+    * [[VideoWinnowW]]. Guarantee: two videos sharing an aligned clip
+    * of ≥ K + W − 1 = 3 identical-dHash frames share a fingerprint. */
+  private val VideoFrameBytes = 72
+  private val VideoGramK = 2
+  private val VideoWinnowW = 2
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -489,6 +498,49 @@ object PipelineOps {
           (id, graft.multimodal.ImageCodec.dhash64(img))
         }).toDF("doc_id", "simhash")
       TextOps.fingerprintPairs(dh, 3).orderBy("ida", "idb")
+    }),
+
+    // VIDEO-level near-dup — the clip generalization of mm_phash_pairs:
+    // each doc's bytes are a frame stream (72-byte frames = the 9×8
+    // dHash thumbnail per frame), the ordered per-frame dHash sequence
+    // is winnowed (k=2 frame-grams, w=2 windows — the MOSS rule over
+    // hash VALUES instead of characters), and videos sharing a
+    // fingerprint pair up via one fp-keyed equi-join. Two clips
+    // sharing ≥ 3 aligned frames (216 bytes of video) are guaranteed a
+    // shared fingerprint even when everything around the clip differs.
+    // Scale shape = dedup_substring_pairs: a narrow per-video map
+    // (nf−1 grams, ~nf/w fingerprints), then a bucketed equi-join on
+    // the fingerprint — never all-pairs, and the winnow.maxFpDf
+    // df-guard pattern applies verbatim if a stock clip goes viral.
+    "mm_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          // null text = no frames (oracle's strlen(NULL) range is
+          // empty) — the mm_scene_cut convention
+          if (text == null) Iterator.empty
+          else {
+            val bytes = text.getBytes("UTF-8")
+            val nf = bytes.length / VideoFrameBytes
+            val hashes = Array.tabulate(nf) { f =>
+              val px = java.util.Arrays.copyOfRange(
+                bytes, f * VideoFrameBytes, (f + 1) * VideoFrameBytes)
+              val img = graft.multimodal.ImageCodec.decode(
+                graft.multimodal.ImageCodec.encodePgm(
+                  graft.multimodal.ImageCodec.Image(9, 8, 1, px))).get
+              graft.multimodal.ImageCodec.dhash64(img)
+            }
+            graft.functions.Winnow
+              .fingerprintsLongs(hashes, VideoGramK, VideoWinnowW)
+              .iterator.map(fp => (id, fp))
+          }
+        }).toDF("doc_id", "fp").distinct()
+      val a = fps.select(col("fp"), col("doc_id").as("ida"))
+      val b = fps.select(col("fp"), col("doc_id").as("idb"))
+      a.join(b, Seq("fp")).filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+        .orderBy("ida", "idb")
     }),
 
     // multimodal frame sampling: every 4th 32-byte "frame", each frame
@@ -1305,6 +1357,56 @@ object PipelineOps {
           FROM dh a JOIN dh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.h, b.h)) <= 3
           ORDER BY ida, idb"""
+    },
+
+    // per-frame dHash recomputed from the text bytes (full 72-byte
+    // frames only, every compared byte in-range by construction:
+    // (bit//8)*9 + bit%8 + 1 ≤ 71 < 72), kept UNSIGNED (HUGEINT) so
+    // the frame-gram polynomial (h·1000003 + v mod 2^64, splitmix64
+    // finalizer — u64 twins of Winnow.rollingHashesLongs) composes;
+    // then the text_winnow arg_max window rule at w=2 (rightmost
+    // minimum via the (2^64−1−h)·2^32+pos key), m=1 degrading to the
+    // bare gram hash exactly like Winnow.winnow's hs.length<w branch,
+    // and the dedup_substring_pairs fp-keyed pair join. Prototyped in
+    // DuckDB against a Python replica before the Scala side (doctrine).
+    "mm_video_neardup" -> {
+      import OracleSql._
+      val gramsNested = nest(
+        """SELECT a.doc_id, a.fx AS pos, a.h AS v0, b.h AS v1
+           FROM dh a JOIN dh b ON b.doc_id = a.doc_id AND b.fx = a.fx + 1""",
+        Seq(uadd(umul("v0", s"${graft.functions.Winnow.Base}::HUGEINT"), "v1") -> "g1") ++
+          splitmixSteps("g1", "hh"))
+      val maxU = "18446744073709551615::HUGEINT"
+      s"""WITH frames AS (
+            SELECT doc_id, CAST(f AS INT) AS fx, text
+            FROM documents, unnest(range(0, strlen(text) // $VideoFrameBytes)) AS t(f)),
+          grid AS (
+            SELECT doc_id, fx, CAST(k AS INT) AS bit, text
+            FROM frames, unnest(range(0, 64)) AS tk(k)),
+          bits AS (
+            SELECT doc_id, fx, bit,
+              CASE WHEN ord(substr(text, fx * $VideoFrameBytes + (bit // 8) * 9 + (bit % 8) + 1, 1))
+                      > ord(substr(text, fx * $VideoFrameBytes + (bit // 8) * 9 + (bit % 8) + 2, 1))
+              THEN 1 ELSE 0 END AS v
+            FROM grid),
+          bitrows AS (SELECT unnest(range(0, 64)) AS bit, unnest($Pow2) AS p),
+          dh AS (
+            SELECT doc_id, fx, sum(CASE WHEN v = 1 THEN p ELSE 0::HUGEINT END) AS h
+            FROM bits JOIN bitrows USING (bit) GROUP BY doc_id, fx),
+          sel AS (
+            SELECT doc_id, pos, hh,
+                   count(*) OVER (PARTITION BY doc_id) AS m,
+                   arg_max(hh, ($maxU - hh) * 4294967296::HUGEINT + CAST(pos AS HUGEINT))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND ${VideoWinnowW - 1} FOLLOWING) AS w_h
+            FROM ($gramsNested)),
+          fps AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN m >= $VideoWinnowW THEN w_h ELSE hh END AS fp
+            FROM sel WHERE m < $VideoWinnowW OR pos <= m - $VideoWinnowW)
+          SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     // pixel-verifying resize oracle (see resizePxOracleSql)
