@@ -65,14 +65,14 @@ object VecScaleProbe {
     a
   }
 
-  private def l2(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def l2(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var d = 0
     while (d < a.length) { val t = a(d) - b(d); acc += t * t; d += 1 }
     acc
   }
 
-  private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[graft] def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var bi = 0
     var bd = Double.MaxValue
     var i = 0
@@ -85,7 +85,7 @@ object VecScaleProbe {
   }
 
   /** Tiny driver-side Lloyd per subspace over a sampled slice set. */
-  private def trainBooks(sampleIds: Range, m: Int, subK: Int,
+  private[graft] def trainBooks(sampleIds: Range, m: Int, subK: Int,
       iters: Int): Array[Array[Array[Double]]] = {
     val sub = Dim / m
     val samples = sampleIds.map(i => vec(i.toLong)).toArray
