@@ -22,6 +22,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
+  /** PMI collocation bounds — shared engine/oracle constants: pairs
+    * below the count floor are hapax noise (PMI's classic failure
+    * mode); the top-k keeps the result tiny and the rank total. */
+  private val CollocMinCount = 3
+  private val CollocTopK = 20
+
   /** ONE per-doc token-counting pass, parameterized by the per-word
     * counter — the shared body of the pinned-table and trained-table
     * BPE counts (review r15: two verbatim copies of the counting rule
@@ -799,6 +805,23 @@ object TextOps {
         .select("doc_id", "n_words", "n_unigram_tokens")
         .orderBy("doc_id")),
 
+    // the unigram tokenizer loop closed the same way BPE's was: train
+    // → Viterbi-encode → pack sequences under the LEARNED counts (the
+    // pipe_pack_sequences_trained shape, unigram edition)
+    "pipe_pack_sequences_unigram" -> ((s, dir) => {
+      val cap = 512L
+      val d = unigramApplyCounts(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_unigram_tokens").cast("bigint").as("n_tokens"))
+      graft.operators.DistributedRank
+        .withRunningSum(d, Seq("lang"), Seq(col("doc_id")), col("n_tokens"))
+        .withColumn("cum_before", col("runsum") - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"cum_before DIV $cap").as("bin"),
+          (col("cum_before") % cap).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // encode with the TRAINED table (train + broadcast + count in one
     // query — the tokenizer loop closed end-to-end); the oracle chains
     // the trainer's FINAL segmentation CTE into the count aggregation
@@ -933,6 +956,50 @@ object TextOps {
         .withColumn("flagged", when(col("pr") >= 0.99, 1).otherwise(0))
         .select("doc_id", "n_bigrams", "ppx", "flagged")
         .orderBy("doc_id")
+    }),
+
+    // PMI collocation mining (Church & Hanks 1990) — the corpus-
+    // analysis complement of the bigram-LM gate: rank word bigrams by
+    // pointwise mutual information, keep the top 20. Score is the PMI
+    // log's ARGUMENT (the ln-free doctrine — monotone in true PMI):
+    // P(w1,w2)/(P(w1)P(w2)) = (cb/cu1)·(NB/cu2), written as TWO double
+    // ratios in a fixed parenthesized order (the BM25 IEEE rule), with
+    // a min-count floor so hapax pairs don't dominate. Scale: the same
+    // bigram shuffle as text_ngram_ppx (vocab²-bounded counts), the
+    // Zipf-bounded unigram join, then the text_vocab_topk local-top +
+    // tiny-window pattern — no single-partition pass over anything
+    // row-scaled. NB is a plan-time scalar literal (the a12 tier).
+    "text_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ", -1).as("ts"))
+      val big = graft.operators.Checkpoints.truncate(
+        t.filter(size(col("ts")) >= 2).select(
+            explode(expr(
+              "transform(sequence(0, size(ts)-2), i -> named_struct('w1', ts[i], 'w2', ts[i+1]))"))
+              .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val nb = big.count()
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val uni = t.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val scored = bc.filter(col("cb") >= CollocMinCount)
+        .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+        .withColumn("pmi", round(
+          (col("cb").cast("double") / col("cu1").cast("double")) *
+            (lit(nb.toDouble) / col("cu2").cast("double")), 6))
+        .select("w1", "w2", "cb", "pmi")
+      val localTop = scored
+        .sortWithinPartitions(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .as[(String, String, Long, Double)]
+        .mapPartitions(_.take(CollocTopK))
+        .toDF("w1", "w2", "cb", "pmi")
+      localTop
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
+        .filter(col("rk") <= CollocTopK)
+        .select("rk", "w1", "w2", "cb", "pmi")
+        .orderBy("rk")
     }),
 
     // Gopher-style repetition quality signals (Rae et al. 2021,
@@ -1323,6 +1390,51 @@ object TextOps {
     "text_bpe_train" -> bpeTrainSql(8),
     "text_unigram_train" -> unigramTrainSql,
     "text_unigram_apply" -> unigramApplySql,
+    "pipe_pack_sequences_unigram" -> {
+      import graft.functions.UnigramLm.Iters
+      s"""WITH $unigramTrainCtes,
+          ${unigramDpCtes("ap", s"mi$Iters")},
+          wp AS (
+            SELECT w, CAST(length(path) - length(replace(path, chr(31), '')) AS INT) AS np
+            FROM finalap),
+          dw AS (SELECT doc_id, lang, t.w
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+          d AS (SELECT doc_id, lang, CAST(sum(coalesce(wp.np, 0)) AS BIGINT) AS n_tokens
+                FROM dw LEFT JOIN wp ON wp.w = dw.w GROUP BY doc_id, lang),
+          cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM d)
+          SELECT doc_id, lang, n_tokens,
+                 cum_before // 512 AS bin,
+                 cum_before % 512 AS bin_offset
+          FROM cum ORDER BY doc_id"""
+    },
+    // same bigram/unigram count CTEs as text_ngram_ppx (the bounded-
+    // range idiom, corpus guard shared), scored by the PMI argument as
+    // two double ratios in the engine's exact parenthesization
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          gs AS (SELECT unnest(range(1, 1024)) AS i),
+          big AS (
+            SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+            FROM t JOIN gs ON i <= len(ts) - 1),
+          nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM big),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY 1, 2),
+          uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+          sc AS (
+            SELECT bc.w1, bc.w2, bc.cb,
+                   round((CAST(cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+                         * (CAST(nb.nb AS DOUBLE) / CAST(u2.cu AS DOUBLE)), 6) AS pmi
+            FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+            CROSS JOIN nb
+            WHERE cb >= $CollocMinCount),
+          r AS (SELECT row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk,
+                       w1, w2, cb, pmi
+                FROM sc)
+          SELECT rk, w1, w2, cb, pmi FROM r WHERE rk <= $CollocTopK ORDER BY rk""",
     "text_bpe_apply" ->
       s"""WITH ${bpeApplyCtes(8)},
           w0 AS (SELECT doc_id, t.w

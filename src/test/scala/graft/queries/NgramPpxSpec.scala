@@ -28,7 +28,7 @@ class NgramPpxSpec extends AnyFunSuite {
       .agg(max(col("n"))).collect()(0).getInt(0)
     assert(maxToks < 900,
       s"a $maxToks-token doc approaches the oracle's range(1,1024) bigram cap " +
-        "— raise gs in TextOps.oracle(text_ngram_ppx) first")
+        "— raise gs in TextOps.oracle(text_ngram_ppx) AND (text_collocations) first")
   }
 
   test("doc scores equal the classic add-one bigram reference; worst 1% flagged") {
