@@ -315,9 +315,47 @@ object SearchOps extends Serializable {
         col("c.chunk_id").as("canonical_chunk"), col("n_dups"))
       .orderBy("chunk_hash")
 
+  /** Containment threshold — shared engine/oracle constant: a pair is
+    * reported when the SMALLER side's chunk set is at least half
+    * inside the other doc. */
+  private val ContainThreshold = 0.5
+
+  /** Chunk-level CONTAINMENT near-dup (`dedup_chunk_containment`) —
+    * the doc-in-doc detector Jaccard structurally misses: a short doc
+    * quoted whole inside a long aggregator has tiny Jaccard (|A|/|B|)
+    * but containment |A∩B|/|A| ≈ 1 (Broder 1997's containment
+    * resemblance). Chunk sets are the [[chunkTransform]] windows
+    * hashed and deduped per doc; both directions are reported and the
+    * pair is kept when either rounded containment clears
+    * [[ContainThreshold]]. Scale: the chunk-hash equi-join is
+    * df-bounded (a boilerplate chunk is the hot key — the
+    * winnow.maxFpDf guard pattern applies verbatim); the distinct
+    * chunk table is truncated once for its three consumers. */
+  def chunkContainment(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.operators.Checkpoints.truncate(
+      chunkTransform(docs(s, dir))
+        .select(col("doc_id"), md5(col("chunk")).as("h")).distinct())
+    val sizes = h.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+    val inter = h.select(col("h"), col("doc_id").as("ida"))
+      .join(h.select(col("h"), col("doc_id").as("idb")), Seq("h"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("ida"), col("nc").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("nc").as("nb")), "idb")
+      .withColumn("c_ab",
+        round(col("n_shared").cast("double") / col("na").cast("double"), 6))
+      .withColumn("c_ba",
+        round(col("n_shared").cast("double") / col("nb").cast("double"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainThreshold)
+      .select("ida", "idb", "n_shared", "c_ab", "c_ba")
+      .orderBy("ida", "idb")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
     "dedup_chunk_exact" -> ((s, dir) => chunkDedup(s, dir)),
+    "dedup_chunk_containment" -> ((s, dir) => chunkContainment(s, dir)),
     "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "search_phrase" -> ((s, dir) => phraseSearch(s, dir)),
@@ -390,6 +428,28 @@ object SearchOps extends Serializable {
           FROM g2 JOIN canon USING (chunk_hash)
           WHERE rk = 1 AND n_dups > 1
           ORDER BY chunk_hash""",
+    // distinct chunk-hash sets per doc, pairwise intersection via the
+    // hash equi-join, containment both directions; the threshold
+    // compares ROUNDED values in both engines so the boundary can
+    // never flake on representation
+    "dedup_chunk_containment" ->
+      s"""WITH $chunkCtes,
+          h AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM c),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM h GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS n_shared
+            FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sc AS (
+            SELECT ida, idb, n_shared,
+                   round(CAST(n_shared AS DOUBLE) / CAST(sa.nc AS DOUBLE), 6) AS c_ab,
+                   round(CAST(n_shared AS DOUBLE) / CAST(sb.nc AS DOUBLE), 6) AS c_ba
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = ida
+            JOIN sizes sb ON sb.doc_id = idb)
+          SELECT ida, idb, n_shared, c_ab, c_ba
+          FROM sc WHERE greatest(c_ab, c_ba) >= $ContainThreshold
+          ORDER BY ida, idb""",
     "search_bm25_topk" -> bm25Sql,
     "search_phrase" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
