@@ -270,6 +270,29 @@ object GraphOps extends Serializable {
     * contribution) plus the global row under community = −1 whose `q`
     * IS the modularity. */
   def modularity(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val (stats, m2) = communityStats(s, dir, iters)
+    val per = stats.withColumn("num",
+      expr(s"int_deg * ${m2}L - deg_sum * deg_sum"))
+    val total = per.agg(
+        sum(col("n_nodes")).as("n_nodes"), sum(col("deg_sum")).as("deg_sum"),
+        sum(col("int_deg")).as("int_deg"), sum(col("num")).as("num"))
+      .select(lit(-1L).as("community"), col("n_nodes"), col("deg_sum"),
+        col("int_deg"), col("num"))
+    per.select("community", "n_nodes", "deg_sum", "int_deg", "num")
+      .unionByName(total)
+      .withColumn("q", round(
+        col("num").cast("double") / lit((m2 * m2).toDouble), 6))
+      .select("community", "n_nodes", "deg_sum", "int_deg", "q")
+      .orderBy("community")
+  }
+
+  /** Per-community structural stats under the memoized LPA labels —
+    * (community, n_nodes, deg_sum, int_deg) + the directed edge count
+    * m2: one src-label join + one dst-label join + two community-keyed
+    * aggregations, the shared detect→grade stage of [[modularity]]
+    * and [[conductance]]. */
+  private def communityStats(s: SparkSession, dir: String,
+      iters: Int): (DataFrame, Long) = {
     val edges = symmetricOrderEdges(s, dir)
     val lab = lpaLabels(s, dir, iters)
     val m2 = edges.count()
@@ -285,18 +308,27 @@ object GraphOps extends Serializable {
       .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
       .join(din, Seq("community"), "left")
       .withColumn("int_deg", coalesce(col("int_deg"), lit(0L)))
-      .withColumn("num",
-        expr(s"int_deg * ${m2}L - deg_sum * deg_sum"))
-    val total = per.agg(
-        sum(col("n_nodes")).as("n_nodes"), sum(col("deg_sum")).as("deg_sum"),
-        sum(col("int_deg")).as("int_deg"), sum(col("num")).as("num"))
-      .select(lit(-1L).as("community"), col("n_nodes"), col("deg_sum"),
-        col("int_deg"), col("num"))
-    per.select("community", "n_nodes", "deg_sum", "int_deg", "num")
-      .unionByName(total)
-      .withColumn("q", round(
-        col("num").cast("double") / lit((m2 * m2).toDouble), 6))
-      .select("community", "n_nodes", "deg_sum", "int_deg", "q")
+    (per, m2)
+  }
+
+  /** Conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S)) per LPA
+    * community — the second community-quality metric (Kannan/Vempala/
+    * Vetta 2004's cluster criterion): LOW conductance = a well-
+    * separated cluster, the complement view to modularity's global Q.
+    * Every quantity derives from the SAME shared per-community stats:
+    * cut = deg_sum − int_deg (directed out-edges minus internal),
+    * vol = deg_sum. Exact BIGINTs finished by one rounded double
+    * division; the whole-graph community (denominator 0 — no cut
+    * possible) scores 0 by convention in both engines. */
+  def conductance(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val (stats, m2) = communityStats(s, dir, iters)
+    stats
+      .withColumn("cut", col("deg_sum") - col("int_deg"))
+      .withColumn("denom", least(col("deg_sum"), lit(m2) - col("deg_sum")))
+      .withColumn("phi", when(col("denom") === 0L, lit(0.0))
+        .otherwise(round(col("cut").cast("double") / col("denom").cast("double"), 6)))
+      .select(col("community"), col("n_nodes"), col("deg_sum").as("vol"),
+        col("cut"), col("phi"))
       .orderBy("community")
   }
 
@@ -391,6 +423,12 @@ object GraphOps extends Serializable {
     // composition doctrine)
     "graph_modularity" -> ((s, dir) =>
       modularity(s, dir,
+        s.conf.get("spark.graft.lpa.iters", LpaIters.toString).toInt)),
+    // the second grade over the same memoized labels: per-community
+    // separation (conductance), completing detect→cluster→score with
+    // both a global (Q) and a per-cluster (φ) quality signal
+    "graph_conductance" -> ((s, dir) =>
+      conductance(s, dir,
         s.conf.get("spark.graft.lpa.iters", LpaIters.toString).toInt)))
 
   private[graft] val KcoreMax = 4
@@ -486,15 +524,49 @@ object GraphOps extends Serializable {
                    gl.m2 AS m2
             FROM dg LEFT JOIN din USING (community) CROSS JOIN gl)
           SELECT community, n_nodes, deg_sum, int_deg,
-                 round(CAST(num AS DOUBLE) / CAST(m2 * m2 AS DOUBLE), 6) AS q
+                 -- + 0.0 normalizes IEEE -0.0 (a tiny negative q
+                 -- rounding to zero keeps its sign in DuckDB; Spark's
+                 -- BigDecimal round has no signed zero) and is an
+                 -- exact identity on every other value
+                 round(CAST(num AS DOUBLE) / CAST(m2 * m2 AS DOUBLE), 6) + 0.0 AS q
           FROM per
           UNION ALL
           SELECT CAST(-1 AS BIGINT), CAST(sum(n_nodes) AS BIGINT),
                  CAST(sum(deg_sum) AS BIGINT), CAST(sum(int_deg) AS BIGINT),
                  round(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
-                       / CAST(any_value(m2) * any_value(m2) AS DOUBLE), 6)
+                       / CAST(any_value(m2) * any_value(m2) AS DOUBLE), 6) + 0.0
           FROM per
           ORDER BY community""",
+    // same LPA chain + per-community stats as modularity, finished by
+    // the cut/min-volume ratio (whole-graph community → denom 0 → 0.0)
+    "graph_conductance" ->
+      s"""WITH $orderEdgesCtes,
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+          ${(1 to LpaIters).map(lpaIterSql).mkString(",\n")},
+          lab AS (SELECT node, lbl AS community FROM l$LpaIters),
+          gl AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+          din AS (
+            SELECT la.community, CAST(count(*) AS BIGINT) AS int_deg
+            FROM edges e
+            JOIN lab la ON la.node = e.src
+            JOIN lab lb ON lb.node = e.dst
+            WHERE la.community = lb.community GROUP BY 1),
+          dg AS (
+            SELECT la.community, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY src) d
+            JOIN lab la ON la.node = d.src GROUP BY 1),
+          per AS (
+            SELECT dg.community, dg.n_nodes, dg.deg_sum,
+                   dg.deg_sum - COALESCE(din.int_deg, 0) AS cut,
+                   least(dg.deg_sum, gl.m2 - dg.deg_sum) AS denom
+            FROM dg LEFT JOIN din USING (community) CROSS JOIN gl)
+          SELECT community, n_nodes, deg_sum AS vol, cut,
+                 CASE WHEN denom = 0 THEN 0.0
+                      ELSE round(CAST(cut AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+                 END AS phi
+          FROM per ORDER BY community""",
     "graph_kcore" -> kcoreSql(KcoreMax, KcorePasses),
     "graph_clustering_coeff" ->
       s"""WITH ${OracleSql.simhashCte},
