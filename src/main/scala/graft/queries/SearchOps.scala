@@ -331,7 +331,13 @@ object SearchOps extends Serializable {
     * df-bounded (a boilerplate chunk is the hot key — the
     * winnow.maxFpDf guard pattern applies verbatim); the distinct
     * chunk table is truncated once for its three consumers. */
-  def chunkContainment(s: SparkSession, dir: String): DataFrame = {
+  def chunkContainment(s: SparkSession, dir: String): DataFrame =
+    chunkContainmentPairs(s, dir).orderBy("ida", "idb")
+
+  /** The unsorted containment pair stage — shared by the detection row
+    * (`dedup_chunk_containment`, which only adds the output sort) and
+    * the transformation it feeds (`pipe_remove_contained_docs`). */
+  private[graft] def chunkContainmentPairs(s: SparkSession, dir: String): DataFrame = {
     val h = graft.operators.Checkpoints.truncate(
       chunkTransform(docs(s, dir))
         .select(col("doc_id"), md5(col("chunk")).as("h")).distinct())
@@ -349,13 +355,33 @@ object SearchOps extends Serializable {
         round(col("n_shared").cast("double") / col("nb").cast("double"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= ContainThreshold)
       .select("ida", "idb", "n_shared", "c_ab", "c_ba")
-      .orderBy("ida", "idb")
+  }
+
+  /** Turn containment DETECTION into the transformation a curation run
+    * executes: drop every doc whose content is (≥ threshold) inside
+    * another doc. Drop rule per pair (ida < idb): if only the lower id
+    * is contained, IT is dropped (the container keeps the content);
+    * mutual containment drops the higher id (the pipe_keep_best
+    * keep-lowest doctrine). One-pass pairwise rule — a chain A⊂B⊂C
+    * with B dropped still drops A (A's pair with B decides
+    * independently), same contract as pipe_clean_corpus's pair drops.
+    * Survivors project to (doc_id, lang, n_chars): one tiny anti-join
+    * against the pair-derived drop set. */
+  def removeContainedDocs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = chunkContainmentPairs(s, dir)
+    val drop = pairs.select(
+      when(col("c_ab") >= ContainThreshold && col("c_ba") < ContainThreshold,
+        col("ida")).otherwise(col("idb")).as("doc_id")).distinct()
+    docs(s, dir).join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> ((s, dir) => chunkDocs(s, dir)),
     "dedup_chunk_exact" -> ((s, dir) => chunkDedup(s, dir)),
     "dedup_chunk_containment" -> ((s, dir) => chunkContainment(s, dir)),
+    "pipe_remove_contained_docs" -> ((s, dir) => removeContainedDocs(s, dir)),
     "search_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
     "search_hybrid_rrf" -> ((s, dir) => hybridRrf(s, dir)),
     "search_phrase" -> ((s, dir) => phraseSearch(s, dir)),
@@ -410,6 +436,25 @@ object SearchOps extends Serializable {
                    ' ') AS chunk
           FROM t JOIN gs ON g <= (greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)"""
 
+  /** Containment pair CTE chain (SQL twin of [[chunkContainmentPairs]]
+    * minus the threshold filter) — shared by the detection and removal
+    * oracles. */
+  private val containCtes: String =
+    s"""$chunkCtes,
+        h AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM c),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM h GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS n_shared
+          FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT ida, idb, n_shared,
+                 round(CAST(n_shared AS DOUBLE) / CAST(sa.nc AS DOUBLE), 6) AS c_ab,
+                 round(CAST(n_shared AS DOUBLE) / CAST(sb.nc AS DOUBLE), 6) AS c_ba
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = ida
+          JOIN sizes sb ON sb.doc_id = idb)"""
+
   def oracle: Map[String, String] = Map(
     "text_chunk" ->
       s"""WITH $chunkCtes
@@ -433,23 +478,24 @@ object SearchOps extends Serializable {
     // compares ROUNDED values in both engines so the boundary can
     // never flake on representation
     "dedup_chunk_containment" ->
-      s"""WITH $chunkCtes,
-          h AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM c),
-          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM h GROUP BY 1),
-          inter AS (
-            SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS n_shared
-            FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          sc AS (
-            SELECT ida, idb, n_shared,
-                   round(CAST(n_shared AS DOUBLE) / CAST(sa.nc AS DOUBLE), 6) AS c_ab,
-                   round(CAST(n_shared AS DOUBLE) / CAST(sb.nc AS DOUBLE), 6) AS c_ba
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = ida
-            JOIN sizes sb ON sb.doc_id = idb)
+      s"""WITH $containCtes
           SELECT ida, idb, n_shared, c_ab, c_ba
           FROM sc WHERE greatest(c_ab, c_ba) >= $ContainThreshold
           ORDER BY ida, idb""",
+    // the same sc pair table drives the drop set (only-lower-contained
+    // → lower id; otherwise the higher id), anti-joined back onto the
+    // corpus — the engine's removeContainedDocs drop rule verbatim
+    "pipe_remove_contained_docs" ->
+      s"""WITH $containCtes,
+          drop AS (
+            SELECT DISTINCT CASE WHEN c_ab >= $ContainThreshold
+                                  AND c_ba < $ContainThreshold
+                             THEN ida ELSE idb END AS doc_id
+            FROM sc WHERE greatest(c_ab, c_ba) >= $ContainThreshold)
+          SELECT doc_id, lang, strlen(text) AS n_chars
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+          ORDER BY doc_id""",
     "search_bm25_topk" -> bm25Sql,
     "search_phrase" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
