@@ -90,8 +90,7 @@ object AnnBatchProbe {
 
     /** One measured batch: build probes + ADC tables for `bn` queries,
       * invert via tablesByList, run the indexed scoring pass with an
-      * accumulator on the inner loop. Returns (pairs, visits, bestWall,
-      * bytesBroadcastEntries). */
+      * accumulator on the inner loop. Returns (pairs, visits, bestWall). */
     def runBatch(bn: Int): (Long, Long, Double) = {
       val qids = (0L until bn.toLong).toArray
       val probes: Map[Long, Seq[Long]] = qids.map { q =>

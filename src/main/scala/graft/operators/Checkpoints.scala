@@ -119,14 +119,25 @@ object Checkpoints {
     }
 
   /** Staleness probe for a memoized pinned checkpoint: true when any
-    * of its backing RDD registrations is gone (raw `rdd.unpersist` by
-    * external code) — the entry is then unrecoverable (lineage
-    * truncated) and must be evicted + rebuilt, not served
-    * (ADVICE r15). Shared by SearchOps.tfStage and GraphOps'
-    * community-label memo so the probe rule cannot drift. */
+    * of its backing LOCAL-checkpoint RDD registrations is gone (raw
+    * `rdd.unpersist` by external code) — the entry is then
+    * unrecoverable (lineage truncated) and must be evicted + rebuilt,
+    * not served (ADVICE r15). Shared by SearchOps.tfStage and
+    * GraphOps' community-label memo so the probe rule cannot drift.
+    *
+    * RELIABLE checkpoints are exempt by `isLocallyCheckpointed`:
+    * `Dataset.checkpoint`'s RDD never enters `getPersistentRDDs` (the
+    * files, not blocks, are the source of truth — a block sweep
+    * cannot orphan it), so the old registry-membership test declared
+    * EVERY reliable memo stale and silently defeated memoization in
+    * exactly the spot-executor mode that recommends it (review r16
+    * pass 1, verified against Spark 4.1.2). */
   def stale(df: DataFrame): Boolean = {
     val live = df.sparkSession.sparkContext.getPersistentRDDs
-    !checkpointRddIds(df).forall(live.contains)
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.exists(r => org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) &&
+      !live.contains(r.id))
   }
 
   /** UNPIN a shared stage and release its persisted blocks — the

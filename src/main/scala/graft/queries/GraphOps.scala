@@ -227,9 +227,15 @@ object GraphOps extends Serializable {
       else { graft.operators.Checkpoints.unpinAndUnpersist(entry); null }
     })
     lpaMemo.computeIfAbsent((s, dir, iters), { _ =>
-      val labels = labelPropOn(symmetricOrderEdges(s, dir), iters)
-      labels.count() // materialize BEFORE the intermediates can be swept
-      graft.operators.Checkpoints.pinCheckpointed(labels)
+      // pin BEFORE materializing (the tfStage order): registration
+      // happens at the localCheckpoint CALL, so the pin is already
+      // effective — pinning after count() left a window where a
+      // concurrent blanket sweep could drop the final un-pinned
+      // checkpoint and memoize an unrecoverable frame (review r16)
+      val labels = graft.operators.Checkpoints.pinCheckpointed(
+        labelPropOn(symmetricOrderEdges(s, dir), iters))
+      labels.count() // materialize before the intermediates can be swept
+      labels
     })
   }
 
@@ -293,7 +299,13 @@ object GraphOps extends Serializable {
     * and [[conductance]]. */
   private def communityStats(s: SparkSession, dir: String,
       iters: Int): (DataFrame, Long) = {
-    val edges = symmetricOrderEdges(s, dir)
+    // truncate ONCE: the m2 count + the two stat branches are three
+    // consumers, and an un-checkpointed symmetric order-edge table
+    // (orders ⋈ lineitem + distinct) would re-derive per branch —
+    // the exact recomputation the label memo exists to avoid (review
+    // r16); count() materializes the blocks the branches then read
+    val edges = graft.operators.Checkpoints.truncate(
+      symmetricOrderEdges(s, dir))
     val lab = lpaLabels(s, dir, iters)
     val m2 = edges.count()
     val la = lab.select(col("node").as("src"), col("community").as("ca"))

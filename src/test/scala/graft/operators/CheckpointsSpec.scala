@@ -110,4 +110,29 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("stale(): local checkpoint goes stale on external unpersist; reliable never does") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i * 2L)).toDF("a", "b")
+    // local path: live after materialization, stale after a raw sweep
+    val local = df.localCheckpoint(eager = false)
+    local.count()
+    assert(!Checkpoints.stale(local), "freshly materialized local checkpoint read stale")
+    Checkpoints.checkpointRddIds(local).foreach { id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+    }
+    assert(Checkpoints.stale(local), "externally unpersisted local checkpoint not stale")
+    // reliable path: Dataset.checkpoint's RDD never enters
+    // getPersistentRDDs — the FILES are the source of truth, so the
+    // probe must exempt it (review r16: the registry-membership test
+    // declared every reliable memo stale and defeated memoization)
+    withReliable { _ =>
+      val rel = Checkpoints.truncate(df)
+      rel.count()
+      assert(!Checkpoints.stale(rel),
+        "reliable checkpoint read stale — memoization would rebuild every access")
+      Checkpoints.unpersistUnpinned(spark) // a blanket sweep changes nothing
+      assert(!Checkpoints.stale(rel))
+    }
+  }
+
 }
