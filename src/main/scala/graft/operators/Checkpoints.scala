@@ -102,21 +102,27 @@ object Checkpoints {
     * exact. Returns `df` for inline use. */
   def pinCheckpointed(df: DataFrame): DataFrame = {
     val app = df.sparkSession.sparkContext.applicationId
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.foreach(id => pinnedIds.add(app -> id))
+    checkpointRdds(df).foreach(r => pinnedIds.add(app -> r.id))
     df
   }
 
   def isPinned(sc: org.apache.spark.SparkContext, id: Int): Boolean =
     pinnedIds.contains(sc.applicationId -> id)
 
+  /** THE LogicalRDD-leaf extraction — the single place the "which
+    * RDDs back this checkpoint" rule lives; pinning, the id probe and
+    * the staleness probe all derive from it so they cannot drift
+    * (review r16 pass 2: three verbatim copies). */
+  private def checkpointRdds(
+      df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** The persisted-RDD ids backing `df`'s checkpoint (its LogicalRDD
     * plan leaves) — the same extraction [[pinCheckpointed]] pins. */
   def checkpointRddIds(df: DataFrame): Seq[Int] =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }
+    checkpointRdds(df).map(_.id)
 
   /** Staleness probe for a memoized pinned checkpoint: true when any
     * of its backing LOCAL-checkpoint RDD registrations is gone (raw
@@ -134,10 +140,9 @@ object Checkpoints {
     * pass 1, verified against Spark 4.1.2). */
   def stale(df: DataFrame): Boolean = {
     val live = df.sparkSession.sparkContext.getPersistentRDDs
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.exists(r => org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) &&
-      !live.contains(r.id))
+    checkpointRdds(df).exists(r =>
+      org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) &&
+        !live.contains(r.id))
   }
 
   /** UNPIN a shared stage and release its persisted blocks — the

@@ -234,7 +234,13 @@ object GraphOps extends Serializable {
       // checkpoint and memoize an unrecoverable frame (review r16)
       val labels = graft.operators.Checkpoints.pinCheckpointed(
         labelPropOn(symmetricOrderEdges(s, dir), iters))
-      labels.count() // materialize before the intermediates can be swept
+      // materialize before the intermediates can be swept; on failure
+      // unpin — computeIfAbsent stores no entry, so nothing would ever
+      // reach the orphaned pin again (review r16 pass 2)
+      try labels.count()
+      catch { case t: Throwable =>
+        graft.operators.Checkpoints.unpinAndUnpersist(labels); throw t
+      }
       labels
     })
   }
@@ -299,13 +305,11 @@ object GraphOps extends Serializable {
     * and [[conductance]]. */
   private def communityStats(s: SparkSession, dir: String,
       iters: Int): (DataFrame, Long) = {
-    // truncate ONCE: the m2 count + the two stat branches are three
-    // consumers, and an un-checkpointed symmetric order-edge table
-    // (orders ⋈ lineitem + distinct) would re-derive per branch —
-    // the exact recomputation the label memo exists to avoid (review
-    // r16); count() materializes the blocks the branches then read
-    val edges = graft.operators.Checkpoints.truncate(
-      symmetricOrderEdges(s, dir))
+    // symmetricOrderEdges is already checkpointed (one truncation for
+    // its three consumers here: the m2 count materializes the blocks
+    // the two stat branches then read — review r16 pass 2 removed a
+    // redundant SECOND truncate this site briefly added)
+    val edges = symmetricOrderEdges(s, dir)
     val lab = lpaLabels(s, dir, iters)
     val m2 = edges.count()
     val la = lab.select(col("node").as("src"), col("community").as("ca"))

@@ -133,8 +133,14 @@ object SearchOps extends Serializable {
       val tf = graft.operators.Checkpoints.pinCheckpointed(
         graft.operators.Checkpoints.truncate(
           tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
-      val g = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      // on scalar-collection failure unpin — computeIfAbsent stores no
+      // entry, so nothing would ever reach the orphaned pin again and
+      // every future sweep would skip its blocks (review r16 pass 2)
+      val g = try tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      catch { case t: Throwable =>
+        graft.operators.Checkpoints.unpinAndUnpersist(tf); throw t
+      }
       (tf, g.getLong(0), g.getLong(1))
     })
   }
