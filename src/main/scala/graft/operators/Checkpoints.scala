@@ -145,6 +145,24 @@ object Checkpoints {
         !live.contains(r.id))
   }
 
+  /** Build-and-materialize guard for a pinned memo entry: run `body`
+    * (the materializing action AND any scalar extraction — the whole
+    * builder tail) and on ANY failure unpin/release `df` before
+    * rethrowing the ORIGINAL error. Cleanup failures (context
+    * stopping, block-manager RPC down — the likeliest reasons
+    * materialization fails in the first place) are suppressed onto it
+    * rather than masking it. ONE shared rule for every memo builder
+    * (review r16 pass 3: two hand-rolled copies existed, one with its
+    * scalar extraction outside the guard — a NULL aggregate there
+    * orphaned the pin the guard was added to protect). */
+  def buildPinned[T](df: DataFrame)(body: => T): T =
+    try body
+    catch { case t: Throwable =>
+      try unpinAndUnpersist(df)
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
+    }
+
   /** UNPIN a shared stage and release its persisted blocks — the
     * explicit end-of-life hook for a session-scoped memoized
     * checkpoint (ADVICE r15: pins were otherwise unremovable while

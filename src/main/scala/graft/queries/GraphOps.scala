@@ -234,14 +234,13 @@ object GraphOps extends Serializable {
       // checkpoint and memoize an unrecoverable frame (review r16)
       val labels = graft.operators.Checkpoints.pinCheckpointed(
         labelPropOn(symmetricOrderEdges(s, dir), iters))
-      // materialize before the intermediates can be swept; on failure
-      // unpin — computeIfAbsent stores no entry, so nothing would ever
-      // reach the orphaned pin again (review r16 pass 2)
-      try labels.count()
-      catch { case t: Throwable =>
-        graft.operators.Checkpoints.unpinAndUnpersist(labels); throw t
+      // materialize before the intermediates can be swept, under the
+      // shared unpin-on-failure guard (computeIfAbsent stores no entry
+      // on throw, so an orphaned pin would be unreachable forever)
+      graft.operators.Checkpoints.buildPinned(labels) {
+        labels.count()
+        labels
       }
-      labels
     })
   }
 

@@ -133,15 +133,16 @@ object SearchOps extends Serializable {
       val tf = graft.operators.Checkpoints.pinCheckpointed(
         graft.operators.Checkpoints.truncate(
           tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
-      // on scalar-collection failure unpin — computeIfAbsent stores no
-      // entry, so nothing would ever reach the orphaned pin again and
-      // every future sweep would skip its blocks (review r16 pass 2)
-      val g = try tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
-      catch { case t: Throwable =>
-        graft.operators.Checkpoints.unpinAndUnpersist(tf); throw t
+      // whole builder tail under the unpin-on-failure guard —
+      // computeIfAbsent stores no entry on throw, so an orphaned pin
+      // would be unreachable forever (review r16 passes 2+3: the
+      // getLong extraction must sit INSIDE the guard — a NULL sum on
+      // an empty corpus throws after collect succeeds)
+      graft.operators.Checkpoints.buildPinned(tf) {
+        val g = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+        (tf, g.getLong(0), g.getLong(1))
       }
-      (tf, g.getLong(0), g.getLong(1))
     })
   }
 
