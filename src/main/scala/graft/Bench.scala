@@ -56,6 +56,7 @@ object Bench {
     "text_unigram_train", "text_unigram_apply", "mm_video_neardup",
     "text_collocations", "pipe_pack_sequences_unigram", "dedup_chunk_containment",
     "graph_conductance", "pipe_remove_contained_docs",
+    "ev_session_stats", "ev_markov_transition",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

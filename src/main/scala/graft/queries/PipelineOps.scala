@@ -82,6 +82,40 @@ object PipelineOps {
       EventsStream.sessionize(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
 
+    // per-session summary — the aggregate view product analytics
+    // actually reads (duration, depth): the SAME shared session
+    // assignment stage, then one (user, session) aggregation; exact
+    // integer µs arithmetic end to end
+    "ev_session_stats" -> ((s, dir) =>
+      EventsStream.sessionized(t(s, dir, "events"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences — behavior-model estimation: one per-user lead window
+    // (the ev_top_paths shuffle shape), then |types|²-bounded counts;
+    // P(to|from) an exact count ratio finished by one rounded double
+    // division. At 100 TB the only data-sized stage is the user
+    // shuffle; the matrix is vocabulary-bounded.
+    "ev_markov_transition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = ev.withColumn("ts_us", graft.streaming.EventTime.tsUs(ev))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("ft"))
+      pairs.join(totals, "from_type")
+        .withColumn("p", round(col("n").cast("double") / col("ft").cast("double"), 6))
+        .select("from_type", "to_type", "n", "p")
+        .orderBy("from_type", "to_type")
+    }),
+
     // stream-stream interval join, batch form: views paired with the
     // user's clicks within the following hour (EventsStream
     // .viewClickJoin runs the same plan under readStream)
@@ -1125,6 +1159,40 @@ object PipelineOps {
                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
          FROM f ORDER BY user_id, event_id""",
+    // the sessionize CTE chain with ts kept, grouped per session
+    "ev_session_stats" ->
+      """WITH g AS (
+           SELECT event_id, user_id, epoch_us(ts) AS us,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events),
+         f AS (
+           SELECT event_id, user_id, us,
+                  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM g),
+         sess AS (
+           SELECT user_id, us,
+                  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+                CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // per-user lead pairs, |types|^2 counts, exact ratio per row
+    "ev_markov_transition" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         pr AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ft FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                round(CAST(c.n AS DOUBLE) / CAST(ft.ft AS DOUBLE), 6) AS p
+         FROM c JOIN ft USING (from_type) ORDER BY from_type, to_type""",
     "ev_view_click_join" ->
       """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
          FROM events v JOIN events c

@@ -819,7 +819,14 @@ object EventsStream {
   /** Session ids per user: a new session when the gap to the previous
     * event exceeds 30 minutes (batch window form; [[sessionizeStream]]
     * is the stateful streaming counterpart). */
-  def sessionize(events: DataFrame): DataFrame = {
+  def sessionize(events: DataFrame): DataFrame =
+    sessionized(events).select("event_id", "user_id", "session_id")
+
+  /** The session assignment WITH the event time kept — the shared
+    * stage behind [[sessionize]] (which only projects it away) and
+    * `ev_session_stats` (which aggregates per session); factored so
+    * the gap rule cannot drift between the id and stats views. */
+  private[graft] def sessionized(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -830,6 +837,6 @@ object EventsStream {
       .withColumn("new_session",
         when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(cum) - 1)
-      .select("event_id", "user_id", "session_id")
+      .select("event_id", "user_id", "ts_us", "session_id")
   }
 }
