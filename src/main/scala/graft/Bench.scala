@@ -166,9 +166,26 @@ object Bench {
   /** One timed repetition: wall/CPU seconds, the 1-min system load
     * sampled immediately before it started, the row count, and whether
     * the query thunk threw. A failed rep keeps its wall time (the cost
-    * of reaching the error) but is excluded from every min below. */
+    * of reaching the error) but is excluded from every min below.
+    *
+    * JVM-health telemetry per rep (VERDICT r16 task 1 — BENCH_r16's
+    * 10-30x CPU inflation on the driver host could not be adjudicated
+    * from the artifact because only wall/cpu/load were recorded):
+    *  - `gc` — GC seconds charged DURING this rep (GarbageCollectorMXBean
+    *    collection-time delta): high gc with high cpu = in-JVM heap
+    *    pressure; low gc with high cpu = work outside the collector
+    *    (kernel reclaim, interpreter execution, real plan change);
+    *  - `jit` — JIT compiler-thread seconds during this rep
+    *    (CompilationMXBean delta): a large value on late reps means
+    *    compilation churn (code-cache flushing / deopt storms), the
+    *    signature that distinguishes "codegen classes thrash the code
+    *    cache" from "heap pressure";
+    *  - `heap` — used heap MB sampled right after the rep.
+    * All three default to -1 sentinels when the platform bean is
+    * absent, exactly like the cpu sentinel. */
   final case class Rep(wall: Double, cpu: Double, load: Double,
-      rows: Long, failed: Boolean)
+      rows: Long, failed: Boolean, gc: Double = -1.0, jit: Double = -1.0,
+      heap: Double = -1.0)
 
   final case class QRes(name: String, wall: Double, cpu: Double,
       load: Double, rows: Long, reps: Seq[Rep])
@@ -181,7 +198,10 @@ object Bench {
     * the way BENCH_r08's did. */
   private[graft] def measure(name: String, nReps: Int,
       loadFn: () => Double, cpuNanosFn: () => Long,
-      thunk: () => Long, pace: () => Unit = () => ()): QRes = {
+      thunk: () => Long, pace: () => Unit = () => (),
+      gcMillisFn: () => Long = () => -1L,
+      jitMillisFn: () => Long = () => -1L,
+      heapMbFn: () => Double = () => -1.0): QRes = {
     val reps = (1 to nReps).map { _ =>
       // pace before EVERY rep, not just the row (r13: a GC burst
       // between a row-level pace check and rep 1 stamped a 3.9 load
@@ -190,12 +210,18 @@ object Bench {
       pace()
       val load = loadFn()
       val c0 = cpuNanosFn()
+      val g0 = gcMillisFn()
+      val j0 = jitMillisFn()
       val t0 = System.nanoTime()
       val (rows, failed) =
         try (thunk(), false) catch { case _: Throwable => (-1L, true) }
       val c1 = cpuNanosFn()
       val cpuS = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
-      Rep((System.nanoTime() - t0) / 1e9, cpuS, load, rows, failed)
+      def deltaS(a: Long, b: Long): Double =
+        if (a < 0 || b < 0) -1.0 else (b - a) / 1e3
+      Rep((System.nanoTime() - t0) / 1e9, cpuS, load, rows, failed,
+        gc = deltaS(g0, gcMillisFn()), jit = deltaS(j0, jitMillisFn()),
+        heap = heapMbFn())
     }
     val ok = reps.filterNot(_.failed)
     QRes(name,
@@ -204,6 +230,21 @@ object Bench {
       if (reps.nonEmpty) reps.head.load else -1.0,
       if (ok.nonEmpty) ok.head.rows else -1L,
       reps)
+  }
+
+  /** First-rep blowup flag (VERDICT r16 task 6): min-of-N hid a 71 s
+    * first rep in BENCH_r16 — the record now carries first-rep wall/cpu
+    * as first-class dicts and flags any row whose SUCCESSFUL first rep
+    * exceeds [[FirstRepFactor]]x the row's min wall. A failed first rep
+    * is already loud (the "FAIL" marker), so it is not double-flagged
+    * here. The flag is a regression detector, not a taint: warmup this
+    * large means the row pays a real cold-start cost that a min-of-N
+    * headline erases. */
+  private[graft] val FirstRepFactor = 5.0
+  private[graft] def firstRepBlown(r: QRes): Boolean = {
+    val ok = r.reps.filterNot(_.failed)
+    ok.nonEmpty && r.reps.headOption.exists(h =>
+      !h.failed && h.wall > FirstRepFactor * ok.map(_.wall).min)
   }
 
   /** Host-contention taint thresholds (VERDICT r10 task 1). A row is
@@ -290,12 +331,14 @@ object Bench {
     l <= TaintLoadThreshold
   }
 
-  /** Per-rep artifact entries: `[wall,cpu,load]` for a successful rep,
-    * the literal string `"FAIL"` for a failed one. */
+  /** Per-rep artifact entries: `[wall,cpu,load,gc,jit,heapMB]` for a
+    * successful rep, the literal string `"FAIL"` for a failed one.
+    * gc/jit are the rep's GC and JIT-compiler seconds, heapMB the used
+    * heap right after it (-1 sentinels when unavailable) — see [[Rep]]. */
   private[graft] def repsJson(reps: Seq[Rep]): String =
     reps.map { r =>
       if (r.failed) "\"FAIL\""
-      else f"[${r.wall}%.3f,${r.cpu}%.2f,${r.load}%.2f]"
+      else f"[${r.wall}%.3f,${r.cpu}%.2f,${r.load}%.2f,${r.gc}%.2f,${r.jit}%.2f,${r.heap}%.0f]"
     }.mkString("[", ",", "]")
 
   /** Current round number, derived from the newest harness BENCH file
@@ -354,6 +397,44 @@ object Bench {
     }
     def procCpuNanos(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
     def loadAvg(): Double = baseBean.getSystemLoadAverage
+    // JVM-health beans (VERDICT r16 task 1): GC time, JIT-compiler
+    // time, heap, and the code-cache / metaspace pools, so a repeat of
+    // the r16 driver-host CPU inflation self-adjudicates from the
+    // artifact (heap pressure vs compilation churn vs external work)
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      val ts = gcBeans.asScala.map(_.getCollectionTime).filter(_ >= 0)
+      if (ts.isEmpty) -1L else ts.sum
+    }
+    val compBean = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    def jitMillis(): Long = compBean.map(_.getTotalCompilationTime).getOrElse(-1L)
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    def heapUsedMb(): Double = memBean.getHeapMemoryUsage.getUsed / 1048576.0
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def poolMb(sub: String)(of: java.lang.management.MemoryUsage => Long): Double = {
+      val vs = pools.filter(_.getName.toLowerCase.contains(sub))
+        .map(p => of(p.getUsage)).filter(_ >= 0)
+      if (vs.isEmpty) -1.0 else vs.sum / 1048576.0
+    }
+    def jvmJson(): String = {
+      val hu = memBean.getHeapMemoryUsage
+      f"""{"heap_used_mb":${hu.getUsed / 1048576.0}%.0f,"heap_max_mb":${hu.getMax / 1048576.0}%.0f,""" +
+        f""""code_used_mb":${poolMb("codeheap")(_.getUsed)}%.1f,"code_max_mb":${poolMb("codeheap")(_.getMax)}%.1f,""" +
+        f""""meta_used_mb":${poolMb("metaspace")(_.getUsed)}%.1f,""" +
+        f""""gc_total_s":${gcMillis() / 1e3}%.2f,"jit_total_s":${jitMillis() / 1e3}%.2f}"""
+    }
+    val jvmStart = jvmJson()
+    // per-query persisted-block snapshot taken right before the row
+    // runs: [persisted RDD count, persisted MB, pinned RDD count] —
+    // names whether block accumulation tracks a degradation
+    def storageSnap(): (Int, Double, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val pinned = spark.sparkContext.getPersistentRDDs.keys
+        .count(id => graft.operators.Checkpoints.isPinned(spark.sparkContext, id))
+      (infos.length, infos.map(_.memSize).sum / 1048576.0, pinned)
+    }
     // three timed reps for EVERY row, report the min: single-shot
     // numbers swing ±2x from GC/codegen/scheduler jitter, and the
     // heavy per-way-walk probes JIT across the first TWO executions
@@ -387,6 +468,7 @@ object Bench {
         paceBudgetS -= w
       }
     val results = headline.filter(qs.contains).map { name =>
+      val storage = storageSnap()
       // the pinned-aware sweep: session-scoped shared stages (tfStage)
       // are lazily-checkpointed with truncated lineage — sweeping them
       // doesn't slow the next consumer, it fails it (all-FAIL
@@ -395,7 +477,8 @@ object Bench {
         graft.operators.Checkpoints.unpersistUnpinned(spark)
       def once(): QRes = {
         val r = measure(name, 3, loadAvg _, procCpuNanos _,
-          () => qs(name)(spark, sfDir).count(), pace _)
+          () => qs(name)(spark, sfDir).count(), pace _,
+          gcMillis _, jitMillis _, heapUsedMb _)
         // drop blocks a query persisted/checkpointed (cluster-cc
         // rounds, pipeline dup-id sets): lingering blocks from one
         // query must not pollute a later query's measurement in this
@@ -435,8 +518,9 @@ object Bench {
       val taint = taintedRes(r, prevCpu)
       System.err.println(
         f"[bench] $name%-24s ${r.wall}%8.2fs cpu=${r.cpu}%8.2fs load=${r.load}%5.1f rows=${r.rows}" +
-          (if (taint) "  TAINTED" else if (rerun) "  (rerun)" else ""))
-      (r, taint, rerun)
+          (if (taint) "  TAINTED" else if (rerun) "  (rerun)" else "") +
+          (if (firstRepBlown(r)) "  FIRST-REP-BLOWN" else ""))
+      (r, taint, rerun, storage)
     }
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -445,6 +529,21 @@ object Bench {
     val cjson = jmap(res.map(r => r.name -> f"${r.cpu}%.2f"))
     val ljson = jmap(res.map(r => r.name -> f"${r.load}%.2f"))
     val rjson = jmap(res.map(r => r.name -> repsJson(r.reps)))
+    // first-rep wall/cpu as FIRST-CLASS dicts + the blown-row list
+    // (VERDICT r16 task 6: min-of-3 hid a 71 s first rep)
+    def firstOf(r: QRes)(f: Rep => Double): String =
+      r.reps.headOption.filterNot(_.failed).map(x => f"${f(x)}%.3f").getOrElse("-1.0")
+    val fwjson = jmap(res.map(r => r.name -> firstOf(r)(_.wall)))
+    val fcjson = jmap(res.map(r => r.name -> firstOf(r)(_.cpu)))
+    val firstBlownNames = res.filter(firstRepBlown).map(_.name)
+    // min-rep GC seconds + the pre-row storage snapshot, so a repeat of
+    // the r16 inflation episode names its mechanism from the JSON alone
+    val gjson = jmap(res.map { r =>
+      val ok = r.reps.filterNot(_.failed)
+      r.name -> (if (ok.isEmpty) "-1.0" else f"${ok.minBy(_.wall).gc}%.2f")
+    })
+    val sjson = jmap(results.map { case (r, _, _, (n, mb, pin)) =>
+      r.name -> f"[$n%d,$mb%.0f,$pin%d]" })
     val total = res.map(_.wall).sum
     val loadMax = if (res.nonEmpty) res.map(_.load).max else -1.0
     val taintedNames = results.filter(_._2).map(_._1.name)
@@ -457,7 +556,7 @@ object Bench {
       .mkString("{", ",", "}")
     val loadMaxStr = f"$loadMax%.2f"
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"queries":$qjson,"cpu":$cjson,"load":$ljson,"reps":$rjson,"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     println(fullJson)
     // The full record also goes to a COMMITTED repo file so no future
     // round depends on the stdout window at all: bench/bench_r{N}.json
@@ -483,7 +582,7 @@ object Bench {
     // n_queries + load_max + tainted is ~1.4 KB at 50 queries;
     // cpu/load/reps/prev live on the full line above and in the
     // committed file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,6 +94,52 @@ object TextOps {
   private[graft] def bpeTrain(s: SparkSession, dir: String,
       k: Int = 8): DataFrame = {
     import s.implicits._
+    bpeModel(s, dir, k).toDF("rank", "lft", "rgt", "n").orderBy("rank")
+  }
+
+  /** Session-scoped memo of the TRAINED tokenizer models (VERDICT r16
+    * #2): `text_bpe_train`, `text_bpe_apply` and
+    * `pipe_pack_sequences_trained` all consume the SAME deterministic
+    * k-merge table, and each previously re-ran the full driver-loop
+    * training (k iterations of vocab aggregation + argmax collect +
+    * checkpoint) — nine retrains per bench run, the exact allocation
+    * shape that amplified the r16 long-session degradation. The memo
+    * VALUE is the collected model (k rows / a vocab-sized piece map) —
+    * plain driver memory, NO persisted blocks — so unlike
+    * lpaLabels/tfStage there is nothing to pin and a blanket block
+    * sweep cannot invalidate it; the lifecycle hooks are the same
+    * (purge on stopped session, explicit [[evictTokenizerModels]]).
+    * Keys carry every input that changes the model: the data dir, k,
+    * and (unigram) the seed-vocab cap conf read at call time. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Vector[(Int, String, String, Long)]]()
+  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Vector[(String, Long, Long)]]()
+  // spec hooks: count ACTUAL training runs so TokenizerMemoSpec can pin
+  // that a second consumer serves from the memo instead of retraining
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val unigramTrainRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def bpeModel(s: SparkSession, dir: String,
+      k: Int = 8): Vector[(Int, String, String, Long)] = {
+    graft.operators.Checkpoints.purgeStopped(bpeMemo)(_._1)
+    bpeMemo.computeIfAbsent((s, dir, k), { _ =>
+      bpeTrainRuns.incrementAndGet()
+      bpeTrainModel(s, dir, k)
+    })
+  }
+
+  /** Drop the memoized trained models of (session, dir) — the
+    * evictTfStage sibling; next consumer retrains. Values hold no
+    * blocks, so eviction is a plain map removal. */
+  def evictTokenizerModels(s: SparkSession, dir: String): Unit = {
+    bpeMemo.keySet().removeIf(k => k._1 == s && k._2 == dir)
+    unigramMemo.keySet().removeIf(k => k._1 == s && k._2 == dir)
+  }
+
+  private def bpeTrainModel(s: SparkSession, dir: String,
+      k: Int): Vector[(Int, String, String, Long)] = {
+    import s.implicits._
     val vocab = docs(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -140,7 +186,7 @@ object TextOps {
         }
       }
     }
-    merges.result().toDF("rank", "lft", "rgt", "n").orderBy("rank")
+    merges.result().toVector
   }
 
   /** Encode the corpus WITH the table [[bpeTrain]] just learned
@@ -153,8 +199,7 @@ object TextOps {
     * mapPartitions with a per-partition word memo bounding kernel work
     * by distinct words, not the token stream. */
   private[graft] def bpeApplyCounts(s: SparkSession, dir: String): DataFrame = {
-    val table = bpeTrain(s, dir).select("lft", "rgt").collect()
-      .map(r => (r.getString(0), r.getString(1))).toVector
+    val table = bpeModel(s, dir).map(m => (m._2, m._3))
     val bc = s.sparkContext.broadcast(table)
     tokenCounts(s, dir) { w =>
       bc.value.foldLeft(graft.functions.Bpe.baseSymbols(w)) {
@@ -193,6 +238,17 @@ object TextOps {
     * chars — SentencePiece's own frequency-threshold seeding; default
     * 0 = unlimited for exact oracle parity). */
   private[graft] def unigramModel(s: SparkSession, dir: String): Vector[(String, Long, Long)] = {
+    graft.operators.Checkpoints.purgeStopped(unigramMemo)(_._1)
+    // the seed cap changes the model, so it is part of the memo key
+    // (UnigramLmSpec trains capped and uncapped in one session)
+    val cap = s.conf.get("spark.graft.unigram.maxSeedVocab", "0").toInt
+    unigramMemo.computeIfAbsent((s, dir, cap), { _ =>
+      unigramTrainRuns.incrementAndGet()
+      unigramTrainModel(s, dir)
+    })
+  }
+
+  private def unigramTrainModel(s: SparkSession, dir: String): Vector[(String, Long, Long)] = {
     import s.implicits._
     import graft.functions.UnigramLm.{MaxPiece, Lattice, Iters}
     val words = graft.operators.Checkpoints.truncate(

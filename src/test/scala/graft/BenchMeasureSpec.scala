@@ -97,6 +97,37 @@ class BenchMeasureSpec extends AnyFunSuite {
     assert(!Bench.taintedRes(allFail, prevCpu = Some(1.0)))
   }
 
+  test("first-rep blowup flag: successful first rep > 5x min wall, FAIL not double-flagged") {
+    // first rep 10x the min → flagged (the BENCH_r16 71 s signature)
+    val blown = res(Seq(
+      Bench.Rep(10.0, 10.0, 0.3, 1L, failed = false),
+      Bench.Rep(1.0, 1.0, 0.3, 1L, failed = false),
+      Bench.Rep(1.1, 1.1, 0.3, 1L, failed = false)))
+    assert(Bench.firstRepBlown(blown))
+    // ordinary warmup (< 5x) stays unflagged
+    val warm = res(Seq(
+      Bench.Rep(3.0, 3.0, 0.3, 1L, failed = false),
+      Bench.Rep(1.0, 1.0, 0.3, 1L, failed = false)))
+    assert(!Bench.firstRepBlown(warm))
+    // a FAILED first rep is already loud via the "FAIL" marker
+    val failedFirst = res(Seq(
+      Bench.Rep(10.0, 10.0, 0.3, -1L, failed = true),
+      Bench.Rep(1.0, 1.0, 0.3, 1L, failed = false)))
+    assert(!Bench.firstRepBlown(failedFirst))
+    // an all-FAIL row has no min to compare against
+    val allFail = res(Seq(Bench.Rep(0.1, 0.1, 0.3, -1L, failed = true)))
+    assert(!Bench.firstRepBlown(allFail))
+  }
+
+  test("per-rep telemetry lands in the artifact entry (gc/jit/heap tail)") {
+    val r = Bench.Rep(1.0, 2.0, 0.5, 1L, failed = false,
+      gc = 0.25, jit = 1.5, heap = 512.0)
+    assert(Bench.repsJson(Seq(r)) === "[[1.000,2.00,0.50,0.25,1.50,512]]")
+    // default sentinels when the beans are absent
+    val s = Bench.Rep(1.0, 2.0, 0.5, 1L, failed = false)
+    assert(Bench.repsJson(Seq(s)) === "[[1.000,2.00,0.50,-1.00,-1.00,-1]]")
+  }
+
   test("prevRound picks bench_r10 over bench_r9 (numeric, not name, sort)") {
     val bench = Files.createTempDirectory("graft_bench_num").toFile
     val repo = Files.createTempDirectory("graft_repo_num").toFile
