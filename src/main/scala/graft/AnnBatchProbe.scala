@@ -12,11 +12,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Three self-checked bounds (exit 1 on violation, the VecScaleProbe
   * doctrine — a regression cannot ship a green-looking artifact):
-  *   1. EXACTNESS: accumulator-counted inner-loop visits == emitted
-  *      candidate pairs at every batch size — the scorer never touches
-  *      a (row, query) pair the probe assignment didn't create (a flat
-  *      per-row membership scan pays batch-size checks per row: at
-  *      10k×200k that is 2e9 visits for the same 36M pairs).
+  *   1. EXACTNESS: inner-loop visits == emitted candidate pairs at
+  *      every batch size — the scorer never touches a (row, query)
+  *      pair the probe assignment didn't create (a flat per-row
+  *      membership scan pays batch-size checks per row: at 10k×200k
+  *      that is 2e9 visits for the same 36M pairs). Visits are counted
+  *      by PER-PARTITION TALLY ROWS summed in the same aggregation
+  *      that counts pairs — not a LongAccumulator, whose updates
+  *      inside a transformation are at-least-once under task retry /
+  *      speculation and would over-count exactly when a task reran
+  *      (ADVICE r16; a recomputed partition REPLACES its tally row, so
+  *      the column sum stays exactly-once in any environment).
   *   2. SPREAD: mean per-row visits ≤ 2 × batch·nprobe/k — the
   *      indexed work matches the assignment's load, no hot-list
   *      degeneration.
@@ -107,34 +113,50 @@ object AnnBatchProbe {
       }.toMap
       val byList = graft.queries.VectorOps.tablesByList(probes, (qid, _) => tables(qid))
       val bcIdx = spark.sparkContext.broadcast(byList)
-      val visits = spark.sparkContext.longAccumulator(s"annbatch_visits_$bn")
 
-      def scorePass(): Long =
-        encoded.as[(Long, Long, Array[Int])].mapPartitions { it =>
+      // retry-safe visit counting (ADVICE r16): each partition appends
+      // ONE tally row (q = -1, id = its inner-loop visit count) after
+      // its data rows drain — `++`'s by-name argument evaluates only
+      // once the data iterator is exhausted, so the tally sees the
+      // final count. pairs and visits come out of the SAME aggregation
+      // action; a retried/speculative task replaces its partition's
+      // rows, tally included, so neither can over-count.
+      def scorePass(): (Long, Long) = {
+        val r = encoded.as[(Long, Long, Array[Int])].mapPartitions { it =>
           val idx = bcIdx.value
-          it.flatMap { case (id, cid, codes) =>
+          var visits = 0L
+          val data = it.flatMap { case (id, cid, codes) =>
             // THE contract under test: per-row work is |byList(cid)|
             idx.getOrElse(cid, Array.empty[(Long, Array[Array[Double]])])
               .iterator.map { case (q, tabs) =>
-                visits.add(1)
+                visits += 1
                 var adq = 0.0
                 var j = 0
                 while (j < codes.length) { adq += tabs(j)(codes(j)); j += 1 }
                 (q, id, adq)
               }
           }
-        }.toDF("q", "id", "adq").count()
+          data ++ Iterator((-1L, visits, 0.0))
+        }.toDF("q", "id", "adq")
+          .selectExpr(
+            "sum(CASE WHEN q >= 0 THEN 1 ELSE 0 END) AS pairs",
+            "sum(CASE WHEN q = -1 THEN id ELSE 0 END) AS visits")
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
 
       var best = Double.MaxValue
       var pairs = 0L
+      var visitsV = 0L
       (1 to 3).foreach { _ =>
-        visits.reset()
         val s = System.nanoTime()
-        pairs = scorePass()
+        val (p, v) = scorePass()
+        pairs = p
+        visitsV = v
         val d = (System.nanoTime() - s) / 1e9
         if (d < best) best = d
       }
-      (pairs, visits.value, best)
+      (pairs, visitsV, best)
     }
 
     val batches = Seq(1000, 10000)

@@ -57,6 +57,8 @@ object Bench {
     "text_collocations", "pipe_pack_sequences_unigram", "dedup_chunk_containment",
     "graph_conductance", "pipe_remove_contained_docs",
     "ev_session_stats", "ev_markov_transition",
+    // round-17 addition: DSIR importance weighting
+    "pipe_dsir_weights",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

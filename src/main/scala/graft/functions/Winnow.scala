@@ -10,7 +10,14 @@ object Winnow {
 
   final val Base = 1000003L
 
-  /** Rolling hashes of all k-grams (length n-k+1), computed in O(n). */
+  /** Rolling hashes of all k-grams (length n-k+1), computed in O(n).
+    *
+    * Sub-gram contract (n < k): degrades to ONE whole-input hash —
+    * a short document still gets a fingerprint. NOTE the twin
+    * [[rollingHashesLongs]] deliberately differs: n < k there returns
+    * NO grams (a clip shorter than k frames cannot share a
+    * frame-gram); don't swap one kernel for the other without
+    * re-deciding that edge (ADVICE r16, pinned in VideoNeardupSpec). */
   def rollingHashes(text: String, k: Int): Array[Long] = {
     val n = text.length
     if (n < k) return Array(MinHash.splitmix64(

@@ -131,18 +131,38 @@ object Checkpoints {
     * not served (ADVICE r15). Shared by SearchOps.tfStage and
     * GraphOps' community-label memo so the probe rule cannot drift.
     *
+    * ALSO stale (VERDICT r16 task 5c — consumer-failure eviction): a
+    * registration that survives but reports FEWER cached partitions
+    * than the RDD has. Every memo builder fully materializes its
+    * checkpoint before storing the entry ([[buildPinned]] bodies run
+    * an action), so a later partial cache means executor/preemption
+    * BLOCK LOSS — the exact failure the r15 scaladoc deferred to a
+    * manual evict; now the next access detects it and rebuilds instead
+    * of serving a frame whose first action will die on a missing
+    * block. (Valid only because builders materialize eagerly: a
+    * never-materialized lazy checkpoint also reads 0 cached
+    * partitions, and this probe would rebuild it spuriously.)
+    *
     * RELIABLE checkpoints are exempt by `isLocallyCheckpointed`:
     * `Dataset.checkpoint`'s RDD never enters `getPersistentRDDs` (the
     * files, not blocks, are the source of truth — a block sweep
-    * cannot orphan it), so the old registry-membership test declared
-    * EVERY reliable memo stale and silently defeated memoization in
-    * exactly the spot-executor mode that recommends it (review r16
-    * pass 1, verified against Spark 4.1.2). */
+    * cannot orphan it, and lost blocks re-read from the files), so the
+    * old registry-membership test declared EVERY reliable memo stale
+    * and silently defeated memoization in exactly the spot-executor
+    * mode that recommends it (review r16 pass 1, verified against
+    * Spark 4.1.2). */
   def stale(df: DataFrame): Boolean = {
-    val live = df.sparkSession.sparkContext.getPersistentRDDs
+    val sc = df.sparkSession.sparkContext
+    val live = sc.getPersistentRDDs
     checkpointRdds(df).exists(r =>
       org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) &&
-        !live.contains(r.id))
+        (!live.contains(r.id) ||
+          // block-loss probe against the block-manager MASTER's
+          // synchronous map, NOT getRDDStorageInfo — the status store
+          // is listener-bus-fed and lags block events, which would let
+          // a just-broken entry serve one more doomed consumer
+          org.apache.spark.rdd.GraftRddBridge
+            .masterCachedPartitions(sc, r.id) < r.getNumPartitions))
   }
 
   /** Build-and-materialize guard for a pinned memo entry: run `body`

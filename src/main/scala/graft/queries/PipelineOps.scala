@@ -655,6 +655,10 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weighting — see [[dsirWeights]]; the oracle
+    // replays the FixedLog integer shift-and-square chain per bucket
+    "pipe_dsir_weights" -> ((s, dir) => dsirWeights(s, dir)),
+
     // Cohort retention: users bucketed by first-seen UTC day, counted
     // once per (cohort, day-offset) they were active on. Day buckets
     // are exact integer µs division (86.4e9), so both engines bucket
@@ -936,11 +940,26 @@ object PipelineOps {
     * it with `spark.graft.dupspans.maxGramDf` (> 0 drops grams
     * appearing in more than that many documents BEFORE the pair
     * join — the dedup_substring_pairs shingle-df guard; default 0 =
-    * off for exact oracle parity, and at winnow-candidate scale the
-    * pair prefilter from `dedup_substring_pairs` can gate the
-    * positional join entirely). */
+    * exact/unbounded, BUT GUARDED (VERDICT r16 #3): the unbounded
+    * path verifies the hottest gram's document frequency against
+    * [[DupSpanGuardDf]] (conf `spark.graft.dupspans.guardDf`) and
+    * fails loudly past it instead of silently running a df²-quadratic
+    * join on corpus-common boilerplate grams — the repo's
+    * fail-with-named-bound doctrine (pivot.maxKeys). The df table is
+    * one gram-keyed aggregation over the already-materialized gram
+    * stage — linear, vs the quadratic join it gates. At
+    * winnow-candidate scale the pair prefilter from
+    * `dedup_substring_pairs` can gate the positional join entirely. */
   private[graft] val DupSpanGram = 20
   private[graft] val DupSpanMinChars = 50
+
+  /** Unbounded-mode ceiling on any single gram's document frequency:
+    * past 10k docs sharing one 20-gram, that gram ALONE contributes
+    * ≥ 10⁸ candidate pairs (occurrence pairs ≥ doc pairs) — no longer
+    * a plan, a runaway. A corpus legitimately that boilerplate-heavy
+    * must choose its recall trade explicitly via
+    * `spark.graft.dupspans.maxGramDf`. */
+  private[graft] val DupSpanGuardDf = 10000L
 
   def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -953,17 +972,35 @@ object PipelineOps {
         col("text"))
       .select(col("doc_id"), col("pos"), expr(s"substring(text, pos, $k)").as("gram"))
     val maxDf = s.conf.get("spark.graft.dupspans.maxGramDf", "0").toInt
-    val g1 =
-      if (maxDf <= 0) g0
+    // the gram stage feeds the df guard/filter AND both pair-join
+    // sides — materialize it once (lazily)
+    val cp = graft.operators.Checkpoints.truncate(g0)
+    val dfTbl = cp.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val g =
+      if (maxDf > 0)
+        graft.operators.Checkpoints.truncate(
+          cp.join(dfTbl.filter(col("df") > maxDf).select("gram"),
+            Seq("gram"), "left_anti"))
       else {
-        val cp = g0.localCheckpoint(eager = false)
-        val hot = cp.select("doc_id", "gram").distinct()
-          .groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("gram")
-        cp.join(hot, Seq("gram"), "left_anti")
+        // unbounded = exact, but never silently quadratic: verify the
+        // hottest gram's df against the named bound (1-row argmax —
+        // the kmeans plan-time tier) and fail with the conf to set
+        val guard = s.conf.get("spark.graft.dupspans.guardDf",
+          DupSpanGuardDf.toString).toLong
+        val worst = dfTbl.orderBy(col("df").desc, col("gram")).limit(1).collect()
+        worst.headOption.foreach { r =>
+          val hi = r.getLong(1)
+          if (hi > guard) throw new IllegalStateException(
+            s"removeDupSpans: hottest $DupSpanGram-gram appears in $hi " +
+              s"documents (> guard $guard) — the unbounded positional " +
+              "self-join would be df²-quadratic on it. Set " +
+              "spark.graft.dupspans.maxGramDf to choose the recall trade " +
+              "explicitly (grams above that df are skipped), or raise " +
+              "spark.graft.dupspans.guardDf deliberately.")
+        }
+        cp
       }
-    // two join consumers — materialize the gram stage once (lazily)
-    val g = graft.operators.Checkpoints.truncate(g1)
     val a = g.select(col("gram"), col("doc_id").as("ida"), col("pos").as("pa"))
     val b = g.select(col("gram"), col("doc_id").as("idb"), col("pos").as("pb"))
     val mt = a.join(b, Seq("gram")).filter(col("ida") < col("idb"))
@@ -1011,6 +1048,64 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (`pipe_dsir_weights`, Xie et al.
+    * 2023 "Data Selection for Language Models via Importance
+    * Resampling"): score every document by the log-likelihood ratio of
+    * a TARGET distribution vs the RAW corpus under hashed bag-of-ngram
+    * models — the standard curation stage that up-weights data
+    * resembling a quality target. Target stand-in: the `doc_id % 97`
+    * benchmark subset (the pipe_decontaminate convention; in
+    * production an external table).
+    *
+    * Model: unigram tokens hash into [[DsirBuckets]] buckets
+    * (`pmod(fnv64(term), B)`); bucket probabilities are add-one
+    * smoothed counts, so the per-bucket log-ratio is
+    *   llr(b) = log2( (ct(b)+1)·(Tr+B) / ((cr(b)+1)·(Tt+B)) )
+    * computed on the 2^-20 integer lattice by the cross-engine-exact
+    * [[graft.functions.FixedLog]] shift-and-square kernel (NOT libm —
+    * the ln-free doctrine). A doc's weight is the exact BIGINT sum of
+    * its tokens' lattice llrs; `log2_weight` divides by 2^20
+    * (dyadic-exact) for presentation.
+    *
+    * Scale (100 TB): exactly two corpus passes, both narrow scans —
+    * one bucket-keyed count aggregation (B rows collected: the
+    * kmeans-centroid model tier, Tr/Tt derived from the same rows so
+    * no second scalar job), one scoring pass re-hashing tokens and
+    * joining the BROADCAST B-row llr table, then a doc-keyed sum.
+    * Nothing shuffles at corpus size except the per-doc aggregation,
+    * which keys on doc_id. The oracle unrolls the integer log steps as
+    * a nest() chain over the bucket CTE. */
+  private[graft] val DsirBuckets = 128
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = DsirBuckets
+    val bucketed = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("term"))
+      .select(col("doc_id"),
+        pmod(expr("fnv64(term)"), lit(B.toLong)).as("bucket"))
+    // ONE aggregation yields raw and target counts per bucket (≤ B
+    // rows — model tier); totals derive from the collected rows
+    val counts = bucketed.groupBy("bucket").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val tr = counts.map(_.getLong(1)).sum
+    val tt = counts.map(_.getLong(2)).sum
+    val llr = counts.toSeq.map { r =>
+      val (cr, ct) = (r.getLong(1), r.getLong(2))
+      (r.getLong(0), graft.functions.FixedLog.log2Fixed(
+        BigInt(ct + 1) * BigInt(tr + B), BigInt(cr + 1) * BigInt(tt + B)))
+    }.toDF("bucket", "llr")
+    bucketed.join(broadcast(llr), Seq("bucket"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"), sum(col("llr")).as("log2w_num"))
+      .select(col("doc_id"), col("n_tokens"), col("log2w_num"),
+        round(col("log2w_num") / 1048576.0, 6).as("log2_weight"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end curation integration row (`pipe_full_curation`):
     * the six already-proven stages composed in ONE plan/session —
     *   1. quality gate (token/length floors — pipe_clean_corpus's),
@@ -1037,11 +1132,45 @@ object PipelineOps {
     * running the six standalone rows (the bench row pins it). The
     * near-dup pair stage reuses pipe_clean_corpus's lazy
     * localCheckpoint so LSH signatures materialize exactly once. */
+  /** Stage 1 (quality gate) — STATELESS, shared verbatim by the batch
+    * integration row and the streaming twin
+    * ([[graft.streaming.DocsStream.curate]]) so the two cannot drift. */
+  private[graft] def qualityGate(d: DataFrame): DataFrame =
+    d.withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
+
+  /** Stages 5–6 (PII mask, mixture weights, split label) — STATELESS
+    * per-doc arithmetic over (doc_id, lang, source, text, n_tokens),
+    * shared by [[fullCuration]] and the streaming twin. No sort here:
+    * a continuous sink cannot order; the batch row adds its
+    * presentation orderBy after. */
+  private[graft] def curationTail(surv: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val contact = concat(col("text"), lit(" reach user"),
+      col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val masked = surv.withColumn("masked",
+      regexp_replace(regexp_replace(contact, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val w100 = (srcNum % 4) * 75 + 50
+    val hash = (col("doc_id") * lit(48271L)) % 65536L % 100L
+    masked
+      .withColumn("reps",
+        (w100 / 100).cast("int") + when(hash < w100 % 100, 1).otherwise(0))
+      .filter(col("reps") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("reps"))).as("copy"),
+        when(hash < 90, "train").when(hash < 95, "val")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_tokens"), length(col("masked")).as("masked_len"))
+      .select(col("doc_id"), col("copy").cast("bigint").as("copy"),
+        col("split"), col("lang"), col("n_tokens"), col("masked_len"))
+  }
+
   def fullCuration(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val quality = d
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .filter(col("n_tokens") >= 10 && length(col("text")) >= 60)
+    val quality = qualityGate(d)
     // stage 2: chunk-exact drop set — canonical owner is min(doc_id)
     // of the group (min struct(doc_id, chunk_id) orders doc first)
     val chunks = SearchOps.chunkTransform(d)
@@ -1067,30 +1196,9 @@ object PipelineOps {
     val dropSet = chunkDrop.unionByName(nearDup).unionByName(contaminated)
       .distinct().localCheckpoint(eager = false)
     val surv = quality.join(dropSet, quality("doc_id") === dropSet("did"), "left_anti")
-    // stage 5: PII mask over the synthesized contact tail
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-    val contact = concat(col("text"), lit(" reach user"),
-      col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    val masked = surv.withColumn("masked",
-      regexp_replace(regexp_replace(contact, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
-    // stage 6: integer-hundredths mixture weights + split label
-    val srcNum = substring(col("source"), 4, 10).cast("int")
-    val w100 = (srcNum % 4) * 75 + 50
-    val hash = (col("doc_id") * lit(48271L)) % 65536L % 100L
-    masked
-      .withColumn("reps",
-        (w100 / 100).cast("int") + when(hash < w100 % 100, 1).otherwise(0))
-      .filter(col("reps") >= 1)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("reps"))).as("copy"),
-        when(hash < 90, "train").when(hash < 95, "val")
-          .otherwise("test").as("split"),
-        col("lang"), col("n_tokens"), length(col("masked")).as("masked_len"))
-      .select(col("doc_id"), col("copy").cast("bigint").as("copy"),
-        col("split"), col("lang"), col("n_tokens"), col("masked_len"))
-      .orderBy("doc_id", "copy")
+    // stages 5-6 (PII mask, mixture weights, split label) — the shared
+    // stateless tail, plus the batch row's presentation sort
+    curationTail(surv).orderBy("doc_id", "copy")
   }
 
   /** 3-gram Jaccard ≥ 0.8 near-dup drop-set CTEs (idx → grams →
@@ -1130,7 +1238,66 @@ object PipelineOps {
         bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
         bad AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bench b ON f.fp = b.fp)"""
 
+  /** The `pipe_dsir_weights` SQL twin: the [[dsirWeights]] bucket
+    * model, with [[graft.functions.FixedLog.log2Fixed]]'s integer
+    * shift-and-square steps UNROLLED verbatim as a nest() chain over
+    * the ≤ B-row bucket table (7 binary-normalization steps + 20
+    * squaring/digit steps) — both engines run the identical integer
+    * ops, so the lattice llr values are equal by construction, never
+    * by libm luck. */
+  private def dsirSql: String = {
+    val B = DsirBuckets
+    import OracleSql.{nest, sb, fnvString}
+    def p2(n: Int): String = (BigInt(1) << n).toString
+    val normSteps = Seq(64, 32, 16, 8, 4, 2, 1).zipWithIndex.flatMap {
+      case (sft, i) =>
+        val c = s"x$i >= ${p2(30 + sft)}::HUGEINT"
+        Seq(
+          s"CASE WHEN $c THEN x$i // ${p2(sft)}::HUGEINT ELSE x$i END" -> s"x${i + 1}",
+          s"CASE WHEN $c THEN e$i + $sft ELSE e$i END" -> s"e${i + 1}")
+    }
+    val sqSteps = (0 until graft.functions.FixedLog.FracBits).flatMap { j =>
+      Seq(
+        s"(m$j * m$j) // ${p2(30)}::HUGEINT" -> s"t$j",
+        s"CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN t$j // 2 ELSE t$j END" -> s"m${j + 1}",
+        s"f$j * 2 + CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN 1 ELSE 0 END" -> s"f${j + 1}")
+    }
+    val chain = nest("SELECT * FROM lrb",
+      Seq(s"((num * ${p2(60)}::HUGEINT) // den) * ${p2(20)}::HUGEINT" -> "x0",
+        // exponent bias −50: x ≈ v·2^80, mantissa keeps 2^30
+        "CAST(-50 AS BIGINT)" -> "e0") ++
+        normSteps ++ Seq("x7" -> "m0", "0::HUGEINT" -> "f0") ++ sqSteps)
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        tb0 AS (SELECT doc_id, ${sb(fnvString("term"))} AS h FROM tok),
+        -- MATERIALIZED: tb feeds the bucket counts AND the scoring
+        -- join; plain inlining would re-run the per-token FNV fold
+        tb AS MATERIALIZED (
+          SELECT doc_id, ((h % $B) + $B) % $B AS bucket FROM tb0),
+        bc AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS cr,
+                      CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ct
+               FROM tb GROUP BY 1),
+        tot AS (SELECT CAST(sum(cr) AS HUGEINT) AS tr,
+                       CAST(sum(ct) AS HUGEINT) AS tt FROM bc),
+        lrb AS (SELECT bucket, (ct + 1) * (tr + $B) AS num,
+                       (cr + 1) * (tt + $B) AS den
+                FROM bc CROSS JOIN tot),
+        llr AS (SELECT bucket, CAST(e7 * ${p2(20)} + f${graft.functions.FixedLog.FracBits} AS BIGINT) AS llr
+                FROM ($chain)),
+        w AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(llr.llr) AS BIGINT) AS log2w_num
+              FROM tb JOIN llr USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_tokens, log2w_num,
+               -- + 0.0 normalizes IEEE -0.0 (the r16 signed-zero trap:
+               -- DuckDB round keeps the sign on tiny negatives, Spark's
+               -- BigDecimal round has no signed zero)
+               round(CAST(log2w_num AS DOUBLE) / 1048576.0, 6) + 0.0 AS log2_weight
+        FROM w ORDER BY doc_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "pipe_dsir_weights" -> dsirSql,
     "pipe_clean_corpus" ->
       s"""WITH $jaccardDupsCtes
          SELECT doc_id,

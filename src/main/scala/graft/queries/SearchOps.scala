@@ -110,12 +110,13 @@ object SearchOps extends Serializable {
     // was unpersisted OUTSIDE the pin discipline (raw rdd.unpersist by
     // external code) is unrecoverable — lineage truncated — and would
     // fail every consumer for the session's lifetime; drop and rebuild
-    // instead. This catches deregistration, not executor block loss:
-    // on preemptible/spot executors the local blocks themselves can
-    // vanish while the registration survives, and the rebuild-level
-    // remedy there is `spark.graft.checkpoint.reliable=true` (blocks
-    // re-read from fault-tolerant files) or an explicit
-    // [[evictTfStage]] from the consumer's failure handler.
+    // instead. Since r17 the shared probe also detects executor/
+    // preemption BLOCK LOSS (registration survives, cached partitions
+    // < partitions — the entry was fully materialized at build), so a
+    // consumer that just failed on a lost block recovers on its next
+    // call without a manual [[evictTfStage]]; reliable mode
+    // (`spark.graft.checkpoint.reliable=true`) remains the
+    // never-fails-once option on spot fleets.
     tfMemo.computeIfPresent((s, dir), { (_, entry) =>
       if (!graft.operators.Checkpoints.stale(entry._1)) entry
       else {
@@ -499,7 +500,11 @@ object SearchOps extends Serializable {
                                   AND c_ba < $ContainThreshold
                              THEN ida ELSE idb END AS doc_id
             FROM sc WHERE greatest(c_ab, c_ba) >= $ContainThreshold)
-          SELECT doc_id, lang, strlen(text) AS n_chars
+          -- length(text), not strlen(text): the engine's n_chars is
+          -- Spark length() = CHARACTERS; strlen counts BYTES and would
+          -- diverge on any non-ASCII doc (ADVICE r16 — matches the
+          -- pipe_clean_corpus convention)
+          SELECT doc_id, lang, length(text) AS n_chars
           FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM drop)
           ORDER BY doc_id""",

@@ -58,6 +58,54 @@ object DocsStream {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.SearchOps.chunkTransform(docs)
 
+  /** Curation-on-ingest (VERDICT r16 #8): `pipe_full_curation`'s
+    * STREAMABLE stages composed over a readStream source —
+    *   1. quality gate ([[graft.queries.PipelineOps.qualityGate]],
+    *      stateless, shared verbatim with the batch row),
+    *   4. benchmark decontamination (broadcast fingerprint set — the
+    *      [[decontaminate]] kernel, keeping all columns),
+    *   5-6. PII mask + mixture weights + split label
+    *      ([[graft.queries.PipelineOps.curationTail]], stateless).
+    *
+    * Stages 2 (chunk-exact dedup) and 3 (MinHash near-dup removal) are
+    * SEMANTICALLY BATCH-ONLY and deliberately absent: their drop sets
+    * are corpus-GLOBAL — the canonical owner of a duplicated chunk and
+    * the lower id of a verified near-dup pair are properties of the
+    * whole corpus, and a stream that has seen a prefix cannot know
+    * whether a lower-id owner is still to arrive (an arrival-order
+    * "first wins" would diverge from the batch keep-lowest rule
+    * whenever ids arrive out of order). A production stream runs those
+    * two as periodic batch compaction over the accumulated corpus.
+    *
+    * Consequently the output is a SUPERSET of the batch
+    * `pipe_full_curation` rows: identical on every doc the batch row
+    * keeps (the shared stages are the same code), plus the docs only
+    * stages 2-3 would drop. Stateless end-to-end — no watermark, no
+    * state store; the union over ANY micro-batch cuts equals the
+    * same composition applied in batch (DocsStreamSpec pins both the
+    * cut-invariance and the superset/identity containments). */
+  def curate(docs: DataFrame,
+      benchFps: java.util.HashSet[java.lang.Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(benchFps)
+    val quality = graft.queries.PipelineOps.qualityGate(docs)
+    // decontamination keeping all tail inputs (doc_id, lang, source,
+    // text, n_tokens); quality already filtered null text (length
+    // gate), so the winnow kernel never sees null
+    val kept = quality
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_tokens"))
+      .as[(Long, String, String, String, Int)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.filter { case (_, _, _, text, _) =>
+          !graft.functions.Winnow.fingerprints(text, 20, 4).exists(set.contains)
+        }
+      }.toDF("doc_id", "lang", "source", "text", "n_tokens")
+    graft.queries.PipelineOps.curationTail(kept)
+  }
+
   /** Phrase-detection-on-ingest: the streaming form of
     * `search_phrase`. The phrase table is query-batch-sized and
     * static (alert phrases are curated, like benchmark fingerprints),

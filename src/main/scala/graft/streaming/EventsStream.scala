@@ -329,10 +329,16 @@ object EventsStream {
     * SEMANTIC CHOICE, not an identity: the carried (t1, t2) pair dies
     * with the state, so a trigram never spans an idle gap longer than
     * the horizon — the session-scoped reading of path analysis.
-    * Batch parity holds exactly while no user idles past the horizon
-    * (the fixture's max intra-user gap is ~4 days;
-    * MicroBatchSplitSpec stays green with eviction armed, and
-    * StateEvictionSpec pins the store shrinking). `idleEvictUs <= 0`
+    * Batch parity is BOUNDED-DISORDER CONDITIONAL, not unconditional
+    * (ADVICE r15/VERDICT r16 #5b): it holds while no user idles past
+    * the horizon AND cross-user event-time disorder stays within it —
+    * the armed watermark is GLOBAL, so a row arriving more than the
+    * horizon behind the stream's maximum event time is dropped by the
+    * engine's late filter even when ITS user never idled (the
+    * per-user straggler rule would have absorbed it). The fixture's
+    * max intra-user gap is ~4 days and its disorder is micro-batch-
+    * bounded; MicroBatchSplitSpec stays green with eviction armed,
+    * and StateEvictionSpec pins the store shrinking. `idleEvictUs <= 0`
     * disables eviction — no watermark is attached at all, so
     * arbitrarily late rows reach the per-user straggler rule
     * (strictly CLOSER to batch parity than r14's unconditional

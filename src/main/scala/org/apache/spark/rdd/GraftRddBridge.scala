@@ -12,4 +12,25 @@ package org.apache.spark.rdd
   * when the probe must fire. Same technique as GraftExpressionBridge. */
 object GraftRddBridge {
   def isLocallyCheckpointed(rdd: RDD[_]): Boolean = rdd.isLocallyCheckpointed
+
+  /** Drop ONE materialized block of an RDD without deregistering it —
+    * the test seam that simulates executor/preemption block loss (the
+    * registration survives, the data doesn't), which the memo
+    * staleness probe must detect as unrecoverable. `removeBlock` is
+    * master-API (private[spark]); production code never calls this. */
+  def dropBlock(sc: org.apache.spark.SparkContext, rddId: Int, split: Int): Unit =
+    sc.env.blockManager.master.removeBlock(
+      org.apache.spark.storage.RDDBlockId(rddId, split))
+
+  /** How many of `rddId`'s partitions the block-manager MASTER
+    * currently knows a block for — the SYNCHRONOUS view the memo
+    * block-loss probe needs. `SparkContext.getRDDStorageInfo` reads
+    * the listener-bus-fed status store, which lags block events by an
+    * async hop (the r17 block-drop spec read a full cache right after
+    * the drop); the master's blockLocations map is the source of
+    * truth. `askStorageEndpoints = false` keeps this one driver-local
+    * ask — no executor fan-out per memo access. */
+  def masterCachedPartitions(sc: org.apache.spark.SparkContext, rddId: Int): Int =
+    sc.env.blockManager.master.getMatchingBlockIds(
+      _.asRDDId.exists(_.rddId == rddId), askStorageEndpoints = false).size
 }

@@ -135,4 +135,57 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  /** The master confirms block removal through a short async hop in
+    * some paths — poll rather than assert instantly. */
+  private def eventually(cond: => Boolean, ms: Long = 10000): Boolean = {
+    val t0 = System.nanoTime()
+    var ok = cond
+    while (!ok && (System.nanoTime() - t0) / 1e6 < ms) {
+      Thread.sleep(100); ok = cond
+    }
+    ok
+  }
+
+  test("stale(): BLOCK LOSS (registration survives, a block vanishes) is stale") {
+    import spark.implicits._
+    // multi-partition so one dropped block is a PARTIAL loss — the
+    // preemption signature the r15 scaladoc deferred to manual evicts
+    val local = (0 until 1000).map(i => (i.toLong, i * 3L)).toDF("a", "b")
+      .repartition(4).localCheckpoint(eager = false)
+    local.count() // fully materialized: 4 cached partitions
+    assert(!Checkpoints.stale(local))
+    val id = Checkpoints.checkpointRddIds(local).head
+    try {
+      org.apache.spark.rdd.GraftRddBridge.dropBlock(spark.sparkContext, id, 0)
+      assert(eventually(Checkpoints.stale(local)),
+        "lost block not detected — the memo would serve an unrecoverable frame")
+    } finally
+      // release the rest so later suites see no leftover blocks
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+  }
+
+  test("tfStage recovers from a forced block drop (consumer-failure eviction, VERDICT r16 5c)") {
+    val sf001 = "/root/testdata/sf0.001"
+    graft.queries.SearchOps.evictTfStage(spark, sf001)
+    try {
+      val (tf1, n1, s1) = graft.queries.SearchOps.tfStage(spark, sf001)
+      // simulate preemption: one block of the memoized checkpoint dies
+      // while its registration survives
+      val id = Checkpoints.checkpointRddIds(tf1).head
+      org.apache.spark.rdd.GraftRddBridge.dropBlock(spark.sparkContext, id, 0)
+      assert(eventually(Checkpoints.stale(tf1)), "block loss not observed")
+      // next access must detect the loss and REBUILD (a served stale
+      // frame would fail its first action on the missing block)
+      val (tf2, n2, s2) = graft.queries.SearchOps.tfStage(spark, sf001)
+      assert(tf2 ne tf1, "stale entry served after block loss")
+      assert((n2, s2) === (n1, s1), "rebuilt stage must carry the same corpus scalars")
+      assert(tf2.count() > 0, "rebuilt stage unreadable")
+    } finally
+      // ALWAYS evict: a broken memo entry left behind poisons every
+      // later tfStage consumer in the shared-session suite (r17: the
+      // first run of this spec failed mid-test and took SearchOpsSpec
+      // down with it)
+      graft.queries.SearchOps.evictTfStage(spark, sf001)
+  }
+
 }

@@ -22,13 +22,18 @@ class NgramPpxSpec extends AnyFunSuite {
     // mismatch — fail HERE with the bound named instead (the chunkCtes
     // maxChunks<900 doctrine)
     import org.apache.spark.sql.functions._
-    val maxToks = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("text").isNotNull)
-      .select(size(split(col("text"), " ", -1)).as("n"))
-      .agg(max(col("n"))).collect()(0).getInt(0)
-    assert(maxToks < 900,
-      s"a $maxToks-token doc approaches the oracle's range(1,1024) bigram cap " +
-        "— raise gs in TextOps.oracle(text_ngram_ppx) AND (text_collocations) first")
+    // ALL gate SFs, not just sf0.001 (VERDICT r16 #5a: the gate runs
+    // at sf0.01/sf0.1 too, and a long doc there would surface as a
+    // bare hash mismatch this guard exists to pre-empt)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sfn =>
+      val maxToks = spark.read.parquet(s"/root/testdata/$sfn/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(size(split(col("text"), " ", -1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getInt(0)
+      assert(maxToks < 900,
+        s"a $maxToks-token doc at $sfn approaches the oracle's range(1,1024) bigram " +
+          "cap — raise gs in TextOps.oracle(text_ngram_ppx) AND (text_collocations) first")
+    }
   }
 
   test("doc scores equal the classic add-one bigram reference; worst 1% flagged") {

@@ -133,13 +133,16 @@ class SearchOpsSpec extends AnyFunSuite {
     // uncapped (ADVICE r15): a doc with > 1023 bigram positions would
     // surface as a bare oracle hash mismatch — fail HERE with the
     // bound named instead (the chunkCtes maxChunks<900 doctrine)
-    val maxToks = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("text").isNotNull)
-      .select(size(split(col("text"), " ", -1)).as("n"))
-      .agg(max(col("n"))).collect()(0).getInt(0)
-    assert(maxToks < 900,
-      s"a $maxToks-token doc approaches the oracle's range(1,1024) position cap " +
-        "— raise gs in SearchOps.oracle(search_phrase) first")
+    // ALL gate SFs, not just sf0.001 (VERDICT r16 #5a)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sfn =>
+      val maxToks = spark.read.parquet(s"/root/testdata/$sfn/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(size(split(col("text"), " ", -1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getInt(0)
+      assert(maxToks < 900,
+        s"a $maxToks-token doc at $sfn approaches the oracle's range(1,1024) position " +
+          "cap — raise gs in SearchOps.oracle(search_phrase) first")
+    }
   }
 
   test("shared tf stage survives a blanket persisted-block sweep (pin registry)") {

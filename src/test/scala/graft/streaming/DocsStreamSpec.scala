@@ -109,4 +109,46 @@ class DocsStreamSpec extends AnyFunSuite {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("stream curation: cut-invariant, identical to batch composition, superset of pipe_full_curation") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val benchFps = DocsStream.benchmarkFingerprints(
+      docs.filter(col("doc_id") % 97 === 0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getInt(5))
+    // batch form of the same composition — the cut-invariance target
+    val batch = DocsStream.curate(docs, benchFps).collect().map(key).toSet
+    assert(batch.nonEmpty)
+    // containment vs the full batch integration row: curate skips the
+    // batch-only global drop stages (chunk-exact, near-dup), so its
+    // output is a SUPERSET with identical rows on every shared doc
+    val full = graft.queries.PipelineOps.queries("pipe_full_curation")(spark, dir)
+      .collect().map(key).toSet
+    assert(full.subsetOf(batch),
+      "a doc the batch row keeps must stream through identically")
+    // three RANDOM micro-batch cuts over a seeded shuffle: stateless
+    // end-to-end, so the union must equal the batch composition
+    val rnd = new scala.util.Random(20260815)
+    val rows = rnd.shuffle(docs.collect().toSeq)
+    val c1 = 1 + rnd.nextInt(rows.length - 2)
+    val c2 = c1 + 1 + rnd.nextInt(rows.length - c1 - 1)
+    val slices = Seq(rows.slice(0, c1), rows.slice(c1, c2), rows.slice(c2, rows.length))
+    val streamDir = java.nio.file.Files.createTempDirectory("curatestream")
+    val streamIn = spark.readStream.schema(docs.schema).parquet(s"$streamDir/*")
+    val q = DocsStream.curate(streamIn, benchFps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated")
+      .start()
+    try {
+      slices.zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.asJava, docs.schema)
+          .coalesce(1).write.parquet(s"$streamDir/b$i")
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("curated").collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
