@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed-size, pre-touched heap: the r16 driver bench showed 10-30x
+  // CPU inflation on allocation-heavy rows that fresh same-code runs
+  // could not reproduce — consistent with host-state-dependent page
+  // fault/reclaim cost landing inside timed reps. Pre-touching at JVM
+  // start moves first-touch cost out of measurements and off the
+  // degraded-host failure path (~1-2 s per forked JVM, paid once).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )
