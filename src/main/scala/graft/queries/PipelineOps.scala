@@ -953,52 +953,81 @@ object PipelineOps {
   private[graft] val DupSpanGram = 20
   private[graft] val DupSpanMinChars = 50
 
-  /** Unbounded-mode ceiling on any single gram's document frequency:
-    * past 10k docs sharing one 20-gram, that gram ALONE contributes
-    * ≥ 10⁸ candidate pairs (occurrence pairs ≥ doc pairs) — no longer
-    * a plan, a runaway. A corpus legitimately that boilerplate-heavy
-    * must choose its recall trade explicitly via
+  /** Unbounded-mode ceiling on any single gram's OCCURRENCE count:
+    * past 10k occurrences of one 20-gram, that gram ALONE contributes
+    * ~10⁸ candidate pairs (the join volume is occurrence², which is
+    * why the guard counts occurrences, not document frequency — occ ≥
+    * df, so it is also the stricter bound, and it needs no distinct
+    * pass) — no longer a plan, a runaway. A corpus legitimately that
+    * boilerplate-heavy must choose its recall trade explicitly via
     * `spark.graft.dupspans.maxGramDf`. */
-  private[graft] val DupSpanGuardDf = 10000L
+  private[graft] val DupSpanGuardOcc = 10000L
+
+  /** Session memo of the corpus's hottest-gram occurrence count — the
+    * guard's input scalar, a property of (corpus, gram size) alone. */
+  private val dupSpanOccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
 
   def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = DupSpanGram
     val minRun = DupSpanMinChars - k + 1 // 31: run length ⇒ span ≥ 50 chars
     val d = t(s, dir, "documents")
-    val g0 = d.filter(length(col("text")) >= k) // null-safe: length(NULL) filters out
+    val d0 = d.filter(length(col("text")) >= k) // null-safe: length(NULL) filters out
+    // spread the gram explode BEFORE it fans out: a single-file gate
+    // corpus scans as ONE task, which made the r17 guard's map-side
+    // aggregation (and the checkpoint write) single-threaded — a 20x
+    // row regression. The doc rows are tiny pre-explode, so this
+    // round-robin exchange is ~free; a many-file 100 TB scan already
+    // exceeds the target parallelism and is left untouched.
+    val sp = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val dSpread = if (d0.rdd.getNumPartitions < sp) d0.repartition(sp) else d0
+    val g0 = dSpread
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"), expr(s"substring(text, pos, $k)").as("gram"))
     val maxDf = s.conf.get("spark.graft.dupspans.maxGramDf", "0").toInt
-    // the gram stage feeds the df guard/filter AND both pair-join
+    // the gram stage feeds the guard/df-filter AND both pair-join
     // sides — materialize it once (lazily)
     val cp = graft.operators.Checkpoints.truncate(g0)
-    val dfTbl = cp.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
     val g =
       if (maxDf > 0)
+        // the recall-trade cap is DOCUMENT frequency (the Lee-style
+        // notion a caller reasons about); only this opt-in path pays
+        // the distinct
         graft.operators.Checkpoints.truncate(
-          cp.join(dfTbl.filter(col("df") > maxDf).select("gram"),
+          cp.join(cp.select("doc_id", "gram").distinct()
+              .groupBy("gram").agg(count(lit(1)).as("df"))
+              .filter(col("df") > maxDf).select("gram"),
             Seq("gram"), "left_anti"))
       else {
         // unbounded = exact, but never silently quadratic: verify the
-        // hottest gram's df against the named bound (1-row argmax —
-        // the kmeans plan-time tier) and fail with the conf to set
-        val guard = s.conf.get("spark.graft.dupspans.guardDf",
-          DupSpanGuardDf.toString).toLong
-        val worst = dfTbl.orderBy(col("df").desc, col("gram")).limit(1).collect()
-        worst.headOption.foreach { r =>
-          val hi = r.getLong(1)
-          if (hi > guard) throw new IllegalStateException(
-            s"removeDupSpans: hottest $DupSpanGram-gram appears in $hi " +
-              s"documents (> guard $guard) — the unbounded positional " +
-              "self-join would be df²-quadratic on it. Set " +
-              "spark.graft.dupspans.maxGramDf to choose the recall trade " +
-              "explicitly (grams above that df are skipped), or raise " +
-              "spark.graft.dupspans.guardDf deliberately.")
-        }
+        // hottest gram's OCCURRENCE count against the named bound
+        // (one gram-keyed aggregation + 1-row argmax — occurrences
+        // bound the join volume directly and need no distinct pass)
+        // and fail with the conf to set. The hottest-occ scalar is a
+        // property of (corpus, k) alone, so it is SESSION-MEMOIZED
+        // like every corpus-stats stage (tfStage doctrine): the first
+        // call pays one linear aggregation (~10 CPU-s at sf0.1, the
+        // r17 20x row-regression lesson), every later call is a map
+        // lookup; the threshold check itself runs per call, so a
+        // too-hot corpus throws every time, not just once
+        val guard = s.conf.get("spark.graft.dupspans.guardOcc",
+          DupSpanGuardOcc.toString).toLong
+        graft.operators.Checkpoints.purgeStopped(dupSpanOccMemo)(_._1)
+        val hi: Long = dupSpanOccMemo.computeIfAbsent((s, dir), { _ =>
+          Long.box(cp.groupBy("gram").agg(count(lit(1)).as("occ"))
+            .orderBy(col("occ").desc, col("gram")).limit(1).collect()
+            .headOption.map(_.getLong(1)).getOrElse(0L))
+        })
+        if (hi > guard) throw new IllegalStateException(
+          s"removeDupSpans: hottest $DupSpanGram-gram occurs $hi " +
+            s"times (> guard $guard) — the unbounded positional " +
+            "self-join would be occurrence²-quadratic on it. Set " +
+            "spark.graft.dupspans.maxGramDf to choose the recall trade " +
+            "explicitly (grams above that doc frequency are skipped), " +
+            "or raise spark.graft.dupspans.guardOcc deliberately.")
         cp
       }
     val a = g.select(col("gram"), col("doc_id").as("ida"), col("pos").as("pa"))

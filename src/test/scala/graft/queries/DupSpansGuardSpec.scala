@@ -43,7 +43,7 @@ class DupSpansGuardSpec extends AnyFunSuite {
   test("unbounded default is exact: both spans cut from every non-owner") {
     val spark = graft.sources.SparkTestSession.spark
     spark.conf.unset("spark.graft.dupspans.maxGramDf")
-    spark.conf.unset("spark.graft.dupspans.guardDf")
+    spark.conf.unset("spark.graft.dupspans.guardOcc")
     val m = run()
     assert(m(0)._1 === 0L && m(0)._2.contains(boiler), "lowest id keeps its copy")
     Seq(1L, 2L, 3L).foreach(id =>
@@ -52,14 +52,14 @@ class DupSpansGuardSpec extends AnyFunSuite {
     assert(!m(4)._2.contains(dup2) && m(4)._1 === 1L)
   }
 
-  test("guard below the hottest gram df fails loudly, naming the conf") {
+  test("guard below the hottest gram occurrence count fails loudly, naming the conf") {
     val spark = graft.sources.SparkTestSession.spark
-    spark.conf.set("spark.graft.dupspans.guardDf", "3")
+    spark.conf.set("spark.graft.dupspans.guardOcc", "3")
     try {
       val e = intercept[IllegalStateException](run())
       assert(e.getMessage.contains("spark.graft.dupspans.maxGramDf"), e.getMessage)
-      assert(e.getMessage.contains("4 documents"), e.getMessage)
-    } finally spark.conf.unset("spark.graft.dupspans.guardDf")
+      assert(e.getMessage.contains("occurs 4 times"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.dupspans.guardOcc")
   }
 
   test("maxGramDf set: hot grams skipped (explicit recall trade), cool dups still cut") {
