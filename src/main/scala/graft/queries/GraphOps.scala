@@ -35,6 +35,86 @@ object GraphOps extends Serializable {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Session memo of the GRAPH EDGE TABLES every graph row re-derived
+    * per call (r17, the detect-once-consume-many doctrine extended to
+    * the graph inputs): the symmetric order graph feeds
+    * pagerank/lpa/modularity/conductance and the simhash pair graph
+    * feeds triangles/clustering-coeff/kcore — within one session each
+    * previously re-ran its whole derivation (orders⋈lineitem distinct,
+    * or corpus fingerprinting + banded pair join) per query. Entries
+    * are pinned eager checkpoints exactly like [[lpaLabels]]
+    * (pin-before-materialize + [[graft.operators.Checkpoints.buildPinned]]
+    * + the shared staleness probe); [[evictGraphEdges]] is the
+    * end-of-life hook. Keyed by a `kind` tag so the two tables of one
+    * (session, dir) coexist. */
+  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def memoEdges(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    graft.operators.Checkpoints.purgeStopped(edgeMemo)(_._1)
+    edgeMemo.computeIfPresent((s, dir, kind), { (_, e) =>
+      if (!graft.operators.Checkpoints.stale(e)) e
+      else { graft.operators.Checkpoints.unpinAndUnpersist(e); null }
+    })
+    edgeMemo.computeIfAbsent((s, dir, kind), { _ =>
+      val df = graft.operators.Checkpoints.pinCheckpointed(build)
+      graft.operators.Checkpoints.buildPinned(df) {
+        df.count()
+        df
+      }
+    })
+  }
+
+  /** Drop the memoized edge tables of (session, dir) — the
+    * evictLpaLabels sibling. */
+  def evictGraphEdges(s: SparkSession, dir: String): Unit = {
+    val it = edgeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s && e.getKey._2 == dir) {
+        it.remove()
+        graft.operators.Checkpoints.unpinAndUnpersist(e.getValue)
+      }
+    }
+  }
+
+  /** The simhash near-dup pair graph as (ida, idb) edges — memoized
+    * per session (see [[edgeMemo]]); the derivation (fingerprint +
+    * banded pair join) is [[TextOps.simhashPairsForGraph]]. */
+  private[graft] def pairGraphEdges(s: SparkSession, dir: String): DataFrame =
+    memoEdges(s, dir, "simhash")(
+      graft.operators.Checkpoints.truncate(
+        TextOps.simhashPairsForGraph(s, dir).select("ida", "idb")))
+
+  /** THE symmetric order-graph edge table — node ids even = customer,
+    * odd = supplier (collision-free) — materialized ONCE per session,
+    * hash-partitioned on src: downstream branches would otherwise
+    * re-derive the whole orders⨝lineitem⨝distinct pipeline, and
+    * per-iteration src joins reuse the checkpointed partitioning
+    * instead of re-shuffling every iteration. Shared by pagerank and
+    * labelProp (review r15 pass 3: a drifted copy would silently skew
+    * one query family while the other keeps passing); the oracle-side
+    * twin is [[orderEdgesCtes]]. */
+  private def symmetricOrderEdges(s: SparkSession, dir: String): DataFrame =
+    memoEdges(s, dir, "order") {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Checkpoints.truncate(
+        base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")))
+    }
+
+  /** SQL twin of [[symmetricOrderEdges]] (the e0/edges CTE pair). */
+  private val orderEdgesCtes: String =
+    """e0 AS (
+         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+
   /** Scaled PageRank (pr = pagerank × N) on the symmetric
     * customer↔supplier edge set, `iters` damped iterations.
     *
@@ -46,33 +126,6 @@ object GraphOps extends Serializable {
     * DIRECTED edge set is NOT supported as-is: dangling nodes (no
     * out-edges) would silently leak their mass each iteration — add
     * the standard dangling-mass redistribution term first. */
-  /** THE symmetric order-graph edge table — node ids even = customer,
-    * odd = supplier (collision-free) — materialized ONCE,
-    * hash-partitioned on src: downstream branches would otherwise
-    * re-derive the whole orders⨝lineitem⨝distinct pipeline, and
-    * per-iteration src joins reuse the checkpointed partitioning
-    * instead of re-shuffling every iteration. Shared by pagerank and
-    * labelProp (review r15 pass 3: a drifted copy would silently skew
-    * one query family while the other keeps passing); the oracle-side
-    * twin is [[orderEdgesCtes]]. */
-  private def symmetricOrderEdges(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    graft.operators.Checkpoints.truncate(
-      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
-  }
-
-  /** SQL twin of [[symmetricOrderEdges]] (the e0/edges CTE pair). */
-  private val orderEdgesCtes: String =
-    """e0 AS (
-         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
-
   def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank iters must be >= 1, got $iters")
     val edges0 = symmetricOrderEdges(s, dir)
@@ -417,15 +470,15 @@ object GraphOps extends Serializable {
     // mutual near-duplicate triples on the simhash pair graph — the
     // clique-ish structure a dedup-cluster QA pass looks for
     "graph_triangles" -> ((s, dir) =>
-      triangles(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))),
+      triangles(pairGraphEdges(s, dir))),
     "graph_clustering_coeff" -> ((s, dir) =>
-      clusteringCoeff(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"))),
+      clusteringCoeff(pairGraphEdges(s, dir))),
     // core numbers up to KcoreMax with KcorePasses peel rounds per
     // level — constants shared with the unrolled oracle; the engine
     // stops each level at its fixpoint (extra oracle passes are
     // idempotent) and GraphKcoreSpec guards both budgets vs the corpus
     "graph_kcore" -> ((s, dir) =>
-      coreNumbers(TextOps.simhashPairsForGraph(s, dir).select("ida", "idb"),
+      coreNumbers(pairGraphEdges(s, dir),
         KcoreMax, KcorePasses)),
     // community detection on the order graph — the oracle unrolls the
     // default iteration count (the pagerank doctrine); labels come
