@@ -32,12 +32,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Fixed-size, pre-touched heap: the r16 driver bench showed 10-30x
-  // CPU inflation on allocation-heavy rows that fresh same-code runs
-  // could not reproduce — consistent with host-state-dependent page
-  // fault/reclaim cost landing inside timed reps. Pre-touching at JVM
-  // start moves first-touch cost out of measurements and off the
-  // degraded-host failure path (~1-2 s per forked JVM, paid once).
+)
+// Fixed-size, pre-touched heap for `run` (Bench/Verify/probes) ONLY:
+// the r16 driver bench showed 10-30x CPU inflation on allocation-heavy
+// rows that fresh same-code runs could not reproduce — consistent with
+// host-state-dependent page fault/reclaim cost landing inside timed
+// reps. Pre-touching at JVM start moves first-touch cost out of
+// measurements and off the degraded-host failure path (~1-2 s per
+// forked JVM, paid once). NOT applied to test JVMs: committing the
+// full 8 GB up front would fail `sbt test` outright on a small host
+// where the lazy commit runs fine (review r17).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )

@@ -415,16 +415,22 @@ object Bench {
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     def heapUsedMb(): Double = memBean.getHeapMemoryUsage.getUsed / 1048576.0
     val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-    def poolMb(sub: String)(of: java.lang.management.MemoryUsage => Long): Double = {
-      val vs = pools.filter(_.getName.toLowerCase.contains(sub))
+    def poolMb(subs: Seq[String])(of: java.lang.management.MemoryUsage => Long): Double = {
+      val vs = pools.filter(p =>
+          subs.exists(p.getName.toLowerCase.contains))
         .map(p => of(p.getUsage)).filter(_ >= 0)
       if (vs.isEmpty) -1.0 else vs.sum / 1048576.0
     }
+    // "codeheap" = segmented code cache (default); "code cache" = the
+    // unsegmented pool under -XX:-SegmentedCodeCache — the very JVM
+    // configuration someone chasing a JIT-churn hypothesis would run,
+    // where a -1 sentinel would blind the adjudication (review r17)
+    val codePools = Seq("codeheap", "code cache")
     def jvmJson(): String = {
       val hu = memBean.getHeapMemoryUsage
       f"""{"heap_used_mb":${hu.getUsed / 1048576.0}%.0f,"heap_max_mb":${hu.getMax / 1048576.0}%.0f,""" +
-        f""""code_used_mb":${poolMb("codeheap")(_.getUsed)}%.1f,"code_max_mb":${poolMb("codeheap")(_.getMax)}%.1f,""" +
-        f""""meta_used_mb":${poolMb("metaspace")(_.getUsed)}%.1f,""" +
+        f""""code_used_mb":${poolMb(codePools)(_.getUsed)}%.1f,"code_max_mb":${poolMb(codePools)(_.getMax)}%.1f,""" +
+        f""""meta_used_mb":${poolMb(Seq("metaspace"))(_.getUsed)}%.1f,""" +
         f""""gc_total_s":${gcMillis() / 1e3}%.2f,"jit_total_s":${jitMillis() / 1e3}%.2f}"""
     }
     val jvmStart = jvmJson()

@@ -161,8 +161,8 @@ object Checkpoints {
           // synchronous map, NOT getRDDStorageInfo — the status store
           // is listener-bus-fed and lags block events, which would let
           // a just-broken entry serve one more doomed consumer
-          org.apache.spark.rdd.GraftRddBridge
-            .masterCachedPartitions(sc, r.id) < r.getNumPartitions))
+          org.apache.spark.rdd.GraftRddBridge.masterCachedPartitions(
+            sc, r.id, r.getNumPartitions) < r.getNumPartitions))
   }
 
   /** Build-and-materialize guard for a pinned memo entry: run `body`

@@ -941,32 +941,35 @@ object PipelineOps {
     * appearing in more than that many documents BEFORE the pair
     * join — the dedup_substring_pairs shingle-df guard; default 0 =
     * exact/unbounded, BUT GUARDED (VERDICT r16 #3): the unbounded
-    * path verifies the hottest gram's document frequency against
-    * [[DupSpanGuardDf]] (conf `spark.graft.dupspans.guardDf`) and
-    * fails loudly past it instead of silently running a df²-quadratic
-    * join on corpus-common boilerplate grams — the repo's
-    * fail-with-named-bound doctrine (pivot.maxKeys). The df table is
-    * one gram-keyed aggregation over the already-materialized gram
-    * stage — linear, vs the quadratic join it gates. At
+    * path verifies the join's total candidate volume Σ occurrence²
+    * against [[DupSpanGuardPairs]] (conf
+    * `spark.graft.dupspans.guardPairs`) and fails loudly past it
+    * instead of silently running a quadratic join on corpus-common
+    * boilerplate grams — the repo's fail-with-named-bound doctrine
+    * (pivot.maxKeys). The occurrence table is one gram-keyed
+    * aggregation over the already-materialized gram stage — linear,
+    * session-memoized — vs the quadratic join it gates. At
     * winnow-candidate scale the pair prefilter from
     * `dedup_substring_pairs` can gate the positional join entirely. */
   private[graft] val DupSpanGram = 20
   private[graft] val DupSpanMinChars = 50
 
-  /** Unbounded-mode ceiling on any single gram's OCCURRENCE count:
-    * past 10k occurrences of one 20-gram, that gram ALONE contributes
-    * ~10⁸ candidate pairs (the join volume is occurrence², which is
-    * why the guard counts occurrences, not document frequency — occ ≥
-    * df, so it is also the stricter bound, and it needs no distinct
-    * pass) — no longer a plan, a runaway. A corpus legitimately that
-    * boilerplate-heavy must choose its recall trade explicitly via
+  /** Unbounded-mode ceiling on the positional self-join's TOTAL
+    * candidate volume, Σ_gram occurrence² — the exact pair count the
+    * join will produce (review r17: bounding only the single hottest
+    * gram missed the many-medium-templates corpus where every gram
+    * stays under a per-gram cap but the SUM is still a runaway). 10⁸
+    * pairs ≈ the point where this stops being a plan; occurrence
+    * counting needs no distinct pass, and the same aggregation yields
+    * the hottest gram for the error message. A corpus legitimately
+    * past the bound must choose its recall trade explicitly via
     * `spark.graft.dupspans.maxGramDf`. */
-  private[graft] val DupSpanGuardOcc = 10000L
+  private[graft] val DupSpanGuardPairs = 100000000L
 
-  /** Session memo of the corpus's hottest-gram occurrence count — the
-    * guard's input scalar, a property of (corpus, gram size) alone. */
+  /** Session memo of the corpus's (Σ occ², hottest occ) guard scalars
+    * — properties of (corpus, gram size) alone. */
   private val dupSpanOccMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
+    (SparkSession, String), (Long, Long)]()
 
   def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1003,31 +1006,36 @@ object PipelineOps {
             Seq("gram"), "left_anti"))
       else {
         // unbounded = exact, but never silently quadratic: verify the
-        // hottest gram's OCCURRENCE count against the named bound
-        // (one gram-keyed aggregation + 1-row argmax — occurrences
-        // bound the join volume directly and need no distinct pass)
-        // and fail with the conf to set. The hottest-occ scalar is a
-        // property of (corpus, k) alone, so it is SESSION-MEMOIZED
-        // like every corpus-stats stage (tfStage doctrine): the first
-        // call pays one linear aggregation (~10 CPU-s at sf0.1, the
-        // r17 20x row-regression lesson), every later call is a map
-        // lookup; the threshold check itself runs per call, so a
-        // too-hot corpus throws every time, not just once
-        val guard = s.conf.get("spark.graft.dupspans.guardOcc",
-          DupSpanGuardOcc.toString).toLong
+        // join's TOTAL candidate volume Σ occ² (plus the hottest gram
+        // for the message) against the named bound — one gram-keyed
+        // aggregation, no distinct pass — and fail with the conf to
+        // set. The scalars are properties of (corpus, k) alone, so
+        // they are SESSION-MEMOIZED like every corpus-stats stage
+        // (tfStage doctrine): the first call pays one linear
+        // aggregation (~10 CPU-s at sf0.1, the r17 20x row-regression
+        // lesson), every later call is a map lookup; the threshold
+        // check itself runs per call, so a too-hot corpus throws
+        // every time, not just once
+        val guard = s.conf.get("spark.graft.dupspans.guardPairs",
+          DupSpanGuardPairs.toString).toLong
         graft.operators.Checkpoints.purgeStopped(dupSpanOccMemo)(_._1)
-        val hi: Long = dupSpanOccMemo.computeIfAbsent((s, dir), { _ =>
-          Long.box(cp.groupBy("gram").agg(count(lit(1)).as("occ"))
-            .orderBy(col("occ").desc, col("gram")).limit(1).collect()
-            .headOption.map(_.getLong(1)).getOrElse(0L))
+        val (vol, hi) = dupSpanOccMemo.computeIfAbsent((s, dir), { _ =>
+          cp.groupBy("gram").agg(count(lit(1)).as("occ"))
+            .agg(sum(col("occ") * col("occ")).as("vol"), max(col("occ")).as("hi"))
+            .collect().headOption
+            // NULL aggregates on an empty/too-short corpus = no grams
+            .map(r => (if (r.isNullAt(0)) 0L else r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1)))
+            .getOrElse((0L, 0L))
         })
-        if (hi > guard) throw new IllegalStateException(
-          s"removeDupSpans: hottest $DupSpanGram-gram occurs $hi " +
-            s"times (> guard $guard) — the unbounded positional " +
-            "self-join would be occurrence²-quadratic on it. Set " +
-            "spark.graft.dupspans.maxGramDf to choose the recall trade " +
-            "explicitly (grams above that doc frequency are skipped), " +
-            "or raise spark.graft.dupspans.guardOcc deliberately.")
+        if (vol > guard) throw new IllegalStateException(
+          s"removeDupSpans: the positional self-join would produce $vol " +
+            s"candidate pairs (> guard $guard; hottest $DupSpanGram-gram " +
+            s"occurs $hi times) — a silent runaway on corpus-common " +
+            "boilerplate. Set spark.graft.dupspans.maxGramDf to choose " +
+            "the recall trade explicitly (grams above that doc frequency " +
+            "are skipped), or raise spark.graft.dupspans.guardPairs " +
+            "deliberately.")
         cp
       }
     val a = g.select(col("gram"), col("doc_id").as("ida"), col("pos").as("pa"))

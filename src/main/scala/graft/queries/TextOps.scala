@@ -244,11 +244,16 @@ object TextOps {
     val cap = s.conf.get("spark.graft.unigram.maxSeedVocab", "0").toInt
     unigramMemo.computeIfAbsent((s, dir, cap), { _ =>
       unigramTrainRuns.incrementAndGet()
-      unigramTrainModel(s, dir)
+      // the cap is PASSED, not re-read: a concurrent conf change
+      // between the key read above and training would otherwise store
+      // a model trained under one cap beneath another cap's key
+      // (review r17)
+      unigramTrainModel(s, dir, cap)
     })
   }
 
-  private def unigramTrainModel(s: SparkSession, dir: String): Vector[(String, Long, Long)] = {
+  private def unigramTrainModel(s: SparkSession, dir: String,
+      cap: Int): Vector[(String, Long, Long)] = {
     import s.implicits._
     import graft.functions.UnigramLm.{MaxPiece, Lattice, Iters}
     val words = graft.operators.Checkpoints.truncate(
@@ -263,7 +268,6 @@ object TextOps {
           l <- 1 to math.min(MaxPiece, w.length - i)
         } yield (w.substring(i, i + l), f)
       }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
-    val cap = s.conf.get("spark.graft.unigram.maxSeedVocab", "0").toInt
     val seedDf =
       if (cap <= 0) seed0
       else seed0.orderBy(col("c").desc, col("piece").asc).limit(cap)

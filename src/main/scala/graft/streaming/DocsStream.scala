@@ -32,6 +32,14 @@ object DocsStream {
     out
   }
 
+  /** THE contamination predicate — k=20/w=4 winnow-fingerprint overlap
+    * against the broadcast benchmark set. Single owner for
+    * [[decontaminate]] AND [[curate]]'s stage 4 (review r17: two
+    * inline copies of the k/w contract could drift silently). */
+  private def contaminated(set: java.util.HashSet[java.lang.Long],
+      text: String): Boolean =
+    graft.functions.Winnow.fingerprints(text, 20, 4).exists(set.contains)
+
   /** Drop every doc sharing a winnow fingerprint with the (broadcast)
     * benchmark set. Works unchanged on streaming inputs because it is
     * a narrow mapPartitions filter. */
@@ -42,9 +50,7 @@ object DocsStream {
     docs.select(col("doc_id"), col("text"), col("lang")).as[(Long, String, String)]
       .mapPartitions { it =>
         val set = bc.value
-        it.filter { case (_, text, _) =>
-          !graft.functions.Winnow.fingerprints(text, 20, 4).exists(set.contains)
-        }
+        it.filter { case (_, text, _) => !contaminated(set, text) }
       }
       .map { case (id, _, lang) => (id, lang) }
       .toDF("doc_id", "lang")
@@ -99,9 +105,7 @@ object DocsStream {
       .as[(Long, String, String, String, Int)]
       .mapPartitions { it =>
         val set = bc.value
-        it.filter { case (_, _, _, text, _) =>
-          !graft.functions.Winnow.fingerprints(text, 20, 4).exists(set.contains)
-        }
+        it.filter { case (_, _, _, text, _) => !contaminated(set, text) }
       }.toDF("doc_id", "lang", "source", "text", "n_tokens")
     graft.queries.PipelineOps.curationTail(kept)
   }

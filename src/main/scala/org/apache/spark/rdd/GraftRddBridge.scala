@@ -22,15 +22,22 @@ object GraftRddBridge {
     sc.env.blockManager.master.removeBlock(
       org.apache.spark.storage.RDDBlockId(rddId, split))
 
-  /** How many of `rddId`'s partitions the block-manager MASTER
-    * currently knows a block for — the SYNCHRONOUS view the memo
-    * block-loss probe needs. `SparkContext.getRDDStorageInfo` reads
-    * the listener-bus-fed status store, which lags block events by an
-    * async hop (the r17 block-drop spec read a full cache right after
-    * the drop); the master's blockLocations map is the source of
-    * truth. `askStorageEndpoints = false` keeps this one driver-local
-    * ask — no executor fan-out per memo access. */
-  def masterCachedPartitions(sc: org.apache.spark.SparkContext, rddId: Int): Int =
-    sc.env.blockManager.master.getMatchingBlockIds(
-      _.asRDDId.exists(_.rddId == rddId), askStorageEndpoints = false).size
+  /** How many of `rddId`'s `numPartitions` partitions the
+    * block-manager MASTER currently knows a block for — the
+    * SYNCHRONOUS view the memo block-loss probe needs.
+    * `SparkContext.getRDDStorageInfo` reads the listener-bus-fed
+    * status store, which lags block events by an async hop (the r17
+    * block-drop spec read a full cache right after the drop); the
+    * master's blockLocations map is the source of truth. One batched
+    * `getLocations` ask, O(partitions of THIS rdd) — not the
+    * getMatchingBlockIds predicate scan over every block the master
+    * knows, which would land O(all-blocks) driver work inside each
+    * memo access and therefore inside timed bench reps (review r17). */
+  def masterCachedPartitions(sc: org.apache.spark.SparkContext, rddId: Int,
+      numPartitions: Int): Int =
+    sc.env.blockManager.master.getLocations(
+      (0 until numPartitions)
+        .map(org.apache.spark.storage.RDDBlockId(rddId, _))
+        .toArray[org.apache.spark.storage.BlockId])
+      .count(_.nonEmpty)
 }

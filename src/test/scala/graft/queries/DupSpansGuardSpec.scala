@@ -43,7 +43,7 @@ class DupSpansGuardSpec extends AnyFunSuite {
   test("unbounded default is exact: both spans cut from every non-owner") {
     val spark = graft.sources.SparkTestSession.spark
     spark.conf.unset("spark.graft.dupspans.maxGramDf")
-    spark.conf.unset("spark.graft.dupspans.guardOcc")
+    spark.conf.unset("spark.graft.dupspans.guardPairs")
     val m = run()
     assert(m(0)._1 === 0L && m(0)._2.contains(boiler), "lowest id keeps its copy")
     Seq(1L, 2L, 3L).foreach(id =>
@@ -52,14 +52,17 @@ class DupSpansGuardSpec extends AnyFunSuite {
     assert(!m(4)._2.contains(dup2) && m(4)._1 === 1L)
   }
 
-  test("guard below the hottest gram occurrence count fails loudly, naming the conf") {
+  test("guard below the corpus's candidate-pair volume fails loudly, naming the conf") {
     val spark = graft.sources.SparkTestSession.spark
-    spark.conf.set("spark.graft.dupspans.guardOcc", "3")
+    // fixture volume Σ occ² is ~2k (boilerplate grams occur 4x each);
+    // a guard of 500 must trip BEFORE the join is planned
+    spark.conf.set("spark.graft.dupspans.guardPairs", "500")
     try {
       val e = intercept[IllegalStateException](run())
       assert(e.getMessage.contains("spark.graft.dupspans.maxGramDf"), e.getMessage)
+      assert(e.getMessage.contains("candidate pairs"), e.getMessage)
       assert(e.getMessage.contains("occurs 4 times"), e.getMessage)
-    } finally spark.conf.unset("spark.graft.dupspans.guardOcc")
+    } finally spark.conf.unset("spark.graft.dupspans.guardPairs")
   }
 
   test("maxGramDf set: hot grams skipped (explicit recall trade), cool dups still cut") {
