@@ -59,6 +59,11 @@ object Bench {
     "ev_session_stats", "ev_markov_transition",
     // round-17 addition: DSIR importance weighting
     "pipe_dsir_weights",
+    // round-18 additions: TPC-H completion (q2/q9/q11/q12/q16/q20) +
+    // URL-first curation stage
+    "tpch_q2_min_cost", "tpch_q9_profit", "tpch_q11_important_parts",
+    "tpch_q12_late_lines", "tpch_q16_supplier_cnt", "tpch_q20_promo_suppliers",
+    "pipe_url_dedup",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

@@ -174,9 +174,32 @@ object Checkpoints {
     * rather than masking it. ONE shared rule for every memo builder
     * (review r16 pass 3: two hand-rolled copies existed, one with its
     * scalar extraction outside the guard — a NULL aggregate there
-    * orphaned the pin the guard was added to protect). */
+    * orphaned the pin the guard was added to protect).
+    *
+    * After `body` succeeds, the [[stale]] precondition is ENFORCED,
+    * not just documented (ADVICE r17): every local-checkpoint RDD
+    * behind `df` must report fully cached partitions, or publishing
+    * the entry would hand later [[stale]] probes a 0-blocks reading
+    * indistinguishable from block loss — silent rebuild-per-access.
+    * A violating builder (body forgot its action, or materialized a
+    * different frame) fails HERE, loudly, with the pin released. */
   def buildPinned[T](df: DataFrame)(body: => T): T =
-    try body
+    try {
+      val r = body
+      val sc = df.sparkSession.sparkContext
+      checkpointRdds(df).foreach { rd =>
+        if (org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(rd)) {
+          val cached = org.apache.spark.rdd.GraftRddBridge
+            .masterCachedPartitions(sc, rd.id, rd.getNumPartitions)
+          if (cached < rd.getNumPartitions) throw new IllegalStateException(
+            s"buildPinned: body completed but checkpoint RDD ${rd.id} has " +
+              s"$cached/${rd.getNumPartitions} cached partitions — the memo " +
+              "entry would read as stale on every probe. Materialize the " +
+              "pinned frame itself (count/collect) inside the body.")
+        }
+      }
+      r
+    }
     catch { case t: Throwable =>
       try unpinAndUnpersist(df)
       catch { case c: Throwable => t.addSuppressed(c) }

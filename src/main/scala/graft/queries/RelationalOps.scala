@@ -1056,6 +1056,185 @@ object RelationalOps {
         .orderBy("hk")
     }),
 
+    // ----------------------------------------------------------------
+    // TPC-H completion set (VERDICT r17 task 4): q2/q9/q11/q12/q16/q20
+    // adapted to this corpus — no partsupp table, no commit/receipt
+    // dates, no availqty — so the lineitem link stands in for partsupp
+    // and scalar thresholds are RELATIVE (vs the filtered set's own
+    // average), which keeps every SF non-empty where TPC-H's absolute
+    // `0.0001/SF` fractions cannot be expressed without knowing SF.
+    // Each preserves the ORIGINAL query's join/agg SHAPE, which is the
+    // point: correlated per-group min (q2), 5-way join + expression
+    // aggregation (q9), global-scalar HAVING (q11), conditional CASE
+    // sums over a date-arithmetic join (q12), anti-join exclusion +
+    // distinct agg (q16), nested semi over aggregated lineitem (q20).
+
+    // TPC-H Q2 shape (minimum-cost supplier): for each STANDARD size-15
+    // part, the EUROPE supplier(s) achieving the per-part minimum unit
+    // price — the correlated scalar-min subquery, computed ONCE as an
+    // aggregate over the shared (part, supplier) cost table and joined
+    // back on (partkey, cost) equality. `cost` is min(l_extendedprice),
+    // a pure double MIN — picks an existing value, no arithmetic, so
+    // the equality join is cross-engine exact. The cost table is
+    // lazily checkpointed: two consumers (the min branch and the
+    // equality probe) must see one materialization, not two scans.
+    "tpch_q2_min_cost" -> ((s, dir) => {
+      val pp = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val costs = t(s, dir, "lineitem")
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(min(col("l_extendedprice")).as("cost"))
+        .localCheckpoint(eager = false)
+      // bounded by the FILTERED part dim (one row per surviving
+      // partkey) — the q17 avgq doctrine: broadcast, never SMJ
+      val minc = costs.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("cost")).as("min_cost"))
+      costs.join(broadcast(minc),
+          col("p_partkey") === col("mp") && col("cost") === col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): the 5-way join with an
+    // expression aggregate — profit = revenue − 5% of retail·quantity
+    // (p_retailprice stands in for the missing ps_supplycost). Both
+    // sums accumulate decimal-exact; the −5% lands as exactly two
+    // IEEE double ops (one multiply, one subtract) on identical exact
+    // inputs at the output edge, so no round() is needed. Part is the
+    // selective broadcast FIRST (shrinks the fact stream before the
+    // orderkey shuffle); supplier→nation broadcasts as one dim.
+    "tpch_q9_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val cost = col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "yr")
+        .agg((sum(rev).cast("double") -
+            lit(0.05) * sum(cost).cast("double")).as("sum_profit"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"), col("yr").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part value with a HAVING
+    // against a GLOBAL scalar of the same aggregate. Value accumulates
+    // as exact integer CENTS (decimal → ×100 → long) so the threshold
+    // compares as pure integers — value·N > Σvalue, cross-multiplied
+    // to avoid any division — with the two scalars computed as one
+    // plan-time job on the shared lazily-checkpointed value table (the
+    // a12/a14 doctrine: a scalar aggregate is a bounded driver value,
+    // not a per-row subquery). Nation group chosen to have suppliers
+    // at EVERY SF (sf0.001 populates only 10 of the 25 nations).
+    "tpch_q11_important_parts" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(
+          "NATION_3", "NATION_8", "NATION_12", "NATION_13"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("value_cents"))
+        .localCheckpoint(eager = false)
+      val r0 = vals.agg(sum(col("value_cents")), count(lit(1))).head()
+      val (tot, nparts) = (r0.getLong(0), r0.getLong(1))
+      vals.filter(col("value_cents") * lit(nparts) > lit(tot))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority split): conditional CASE
+    // sums over a join with DATE ARITHMETIC in the predicate — "late"
+    // is shipped >60 days after the order date (the corpus has no
+    // commit/receipt dates; l_linestatus stands in for l_shipmode).
+    // The ship-year filter pushes to the lineitem scan; the 60-day
+    // comparison is a residual on the orderkey equi-join.
+    "tpch_q12_late_lines" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    // counts per (brand, type, size) with a SET EXCLUSION — suppliers
+    // with negative account balance stand in for the reference's
+    // complaint-comment LIKE (same shape: a small anti-join build
+    // side). The NOT/IN part filters ride the broadcast dim; the
+    // distinct agg shuffles once on the 3-part group key.
+    "tpch_q16_supplier_cnt" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): the nested semi over
+    // AGGREGATED lineitem — suppliers qualify when some red part they
+    // shipped in 1997 exceeds the average per-(supplier, part) volume
+    // (availqty does not exist; the relative threshold replaces
+    // `> 0.5·sum(qty)` and stays non-empty at every SF). Quantities
+    // accumulate as exact integer units; the threshold cross-multiplies
+    // (sq·N > Σsq) from one plan-time scalar job on the shared
+    // checkpointed pair table. The qualifying-supplier set then semi-
+    // joins the nation-filtered supplier dim.
+    "tpch_q20_promo_suppliers" -> ((s, dir) => {
+      val rp = t(s, dir, "part").filter(col("p_name").like("%red%")).select("p_partkey")
+      val pairs = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)").cast("long")).as("sq"))
+        .localCheckpoint(eager = false)
+      val r0 = pairs.agg(sum(col("sq")), count(lit(1))).head()
+      val (tot, npairs) = (r0.getLong(0), r0.getLong(1))
+      val hot = pairs.filter(col("sq") * lit(npairs) > lit(tot))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(
+          "NATION_15", "NATION_18", "NATION_19", "NATION_20", "NATION_21"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     // Broadcast-Bloom prefiltered semi join — the 100 TB shuffle-
     // pruning pattern: build a Bloom filter over the selective build
     // side's keys (one small aggregation job), prune the fact scan
@@ -1373,7 +1552,98 @@ object RelationalOps {
     "a13_distinct_exact" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 count(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "tpch_q2_min_cost" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+                     WHERE p_size = 15 AND p_type = 'STANDARD'),
+         eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+         costs AS (SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                          min(l_extendedprice) AS cost
+                   FROM lineitem JOIN pp ON l_partkey = p_partkey
+                   JOIN eu ON l_suppkey = s_suppkey
+                   GROUP BY 1, 2, 3, 4, 5)
+         SELECT s_acctbal, s_name, n_name, p_partkey, cost
+         FROM costs c
+         WHERE cost = (SELECT min(cost) FROM costs c2
+                       WHERE c2.p_partkey = c.p_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q9_profit" ->
+      """SELECT n_name, yr,
+                CAST(sum(rev) AS DOUBLE) - 0.05 * CAST(sum(cost) AS DOUBLE)
+                  AS sum_profit,
+                count(*) AS n
+         FROM (
+           SELECT n_name, year(o_orderdate) AS yr,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                  CAST(p_retailprice AS DECIMAL(18,2)) *
+                  CAST(l_quantity AS DECIMAL(18,2)) AS cost
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%') t
+         GROUP BY 1, 2 ORDER BY n_name, yr DESC""",
+    "tpch_q11_important_parts" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name IN ('NATION_3','NATION_8',
+                                       'NATION_12','NATION_13')),
+         vals AS (SELECT l_partkey,
+                         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                       * 100 AS BIGINT)) AS BIGINT) AS value_cents
+                  FROM lineitem
+                  WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+                  GROUP BY 1)
+         SELECT l_partkey, value_cents FROM vals
+         WHERE value_cents * (SELECT count(*) FROM vals)
+               > (SELECT sum(value_cents) FROM vals)
+         ORDER BY value_cents DESC, l_partkey""",
+    "tpch_q12_late_lines" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q20_promo_suppliers" ->
+      """WITH pairs AS (
+           SELECT l_suppkey, l_partkey,
+                  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                    AS BIGINT) AS sq
+           FROM lineitem
+           JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') rp
+             ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         hot AS (SELECT DISTINCT l_suppkey FROM pairs
+                 WHERE sq * (SELECT count(*) FROM pairs)
+                       > (SELECT sum(sq) FROM pairs))
+         SELECT s_name, s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_15','NATION_18','NATION_19',
+                          'NATION_20','NATION_21')
+           AND s_suppkey IN (SELECT l_suppkey FROM hot)
+         ORDER BY s_name""")
 
   // ------------------------------------------------------------ oracle SQL
 
