@@ -63,7 +63,7 @@ object Bench {
     // URL-first curation stage
     "tpch_q2_min_cost", "tpch_q9_profit", "tpch_q11_important_parts",
     "tpch_q12_late_lines", "tpch_q16_supplier_cnt", "tpch_q20_promo_suppliers",
-    "pipe_url_dedup",
+    "pipe_url_dedup", "mm_flac_decode",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)
@@ -348,6 +348,100 @@ object Bench {
       else f"[${r.wall}%.3f,${r.cpu}%.2f,${r.load}%.2f,${r.gc}%.2f,${r.jit}%.2f,${r.heap}%.0f]"
     }.mkString("[", ",", "]")
 
+  /** JIT-churn flag (VERDICT r17 task 1a): the row's HEADLINE (min-
+    * wall) rep burned more than [[ChurnCpuRatio]]× the previous
+    * round's committed CPU AND more than [[ChurnJitShare]] of that
+    * rep's CPU was the JIT compiler — BENCH_r17's q22 signature
+    * (rep 1: 148 CPU-s of which 102 s JIT; a fresh JVM reads 4.8).
+    * High CPU with LOW jit share is real work (a plan change) and is
+    * deliberately not flagged here — the taint rules own that case. */
+  private[graft] val ChurnCpuRatio = 2.0
+  private[graft] val ChurnJitShare = 0.25
+  private[graft] def churned(r: QRes, prevCpu: Option[Double]): Boolean = {
+    val ok = r.reps.filterNot(_.failed)
+    ok.nonEmpty && {
+      val m = ok.minBy(_.wall)
+      m.cpu > 0 && m.jit > ChurnJitShare * m.cpu &&
+        prevCpu.exists(pc => pc > 0 && m.cpu > ChurnCpuRatio * pc)
+    }
+  }
+
+  /** Monotone rep-growth flag (VERDICT r17 task 1c): wall or CPU
+    * STRICTLY rising across all successful reps with a meaningful
+    * slope (last > [[GrowthFactor]] × first) — the shape min-of-3
+    * hides (BENCH_r17's pipe_full_curation read 15→45→58 CPU-s while
+    * its headline min looked fine). Three successful reps minimum: two
+    * points cannot distinguish growth from the first-rep warmup that
+    * [[firstRepBlown]] already names. */
+  private[graft] val GrowthFactor = 1.3
+  private[graft] def repGrowth(r: QRes): Boolean = {
+    val ok = r.reps.filterNot(_.failed)
+    def growing(xs: Seq[Double]): Boolean =
+      xs.length >= 3 && xs.head > 0 &&
+        xs.zip(xs.tail).forall { case (a, b) => b > a } &&
+        xs.last > GrowthFactor * xs.head
+    growing(ok.map(_.wall)) || growing(ok.map(_.cpu))
+  }
+
+  /** Fresh-JVM requeue bounds: at most [[MaxRequeue]] rows re-measured
+    * in ONE forked child (graft.BenchOne — same classpath and JVM
+    * options as this process), with a hard wall-clock ceiling so a
+    * hung child cannot stall the round-close record. */
+  private[graft] val MaxRequeue = 8
+  private[graft] val RequeueBaseTimeoutS = 240L
+  private[graft] val RequeuePerQueryTimeoutS = 120L
+
+  /** Fork `graft.BenchOne <names...>` in a FRESH JVM (the same java
+    * binary, JVM args and classpath as this process — under sbt's
+    * forked `run` those are exactly build.sbt's add-opens/heap flags)
+    * and parse its per-query JSON lines. Returns (headline values,
+    * raw per-query detail lines for the artifact). ANY failure → empty
+    * (the in-run record stands; the requeue is adjudication, not a
+    * gate), logged to stderr. */
+  private[graft] def freshJvmMeasure(names: Seq[String])
+      : (Map[String, (Double, Double, Long)], Map[String, String]) = try {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.BenchOne") ++ names
+    val p = new ProcessBuilder(cmd.asJava).start()
+    val out = new java.lang.StringBuilder
+    def drain(is: java.io.InputStream, f: String => Unit): Thread = {
+      val t = new Thread(() => {
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(is))
+        var l = br.readLine()
+        while (l != null) { f(l); l = br.readLine() }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val outT = drain(p.getInputStream,
+      l => out.synchronized { out.append(l).append('\n') })
+    val errT = drain(p.getErrorStream, l => System.err.println(s"[benchone] $l"))
+    val deadline = RequeueBaseTimeoutS + RequeuePerQueryTimeoutS * names.size
+    if (!p.waitFor(deadline, java.util.concurrent.TimeUnit.SECONDS)) {
+      System.err.println(s"[bench] requeue child timed out after ${deadline}s — killing")
+      p.destroyForcibly()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    outT.join(5000); errT.join(5000)
+    val pat = ("\\{\"benchone\":\"([^\"]+)\",\"wall\":(-?[0-9.]+)," +
+      "\"cpu\":(-?[0-9.]+),\"rows\":(-?\\d+)").r
+    val lines = out.synchronized(out.toString).split('\n')
+      .filter(_.contains("\"benchone\"")).toSeq
+    val vals = lines.flatMap(l => pat.findFirstMatchIn(l).map(m =>
+      m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toLong))).toMap
+    val detail = lines.flatMap(l =>
+      pat.findFirstMatchIn(l).map(m => m.group(1) -> l.trim)).toMap
+    (vals, detail)
+  } catch { case t: Throwable =>
+    System.err.println(s"[bench] requeue fork failed: $t")
+    (Map.empty, Map.empty)
+  }
+
   /** Current round number, derived from the newest harness BENCH file
     * (BENCH_r07.json present => this run is round 8). Falls back to 0
     * outside the repo checkout. Shared with ScaleProbe so the committed
@@ -366,25 +460,10 @@ object Bench {
     // unparseable (ADVICE r7)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchRig.buildSession()
     // untimed warmup: touch every table once so the timed loop measures
     // steady-state query latency, not JVM/codegen/file-index warmup
-    Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
-      "region", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
-    }
-    try graft.pbf.BigWorld.ensure(graft.queries.OsmQueries.BigPath, 2000000, 100000)
-    catch { case _: Throwable => }
+    BenchRig.warmup(spark, sfDir)
     val qs = SparkEntry.queries
     // process CPU-seconds alongside wall per rep: on a contended host
     // the wall clock swings 10-20x with steal while CPU-seconds of
@@ -394,31 +473,19 @@ object Bench {
     // recorded. The system 1-min load average sampled before each query
     // is the second sentinel: a polluted run shows load >> this JVM's
     // own parallelism, making noise self-evident from the JSON alone.
-    // the HotSpot-specific subinterface carries getProcessCpuTime; on a
-    // JVM whose bean doesn't implement it, degrade to -1 CPU sentinels
-    // rather than throwing (ADVICE r7)
-    val baseBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val sunBean = baseBean match {
-      case b: com.sun.management.OperatingSystemMXBean => Some(b)
-      case _ => None
-    }
-    def procCpuNanos(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
-    def loadAvg(): Double = baseBean.getSystemLoadAverage
-    // JVM-health beans (VERDICT r16 task 1): GC time, JIT-compiler
-    // time, heap, and the code-cache / metaspace pools, so a repeat of
-    // the r16 driver-host CPU inflation self-adjudicates from the
-    // artifact (heap pressure vs compilation churn vs external work)
+    // JVM-health beans (VERDICT r16 task 1) live in BenchRig — shared
+    // with the BenchOne requeue child so both timing protocols sample
+    // the same sources: GC time, JIT-compiler time, heap; plus the
+    // code-cache / metaspace pools here, so a repeat of the r16
+    // driver-host CPU inflation self-adjudicates from the artifact
+    // (heap pressure vs compilation churn vs external work)
     import scala.jdk.CollectionConverters._
-    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcMillis(): Long = {
-      val ts = gcBeans.asScala.map(_.getCollectionTime).filter(_ >= 0)
-      if (ts.isEmpty) -1L else ts.sum
-    }
-    val compBean = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
-      .filter(_.isCompilationTimeMonitoringSupported)
-    def jitMillis(): Long = compBean.map(_.getTotalCompilationTime).getOrElse(-1L)
-    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
-    def heapUsedMb(): Double = memBean.getHeapMemoryUsage.getUsed / 1048576.0
+    def procCpuNanos(): Long = BenchRig.procCpuNanos()
+    def loadAvg(): Double = BenchRig.loadAvg()
+    def gcMillis(): Long = BenchRig.gcMillis()
+    def jitMillis(): Long = BenchRig.jitMillis()
+    def heapUsedMb(): Double = BenchRig.heapUsedMb()
+    val memBean = BenchRig.memBean
     val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
     def poolMb(subs: Seq[String])(of: java.lang.management.MemoryUsage => Long): Double = {
       val vs = pools.filter(p =>
@@ -442,12 +509,7 @@ object Bench {
     // per-query persisted-block snapshot taken right before the row
     // runs: [persisted RDD count, persisted MB, pinned RDD count] —
     // names whether block accumulation tracks a degradation
-    def storageSnap(): (Int, Double, Int) = {
-      val infos = spark.sparkContext.getRDDStorageInfo
-      val pinned = spark.sparkContext.getPersistentRDDs.keys
-        .count(id => graft.operators.Checkpoints.isPinned(spark.sparkContext, id))
-      (infos.length, infos.map(_.memSize).sum / 1048576.0, pinned)
-    }
+    def storageSnap(): (Int, Double, Int) = BenchRig.storageSnap(spark)
     // three timed reps for EVERY row, report the min: single-shot
     // numbers swing ±2x from GC/codegen/scheduler jitter, and the
     // heavy per-way-walk probes JIT across the first TWO executions
@@ -538,8 +600,45 @@ object Bench {
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val res = results.map(_._1)
-    val qjson = jmap(res.map(r => r.name -> f"${r.wall}%.3f"))
-    val cjson = jmap(res.map(r => r.name -> f"${r.cpu}%.2f"))
+    // ---- end-of-run fresh-JVM requeue (VERDICT r17 task 1) ----
+    // two rounds running, the headline regression was a host-state
+    // phantom that a fresh JVM contradicted (r16 collapse, r17 q22
+    // 6.64x with 102 JIT-s in rep 1). Flag the suspects from the
+    // in-run telemetry, re-measure them ONCE in a single fresh forked
+    // JVM, and record BOTH values: the headline takes the min (a
+    // fresh-JVM rep is just a better-isolated rep under the min-of-N
+    // convention), `requeued`/`requeued_orig` keep the adjudication
+    // readable from the artifact alone.
+    val churnNames = res.filter(r => churned(r, prev.cpu.get(r.name))).map(_.name)
+    val growthNames = res.filter(repGrowth).map(_.name)
+    val over2xNames = res.filter(r => r.wall >= 0 &&
+      prev.wall.get(r.name).exists(pw => pw > 0 && r.wall > 2.0 * pw)).map(_.name)
+    val requeueNames =
+      (churnNames ++ growthNames ++ over2xNames).distinct.take(MaxRequeue)
+    val (requeued, requeuedDetail) =
+      if (requeueNames.isEmpty) (Map.empty[String, (Double, Double, Long)],
+        Map.empty[String, String])
+      else {
+        System.err.println(s"[bench] requeuing in a fresh JVM: " +
+          requeueNames.mkString(", ") +
+          s" (churn=${churnNames.size} growth=${growthNames.size} " +
+          s"over2x=${over2xNames.size})")
+        freshJvmMeasure(requeueNames)
+      }
+    val adjusted = res.map { r =>
+      requeued.get(r.name) match {
+        case Some((w, c, rows)) if w >= 0 && (r.wall < 0 || w < r.wall) =>
+          r.copy(wall = w,
+            cpu = if (c >= 0 && (r.cpu < 0 || c < r.cpu)) c else r.cpu,
+            rows = if (r.rows < 0) rows else r.rows)
+        case _ => r
+      }
+    }
+    val replacedNames = adjusted.zip(res).collect {
+      case (a, o) if a.wall != o.wall || a.cpu != o.cpu => o
+    }
+    val qjson = jmap(adjusted.map(r => r.name -> f"${r.wall}%.3f"))
+    val cjson = jmap(adjusted.map(r => r.name -> f"${r.cpu}%.2f"))
     val ljson = jmap(res.map(r => r.name -> f"${r.load}%.2f"))
     val rjson = jmap(res.map(r => r.name -> repsJson(r.reps)))
     // first-rep wall/cpu as FIRST-CLASS dicts + the blown-row list
@@ -557,11 +656,17 @@ object Bench {
     })
     val sjson = jmap(results.map { case (r, _, _, (n, mb, pin)) =>
       r.name -> f"[$n%d,$mb%.0f,$pin%d]" })
-    val total = res.map(_.wall).sum
+    val total = adjusted.map(_.wall).sum
     val loadMax = if (res.nonEmpty) res.map(_.load).max else -1.0
     val taintedNames = results.filter(_._2).map(_._1.name)
     val rerunNames = results.filter(_._3).map(_._1.name)
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // requeue blocks: fresh-JVM values (full per-rep detail), the
+    // in-run values they adjudicate, and the flag lists
+    val requeuedJson = requeuedDetail.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val requeuedOrigJson = jmap(res.filter(r => requeued.contains(r.name))
+      .map(r => r.name -> f"[${r.wall}%.3f,${r.cpu}%.2f]"))
     // per-query times from the previous round's QUIETEST record, so a
     // round-over-round regression is visible in the artifact itself
     // instead of requiring a by-hand diff of two files
@@ -569,7 +674,7 @@ object Bench {
       .mkString("{", ",", "}")
     val loadMaxStr = f"$loadMax%.2f"
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames.map(_.name))},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     println(fullJson)
     // The full record also goes to a COMMITTED repo file so no future
     // round depends on the stdout window at all: bench/bench_r{N}.json
@@ -595,7 +700,7 @@ object Bench {
     // n_queries + load_max + tainted is ~1.4 KB at 50 queries;
     // cpu/load/reps/prev live on the full line above and in the
     // committed file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"growth_flagged":${jarr(growthNames)},"requeued":${jarr(requeueNames)},"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,42 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** Opt-in legacy external-Row pass — kept ONLY as the A/B baseline
+    * for the specialization probe and the both-paths-equal spec; no
+    * production call site sets it. */
+  private[graft] val RowPassConf = "spark.graft.distrank.rowPass"
+
+  /** Deep-copy a catalyst value read out of a reused row buffer so it
+    * survives the iterator advancing (UnsafeRow-backed UTF8String /
+    * array / map / struct views alias the buffer; primitives and
+    * Decimal are already safe). */
+  private def copyCatalystValue(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+    case x => x
+  }
+
+  /** The pre-r18 per-row pass (external Row + generic RowEncoder),
+    * behind [[RowPassConf]] — see the call site's scaladoc. */
+  private def legacyRowPass(sorted: org.apache.spark.sql.DataFrame,
+      keyIdx: Array[Int], valIdx: Int,
+      outSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Seq[Any] = null
+      var acc = 0L
+      it.map { row =>
+        val key = keyIdx.toSeq.map(row.get)
+        if (cur == null || key != cur) { cur = key; acc = 0L }
+        acc += (if (valIdx < 0) 1L
+          else if (row.isNullAt(valIdx)) 0L
+          else row.getLong(valIdx))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+
   /** Adds `grank` (1-based rank of the row within its key under the
     * complete ascending `order`) and `gcount` (total rows of the key)
     * to `df`. `order` must be a COMPLETE order (no ties) within each
@@ -90,8 +126,8 @@ object DistributedRank {
     // partitioning already clusters them.
     val sorted = base.repartitionByRange(p, partCols: _*)
       .sortWithinPartitions(partCols: _*)
-    val keyIdx = keys.map(sorted.schema.fieldIndex)
-    val valIdx = value.map(_ => sorted.schema.fieldIndex("__val"))
+    val keyIdx = keys.map(sorted.schema.fieldIndex).toArray
+    val valIdx = value.map(_ => sorted.schema.fieldIndex("__val")).getOrElse(-1)
     val outSchema = sorted.schema
       .add("__pid", org.apache.spark.sql.types.IntegerType)
       .add("__lagg", org.apache.spark.sql.types.LongType)
@@ -102,30 +138,84 @@ object DistributedRank {
     // gives each branch a different exchange subtree (no reuse), and
     // RangePartitioner samples with a per-execution seed, so
     // boundaries can differ between runs (caught by
-    // DistributedRankSpec). The object boundary of mapPartitions also
-    // stops pruning from narrowing the checkpoint. Checkpoints.truncate
-    // preserves laziness in both its modes, so the single-exchange
-    // invariant holds under the reliable path too.
-    val agged = Checkpoints.truncate(sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cur: Seq[Any] = null
-      var acc = 0L
-      it.map { row =>
-        val key = keyIdx.map(row.get)
-        if (cur == null || key != cur) { cur = key; acc = 0L }
-        acc += (valIdx match {
-          case Some(i) => if (row.isNullAt(i)) 0L else row.getLong(i)
-          case None => 1L
-        })
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pid :+ acc)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema)))
+    // DistributedRankSpec). Both consumers read the SAME toRdd-backed
+    // LogicalRDD, so the range exchange executes once; the LogicalRDD
+    // boundary also stops pruning from narrowing the checkpoint.
+    // Checkpoints.truncate preserves laziness in both its modes, so
+    // the single-exchange invariant holds under the reliable path too.
+    //
+    // The per-row pass is specialized to the InternalRow level
+    // (VERDICT r17 task 2): the legacy external-Row form —
+    // `Row.fromSeq(row.toSeq :+ pid :+ acc)` under a generic
+    // RowEncoder — allocated a boxed Seq plus two array copies per
+    // row and round-tripped every field through the encoder, the
+    // engine's one interpreter-hostile hot loop (the amplifier under
+    // the r17 driver-host JIT churn on q22/ev_rfm/w4-shaped rows).
+    // Here each row pays one codegen'd UnsafeProjection write + one
+    // buffer copy; key-change detection compares raw catalyst values
+    // against a copied previous-key array with zero per-row Seq
+    // allocation. The legacy pass stays available under
+    // `spark.graft.distrank.rowPass=true` PURELY as the A/B baseline
+    // (the committed probe artifact measures both in one JVM);
+    // DistributedRankSpec pins both paths equal.
+    val agged = Checkpoints.truncate(
+      if (spark.conf.get(RowPassConf, "false").toBoolean)
+        legacyRowPass(sorted, keyIdx, valIdx, outSchema)
+      else {
+        val keyTypes = keyIdx.map(i => sorted.schema(i).dataType)
+        val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+          import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val proj = UnsafeProjection.create(outSchema)
+          val extra = new GenericInternalRow(2)
+          extra.update(0, pid)
+          val joined = new JoinedRow
+          val nKeys = keyIdx.length
+          val prevKey = new Array[Any](nKeys)
+          var started = false
+          var acc = 0L
+          it.map { row =>
+            // same-key probe against the COPIED previous key values
+            // (the sort iterator reuses its row buffer, so live
+            // UTF8String/array views from the prior row are invalid)
+            var same = started
+            var i = 0
+            while (same && i < nKeys) {
+              val cur =
+                if (row.isNullAt(keyIdx(i))) null
+                else row.get(keyIdx(i), keyTypes(i))
+              val p = prevKey(i)
+              same = if (p == null) cur == null else p.equals(cur)
+              i += 1
+            }
+            if (!same) {
+              var j = 0
+              while (j < nKeys) {
+                prevKey(j) =
+                  if (row.isNullAt(keyIdx(j))) null
+                  else copyCatalystValue(row.get(keyIdx(j), keyTypes(j)))
+                j += 1
+              }
+              acc = 0L
+              started = true
+            }
+            acc += (if (valIdx < 0) 1L
+              else if (row.isNullAt(valIdx)) 0L
+              else row.getLong(valIdx))
+            extra.update(1, acc)
+            // copy: the projection reuses its buffer, and the
+            // checkpoint persists these rows
+            proj(joined(row, extra))
+              .copy(): org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+        org.apache.spark.sql.GraftDataFrameBridge
+          .internalCreateDataFrame(spark, rdd, outSchema)
+      })
     // tiny per-(partition, key) totals from the SAME materialized pass
     val perPart = agged.groupBy((col("__pid") +: keys.map(col)): _*)
-      .agg((valIdx match {
-        case Some(_) => coalesce(sum(col("__val")), lit(0L))
-        case None => count(lit(1))
-      }).as("__pt"))
+      .agg((if (valIdx >= 0) coalesce(sum(col("__val")), lit(0L))
+        else count(lit(1))).as("__pt"))
     // ONE broadcast side keyed by (partition, key) carrying BOTH the
     // prior total (rows/values of the key in lower-numbered range
     // partitions) and the key total: every per-partition row fans out

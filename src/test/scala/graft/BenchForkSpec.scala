@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the REAL fresh-JVM requeue path end-to-end: forks a
+  * graft.BenchOne child with this JVM's own classpath/options (the
+  * exact mechanism Bench.main uses at end of run), waits for its
+  * per-query JSON line, and checks the parsed values. This is the
+  * one test that can catch a classpath/add-opens/env regression in
+  * the fork recipe — the regex/flag logic is unit-pinned in
+  * BenchFlagsSpec, but a child that dies on startup would otherwise
+  * only surface as a silently empty `requeued` block in the round's
+  * committed record. Uses sf0.001 unless the ambient env overrides,
+  * so the child costs JVM+session startup, not query time. */
+class BenchForkSpec extends AnyFunSuite {
+
+  test("freshJvmMeasure forks a child that measures one query") {
+    // the child inherits this process's env; default to the smallest
+    // fixture when the suite runs without an explicit SF dir
+    if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty)
+      assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+        "no sf0.001 fixture on this host")
+    val (vals, detail) = Bench.freshJvmMeasure(Seq("q1_agg"))
+    assert(vals.contains("q1_agg"),
+      s"child produced no parsable line; detail=$detail")
+    val (wall, cpu, rows) = vals("q1_agg")
+    assert(wall >= 0.0, s"child rep failed: wall=$wall")
+    assert(rows > 0L, s"q1_agg returned no rows in the child: $rows")
+    assert(cpu != 0.0) // either a real reading or the -1 sentinel
+    assert(detail("q1_agg").contains("\"reps\":["))
+  }
+}

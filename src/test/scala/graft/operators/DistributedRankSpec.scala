@@ -137,6 +137,29 @@ class DistributedRankSpec extends AnyFunSuite {
       (2L, 5L, 7L), (3L, 5L, 7L), (4L, 7L, 7L)))
   }
 
+  test("specialized InternalRow pass == legacy Row pass (A/B conf)") {
+    // VERDICT r17 task 2: the hot loop moved to the InternalRow level;
+    // the legacy external-Row pass stays behind
+    // spark.graft.distrank.rowPass as the A/B baseline. Both paths
+    // must be value-identical — string + NULL keys exercise the
+    // copied-previous-key probe (the sort iterator reuses its buffer,
+    // so a stale UTF8String view would corrupt group boundaries).
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x0518)
+    val df = (0 until 900).map { i =>
+      val key = rnd.nextInt(4) match { case 0 => null; case n => s"k$n" }
+      (i.toLong, key, rnd.nextInt(25).toDouble)
+    }.toDF("id", "key", "v").repartition(7)
+    def run() = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank", "gcount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = run()
+    assert(fast.size === 900)
+    spark.conf.set("spark.graft.distrank.rowPass", "true")
+    try assert(run() === fast)
+    finally spark.conf.unset("spark.graft.distrank.rowPass")
+  }
+
   test("ranks are invariant across shuffle-partition counts (P sensitivity)") {
     // VERDICT r12 #8: `p` comes from spark.sql.shuffle.partitions, so
     // partition boundaries, the P²×K fan-out and the prior-count
