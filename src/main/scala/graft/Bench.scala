@@ -429,13 +429,21 @@ object Bench {
     outT.join(5000); errT.join(5000)
     val pat = ("\\{\"benchone\":\"([^\"]+)\",\"wall\":(-?[0-9.]+)," +
       "\"cpu\":(-?[0-9.]+),\"rows\":(-?\\d+)").r
-    val lines = out.synchronized(out.toString).split('\n')
-      .filter(_.contains("\"benchone\"")).toSeq
+    // a line truncated by the timeout kill could still match the
+    // prefix pattern; embedding the fragment verbatim would corrupt
+    // the committed round JSON (the durable `prev` source). Accept a
+    // detail line only when its braces/brackets balance and it closes.
+    def wellFormed(l: String): Boolean =
+      l.endsWith("}") &&
+        l.count(_ == '{') == l.count(_ == '}') &&
+        l.count(_ == '[') == l.count(_ == ']')
+    val lines = out.synchronized(out.toString).split('\n').map(_.trim)
+      .filter(l => l.contains("\"benchone\"") && wellFormed(l)).toSeq
     val vals = lines.flatMap(l => pat.findFirstMatchIn(l).map(m =>
       m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
         m.group(4).toLong))).toMap
     val detail = lines.flatMap(l =>
-      pat.findFirstMatchIn(l).map(m => m.group(1) -> l.trim)).toMap
+      pat.findFirstMatchIn(l).map(m => m.group(1) -> l)).toMap
     (vals, detail)
   } catch { case t: Throwable =>
     System.err.println(s"[bench] requeue fork failed: $t")
@@ -625,10 +633,16 @@ object Bench {
           s"over2x=${over2xNames.size})")
         freshJvmMeasure(requeueNames)
       }
+    // wall and cpu take their mins INDEPENDENTLY (review r18): the
+    // churn signature is exactly "wall fine, CPU inflated", so gating
+    // the fresh CPU on the fresh WALL also winning would keep the
+    // inflated CPU in the record — poisoning next round's prev.cpu
+    // baseline, the very value the churn check compares against
     val adjusted = res.map { r =>
       requeued.get(r.name) match {
-        case Some((w, c, rows)) if w >= 0 && (r.wall < 0 || w < r.wall) =>
-          r.copy(wall = w,
+        case Some((w, c, rows)) =>
+          r.copy(
+            wall = if (w >= 0 && (r.wall < 0 || w < r.wall)) w else r.wall,
             cpu = if (c >= 0 && (r.cpu < 0 || c < r.cpu)) c else r.cpu,
             rows = if (r.rows < 0) rows else r.rows)
         case _ => r

@@ -221,6 +221,16 @@ object FlacCodec {
       _: MatchError => None }
   }
 
+  /** Output-amplification ceiling (review r18): CONSTANT frames
+    * expand ~26,000× (65,535 samples from ~10 payload bytes), and the
+    * STREAMINFO total-samples cross-check can only run at END of
+    * stream (totalSamples=0 means "unknown" and skips it entirely) —
+    * so a few-KB hostile stream could otherwise balloon the output
+    * buffer to OOM, which is a crashed executor, not a rejected file.
+    * 2^26 samples ≈ 128 MB of PCM — beyond any per-row media payload
+    * this engine handles; past it decode returns None. */
+  private[multimodal] val MaxDecodedSamples = 1 << 26
+
   private def decodeOrThrow(bytes: Array[Byte]): Option[Audio] = {
     if (bytes == null || bytes.length < 42) return None
     if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
@@ -271,6 +281,12 @@ object FlacCodec {
       if (chanAsg > 7) return None // mid/side out of subset
       if (chanAsg + 1 != channels) return None
       readCodedNumber(r, variable) // frame/sample number (sequencing unchecked)
+      // incremental amplification guard + the eager totalSamples
+      // check (review r18): reject BEFORE buffering the frame, and as
+      // soon as a declared total is exceeded, not only at stream end
+      if (out.length.toLong + 65536L * channels > MaxDecodedSamples ||
+        (totalSamples > 0 && out.length.toLong > totalSamples * channels))
+        return None
       val blockSize = bsCode match {
         case 0 => return None
         case 1 => 192
@@ -320,14 +336,20 @@ object FlacCodec {
     Some(Audio(sampleRate, channels, out.toArray))
   }
 
-  /** FLAC's extended UTF-8-style coded number (frame or sample id),
-    * up to 36 bits / 7 bytes. */
+  /** FLAC's extended UTF-8-style coded number: frame numbers (fixed
+    * blocksize strategy) are ≤ 31 bits / 6 bytes, sample numbers
+    * (variable strategy) ≤ 36 bits / 7 bytes — the format's own caps,
+    * enforced per strategy (review r18: the unused `variable`
+    * parameter silently admitted overlong fixed-strategy numbers a
+    * conforming decoder rejects). */
   private def readCodedNumber(r: BitReader, variable: Boolean): Long = {
     val b0 = r.readBits(8).toInt
     var cont = 0
     var mask = 0x80
     while ((b0 & mask) != 0) { cont += 1; mask >>= 1 }
-    if (cont == 1 || cont > 7) throw new IllegalArgumentException("bad coded number")
+    val maxBytes = if (variable) 7 else 6
+    if (cont == 1 || cont > maxBytes)
+      throw new IllegalArgumentException("bad coded number")
     var v = (b0 & (0xff >> (cont + 1))).toLong
     var i = 1
     while (i < cont) {

@@ -56,6 +56,25 @@ object DistributedRank {
     case x => x
   }
 
+  /** GROUPING-semantics normalization for float/double key values
+    * (review r18): the specialized probe compares boxed values with
+    * `equals`, which is BITWISE for Double/Float (doubleToLongBits) —
+    * it splits −0.0 from 0.0 while the downstream per-(pid, key)
+    * groupBy and the null-safe attach join normalize them into ONE
+    * key (Spark's NormalizeFloatingNumbers), which would emit
+    * duplicate ranks at a −0.0/0.0 boundary. Map both zeros to +0.0
+    * before comparing/copying; NaN needs nothing extra — boxed-Double
+    * equals already canonicalizes every NaN bit pattern, matching
+    * grouping's NaN==NaN. Pinned by DistributedRankSpec's
+    * signed-zero/NaN key case. */
+  private def normalizeFloatKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => ZeroD
+    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
+    case x => x
+  }
+  private val ZeroD = java.lang.Double.valueOf(0.0)
+  private val ZeroF = java.lang.Float.valueOf(0.0f)
+
   /** The pre-r18 per-row pass (external Row + generic RowEncoder),
     * behind [[RowPassConf]] — see the call site's scaladoc. */
   private def legacyRowPass(sorted: org.apache.spark.sql.DataFrame,
@@ -183,7 +202,7 @@ object DistributedRank {
             while (same && i < nKeys) {
               val cur =
                 if (row.isNullAt(keyIdx(i))) null
-                else row.get(keyIdx(i), keyTypes(i))
+                else normalizeFloatKey(row.get(keyIdx(i), keyTypes(i)))
               val p = prevKey(i)
               same = if (p == null) cur == null else p.equals(cur)
               i += 1
@@ -193,7 +212,8 @@ object DistributedRank {
               while (j < nKeys) {
                 prevKey(j) =
                   if (row.isNullAt(keyIdx(j))) null
-                  else copyCatalystValue(row.get(keyIdx(j), keyTypes(j)))
+                  else normalizeFloatKey(
+                    copyCatalystValue(row.get(keyIdx(j), keyTypes(j))))
                 j += 1
               }
               acc = 0L

@@ -64,28 +64,38 @@ object PipelineOps {
     when(col("doc_id") % 17 === 0, lit("#section-3")).otherwise(lit("")))
 
   /** Canonicalize a URL column the way web-pipeline dedup does before
-    * keying: drop the fragment, lowercase scheme and host, strip a
-    * leading `www.` and a default port (`:443`/`:80`), strip ONE
-    * trailing slash from a non-root path (empty path → `/`), and drop
-    * tracking query params (`utm_*`, `fbclid`, `gclid`) while keeping
-    * the rest. Pure codegen'd string functions — no UDF — and
-    * IDEMPOTENT: canon(canon(u)) == canon(u) (UrlCanonSpec property).
-    * Path/query case is preserved (only scheme+host lowercase): URLs
-    * are case-sensitive past the authority. */
+    * keying: drop the fragment, lowercase scheme and host, strip
+    * leading `www.` prefixes (all of them) and the scheme's OWN
+    * default port (`:443` for https, `:80` for http — a non-default
+    * port is a distinct origin and survives), strip ALL trailing
+    * slashes from the path (empty → `/`), and drop tracking query
+    * params (`utm_*`, `fbclid`, `gclid`) while keeping the rest. Pure
+    * codegen'd string functions — no UDF — and IDEMPOTENT:
+    * canon(canon(u)) == canon(u) (UrlCanonSpec property, incl. the
+    * `www.www.` / `//`-terminated shapes one-at-a-time stripping
+    * broke). Path/query case is preserved (only scheme+host
+    * lowercase): URLs are case-sensitive past the authority. */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(
-      regexp_replace(hostport, ":(443|80)$", ""), "^www\\.", "")
+    // default-port strip is SCHEME-AWARE (review r18): :80 on https
+    // (and :443 on http) is a real, distinct origin — conflating it
+    // with the default-port page would silently drop a different
+    // document in the keep-best stage
+    val noPort = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    // (www\.)+ and /+$ strip REPEATED occurrences: one-at-a-time
+    // stripping broke the documented idempotence on 'www.www.' hosts
+    // and '//'-terminated paths (review r18)
+    val host = regexp_replace(noPort, "^(www\\.)+", "")
     val rest = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val path0 = regexp_extract(rest, "^([^?]*)", 1)
-    val path = when(path0 === "", lit("/"))
-      .when(length(path0) > 1 && path0.endsWith("/"),
-        path0.substr(lit(1), length(path0) - 1))
-      .otherwise(path0)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
     val query0 = when(rest.contains("?"),
       regexp_extract(rest, "\\?(.*)$", 1)).otherwise(lit(""))
     val kept = array_join(
@@ -1492,8 +1502,9 @@ object PipelineOps {
   def oracle: Map[String, String] = Map(
     "pipe_dsir_weights" -> dsirSql,
     // messy-URL builder + canonicalization mirrored step-for-step from
-    // messyUrl/canonicalizeUrl (RE2 has no lookbehind, so the trailing
-    // slash strips via the same CASE both engines use)
+    // messyUrl/canonicalizeUrl (trailing slashes and www. prefixes
+    // strip with the same '/+$' / '^(www\.)+' regexes both engines
+    // run; default-port removal is scheme-conditional in both)
     "pipe_url_dedup" ->
       """WITH urls AS (
            SELECT doc_id, n_chars,
@@ -1513,16 +1524,23 @@ object PipelineOps {
          s1 AS (SELECT doc_id, n_chars,
                        regexp_replace(url, '#.*$', '') AS nofrag
                 FROM urls),
-         s2 AS (SELECT doc_id, n_chars,
-                       lower(regexp_extract(nofrag,
-                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                       regexp_replace(regexp_replace(
-                         lower(regexp_extract(nofrag,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                         ':(443|80)$', ''), '^www\.', '') AS host,
-                       regexp_extract(nofrag,
-                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-                FROM s1),
+         s2a AS (SELECT doc_id, n_chars,
+                        lower(regexp_extract(nofrag,
+                          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                        lower(regexp_extract(nofrag,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                        regexp_extract(nofrag,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                 FROM s1),
+         s2 AS (SELECT doc_id, n_chars, scheme, rest,
+                       regexp_replace(
+                         CASE WHEN scheme = 'https'
+                                THEN regexp_replace(hp, ':443$', '')
+                              WHEN scheme = 'http'
+                                THEN regexp_replace(hp, ':80$', '')
+                              ELSE hp END,
+                         '^(www\.)+', '') AS host
+                FROM s2a),
          s3 AS (SELECT doc_id, n_chars, scheme, host,
                        regexp_extract(rest, '^([^?]*)', 1) AS path0,
                        CASE WHEN contains(rest, '?')
@@ -1530,10 +1548,9 @@ object PipelineOps {
                             ELSE '' END AS query0
                 FROM s2),
          s4 AS (SELECT doc_id, n_chars, scheme, host,
-                       CASE WHEN path0 = '' THEN '/'
-                            WHEN length(path0) > 1 AND path0 LIKE '%/'
-                              THEN left(path0, length(path0) - 1)
-                            ELSE path0 END AS path,
+                       CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                              THEN '/'
+                            ELSE regexp_replace(path0, '/+$', '') END AS path,
                        coalesce(array_to_string(
                          list_filter(string_split(query0, '&'),
                            x -> x <> '' AND NOT regexp_matches(x,

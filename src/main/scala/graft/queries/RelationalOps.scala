@@ -1159,9 +1159,17 @@ object RelationalOps {
           .cast("long")).as("value_cents"))
         .localCheckpoint(eager = false)
       val r0 = vals.agg(sum(col("value_cents")), count(lit(1))).head()
-      val (tot, nparts) = (r0.getLong(0), r0.getLong(1))
-      vals.filter(col("value_cents") * lit(nparts) > lit(tot))
-        .orderBy(col("value_cents").desc, col("l_partkey"))
+      // empty filtered set → NULL sum: return the (schema-correct)
+      // empty result the oracle's empty CTE yields, instead of an NPE
+      // on getLong (review r18 — the stock fixtures are non-empty at
+      // every SF, but the operator must not crash on other corpora)
+      if (r0.isNullAt(0))
+        vals.limit(0).orderBy(col("value_cents").desc, col("l_partkey"))
+      else {
+        val (tot, nparts) = (r0.getLong(0), r0.getLong(1))
+        vals.filter(col("value_cents") * lit(nparts) > lit(tot))
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      }
     }),
 
     // TPC-H Q12 shape (shipping-mode priority split): conditional CASE
@@ -1223,9 +1231,15 @@ object RelationalOps {
         .agg(sum(col("l_quantity").cast("decimal(18,2)").cast("long")).as("sq"))
         .localCheckpoint(eager = false)
       val r0 = pairs.agg(sum(col("sq")), count(lit(1))).head()
-      val (tot, npairs) = (r0.getLong(0), r0.getLong(1))
-      val hot = pairs.filter(col("sq") * lit(npairs) > lit(tot))
-        .select("l_suppkey").distinct()
+      // empty pair set → NULL sum → no hot suppliers (the oracle's
+      // empty CTE), never an NPE (review r18)
+      val hot =
+        if (r0.isNullAt(0)) pairs.limit(0).select("l_suppkey")
+        else {
+          val (tot, npairs) = (r0.getLong(0), r0.getLong(1))
+          pairs.filter(col("sq") * lit(npairs) > lit(tot))
+            .select("l_suppkey").distinct()
+        }
       t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(
           "NATION_15", "NATION_18", "NATION_19", "NATION_20", "NATION_21"))),

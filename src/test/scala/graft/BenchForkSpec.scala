@@ -10,16 +10,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * the fork recipe — the regex/flag logic is unit-pinned in
   * BenchFlagsSpec, but a child that dies on startup would otherwise
   * only surface as a silently empty `requeued` block in the round's
-  * committed record. Uses sf0.001 unless the ambient env overrides,
-  * so the child costs JVM+session startup, not query time. */
+  * committed record. The child reads SPARK_GRAFT_SF_DIR from the
+  * inherited env (BenchOne's default is sf0.1 when unset) — the gate
+  * below checks that exact directory. */
 class BenchForkSpec extends AnyFunSuite {
 
   test("freshJvmMeasure forks a child that measures one query") {
-    // the child inherits this process's env; default to the smallest
-    // fixture when the suite runs without an explicit SF dir
-    if (sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty)
-      assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
-        "no sf0.001 fixture on this host")
+    // the child inherits this process's env verbatim, so gate on the
+    // directory the CHILD will actually read: the env override when
+    // set, else BenchOne's sf0.1 default (review r18 — the earlier
+    // gate checked sf0.001, a directory the child never uses)
+    val childDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    assume(new java.io.File(childDir).isDirectory,
+      s"child SF dir $childDir absent on this host")
     val (vals, detail) = Bench.freshJvmMeasure(Seq("q1_agg"))
     assert(vals.contains("q1_agg"),
       s"child produced no parsable line; detail=$detail")

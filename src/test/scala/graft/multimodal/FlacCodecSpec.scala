@@ -136,4 +136,34 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decode(null).isEmpty)
     assert(FlacCodec.decode("fLaC".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("output-amplification bomb is rejected, not buffered to OOM") {
+    // review r18: a CONSTANT frame expands ~26,000x, and
+    // totalSamples=0 ("unknown") skips the end-of-stream count check —
+    // so a ~25 KB stream of repeated max-blocksize constant frames
+    // could balloon the output buffer unbounded. Build exactly that:
+    // a valid 65,535-sample constant stream, totalSamples patched to
+    // 0 (STREAMINFO has no CRC), frame section repeated 1100x
+    // (≈72M samples > the 2^26 cap).
+    val one = FlacCodec.encodeFlac(
+      Audio(8000, 1, Array.fill(65535)(123.toShort)))
+    assert(FlacCodec.decode(one).isDefined)
+    val header = java.util.Arrays.copyOfRange(one, 0, 42)
+    // total-samples field: bits 108..143 of the 34-byte STREAMINFO
+    // (stream bytes 21 low nibble through 25)
+    header(21) = (header(21) & 0xf0).toByte
+    header(22) = 0; header(23) = 0; header(24) = 0; header(25) = 0
+    val frame = java.util.Arrays.copyOfRange(one, 42, one.length)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(header)
+    (0 until 1100).foreach(_ => bomb.write(frame))
+    // sanity: the patched header alone still decodes (totalSamples=0
+    // legitimately means unknown)
+    val single = new java.io.ByteArrayOutputStream()
+    single.write(header); single.write(frame)
+    assert(FlacCodec.decode(single.toByteArray).isDefined,
+      "totalSamples=0 single-frame stream must stay decodable")
+    assert(FlacCodec.decode(bomb.toByteArray).isEmpty,
+      "amplification bomb decoded instead of hitting the sample cap")
+  }
 }

@@ -160,6 +160,36 @@ class DistributedRankSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.distrank.rowPass")
   }
 
+  test("signed-zero and NaN double keys group like PARTITION BY (one group each)") {
+    // review r18: the specialized probe compares boxed key values with
+    // equals (bitwise for doubles) — without normalization, −0.0 and
+    // 0.0 split into separate run groups while the downstream groupBy
+    // normalizes them into ONE key, emitting duplicate ranks. NaN must
+    // also be one group (grouping treats NaN == NaN).
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x0027)
+    val rows = (0 until 400).map { i =>
+      val key = i % 4 match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => Double.NaN
+        case _ => 7.5
+      }
+      (i.toLong, key, rnd.nextInt(40).toDouble)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(5)
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("grank", row_number().over(w).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 400, "rows dropped on float keys")
+    assert(got === expected)
+  }
+
   test("ranks are invariant across shuffle-partition counts (P sensitivity)") {
     // VERDICT r12 #8: `p` comes from spark.sql.shuffle.partitions, so
     // partition boundaries, the P²×K fan-out and the prior-count

@@ -27,14 +27,35 @@ class UrlCanonSpec extends AnyFunSuite {
       "http://example.com:80/a?utm_source=x&page=2&fbclid=abc",
       "https://example.com",
       "https://example.com/?gclid=1",
-      "https://example.com:8080/UPPER/Path?q=Mixed%20Case")
+      "https://example.com:8080/UPPER/Path?q=Mixed%20Case",
+      // review r18: port stripping is scheme-aware — :80 on https and
+      // :443 on http are REAL distinct origins and must survive
+      "https://example.com:80/x",
+      "http://example.com:443/x",
+      // review r18: repeated www. / trailing slashes strip fully in
+      // ONE pass (the idempotence hazard)
+      "https://WWW.www.example.com/a//",
+      "https://example.com//")
     assert(canon(in) === Seq(
       "https://example.com/Docs/One",
       "http://example.com/a?page=2",
       "https://example.com/",
       "https://example.com/",
       // non-default port kept; path/query case preserved
-      "https://example.com:8080/UPPER/Path?q=Mixed%20Case"))
+      "https://example.com:8080/UPPER/Path?q=Mixed%20Case",
+      "https://example.com:80/x",
+      "http://example.com:443/x",
+      "https://example.com/a",
+      "https://example.com/"))
+  }
+
+  test("idempotent on the shapes one-at-a-time stripping broke") {
+    val tricky = Seq(
+      "https://www.www.example.com/a//",
+      "https://example.com/a///?utm_a=1&b=2#f",
+      "https://WWW.example.com:443///")
+    val once = canon(tricky)
+    assert(canon(once) === once)
   }
 
   test("idempotent over the residue-crossed messy corpus") {
