@@ -398,7 +398,8 @@ object Bench {
     * raw per-query detail lines for the artifact). ANY failure → empty
     * (the in-run record stands; the requeue is adjudication, not a
     * gate), logged to stderr. */
-  private[graft] def freshJvmMeasure(names: Seq[String])
+  private[graft] def freshJvmMeasure(names: Seq[String],
+      extraEnv: Map[String, String] = Map.empty)
       : (Map[String, (Double, Double, Long)], Map[String, String]) = try {
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
@@ -407,7 +408,12 @@ object Bench {
       .getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.BenchOne") ++ names
-    val p = new ProcessBuilder(cmd.asJava).start()
+    val pb = new ProcessBuilder(cmd.asJava)
+    // env overrides on top of inheritance (the fork spec pins the
+    // child to the cheap fixture; the bench itself passes nothing —
+    // the child must read the SAME SPARK_GRAFT_SF_DIR as the run)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
     val out = new java.lang.StringBuilder
     def drain(is: java.io.InputStream, f: String => Unit): Thread = {
       val t = new Thread(() => {

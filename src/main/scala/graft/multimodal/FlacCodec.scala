@@ -266,7 +266,12 @@ object FlacCodec {
     }
     if (first || sampleRate <= 0) return None
     // frames until end of stream
-    val out = new ArrayBuffer[Short]()
+    // PRIMITIVE growable buffer (review r18 pass 2): a boxed
+    // ArrayBuffer[Short] costs ~10x the "128 MB of PCM" the
+    // amplification cap promises (object refs + boxing); the
+    // specialized builder keeps the bound real at 2 bytes/sample
+    val out = new scala.collection.mutable.ArrayBuilder.ofShort
+    var nOut = 0L
     while (!r.atEnd) {
       val frameStart = r.bytePos
       if (r.readBits(14) != 0x3ffeL) return None
@@ -284,8 +289,8 @@ object FlacCodec {
       // incremental amplification guard + the eager totalSamples
       // check (review r18): reject BEFORE buffering the frame, and as
       // soon as a declared total is exceeded, not only at stream end
-      if (out.length.toLong + 65536L * channels > MaxDecodedSamples ||
-        (totalSamples > 0 && out.length.toLong > totalSamples * channels))
+      if (nOut + 65536L * channels > MaxDecodedSamples ||
+        (totalSamples > 0 && nOut > totalSamples * channels))
         return None
       val blockSize = bsCode match {
         case 0 => return None
@@ -326,14 +331,15 @@ object FlacCodec {
           val v = chans(c)(i)
           if (v < Short.MinValue || v > Short.MaxValue) return None
           out += v.toShort
+          nOut += 1
           c += 1
         }
         i += 1
       }
     }
-    if (totalSamples > 0 && out.length.toLong != totalSamples * channels) return None
-    if (out.isEmpty) return None
-    Some(Audio(sampleRate, channels, out.toArray))
+    if (totalSamples > 0 && nOut != totalSamples * channels) return None
+    if (nOut == 0L) return None
+    Some(Audio(sampleRate, channels, out.result()))
   }
 
   /** FLAC's extended UTF-8-style coded number: frame numbers (fixed

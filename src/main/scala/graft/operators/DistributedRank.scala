@@ -56,27 +56,96 @@ object DistributedRank {
     case x => x
   }
 
-  /** GROUPING-semantics normalization for float/double key values
-    * (review r18): the specialized probe compares boxed values with
-    * `equals`, which is BITWISE for Double/Float (doubleToLongBits) —
-    * it splits −0.0 from 0.0 while the downstream per-(pid, key)
-    * groupBy and the null-safe attach join normalize them into ONE
-    * key (Spark's NormalizeFloatingNumbers), which would emit
-    * duplicate ranks at a −0.0/0.0 boundary. Map both zeros to +0.0
-    * before comparing/copying; NaN needs nothing extra — boxed-Double
-    * equals already canonicalizes every NaN bit pattern, matching
-    * grouping's NaN==NaN. Pinned by DistributedRankSpec's
-    * signed-zero/NaN key case. */
-  private def normalizeFloatKey(v: Any): Any = v match {
+  /** GROUPING-semantics key conversion (review r18, both passes): the
+    * run probe must see two key values equal exactly when Spark's
+    * grouping does — the downstream per-(pid, key) groupBy and the
+    * null-safe attach join normalize floats (−0.0 ≡ 0.0, NaN ≡ NaN,
+    * RECURSIVELY into structs/arrays — NormalizeFloatingNumbers), so
+    * a probe that splits them emits duplicate ranks. [[keyConverter]]
+    * builds one converter per key column from its DataType:
+    *  - top-level Double/Float: ±0.0 → +0.0 boxed (boxed equals
+    *    already canonicalizes NaN bit patterns);
+    *  - nested types CONTAINING floats: convert to a plain Scala
+    *    Vector tree with normalized leaves (structural equality —
+    *    catalyst UnsafeRow/ArrayData equals is byte-wise and would
+    *    split −0.0/0.0 inside a struct);
+    *  - everything else: identity for compare, deep-copy for store
+    *    (handled at the call sites).
+    * MapType keys need no case: Spark rejects grouping by maps.
+    * Pinned by DistributedRankSpec's signed-zero/NaN and struct-key
+    * cases. */
+  private val ZeroD = java.lang.Double.valueOf(0.0)
+  private val ZeroF = java.lang.Float.valueOf(0.0f)
+  private def normTop(v: Any): Any = v match {
     case d: java.lang.Double if d.doubleValue() == 0.0 => ZeroD
     case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
     case x => x
   }
-  private val ZeroD = java.lang.Double.valueOf(0.0)
-  private val ZeroF = java.lang.Float.valueOf(0.0f)
+  private def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case a: ArrayType => containsFloat(a.elementType)
+      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+      case _ => false
+    }
+  }
+  /** Deep conversion to a comparable Scala tree with normalized float
+    * leaves — used only for keys whose type nests floats. */
+  private def toComparable(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d == 0.0) ZeroD else java.lang.Double.valueOf(d)
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f == 0.0f) ZeroF else java.lang.Float.valueOf(f)
+      case s: StructType =>
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        Vector.tabulate(s.length)(i =>
+          toComparable(if (r.isNullAt(i)) null else r.get(i, s(i).dataType),
+            s(i).dataType))
+      case a: ArrayType =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Vector.tabulate(arr.numElements())(i =>
+          toComparable(if (arr.isNullAt(i)) null else arr.get(i, a.elementType),
+            a.elementType))
+      case _ => copyCatalystValue(v) // string/decimal/binary leaf inside a struct
+    }
+  }
+  /** (compareConv, storeConv) per key type: compare may alias the row
+    * buffer (equals runs immediately); store must survive iteration. */
+  private[operators] def keyConverter(dt: org.apache.spark.sql.types.DataType)
+      : (Any => Any, Any => Any) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => (normTop, normTop)
+      case _ if containsFloat(dt) =>
+        val f = (v: Any) => toComparable(v, dt)
+        (f, f)
+      case _ => (identity[Any] _, copyCatalystValue _)
+    }
+  }
 
   /** The pre-r18 per-row pass (external Row + generic RowEncoder),
-    * behind [[RowPassConf]] — see the call site's scaladoc. */
+    * behind [[RowPassConf]] — see the call site's scaladoc. Top-level
+    * float keys get the same grouping normalization as the default
+    * path (review r18 pass 2: Scala's numeric `==` split NaN keys
+    * per-row — NaN != NaN — so every NaN row reset the run counter);
+    * the NaN marker exists because Seq equality here is numeric, not
+    * `equals`. Nested-float keys are supported only by the DEFAULT
+    * path — this one is the measurement baseline, kept minimal. */
+  private object NaNMarker
+  private def legacyNormKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.isNaN => NaNMarker
+    case f: java.lang.Float if f.isNaN => NaNMarker
+    case d: java.lang.Double if d.doubleValue() == 0.0 => ZeroD
+    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
+    case x => x
+  }
   private def legacyRowPass(sorted: org.apache.spark.sql.DataFrame,
       keyIdx: Array[Int], valIdx: Int,
       outSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
@@ -85,7 +154,7 @@ object DistributedRank {
       var cur: Seq[Any] = null
       var acc = 0L
       it.map { row =>
-        val key = keyIdx.toSeq.map(row.get)
+        val key = keyIdx.toSeq.map(i => legacyNormKey(row.get(i)))
         if (cur == null || key != cur) { cur = key; acc = 0L }
         acc += (if (valIdx < 0) 1L
           else if (row.isNullAt(valIdx)) 0L
@@ -182,6 +251,7 @@ object DistributedRank {
         legacyRowPass(sorted, keyIdx, valIdx, outSchema)
       else {
         val keyTypes = keyIdx.map(i => sorted.schema(i).dataType)
+        val keyConvs = keyTypes.map(keyConverter)
         val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
           import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -202,7 +272,7 @@ object DistributedRank {
             while (same && i < nKeys) {
               val cur =
                 if (row.isNullAt(keyIdx(i))) null
-                else normalizeFloatKey(row.get(keyIdx(i), keyTypes(i)))
+                else keyConvs(i)._1(row.get(keyIdx(i), keyTypes(i)))
               val p = prevKey(i)
               same = if (p == null) cur == null else p.equals(cur)
               i += 1
@@ -212,8 +282,7 @@ object DistributedRank {
               while (j < nKeys) {
                 prevKey(j) =
                   if (row.isNullAt(keyIdx(j))) null
-                  else normalizeFloatKey(
-                    copyCatalystValue(row.get(keyIdx(j), keyTypes(j))))
+                  else keyConvs(j)._2(row.get(keyIdx(j), keyTypes(j)))
                 j += 1
               }
               acc = 0L

@@ -16,14 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchForkSpec extends AnyFunSuite {
 
   test("freshJvmMeasure forks a child that measures one query") {
-    // the child inherits this process's env verbatim, so gate on the
-    // directory the CHILD will actually read: the env override when
-    // set, else BenchOne's sf0.1 default (review r18 — the earlier
-    // gate checked sf0.001, a directory the child never uses)
-    val childDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // pin the child to the cheapest fixture via the fork's env
+    // override (review r18 pass 2) — the spec pays JVM+session
+    // startup, never sf0.1 query time — and gate on that exact dir
+    val childDir = "/root/testdata/sf0.001"
     assume(new java.io.File(childDir).isDirectory,
       s"child SF dir $childDir absent on this host")
-    val (vals, detail) = Bench.freshJvmMeasure(Seq("q1_agg"))
+    val (vals, detail) = Bench.freshJvmMeasure(Seq("q1_agg"),
+      extraEnv = Map("SPARK_GRAFT_SF_DIR" -> childDir))
     assert(vals.contains("q1_agg"),
       s"child produced no parsable line; detail=$detail")
     val (wall, cpu, rows) = vals("q1_agg")

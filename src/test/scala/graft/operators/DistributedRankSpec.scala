@@ -158,6 +158,25 @@ class DistributedRankSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.distrank.rowPass", "true")
     try assert(run() === fast)
     finally spark.conf.unset("spark.graft.distrank.rowPass")
+
+    // and on DOUBLE keys incl. NaN / ±0.0 (review r18 pass 2: the
+    // legacy pass's Scala numeric == split NaN keys per-row)
+    val fdf = (0 until 300).map { i =>
+      val key = i % 4 match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => Double.NaN
+        case _ => 3.25
+      }
+      (i.toLong, key, (i * 7 % 31).toDouble)
+    }.toDF("id", "key", "v").repartition(5)
+    def runF() = DistributedRank.withRank(fdf, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank", "gcount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fastF = runF()
+    spark.conf.set("spark.graft.distrank.rowPass", "true")
+    try assert(runF() === fastF)
+    finally spark.conf.unset("spark.graft.distrank.rowPass")
   }
 
   test("signed-zero and NaN double keys group like PARTITION BY (one group each)") {
