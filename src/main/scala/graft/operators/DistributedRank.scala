@@ -65,10 +65,12 @@ object DistributedRank {
     * builds one converter per key column from its DataType:
     *  - top-level Double/Float: ±0.0 → +0.0 boxed (boxed equals
     *    already canonicalizes NaN bit patterns);
-    *  - nested types CONTAINING floats: convert to a plain Scala
-    *    Vector tree with normalized leaves (structural equality —
-    *    catalyst UnsafeRow/ArrayData equals is byte-wise and would
-    *    split −0.0/0.0 inside a struct);
+    *  - binary: wrapped for VALUE equality (Array[Byte] equals is by
+    *    reference);
+    *  - nested struct/array types: convert to a plain Scala Vector
+    *    tree with normalized float leaves (NaN → a shared marker —
+    *    Scala collection equality is cooperative-numeric, so even
+    *    boxed NaN != NaN inside a Vector) and wrapped binary leaves;
     *  - everything else: identity for compare, deep-copy for store
     *    (handled at the call sites).
     * MapType keys need no case: Spark rejects grouping by maps.
@@ -76,33 +78,44 @@ object DistributedRank {
     * cases. */
   private val ZeroD = java.lang.Double.valueOf(0.0)
   private val ZeroF = java.lang.Float.valueOf(0.0f)
+  /** Shared canonical NaN stand-in: inside Scala collections (the
+    * nested-key Vector trees, the legacy pass's Seq) equality is
+    * COOPERATIVE NUMERIC (NaN != NaN even boxed — review r18 pass 3,
+    * verified on 2.13.17), so a NaN leaf must become this singleton
+    * to group the way NormalizeFloatingNumbers does. Top-level boxed
+    * compares use Double.equals, where canonical-NaN boxing suffices. */
+  private object NaNMarker
   private def normTop(v: Any): Any = v match {
     case d: java.lang.Double if d.doubleValue() == 0.0 => ZeroD
     case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
     case x => x
   }
-  private def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case DoubleType | FloatType => true
-      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
-      case a: ArrayType => containsFloat(a.elementType)
-      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
-      case _ => false
-    }
-  }
+  /** Binary grouping keys compare by VALUE downstream, but Array[Byte]
+    * equals is reference equality — wrap in an immutable value-equal
+    * seq (UnsafeRow.getBinary already returns a fresh copy, so the
+    * wrap is safe to store). Review r18 pass 3: a binary key
+    * previously reset the run counter on every row. */
+  private def wrapBinary(v: Any): Any =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(v.asInstanceOf[Array[Byte]])
   /** Deep conversion to a comparable Scala tree with normalized float
-    * leaves — used only for keys whose type nests floats. */
+    * leaves and value-equal binary leaves — used for nested key
+    * types, where neither catalyst (byte-wise) nor Scala default
+    * equality matches grouping semantics. */
   private def toComparable(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
     import org.apache.spark.sql.types._
     if (v == null) null
     else dt match {
       case DoubleType =>
         val d = v.asInstanceOf[Double]
-        if (d == 0.0) ZeroD else java.lang.Double.valueOf(d)
+        if (d == 0.0) ZeroD
+        else if (java.lang.Double.isNaN(d)) NaNMarker // Vector equality is numeric
+        else java.lang.Double.valueOf(d)
       case FloatType =>
         val f = v.asInstanceOf[Float]
-        if (f == 0.0f) ZeroF else java.lang.Float.valueOf(f)
+        if (f == 0.0f) ZeroF
+        else if (java.lang.Float.isNaN(f)) NaNMarker
+        else java.lang.Float.valueOf(f)
+      case BinaryType => wrapBinary(v) // Array[Byte] equals is by reference
       case s: StructType =>
         val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
         Vector.tabulate(s.length)(i =>
@@ -113,7 +126,7 @@ object DistributedRank {
         Vector.tabulate(arr.numElements())(i =>
           toComparable(if (arr.isNullAt(i)) null else arr.get(i, a.elementType),
             a.elementType))
-      case _ => copyCatalystValue(v) // string/decimal/binary leaf inside a struct
+      case _ => copyCatalystValue(v) // string/decimal leaf inside a struct
     }
   }
   /** (compareConv, storeConv) per key type: compare may alias the row
@@ -123,7 +136,15 @@ object DistributedRank {
     import org.apache.spark.sql.types._
     dt match {
       case DoubleType | FloatType => (normTop, normTop)
-      case _ if containsFloat(dt) =>
+      case BinaryType => (wrapBinary _, wrapBinary _)
+      case _: StructType | _: ArrayType =>
+        // nested keys always go through the comparable-tree form:
+        // value equality for byte[] leaves and grouping semantics for
+        // float leaves cannot ride on catalyst/Scala default equals.
+        // Cost: one converted tree per row per nested key — inherent
+        // to value comparison on nested types, acceptable because
+        // nested grouping keys are a rare shape (no engine call site
+        // uses one); scalar keys keep the allocation-free fast path.
         val f = (v: Any) => toComparable(v, dt)
         (f, f)
       case _ => (identity[Any] _, copyCatalystValue _)
@@ -134,16 +155,15 @@ object DistributedRank {
     * behind [[RowPassConf]] — see the call site's scaladoc. Top-level
     * float keys get the same grouping normalization as the default
     * path (review r18 pass 2: Scala's numeric `==` split NaN keys
-    * per-row — NaN != NaN — so every NaN row reset the run counter);
-    * the NaN marker exists because Seq equality here is numeric, not
-    * `equals`. Nested-float keys are supported only by the DEFAULT
-    * path — this one is the measurement baseline, kept minimal. */
-  private object NaNMarker
+    * per-row — NaN != NaN — so every NaN row reset the run counter;
+    * ±0.0 needs NOTHING here: numeric equality already treats them
+    * equal, unlike the default path's `equals` probe) and value
+    * equality for binary keys. Nested keys are supported only by the
+    * DEFAULT path — this one is the measurement baseline. */
   private def legacyNormKey(v: Any): Any = v match {
     case d: java.lang.Double if d.isNaN => NaNMarker
     case f: java.lang.Float if f.isNaN => NaNMarker
-    case d: java.lang.Double if d.doubleValue() == 0.0 => ZeroD
-    case f: java.lang.Float if f.floatValue() == 0.0f => ZeroF
+    case b: Array[Byte] => wrapBinary(b)
     case x => x
   }
   private def legacyRowPass(sorted: org.apache.spark.sql.DataFrame,

@@ -10,9 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the fork recipe — the regex/flag logic is unit-pinned in
   * BenchFlagsSpec, but a child that dies on startup would otherwise
   * only surface as a silently empty `requeued` block in the round's
-  * committed record. The child reads SPARK_GRAFT_SF_DIR from the
-  * inherited env (BenchOne's default is sf0.1 when unset) — the gate
-  * below checks that exact directory. */
+  * committed record. The spec pins the child to the sf0.001 fixture
+  * through the fork's env-override parameter, so it pays JVM+session
+  * startup only, never sf0.1 query time. */
 class BenchForkSpec extends AnyFunSuite {
 
   test("freshJvmMeasure forks a child that measures one query") {

@@ -209,6 +209,52 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("nested struct keys (float + binary leaves) group like PARTITION BY") {
+    // review r18 pass 3: the comparable-tree converter must
+    // canonicalize NaN leaves (Scala Vector equality is numeric —
+    // boxed NaN != NaN) and wrap binary leaves (Array[Byte] equals is
+    // by reference), or every such row starts its own run group
+    import spark.implicits._
+    val base = (0 until 240).map { i =>
+      val d = i % 3 match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case _ => Double.NaN
+      }
+      (i.toLong, d, s"g${i % 2}", (i * 11 % 37).toDouble)
+    }.toDF("id", "d", "tag", "v")
+    val df = base.select(col("id"),
+      struct(col("d"), encode(col("tag"), "UTF-8").as("b")).as("key"), col("v"))
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df.withColumn("grank", row_number().over(w).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 240)
+    assert(got === expected)
+  }
+
+  test("top-level binary keys group by value, not array reference") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, s"k${i % 3}", (i * 13 % 41).toDouble))
+      .toDF("id", "tag", "v")
+      .select(col("id"), encode(col("tag"), "UTF-8").as("key"), col("v"))
+    val w = Window.partitionBy("key").orderBy(col("v"), col("id"))
+    val expected = df.withColumn("grank", row_number().over(w).cast("long"))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = DistributedRank.withRank(df, Seq("key"), Seq(col("v"), col("id")))
+      .select("id", "grank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() === expected)
+    // the legacy baseline groups binary by value too (review r18 pass 3)
+    spark.conf.set("spark.graft.distrank.rowPass", "true")
+    try assert(run() === expected)
+    finally spark.conf.unset("spark.graft.distrank.rowPass")
+  }
+
   test("ranks are invariant across shuffle-partition counts (P sensitivity)") {
     // VERDICT r12 #8: `p` comes from spark.sql.shuffle.partitions, so
     // partition boundaries, the P²×K fan-out and the prior-count
