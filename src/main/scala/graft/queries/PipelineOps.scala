@@ -46,15 +46,23 @@ object PipelineOps {
     * row: the corpus has no URL column, so one is derived per doc from
     * (doc_id, source) — mirrored verbatim in the DuckDB oracle — with
     * residue-keyed variation hitting every canonicalization rule.
-    * doc_id % 50 keys the path, so ~10 docs per (host, path) collide
-    * into one canonical group for the keep-best stage. */
+    * The path key folds odd-hundreds ids ending in 7 onto their
+    * even-hundreds counterpart (same source — the corpus assigns
+    * source round-robin mod 20, and Δ100 ≡ 0 mod 20), so a
+    * SCALE-STABLE ~5% of docs pair into canonical-URL duplicates for
+    * the keep-best stage — a realistic web-corpus URL-dup rate that
+    * keeps fullCuration's stage 0 from swallowing the corpus (the
+    * first doc_id%50 key collided 100-apart ids into 5-deep groups:
+    * 80% dropped, and worse as the corpus grows). */
   private def messyUrl: Column = concat(
     when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
     when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
     when(col("doc_id") % 2 === 0, col("source")).otherwise(upper(col("source"))),
     lit(".example.com"),
     when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
-    lit("/docs/"), (col("doc_id") % 50).cast("string"),
+    lit("/docs/"),
+    expr("CAST(CASE WHEN (doc_id DIV 100) % 2 = 1 AND doc_id % 10 = 7 " +
+      "THEN doc_id - 100 ELSE doc_id END AS STRING)"),
     when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
     when(col("doc_id") % 11 === 0 && col("doc_id") % 13 === 0,
         lit("?utm_source=feed&page=2"))
@@ -105,6 +113,22 @@ object PipelineOps {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
+  /** (doc_id, canon_url, keep) for a documents frame — the shared
+    * URL-dedup decision of the standalone `pipe_url_dedup` row and
+    * [[fullCuration]]'s stage 0 (one rule, two consumers): keep the
+    * longest doc per canonical URL, ties to the lowest id. The window
+    * runs over collision-group-sized partitions keyed by the
+    * canonical URL — never a global sort. */
+  private[graft] def urlKeepBest(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = d.select(col("doc_id"), col("n_chars"), messyUrl.as("url"))
+      .withColumn("canon_url", canonicalizeUrl(col("url")))
+    val w = Window.partitionBy("canon_url")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    canon.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("canon_url"), (col("rn") === 1).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The integrated training-data preparation pipeline: token/quality
@@ -147,17 +171,8 @@ object PipelineOps {
     // codegen'd string maps + one window over collision-group-sized
     // partitions (the canonical key is the partitioner — never a
     // global sort). Canonicalization is idempotent (UrlCanonSpec).
-    "pipe_url_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val urls = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("n_chars"), messyUrl.as("url"))
-      val canon = urls.withColumn("canon_url", canonicalizeUrl(col("url")))
-      val w = Window.partitionBy("canon_url")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      canon.withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), col("canon_url"), (col("rn") === 1).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "pipe_url_dedup" -> ((s, dir) =>
+      urlKeepBest(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
 
     // tumbling 1h window aggregation (streaming-capable transform)
     "ev_window_agg" -> ((s, dir) =>
@@ -1310,7 +1325,10 @@ object PipelineOps {
   }
 
   /** The end-to-end curation integration row (`pipe_full_curation`):
-    * the six already-proven stages composed in ONE plan/session —
+    * the already-proven stages composed in ONE plan/session —
+    *   0. URL-level dedup (keep-best per canonical URL —
+    *      pipe_url_dedup's decision, round 18: the C4/RefinedWeb
+    *      stage every web pipeline runs before content passes),
     *   1. quality gate (token/length floors — pipe_clean_corpus's),
     *   2. chunk-exact dedup (drop docs holding a duplicated chunk
     *      whose canonical owner is another doc — dedup_chunk_exact's
@@ -1373,6 +1391,13 @@ object PipelineOps {
 
   def fullCuration(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // stage 0 (round 18): URL-level dedup — the C4/RefinedWeb first
+    // stage; drop every doc that is not its canonical URL's keep-best
+    // representative (the pipe_url_dedup decision, shared helper).
+    // A drop set like the others: set subtraction commutes, so it
+    // composes into the same single unioned anti-join.
+    val urlDrop = urlKeepBest(d).filter(!col("keep"))
+      .select(col("doc_id").as("did"))
     val quality = qualityGate(d)
     // stage 2: chunk-exact drop set — canonical owner is min(doc_id)
     // of the group (min struct(doc_id, chunk_id) orders doc first)
@@ -1396,13 +1421,83 @@ object PipelineOps {
     // one unioned drop set, one anti-join; lazy localCheckpoint so the
     // three detection pipelines execute exactly once at first action
     // (SchemaDriftSpec analyzes without executing — must stay lazy)
-    val dropSet = chunkDrop.unionByName(nearDup).unionByName(contaminated)
+    val dropSet = urlDrop.unionByName(chunkDrop).unionByName(nearDup)
+      .unionByName(contaminated)
       .distinct().localCheckpoint(eager = false)
     val surv = quality.join(dropSet, quality("doc_id") === dropSet("did"), "left_anti")
     // stages 5-6 (PII mask, mixture weights, split label) — the shared
     // stateless tail, plus the batch row's presentation sort
     curationTail(surv).orderBy("doc_id", "copy")
   }
+
+  /** URL canonicalization CTE chain (u_urls → u_s1..u_s4 → u_c), the
+    * SQL twin of [[messyUrl]] + [[canonicalizeUrl]] — `u_`-prefixed
+    * so it composes with the chunk CTEs (which own the bare `c`)
+    * inside the pipe_full_curation oracle; `u_drop` is the stage-0
+    * drop set (every doc that is not its canonical URL's keep-best). */
+  private def urlCanonCtes: String =
+    """u_urls AS (
+           SELECT doc_id, n_chars,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END ||
+                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+                   CASE WHEN doc_id % 2 = 0 THEN source ELSE upper(source) END ||
+                   '.example.com' ||
+                   CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+                   '/docs/' ||
+                   CAST(CASE WHEN (doc_id // 100) % 2 = 1 AND doc_id % 10 = 7
+                             THEN doc_id - 100 ELSE doc_id END AS VARCHAR) ||
+                   CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 AND doc_id % 13 = 0
+                          THEN '?utm_source=feed&page=2'
+                        WHEN doc_id % 11 = 0 THEN '?utm_source=feed'
+                        WHEN doc_id % 13 = 0 THEN '?page=2' ELSE '' END ||
+                   CASE WHEN doc_id % 17 = 0 THEN '#section-3' ELSE '' END) AS url
+           FROM documents),
+         u_s1 AS (SELECT doc_id, n_chars,
+                         regexp_replace(url, '#.*$', '') AS nofrag
+                  FROM u_urls),
+         u_s2a AS (SELECT doc_id, n_chars,
+                          lower(regexp_extract(nofrag,
+                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                          lower(regexp_extract(nofrag,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                          regexp_extract(nofrag,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                   FROM u_s1),
+         u_s2 AS (SELECT doc_id, n_chars, scheme, rest,
+                         regexp_replace(
+                           CASE WHEN scheme = 'https'
+                                  THEN regexp_replace(hp, ':443$', '')
+                                WHEN scheme = 'http'
+                                  THEN regexp_replace(hp, ':80$', '')
+                                ELSE hp END,
+                           '^(www\.)+', '') AS host
+                  FROM u_s2a),
+         u_s3 AS (SELECT doc_id, n_chars, scheme, host,
+                         regexp_extract(rest, '^([^?]*)', 1) AS path0,
+                         CASE WHEN contains(rest, '?')
+                              THEN regexp_extract(rest, '\?(.*)$', 1)
+                              ELSE '' END AS query0
+                  FROM u_s2),
+         u_s4 AS (SELECT doc_id, n_chars, scheme, host,
+                         CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                                THEN '/'
+                              ELSE regexp_replace(path0, '/+$', '') END AS path,
+                         coalesce(array_to_string(
+                           list_filter(string_split(query0, '&'),
+                             x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|fbclid|gclid)=')), '&'), '') AS kept
+                  FROM u_s3),
+         u_c AS (SELECT doc_id, n_chars,
+                        scheme || '://' || host || path ||
+                        CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+                          AS canon_url
+                 FROM u_s4),
+         u_drop AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY canon_url
+                      ORDER BY n_chars DESC, doc_id) AS rn
+             FROM u_c) WHERE rn > 1)"""
 
   /** 3-gram Jaccard ≥ 0.8 near-dup drop-set CTEs (idx → grams →
     * sizes → inter → dups) — the exact twin of the verified MinHash
@@ -1504,67 +1599,14 @@ object PipelineOps {
     // messy-URL builder + canonicalization mirrored step-for-step from
     // messyUrl/canonicalizeUrl (trailing slashes and www. prefixes
     // strip with the same '/+$' / '^(www\.)+' regexes both engines
-    // run; default-port removal is scheme-conditional in both)
+    // run; default-port removal is scheme-conditional in both); the
+    // CTE chain is shared with pipe_full_curation's stage-0 drop set
     "pipe_url_dedup" ->
-      """WITH urls AS (
-           SELECT doc_id, n_chars,
-                  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END ||
-                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-                   CASE WHEN doc_id % 2 = 0 THEN source ELSE upper(source) END ||
-                   '.example.com' ||
-                   CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
-                   '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
-                   CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
-                   CASE WHEN doc_id % 11 = 0 AND doc_id % 13 = 0
-                          THEN '?utm_source=feed&page=2'
-                        WHEN doc_id % 11 = 0 THEN '?utm_source=feed'
-                        WHEN doc_id % 13 = 0 THEN '?page=2' ELSE '' END ||
-                   CASE WHEN doc_id % 17 = 0 THEN '#section-3' ELSE '' END) AS url
-           FROM documents),
-         s1 AS (SELECT doc_id, n_chars,
-                       regexp_replace(url, '#.*$', '') AS nofrag
-                FROM urls),
-         s2a AS (SELECT doc_id, n_chars,
-                        lower(regexp_extract(nofrag,
-                          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                        lower(regexp_extract(nofrag,
-                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
-                        regexp_extract(nofrag,
-                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-                 FROM s1),
-         s2 AS (SELECT doc_id, n_chars, scheme, rest,
-                       regexp_replace(
-                         CASE WHEN scheme = 'https'
-                                THEN regexp_replace(hp, ':443$', '')
-                              WHEN scheme = 'http'
-                                THEN regexp_replace(hp, ':80$', '')
-                              ELSE hp END,
-                         '^(www\.)+', '') AS host
-                FROM s2a),
-         s3 AS (SELECT doc_id, n_chars, scheme, host,
-                       regexp_extract(rest, '^([^?]*)', 1) AS path0,
-                       CASE WHEN contains(rest, '?')
-                            THEN regexp_extract(rest, '\?(.*)$', 1)
-                            ELSE '' END AS query0
-                FROM s2),
-         s4 AS (SELECT doc_id, n_chars, scheme, host,
-                       CASE WHEN regexp_replace(path0, '/+$', '') = ''
-                              THEN '/'
-                            ELSE regexp_replace(path0, '/+$', '') END AS path,
-                       coalesce(array_to_string(
-                         list_filter(string_split(query0, '&'),
-                           x -> x <> '' AND NOT regexp_matches(x,
-                             '^(utm_[^=]*|fbclid|gclid)=')), '&'), '') AS kept
-                FROM s3),
-         c AS (SELECT doc_id, n_chars,
-                      scheme || '://' || host || path ||
-                      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
-                        AS canon_url
-               FROM s4)
+      s"""WITH $urlCanonCtes
          SELECT doc_id, canon_url,
                 row_number() OVER (PARTITION BY canon_url
                                    ORDER BY n_chars DESC, doc_id) = 1 AS keep
-         FROM c ORDER BY doc_id""",
+         FROM u_c ORDER BY doc_id""",
     "pipe_clean_corpus" ->
       s"""WITH $jaccardDupsCtes
          SELECT doc_id,
@@ -2175,7 +2217,8 @@ object PipelineOps {
     // mix/split expressions from their standalone rows. MATERIALIZED
     // on the heavy detection CTEs (the PQ-oracle lesson)
     "pipe_full_curation" ->
-      raw"""WITH $jaccardDupsCtes,
+      raw"""WITH $urlCanonCtes,
+          $jaccardDupsCtes,
           ${SearchOps.chunkCtes},
           ch AS (SELECT md5(chunk) AS chunk_hash, doc_id FROM c),
           cg AS (SELECT chunk_hash, min(doc_id) AS cdoc, count(*) AS n
@@ -2190,6 +2233,7 @@ object PipelineOps {
             FROM documents
             WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 10
               AND length(text) >= 60
+              AND doc_id NOT IN (SELECT doc_id FROM u_drop)
               AND doc_id NOT IN (SELECT dup_id FROM dups)
               AND doc_id NOT IN (SELECT doc_id FROM cdrop)
               AND doc_id NOT IN (SELECT doc_id FROM bad)),
