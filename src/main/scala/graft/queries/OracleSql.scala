@@ -47,6 +47,41 @@ private[queries] object OracleSql {
       s"SELECT *, $expr AS $alias FROM ($q)"
     }
 
+  /** [[graft.functions.FixedLog.log2Fixed]]'s integer shift-and-square
+    * steps UNROLLED over `base` (a SELECT yielding HUGEINT columns
+    * `num` and `den` plus any carry-through columns): 7 binary
+    * normalization steps + FracBits squaring/digit steps, every op the
+    * Scala kernel's twin in HUGEINT. The result SELECT carries the
+    * base's columns plus `e7`/`f20`; [[log2ResultExpr]] folds them to
+    * the lattice value. Shared by the DSIR-weights and text-entropy
+    * oracles so the chain cannot drift per consumer (round 18). */
+  def log2ChainSql(base: String): String = {
+    def p2(n: Int): String = (BigInt(1) << n).toString
+    val normSteps = Seq(64, 32, 16, 8, 4, 2, 1).zipWithIndex.flatMap {
+      case (sft, i) =>
+        val c = s"x$i >= ${p2(30 + sft)}::HUGEINT"
+        Seq(
+          s"CASE WHEN $c THEN x$i // ${p2(sft)}::HUGEINT ELSE x$i END" -> s"x${i + 1}",
+          s"CASE WHEN $c THEN e$i + $sft ELSE e$i END" -> s"e${i + 1}")
+    }
+    val sqSteps = (0 until graft.functions.FixedLog.FracBits).flatMap { j =>
+      Seq(
+        s"(m$j * m$j) // ${p2(30)}::HUGEINT" -> s"t$j",
+        s"CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN t$j // 2 ELSE t$j END" -> s"m${j + 1}",
+        s"f$j * 2 + CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN 1 ELSE 0 END" -> s"f${j + 1}")
+    }
+    nest(base,
+      Seq(s"((num * ${p2(60)}::HUGEINT) // den) * ${p2(20)}::HUGEINT" -> "x0",
+        // exponent bias −50: x ≈ v·2^80, mantissa keeps 2^30
+        "CAST(-50 AS BIGINT)" -> "e0") ++
+        normSteps ++ Seq("x7" -> "m0", "0::HUGEINT" -> "f0") ++ sqSteps)
+  }
+
+  /** The lattice value e·2^FracBits + frac of a [[log2ChainSql]] row. */
+  def log2ResultExpr: String =
+    s"CAST(e7 * ${graft.functions.FixedLog.FracUnit} + " +
+      s"f${graft.functions.FixedLog.FracBits} AS BIGINT)"
+
   /** splitmix64 as nest() steps: input column expr → output alias. */
   def splitmixSteps(in: String, out: String): Seq[(String, String)] = {
     val t = s"_$out"

@@ -1545,26 +1545,11 @@ object PipelineOps {
     * by libm luck. */
   private def dsirSql: String = {
     val B = DsirBuckets
-    import OracleSql.{nest, sb, fnvString}
-    def p2(n: Int): String = (BigInt(1) << n).toString
-    val normSteps = Seq(64, 32, 16, 8, 4, 2, 1).zipWithIndex.flatMap {
-      case (sft, i) =>
-        val c = s"x$i >= ${p2(30 + sft)}::HUGEINT"
-        Seq(
-          s"CASE WHEN $c THEN x$i // ${p2(sft)}::HUGEINT ELSE x$i END" -> s"x${i + 1}",
-          s"CASE WHEN $c THEN e$i + $sft ELSE e$i END" -> s"e${i + 1}")
-    }
-    val sqSteps = (0 until graft.functions.FixedLog.FracBits).flatMap { j =>
-      Seq(
-        s"(m$j * m$j) // ${p2(30)}::HUGEINT" -> s"t$j",
-        s"CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN t$j // 2 ELSE t$j END" -> s"m${j + 1}",
-        s"f$j * 2 + CASE WHEN t$j >= ${p2(31)}::HUGEINT THEN 1 ELSE 0 END" -> s"f${j + 1}")
-    }
-    val chain = nest("SELECT * FROM lrb",
-      Seq(s"((num * ${p2(60)}::HUGEINT) // den) * ${p2(20)}::HUGEINT" -> "x0",
-        // exponent bias −50: x ≈ v·2^80, mantissa keeps 2^30
-        "CAST(-50 AS BIGINT)" -> "e0") ++
-        normSteps ++ Seq("x7" -> "m0", "0::HUGEINT" -> "f0") ++ sqSteps)
+    import OracleSql.{sb, fnvString}
+    // the FixedLog chain is shared with the text_entropy oracle
+    // (OracleSql.log2ChainSql, round 18) — one unrolled twin, two
+    // consumers, no drift
+    val chain = OracleSql.log2ChainSql("SELECT * FROM lrb")
     s"""WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM documents WHERE text IS NOT NULL),
@@ -1581,7 +1566,7 @@ object PipelineOps {
         lrb AS (SELECT bucket, (ct + 1) * (tr + $B) AS num,
                        (cr + 1) * (tt + $B) AS den
                 FROM bc CROSS JOIN tot),
-        llr AS (SELECT bucket, CAST(e7 * ${p2(20)} + f${graft.functions.FixedLog.FracBits} AS BIGINT) AS llr
+        llr AS (SELECT bucket, ${OracleSql.log2ResultExpr} AS llr
                 FROM ($chain)),
         w AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                      CAST(sum(llr.llr) AS BIGINT) AS log2w_num

@@ -698,6 +698,52 @@ object TextOps {
     // all-pairs hamming semantics directly.
     "dedup_simhash_pairs" -> ((s, dir) => simhashPairs(docs(s, dir), 3)),
 
+    // Per-doc Shannon CHARACTER entropy on the 2^-20 lattice (round
+    // 18) — the classic curation quality signal (low entropy =
+    // boilerplate/repetition/degenerate text), computed CROSS-ENGINE
+    // EXACT where every other engine reaches for libm: counts are
+    // integers over the first 1023 chars (the range(1,1024) position
+    // cap both engines share — the ngram-oracle convention), log2
+    // comes from FixedLog's integer kernel evaluated over the BOUNDED
+    // distinct-count LUT (model tier: ≤1023 distinct per-char counts
+    // + ≤1023 distinct doc totals, collected once, broadcast back),
+    // and ent_num = n·L(n) − Σ c·L(c) is exact integer arithmetic —
+    // provably ≥ 0 because L is monotone. The one double division at
+    // the edge is identical in both engines. At 100 TB the LUT stays
+    // the same size (it is keyed by count VALUES, capped by the 1023
+    // position bound) and the per-doc work is one narrow explode +
+    // two count-sized aggregations.
+    "text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val chars = docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), least(length(col("text")), lit(1023)))).as("j"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, j, 1)").as("ch"))
+      // three consumers (doc totals, the LUT value set, the entropy
+      // join) — one lazy materialization (shared-stage doctrine)
+      val cnt = graft.operators.Checkpoints.truncate(
+        chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
+      val nn = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      val vals = cnt.select(col("c").as("v")).distinct()
+        .unionByName(nn.select(col("n").as("v")).distinct())
+        .distinct().collect().map(_.getLong(0))
+      val lut = vals.toSeq.map(v =>
+        (v, graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))))
+        .toDF("v", "l2")
+      val cl = cnt.join(broadcast(lut), cnt("c") === col("v"))
+        .groupBy("doc_id").agg(sum(col("c") * col("l2")).as("cl"))
+      nn.join(broadcast(lut.withColumnRenamed("v", "nv")
+            .withColumnRenamed("l2", "l2n")), col("n") === col("nv"))
+        .join(cl, "doc_id")
+        .withColumn("ent_num", col("n") * col("l2n") - col("cl"))
+        .select(col("doc_id"), col("n"), col("ent_num"),
+          round(col("ent_num").cast("double") /
+            (col("n").cast("double") * lit(1048576.0)), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Language id: per-language marker-token counts, argmax with a
     // deterministic preference order; 'und' when no marker fires.
     "text_langid" -> ((s, dir) => {
@@ -1623,6 +1669,34 @@ object TextOps {
                 CAST(SUM(CASE WHEN cc.c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
          FROM tok t JOIN cc ON t.w = cc.w
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // the FixedLog chain (shared with pipe_dsir_weights' oracle) over
+    // the distinct-count value set; n·L(n) − Σ c·L(c) in exact ints,
+    // one double division at the edge — the engine twin byte-for-byte
+    "text_entropy" ->
+      s"""WITH chars AS (
+            SELECT doc_id, substr(text, CAST(j AS INT), 1) AS ch
+            FROM documents, unnest(range(1, 1024)) AS t(j)
+            WHERE text IS NOT NULL AND j <= length(text)),
+          cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                  FROM chars GROUP BY 1, 2),
+          nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                 FROM cnt GROUP BY 1),
+          vals AS (SELECT DISTINCT c AS v FROM cnt
+                   UNION SELECT DISTINCT n FROM nn),
+          lut AS (SELECT v, ${OracleSql.log2ResultExpr} AS l2
+                  FROM (${OracleSql.log2ChainSql(
+                    "SELECT v, v::HUGEINT AS num, 1::HUGEINT AS den FROM vals")})),
+          cl AS (SELECT cnt.doc_id, CAST(sum(cnt.c * lut.l2) AS BIGINT) AS cl
+                 FROM cnt JOIN lut ON cnt.c = lut.v GROUP BY 1),
+          en AS (SELECT nn.doc_id, nn.n,
+                        CAST(nn.n * lut.l2 - cl.cl AS BIGINT) AS ent_num
+                 FROM nn JOIN lut ON nn.n = lut.v
+                 JOIN cl ON cl.doc_id = nn.doc_id)
+          SELECT doc_id, n, ent_num,
+                 round(CAST(ent_num AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * 1048576.0), 6) AS entropy
+          FROM en ORDER BY doc_id""",
 
     // token/bigram tables via unnest; top bigram by (count DESC,
     // bigram ASC) row_number — the same tie-break as the JVM kernel

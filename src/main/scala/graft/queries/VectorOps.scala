@@ -118,16 +118,44 @@ object VectorOps extends Serializable {
     * vectors, narrow per-row score, per-query top-k via bounded heap +
     * window (complete deterministic order: rounded score desc, id
     * asc). Shared by vec_topk_bruteforce and the recall evaluator. */
-  private def bruteforceTopK(s: SparkSession, dir: String): DataFrame = {
+  private def bruteforceTopK(s: SparkSession, dir: String,
+      keepMatches: DataFrame => DataFrame = identity): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
-    val c = e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb"))
+    val c = keepMatches(
+      e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb")))
     val scored = c.join(broadcast(q))
       .filter(col("match_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
     rankTopK(scored, TopK)
   }
+
+  /** The filtered-ANN metadata predicate: matches restricted to even
+    * labels (~50% selectivity) — a stand-in for the language/source/
+    * license predicates every production filtered vector search
+    * carries (FAISS IDSelector, Milvus boolean filters). The keep set
+    * applies as a semi join on the id column `keyCol`, AFTER list
+    * assignment: the index is built unfiltered and the filter prunes
+    * at query time, the standard post-filter-in-index semantics. */
+  private def evenLabelKeep(s: SparkSession, dir: String, keyCol: String)
+      : DataFrame => DataFrame = { d =>
+    val keep = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("label") % 2 === 0).select(col("vec_id").as("__kid"))
+    d.join(keep, d(keyCol) === col("__kid"), "left_semi")
+  }
+
+  /** Filtered trained-IVF ANN: probe as [[annIvfTrained]], candidates
+    * restricted by [[evenLabelKeep]] before exact scoring — top-k
+    * among matches SATISFYING the predicate. With ~50% selectivity
+    * and per-list uniform labels, nprobe lists still hold ≥ k
+    * qualifying candidates; heavily selective predicates want a
+    * larger nprobe — exactly the production tuning
+    * `vec_recall_eval_filtered` measures. */
+  def annIvfFiltered(s: SparkSession, dir: String, iters: Int,
+      nprobe: Int): DataFrame =
+    annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe,
+      keepMatches = evenLabelKeep(s, dir, "vec_id"))
 
   /** recall@k of an ANN result against the brute-force truth — the
     * metric a production pipeline tracks when tuning plane count /
@@ -269,6 +297,20 @@ object VectorOps extends Serializable {
     // same lists)
     "vec_recall_eval_ivfsq8" -> ((s, dir) =>
       recallEval(bruteforceTopK(s, dir), annIvfSq8(s, dir, NProbe))),
+
+    // FILTERED vector search (round 18) — the metadata-predicate ANN
+    // every production retrieval stack needs (language/source/license
+    // filters): trained-IVF probe with candidates restricted to the
+    // predicate BEFORE exact scoring; see [[annIvfFiltered]]
+    "vec_ann_ivf_filtered" -> ((s, dir) =>
+      annIvfFiltered(s, dir, KmeansIters, NProbe)),
+
+    // recall@k of the filtered search against the FILTERED brute-force
+    // truth (top-k among qualifying matches) — the nprobe-vs-
+    // selectivity tuning curve of filtered ANN
+    "vec_recall_eval_filtered" -> ((s, dir) =>
+      recallEval(bruteforceTopK(s, dir, evenLabelKeep(s, dir, "match_id")),
+        annIvfFiltered(s, dir, KmeansIters, NProbe))),
 
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
@@ -1228,7 +1270,8 @@ object VectorOps extends Serializable {
   }
 
   private def annIvfCore(s: SparkSession, dir: String,
-      cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+      cents: Array[(Long, Array[Double], Double)], nprobe: Int,
+      keepMatches: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val bc = s.sparkContext.broadcast(cents)
@@ -1250,8 +1293,9 @@ object VectorOps extends Serializable {
       .flatMap { case (id, v, norm) =>
         probeCids(v, norm, cents, nprobe).map(cid => (id, v, norm, cid))
       }.toSeq.toDF("query_id", "va", "na", "cid")
-    // exact scoring inside the probed lists only
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+    // exact scoring inside the probed lists only; the metadata filter
+    // (filtered-ANN family) prunes candidates BEFORE the scoring join
+    val scored = keepMatches(assigned).join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("v"), col("na"), col("norm")), 6))
       .withColumnRenamed("vec_id", "match_id")
@@ -1262,7 +1306,10 @@ object VectorOps extends Serializable {
     """sum(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
                CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)) / 1048576.0"""
 
-  private val bruteforceSql =
+  /** Brute-force top-k SQL with an optional extra match-side
+    * predicate — `""` is the unfiltered truth, the filtered-ANN twin
+    * passes the label predicate (round 18). */
+  private def bruteforceSqlWith(matchPred: String): String =
     s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
           norms AS (
             SELECT vec_id, sqrt(sum(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
@@ -1271,7 +1318,7 @@ object VectorOps extends Serializable {
           dots AS (
             SELECT a.vec_id AS query_id, b.vec_id AS match_id, $dotSql AS dot
             FROM embeddings a JOIN embeddings b ON a.vec_id < $QueryIdsDefault
-                 AND b.vec_id <> a.vec_id
+                 AND b.vec_id <> a.vec_id$matchPred
             CROSS JOIN idx
             GROUP BY 1, 2),
           scored AS (
@@ -1287,6 +1334,10 @@ object VectorOps extends Serializable {
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  private val bruteforceSql = bruteforceSqlWith("")
+  private val bruteforceFilteredSql =
+    bruteforceSqlWith("\n                 AND b.label % 2 = 0")
 
   // SQL twin of annLsh(planes=8): splitmix64-derived hyperplane
   // coefficients (signed % 1000, matching the JVM's Long % — DuckDB
@@ -1440,11 +1491,15 @@ object VectorOps extends Serializable {
             FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
   }
 
-  private val annIvfTrainedSql: String =
-    s"""WITH $ivfTrainedCandPrefix,
+  /** The exact-scoring tail of a trained-IVF oracle over candidate
+    * table `candTable`, with `extraCtes` (e.g. the filtered-ANN label
+    * join) appended to the shared prefix — one skeleton, unfiltered
+    * and filtered twins (round 18). */
+  private def annIvfScoredSql(extraCtes: String, candTable: String): String =
+    s"""WITH $ivfTrainedCandPrefix$extraCtes,
           dots AS (
             SELECT c.query_id, c.match_id, $dotSql AS dot
-            FROM cand c
+            FROM $candTable c
             JOIN embeddings a ON a.vec_id = c.query_id
             JOIN embeddings b ON b.vec_id = c.match_id
             CROSS JOIN idx
@@ -1461,6 +1516,14 @@ object VectorOps extends Serializable {
             FROM scored)
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  private val annIvfTrainedSql: String = annIvfScoredSql("", "cand")
+  private val annIvfFilteredSql: String = annIvfScoredSql(
+    """,
+          candf AS (
+            SELECT c.query_id, c.match_id FROM cand c
+            JOIN embeddings l ON l.vec_id = c.match_id AND l.label % 2 = 0)""",
+    "candf")
 
   /** SQL twin of [[annIvfSq8]]: the trained-IVF candidate prefix
     * composed with the SQ8 decode chain — asymmetric decoded cosine
@@ -1857,6 +1920,14 @@ object VectorOps extends Serializable {
           GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_ivf" -> annIvfSql,
     "vec_ann_ivf_trained" -> annIvfTrainedSql,
+    "vec_ann_ivf_filtered" -> annIvfFilteredSql,
+    "vec_recall_eval_filtered" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM ($bruteforceFilteredSql) t
+          LEFT JOIN ($annIvfFilteredSql) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_ann_lsh" -> annLshSql,
     // the LSH sibling's oracle IS the exact all-pairs result: the
     // banded candidates are verified with the identical quantized

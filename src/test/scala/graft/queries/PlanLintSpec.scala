@@ -26,7 +26,9 @@ class PlanLintSpec extends AnyFunSuite {
       // SQ8 is deliberately a FLAT scan over decoded codes (the
       // brute-force shape at 8× compression); its recall eval embeds
       // both it and the brute-force truth
-      "vec_ann_sq8", "vec_recall_eval_sq8", "vec_recall_eval_ivfsq8")
+      "vec_ann_sq8", "vec_recall_eval_sq8", "vec_recall_eval_ivfsq8",
+      // the filtered recall eval embeds the (filtered) brute-force truth
+      "vec_recall_eval_filtered")
   // the 2M-node scale probes generate their extract on first touch —
   // too heavy for a lint pass that only inspects plans
   private val skip = Set("osm_big_pois", "osm_big_topology", "osm_big_buildings")
