@@ -1419,7 +1419,8 @@ object PipelineOps {
     val contaminated = fps.join(benchFps, Seq("fp"), "left_semi")
       .select(col("doc_id").as("did"))
     // one unioned drop set, one anti-join; lazy localCheckpoint so the
-    // three detection pipelines execute exactly once at first action
+    // four detection pipelines (URL keep-best, chunk-exact, near-dup,
+    // contamination) execute exactly once at first action
     // (SchemaDriftSpec analyzes without executing — must stay lazy)
     val dropSet = urlDrop.unionByName(chunkDrop).unionByName(nearDup)
       .unionByName(contaminated)

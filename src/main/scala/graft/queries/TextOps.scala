@@ -704,15 +704,14 @@ object TextOps {
     // EXACT where every other engine reaches for libm: counts are
     // integers over the first 1023 chars (the range(1,1024) position
     // cap both engines share — the ngram-oracle convention), log2
-    // comes from FixedLog's integer kernel evaluated over the BOUNDED
-    // distinct-count LUT (model tier: ≤1023 distinct per-char counts
-    // + ≤1023 distinct doc totals, collected once, broadcast back),
-    // and ent_num = n·L(n) − Σ c·L(c) is exact integer arithmetic —
-    // provably ≥ 0 because L is monotone. The one double division at
-    // the edge is identical in both engines. At 100 TB the LUT stays
-    // the same size (it is keyed by count VALUES, capped by the 1023
-    // position bound) and the per-doc work is one narrow explode +
-    // two count-sized aggregations.
+    // comes from FixedLog's integer kernel over the CONSTANT LUT
+    // 1..1023 (every count and doc total is bounded by the position
+    // cap, so the LUT needs no data-dependent job — a driver-built
+    // 1023-row broadcast), and ent_num = n·L(n) − Σ c·L(c) is exact
+    // integer arithmetic — provably ≥ 0 because L is monotone. The
+    // one double division at the edge is identical in both engines.
+    // At 100 TB the LUT is unchanged and the per-doc work is one
+    // narrow explode + two count-sized aggregations.
     "text_entropy" -> ((s, dir) => {
       import s.implicits._
       val chars = docs(s, dir)
@@ -721,15 +720,17 @@ object TextOps {
           explode(sequence(lit(1), least(length(col("text")), lit(1023)))).as("j"),
           col("text"))
         .select(col("doc_id"), expr("substring(text, j, 1)").as("ch"))
-      // three consumers (doc totals, the LUT value set, the entropy
-      // join) — one lazy materialization (shared-stage doctrine)
+      // two consumers (doc totals, the entropy join) — one lazy
+      // materialization (shared-stage doctrine). The LUT needs NO
+      // data-dependent collect (review r18 pass 4): every count and
+      // every doc total is ≤ the 1023-position cap BY CONSTRUCTION,
+      // so the full domain 1..1023 is a CONSTANT table — construction
+      // stays lazy (SchemaDriftSpec/PlanLintSpec analyze without
+      // executing) and no per-construction Spark job runs.
       val cnt = graft.operators.Checkpoints.truncate(
         chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
       val nn = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
-      val vals = cnt.select(col("c").as("v")).distinct()
-        .unionByName(nn.select(col("n").as("v")).distinct())
-        .distinct().collect().map(_.getLong(0))
-      val lut = vals.toSeq.map(v =>
+      val lut = (1L to 1023L).map(v =>
         (v, graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))))
         .toDF("v", "l2")
       val cl = cnt.join(broadcast(lut), cnt("c") === col("v"))
@@ -1682,8 +1683,7 @@ object TextOps {
                   FROM chars GROUP BY 1, 2),
           nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
                  FROM cnt GROUP BY 1),
-          vals AS (SELECT DISTINCT c AS v FROM cnt
-                   UNION SELECT DISTINCT n FROM nn),
+          vals AS (SELECT unnest(range(1, 1024)) AS v),
           lut AS (SELECT v, ${OracleSql.log2ResultExpr} AS l2
                   FROM (${OracleSql.log2ChainSql(
                     "SELECT v, v::HUGEINT AS num, 1::HUGEINT AS den FROM vals")})),

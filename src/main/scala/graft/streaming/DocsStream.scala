@@ -73,20 +73,22 @@ object DocsStream {
     *   5-6. PII mask + mixture weights + split label
     *      ([[graft.queries.PipelineOps.curationTail]], stateless).
     *
-    * Stages 2 (chunk-exact dedup) and 3 (MinHash near-dup removal) are
-    * SEMANTICALLY BATCH-ONLY and deliberately absent: their drop sets
-    * are corpus-GLOBAL — the canonical owner of a duplicated chunk and
-    * the lower id of a verified near-dup pair are properties of the
-    * whole corpus, and a stream that has seen a prefix cannot know
-    * whether a lower-id owner is still to arrive (an arrival-order
-    * "first wins" would diverge from the batch keep-lowest rule
-    * whenever ids arrive out of order). A production stream runs those
-    * two as periodic batch compaction over the accumulated corpus.
+    * Stages 0 (URL keep-best, round 18), 2 (chunk-exact dedup) and 3
+    * (MinHash near-dup removal) are SEMANTICALLY BATCH-ONLY and
+    * deliberately absent: their drop sets are corpus-GLOBAL — the
+    * keep-best representative of a canonical URL, the canonical owner
+    * of a duplicated chunk and the lower id of a verified near-dup
+    * pair are properties of the whole corpus, and a stream that has
+    * seen a prefix cannot know whether a better representative /
+    * lower-id owner is still to arrive (an arrival-order "first wins"
+    * would diverge from the batch rule whenever ids arrive out of
+    * order). A production stream runs those as periodic batch
+    * compaction over the accumulated corpus.
     *
     * Consequently the output is a SUPERSET of the batch
     * `pipe_full_curation` rows: identical on every doc the batch row
     * keeps (the shared stages are the same code), plus the docs only
-    * stages 2-3 would drop. Stateless end-to-end — no watermark, no
+    * stages 0/2-3 would drop. Stateless end-to-end — no watermark, no
     * state store; the union over ANY micro-batch cuts equals the
     * same composition applied in batch (DocsStreamSpec pins both the
     * cut-invariance and the superset/identity containments). */

@@ -122,7 +122,7 @@ class DocsStreamSpec extends AnyFunSuite {
     val batch = DocsStream.curate(docs, benchFps).collect().map(key).toSet
     assert(batch.nonEmpty)
     // containment vs the full batch integration row: curate skips the
-    // batch-only global drop stages (chunk-exact, near-dup), so its
+    // batch-only global drop stages (URL keep-best, chunk-exact, near-dup), so its
     // output is a SUPERSET with identical rows on every shared doc
     val full = graft.queries.PipelineOps.queries("pipe_full_curation")(spark, dir)
       .collect().map(key).toSet
