@@ -56,6 +56,58 @@ object DocsStream {
       .toDF("doc_id", "lang")
   }
 
+  /** L(v) = FixedLog.log2Fixed(v, 1) for v in 1..1023 — the constant
+    * table the batch `text_entropy` broadcasts; index 0 unused. */
+  private lazy val EntropyLut: Array[Long] = {
+    val a = new Array[Long](1024)
+    var v = 1
+    while (v < 1024) {
+      a(v) = graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))
+      v += 1
+    }
+    a
+  }
+
+  /** Entropy-on-ingest: the stateless streaming twin of
+    * `text_entropy` — per-doc character entropy needs nothing beyond
+    * the doc itself, so each row runs the SAME integer arithmetic as
+    * the batch query (codepoint counts over the 1023-position cap,
+    * FixedLog L values from the constant 1..1023 table,
+    * ent_num = n·L(n) − Σ c·L(c), one HALF_UP-rounded double at the
+    * edge) in one narrow mapPartitions: no aggregation, no state, no
+    * watermark — the union over ANY micro-batch cuts equals the batch
+    * result row-for-row (DocsStreamSpec twin test). */
+  def entropyStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val lut = EntropyLut
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null || text.isEmpty) Iterator.empty
+          else {
+            val counts = new java.util.HashMap[Integer, Array[Long]]()
+            val cps = math.min(text.codePointCount(0, text.length), 1023)
+            var i = 0
+            var off = 0
+            while (i < cps) {
+              val cp = text.codePointAt(off)
+              val slot = counts.get(cp)
+              if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+              off = text.offsetByCodePoints(off, 1)
+              i += 1
+            }
+            val n = cps.toLong
+            var cl = 0L
+            counts.values().forEach(c => cl += c(0) * lut(c(0).toInt))
+            val entNum = n * lut(cps) - cl
+            Iterator.single((id, n, entNum, graft.functions.Num.roundHalfUp(
+              entNum.toDouble / (n.toDouble * 1048576.0), 6)))
+          }
+        }
+      }.toDF("doc_id", "n", "ent_num", "entropy")
+  }
+
   /** Chunking-on-ingest: [[graft.queries.SearchOps.chunkTransform]]
     * applied to a streaming source — stateless and narrow (one
     * codegen'd explode per doc), so each micro-batch chunks exactly

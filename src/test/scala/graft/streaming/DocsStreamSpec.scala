@@ -47,6 +47,38 @@ class DocsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream entropy == batch text_entropy, split across two micro-batches") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch reference: the gate query itself (DataFrame aggregation +
+    // broadcast LUT form) — the stream twin is a per-doc kernel, so
+    // equality here proves the two arithmetic paths match bit-for-bit
+    val expected = graft.queries.TextOps.queries("text_entropy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val streamDir = java.nio.file.Files.createTempDirectory("entropystream")
+    val streamIn = spark.readStream.schema(docs.schema)
+      .parquet(s"$streamDir/*")
+    val q = DocsStream.entropyStream(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("entropied")
+      .start()
+    try {
+      Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.toSeq.asJava, docs.schema)
+          .write.parquet(s"$streamDir/b$i")
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("entropied")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("stream chunking == batch text_chunk, split across two micro-batches") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
