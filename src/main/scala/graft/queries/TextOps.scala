@@ -632,6 +632,41 @@ object TextOps {
 
   /** Continuation of [[queries]] (the Map is split around the shared
     * LSH stage definition above). */
+  /** The declarative (explode + double-aggregate + broadcast-LUT)
+    * entropy form — the gate query's INDEPENDENT in-engine arithmetic
+    * twin: `text_entropy` itself runs the per-doc kernel
+    * ([[graft.streaming.DocsStream.entropyStream]]), and
+    * DocsStreamSpec pins this form bit-identical to it, so the gate
+    * row is checked three ways (kernel, this aggregate, the DuckDB
+    * oracle). Every count and doc total is ≤ the shared 1023-position
+    * cap, so the LUT is the CONSTANT domain 1..1023 — construction is
+    * fully lazy. */
+  private[graft] def entropyAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = docs(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), least(length(col("text")), lit(1023)))).as("j"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, j, 1)").as("ch"))
+    val cnt = graft.operators.Checkpoints.truncate(
+      chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
+    val nn = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val lut = (1L to 1023L).map(v =>
+      (v, graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))))
+      .toDF("v", "l2")
+    val cl = cnt.join(broadcast(lut), cnt("c") === col("v"))
+      .groupBy("doc_id").agg(sum(col("c") * col("l2")).as("cl"))
+    nn.join(broadcast(lut.withColumnRenamed("v", "nv")
+          .withColumnRenamed("l2", "l2n")), col("n") === col("nv"))
+      .join(cl, "doc_id")
+      .withColumn("ent_num", col("n") * col("l2n") - col("cl"))
+      .select(col("doc_id"), col("n"), col("ent_num"),
+        round(col("ent_num").cast("double") /
+          (col("n").cast("double") * lit(1048576.0)), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   private def queriesTail: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SimHash (64-bit) over word tokens: per-bit majority vote of
@@ -712,38 +747,18 @@ object TextOps {
     // one double division at the edge is identical in both engines.
     // At 100 TB the LUT is unchanged and the per-doc work is one
     // narrow explode + two count-sized aggregations.
-    "text_entropy" -> ((s, dir) => {
-      import s.implicits._
-      val chars = docs(s, dir)
-        .filter(col("text").isNotNull && length(col("text")) >= 1)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), least(length(col("text")), lit(1023)))).as("j"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, j, 1)").as("ch"))
-      // two consumers (doc totals, the entropy join) — one lazy
-      // materialization (shared-stage doctrine). The LUT needs NO
-      // data-dependent collect (review r18 pass 4): every count and
-      // every doc total is ≤ the 1023-position cap BY CONSTRUCTION,
-      // so the full domain 1..1023 is a CONSTANT table — construction
-      // stays lazy (SchemaDriftSpec/PlanLintSpec analyze without
-      // executing) and no per-construction Spark job runs.
-      val cnt = graft.operators.Checkpoints.truncate(
-        chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
-      val nn = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
-      val lut = (1L to 1023L).map(v =>
-        (v, graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))))
-        .toDF("v", "l2")
-      val cl = cnt.join(broadcast(lut), cnt("c") === col("v"))
-        .groupBy("doc_id").agg(sum(col("c") * col("l2")).as("cl"))
-      nn.join(broadcast(lut.withColumnRenamed("v", "nv")
-            .withColumnRenamed("l2", "l2n")), col("n") === col("nv"))
-        .join(cl, "doc_id")
-        .withColumn("ent_num", col("n") * col("l2n") - col("cl"))
-        .select(col("doc_id"), col("n"), col("ent_num"),
-          round(col("ent_num").cast("double") /
-            (col("n").cast("double") * lit(1048576.0)), 6).as("entropy"))
-        .orderBy("doc_id")
-    }),
+    // (see entropyAggregate below the queries map for the declarative
+    // cross-check twin)
+    // The GATE query runs the per-doc KERNEL (the entropyStream
+    // arithmetic — one narrow pass, zero shuffles before the
+    // presentation sort): entropy is doc-local with a constant LUT,
+    // exactly the shape the repo computes via kernels everywhere else
+    // (Winnow, BPE, codecs). The 1.79 s explode+double-aggregate form
+    // it replaces survives as [[entropyAggregate]], pinned
+    // bit-identical by DocsStreamSpec — two independent in-engine
+    // arithmetic paths PLUS the DuckDB oracle.
+    "text_entropy" -> ((s, dir) =>
+      graft.streaming.DocsStream.entropyStream(docs(s, dir)).orderBy("doc_id")),
 
     // Language id: per-language marker-token counts, argmax with a
     // deterministic preference order; 'und' when no marker fires.

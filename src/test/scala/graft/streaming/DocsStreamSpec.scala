@@ -50,10 +50,12 @@ class DocsStreamSpec extends AnyFunSuite {
   test("stream entropy == batch text_entropy, split across two micro-batches") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // batch reference: the gate query itself (DataFrame aggregation +
-    // broadcast LUT form) — the stream twin is a per-doc kernel, so
-    // equality here proves the two arithmetic paths match bit-for-bit
-    val expected = graft.queries.TextOps.queries("text_entropy")(spark, dir)
+    // batch reference: the DECLARATIVE aggregate form (explode +
+    // broadcast LUT) — the gate query itself runs the kernel, so this
+    // comparison is what proves the two independent arithmetic paths
+    // match bit-for-bit (the gate row additionally checks against the
+    // DuckDB oracle)
+    val expected = graft.queries.TextOps.entropyAggregate(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(expected.nonEmpty)
