@@ -64,6 +64,7 @@ object Bench {
     "tpch_q2_min_cost", "tpch_q9_profit", "tpch_q11_important_parts",
     "tpch_q12_late_lines", "tpch_q16_supplier_cnt", "tpch_q20_promo_suppliers",
     "pipe_url_dedup", "mm_flac_decode", "text_entropy", "vec_ann_ivf_filtered",
+    "pipe_badwords_filter",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)

@@ -174,6 +174,26 @@ object PipelineOps {
     "pipe_url_dedup" -> ((s, dir) =>
       urlKeepBest(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
 
+    // Blocklist filtering (round 18) — the C4-style banned-word gate
+    // every web curation pipeline runs: per-doc count of tokens in
+    // the (broadcast-in-production) blocklist, keep while the bad
+    // fraction stays under 5% — cross-multiplied integers (n_bad·20 <
+    // n_tokens), never a float ratio. One narrow codegen'd map; the
+    // two-word list stands in for the usual few-hundred-entry set
+    // (array_contains over a literal array IS the broadcast shape —
+    // a real deployment swaps in a typed-literal or broadcast array).
+    "pipe_badwords_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bad = array(lit("slow"), lit("big"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_bad", size(filter(toks, t => array_contains(bad, t))))
+        .select(col("doc_id"), col("n_tokens"), col("n_bad"),
+          (col("n_bad") * 20 < col("n_tokens")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // tumbling 1h window aggregation (streaming-capable transform)
     "ev_window_agg" -> ((s, dir) =>
       EventsStream.windowedCounts(t(s, dir, "events"))
@@ -1582,6 +1602,15 @@ object PipelineOps {
 
   def oracle: Map[String, String] = Map(
     "pipe_dsir_weights" -> dsirSql,
+    "pipe_badwords_filter" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                                x -> x IN ('slow', 'big'))) AS n_bad,
+                len(list_filter(string_split(text, ' '),
+                                x -> x IN ('slow', 'big'))) * 20
+                  < len(string_split(text, ' ')) AS keep
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
     // messy-URL builder + canonicalization mirrored step-for-step from
     // messyUrl/canonicalizeUrl (trailing slashes and www. prefixes
     // strip with the same '/+$' / '^(www\.)+' regexes both engines
