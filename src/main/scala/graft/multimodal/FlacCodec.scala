@@ -137,8 +137,14 @@ object FlacCodec {
     "fLaC".getBytes("US-ASCII").foreach(b => w.writeBits(b & 0xffL, 8))
     w.writeBits(0x80L | 0L, 8)
     w.writeBits(34L, 24)
-    w.writeBits(frames.toLong, 16) // min block size
-    w.writeBits(frames.toLong, 16) // max block size
+    // STREAMINFO min/max block size: the FLAC spec requires >= 16;
+    // a sub-16-sample stream still encodes (its single frame may be
+    // shorter, which the spec permits for a LAST frame), but the
+    // DECLARED bounds are clamped so conforming external decoders
+    // don't reject the header (ADVICE r18)
+    val declaredBlock = math.max(frames, 16).toLong
+    w.writeBits(declaredBlock, 16) // min block size
+    w.writeBits(declaredBlock, 16) // max block size
     w.writeBits(0L, 24) // min frame size unknown
     w.writeBits(0L, 24) // max frame size unknown
     w.writeBits(a.sampleRate.toLong, 20)

@@ -1817,6 +1817,17 @@ object PipelineOps {
     // compensating-bug risk of a shared encode/decode is covered on
     // the spec side: FlacCodecSpec decodes an INDEPENDENTLY
     // hand-built stream.)
+    //
+    // ASCII-ONLY CONTRACT (ADVICE r18): the bytes CTE below extracts
+    // "bytes" via character-indexed substr/ord bounded by the
+    // byte-based strlen, while the engine side uses raw UTF-8
+    // getBytes — the two agree ONLY while every document codepoint is
+    // single-byte. The synthetic documents fixture is ASCII by
+    // construction (TESTDATA.md); the same convention governs every
+    // byte-extraction CTE in this file (mm_wav_decode,
+    // mm_audio_resample, mm_features). A non-ASCII corpus must switch
+    // these oracles to a byte-accurate extraction before trusting
+    // parity.
     "mm_flac_decode" -> {
       import OracleSql._
       s"""WITH bytes AS (

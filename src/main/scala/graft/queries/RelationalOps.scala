@@ -1635,7 +1635,8 @@ object RelationalOps {
          WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
            AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                 WHERE s_acctbal < 0)
+                                 WHERE s_acctbal < 0
+                                   AND s_suppkey IS NOT NULL)
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "tpch_q20_promo_suppliers" ->

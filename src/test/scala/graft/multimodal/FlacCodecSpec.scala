@@ -39,6 +39,22 @@ class FlacCodecSpec extends AnyFunSuite {
     rt(Audio(8000, 1, Array(42.toShort)))                    // single sample
   }
 
+  test("sub-16-sample streams declare spec-conformant block sizes and round-trip") {
+    // FLAC requires STREAMINFO min/max block size >= 16; a shorter
+    // last-frame is legal, a shorter DECLARED bound is not (ADVICE
+    // r18). STREAMINFO starts at byte 8: min block size is bytes
+    // 8-9 big-endian, max is bytes 10-11.
+    for (n <- Seq(1, 4, 15, 16, 17)) {
+      val a = Audio(8000, 1, Array.tabulate(n)(i => (i * 7 - 20).toShort))
+      val enc = FlacCodec.encodeFlac(a)
+      def be16(off: Int): Int = ((enc(off) & 0xff) << 8) | (enc(off + 1) & 0xff)
+      assert(be16(8) >= 16, s"declared min block size ${be16(8)} < 16 at n=$n")
+      assert(be16(10) >= 16, s"declared max block size ${be16(10)} < 16 at n=$n")
+      assert(be16(10) >= be16(8))
+      assert(FlacCodec.decode(enc).contains(a))
+    }
+  }
+
   test("property: 200 random PCM buffers round-trip bit-exactly") {
     val rnd = new scala.util.Random(0x51AC)
     (0 until 200).foreach { k =>
