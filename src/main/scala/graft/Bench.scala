@@ -65,6 +65,9 @@ object Bench {
     "tpch_q12_late_lines", "tpch_q16_supplier_cnt", "tpch_q20_promo_suppliers",
     "pipe_url_dedup", "mm_flac_decode", "text_entropy", "vec_ann_ivf_filtered",
     "pipe_badwords_filter",
+    // round-19 additions: windowed entropy (the w64 row BINDS on every
+    // fixture doc; w4096 drives the conf-sized LUT)
+    "text_entropy_w64", "text_entropy_w4096",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)
@@ -392,27 +395,77 @@ object Bench {
   private[graft] val RequeueBaseTimeoutS = 240L
   private[graft] val RequeuePerQueryTimeoutS = 120L
 
-  /** Fork `graft.BenchOne <names...>` in a FRESH JVM (the same java
-    * binary, JVM args and classpath as this process — under sbt's
-    * forked `run` those are exactly build.sbt's add-opens/heap flags)
-    * and parse its per-query JSON lines. Returns (headline values,
-    * raw per-query detail lines for the artifact). ANY failure → empty
-    * (the in-run record stands; the requeue is adjudication, not a
-    * gate), logged to stderr. */
+  /** Requeue outcome: fresh-JVM headline values + the raw per-query
+    * detail lines, plus a loud failure marker for the committed
+    * artifact. `failReason` is Some whenever the adjudication is
+    * incomplete — fork failure, child timeout/kill, non-zero exit, or
+    * zero well-formed output lines for a non-empty request — so an
+    * empty `requeued` block can never again read as "nothing was
+    * flagged" when the truth is "the child died" (ADVICE r18). Partial
+    * output is kept alongside the reason: lines the child flushed
+    * before dying are real measurements. */
+  final case class RequeueOutcome(
+      vals: Map[String, (Double, Double, Long)],
+      detail: Map[String, String],
+      failReason: Option[String])
+  object RequeueOutcome {
+    val empty: RequeueOutcome = RequeueOutcome(Map.empty, Map.empty, None)
+  }
+
+  /** Child-JVM resource bounds (VERDICT r18 task 1b): BENCH_r18's
+    * driver run died with SIGKILL inside the requeue because the child
+    * replayed the parent's full `-Xms8g -Xmx8g -XX:+AlwaysPreTouch`
+    * args — a second fully-pre-touched 8 GiB Spark next to the parent
+    * that still held ~131 queries of state. The child now gets a
+    * bounded heap (default 4g, SPARK_GRAFT_REQUEUE_HEAP) and a pinned
+    * local[8] session (SPARK_GRAFT_REQUEUE_CPUS → SPARK_GRAFT_CPUS in
+    * the child env); min-of(in-run, fresh) adoption keeps the smaller
+    * child conservative — it can only make rows FASTER in the record. */
+  private[graft] def requeueChildHeap: String =
+    sys.env.getOrElse("SPARK_GRAFT_REQUEUE_HEAP", "4g")
+  private[graft] def requeueChildCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_REQUEUE_CPUS", "8")
+
+  /** Parent JVM args → child JVM args: drop heap pins (replaced by the
+    * bounded `-Xmx`), the pre-touch flag (pointless at 4g, and the
+    * very thing that made the r18 child's startup an 8 GiB RSS burst),
+    * and any agent/port-binding arg — a JMX port, jdwp address or
+    * flight-recorder output file is a FIXED resource the parent
+    * already holds, so replaying it makes the child fail to start
+    * (ADVICE r18). */
+  private[graft] def childJvmArgs(parentArgs: Seq[String],
+      maxHeap: String): Seq[String] = {
+    val drop = Seq("-Xmx", "-Xms", "-XX:+AlwaysPreTouch",
+      "-agentlib", "-agentpath", "-javaagent",
+      "-Dcom.sun.management.jmxremote",
+      "-XX:StartFlightRecording", "-XX:FlightRecorderOptions")
+    parentArgs.filterNot(a => drop.exists(a.startsWith)) :+ s"-Xmx$maxHeap"
+  }
+
+  /** Fork `graft.BenchOne <names...>` in a FRESH JVM (same java binary
+    * and classpath as this process; JVM args filtered and re-bounded
+    * by [[childJvmArgs]]) and parse its per-query JSON lines. ANY
+    * failure degrades to a non-empty `failReason` in the outcome (the
+    * in-run record stands; the requeue is adjudication, not a gate),
+    * logged to stderr AND surfaced in the committed artifact. */
   private[graft] def freshJvmMeasure(names: Seq[String],
-      extraEnv: Map[String, String] = Map.empty)
-      : (Map[String, (Double, Double, Long)], Map[String, String]) = try {
+      extraEnv: Map[String, String] = Map.empty,
+      mainClass: String = "graft.BenchOne"): RequeueOutcome = try {
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
+    val jvmArgs = childJvmArgs(
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq, requeueChildHeap)
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.BenchOne") ++ names
+      Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ names
     val pb = new ProcessBuilder(cmd.asJava)
-    // env overrides on top of inheritance (the fork spec pins the
-    // child to the cheap fixture; the bench itself passes nothing —
-    // the child must read the SAME SPARK_GRAFT_SF_DIR as the run)
+    // env overrides on top of inheritance: the child session is pinned
+    // to local[requeueChildCpus] FIRST, then the caller's overrides
+    // win (the fork spec pins the child to the cheap fixture; the
+    // bench itself passes nothing — the child must read the SAME
+    // SPARK_GRAFT_SF_DIR as the run)
+    pb.environment().put("SPARK_GRAFT_CPUS", requeueChildCpus)
     extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     val p = pb.start()
     val out = new java.lang.StringBuilder
@@ -428,12 +481,15 @@ object Bench {
       l => out.synchronized { out.append(l).append('\n') })
     val errT = drain(p.getErrorStream, l => System.err.println(s"[benchone] $l"))
     val deadline = RequeueBaseTimeoutS + RequeuePerQueryTimeoutS * names.size
+    var timedOut = false
     if (!p.waitFor(deadline, java.util.concurrent.TimeUnit.SECONDS)) {
       System.err.println(s"[bench] requeue child timed out after ${deadline}s — killing")
+      timedOut = true
       p.destroyForcibly()
       p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
     }
     outT.join(5000); errT.join(5000)
+    val exit = try p.exitValue() catch { case _: Throwable => Int.MinValue }
     val pat = ("\\{\"benchone\":\"([^\"]+)\",\"wall\":(-?[0-9.]+)," +
       "\"cpu\":(-?[0-9.]+),\"rows\":(-?\\d+)").r
     // a line truncated by the timeout kill could still match the
@@ -451,10 +507,41 @@ object Bench {
         m.group(4).toLong))).toMap
     val detail = lines.flatMap(l =>
       pat.findFirstMatchIn(l).map(m => m.group(1) -> l)).toMap
-    (vals, detail)
+    val failReason =
+      if (timedOut) Some(s"child timed out after ${deadline}s and was killed")
+      else if (exit != 0) Some(s"child exited $exit")
+      else if (names.nonEmpty && vals.isEmpty)
+        Some("child exited 0 but produced no well-formed output lines")
+      else None
+    failReason.foreach(r => System.err.println(s"[bench] requeue FAILED: $r " +
+      s"(${vals.size}/${names.size} rows still adjudicated)"))
+    RequeueOutcome(vals, detail, failReason)
   } catch { case t: Throwable =>
     System.err.println(s"[bench] requeue fork failed: $t")
-    (Map.empty, Map.empty)
+    RequeueOutcome(Map.empty, Map.empty, Some(s"fork failed: ${t.getClass.getName}: ${t.getMessage}"))
+  }
+
+  /** Two-phase record emission (VERDICT r18 task 1a). BENCH_r18's
+    * driver artifact was `parsed: null` with exit 137: all ~131
+    * measurements existed, but the runner was SIGKILLed inside the
+    * end-of-run requeue and the full JSON was only emitted AFTER it.
+    * Phase 1 emits + durably commits the complete UNADJUDICATED
+    * record BEFORE any child JVM is forked; phase 2 emits the
+    * adjudicated record that supersedes it. A kill anywhere inside
+    * the fork now degrades to an unadjudicated record, never to
+    * nothing. Extracted so the ordering is spec-pinnable
+    * (BenchForkSpec SIGKILLs a fake child through this path). */
+  private[graft] def twoPhaseEmit(
+      requeueNames: Seq[String],
+      emitPhase1: () => Unit,
+      fork: Seq[String] => RequeueOutcome,
+      emitPhase2: RequeueOutcome => Unit): RequeueOutcome = {
+    emitPhase1()
+    val out =
+      if (requeueNames.isEmpty) RequeueOutcome.empty
+      else fork(requeueNames)
+    emitPhase2(out)
+    out
   }
 
   /** Current round number, derived from the newest harness BENCH file
@@ -630,36 +717,7 @@ object Bench {
       prev.wall.get(r.name).exists(pw => pw > 0 && r.wall > 2.0 * pw)).map(_.name)
     val requeueNames =
       (churnNames ++ growthNames ++ over2xNames).distinct.take(MaxRequeue)
-    val (requeued, requeuedDetail) =
-      if (requeueNames.isEmpty) (Map.empty[String, (Double, Double, Long)],
-        Map.empty[String, String])
-      else {
-        System.err.println(s"[bench] requeuing in a fresh JVM: " +
-          requeueNames.mkString(", ") +
-          s" (churn=${churnNames.size} growth=${growthNames.size} " +
-          s"over2x=${over2xNames.size})")
-        freshJvmMeasure(requeueNames)
-      }
-    // wall and cpu take their mins INDEPENDENTLY (review r18): the
-    // churn signature is exactly "wall fine, CPU inflated", so gating
-    // the fresh CPU on the fresh WALL also winning would keep the
-    // inflated CPU in the record — poisoning next round's prev.cpu
-    // baseline, the very value the churn check compares against
-    val adjusted = res.map { r =>
-      requeued.get(r.name) match {
-        case Some((w, c, rows)) =>
-          r.copy(
-            wall = if (w >= 0 && (r.wall < 0 || w < r.wall)) w else r.wall,
-            cpu = if (c >= 0 && (r.cpu < 0 || c < r.cpu)) c else r.cpu,
-            rows = if (r.rows < 0) rows else r.rows)
-        case _ => r
-      }
-    }
-    val replacedNames = adjusted.zip(res).collect {
-      case (a, o) if a.wall != o.wall || a.cpu != o.cpu => o
-    }
-    val qjson = jmap(adjusted.map(r => r.name -> f"${r.wall}%.3f"))
-    val cjson = jmap(adjusted.map(r => r.name -> f"${r.cpu}%.2f"))
+    // fixed (requeue-independent) artifact pieces, computed once
     val ljson = jmap(res.map(r => r.name -> f"${r.load}%.2f"))
     val rjson = jmap(res.map(r => r.name -> repsJson(r.reps)))
     // first-rep wall/cpu as FIRST-CLASS dicts + the blown-row list
@@ -677,32 +735,81 @@ object Bench {
     })
     val sjson = jmap(results.map { case (r, _, _, (n, mb, pin)) =>
       r.name -> f"[$n%d,$mb%.0f,$pin%d]" })
-    val total = adjusted.map(_.wall).sum
     val loadMax = if (res.nonEmpty) res.map(_.load).max else -1.0
     val taintedNames = results.filter(_._2).map(_._1.name)
     val rerunNames = results.filter(_._3).map(_._1.name)
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // requeue blocks: fresh-JVM values (full per-rep detail), the
-    // in-run values they adjudicate, and the flag lists
-    val requeuedJson = requeuedDetail.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val requeuedOrigJson = jmap(res.filter(r => requeued.contains(r.name))
-      .map(r => r.name -> f"[${r.wall}%.3f,${r.cpu}%.2f]"))
     // per-query times from the previous round's QUIETEST record, so a
     // round-over-round regression is visible in the artifact itself
     // instead of requiring a by-hand diff of two files
     val prevJson = prev.wall.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val loadMaxStr = f"$loadMax%.2f"
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames.map(_.name))},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
-    println(fullJson)
-    // The full record also goes to a COMMITTED repo file so no future
-    // round depends on the stdout window at all: bench/bench_r{N}.json
-    // is the durable artifact and the preferred `prev` source.
+
+    /** The complete record for one emission phase. `adjudicated:false`
+      * (phase 1, `requeue_pending` lists what is ABOUT to be forked)
+      * becomes `adjudicated:true` with the requeue blocks filled in
+      * (phase 2); `requeue_failed` carries the child's failure reason
+      * or null. */
+    def fullJsonFor(outcome: RequeueOutcome, adjudicated: Boolean): String = {
+      // wall and cpu take their mins INDEPENDENTLY (review r18): the
+      // churn signature is exactly "wall fine, CPU inflated", so gating
+      // the fresh CPU on the fresh WALL also winning would keep the
+      // inflated CPU in the record — poisoning next round's prev.cpu
+      // baseline, the very value the churn check compares against
+      val adjusted = res.map { r =>
+        outcome.vals.get(r.name) match {
+          case Some((w, c, rows)) =>
+            r.copy(
+              wall = if (w >= 0 && (r.wall < 0 || w < r.wall)) w else r.wall,
+              cpu = if (c >= 0 && (r.cpu < 0 || c < r.cpu)) c else r.cpu,
+              rows = if (r.rows < 0) rows else r.rows)
+          case _ => r
+        }
+      }
+      val replacedNames = adjusted.zip(res).collect {
+        case (a, o) if a.wall != o.wall || a.cpu != o.cpu => o.name
+      }
+      val qjson = jmap(adjusted.map(r => r.name -> f"${r.wall}%.3f"))
+      val cjson = jmap(adjusted.map(r => r.name -> f"${r.cpu}%.2f"))
+      val total = adjusted.map(_.wall).sum
+      // requeue blocks: fresh-JVM values (full per-rep detail), the
+      // in-run values they adjudicate, and the flag lists
+      val requeuedJson = outcome.detail.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val requeuedOrigJson = jmap(res.filter(r => outcome.vals.contains(r.name))
+        .map(r => r.name -> f"[${r.wall}%.3f,${r.cpu}%.2f]"))
+      val failJson = outcome.failReason
+        .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'") + "\"")
+        .getOrElse("null")
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
+    }
+
+    /** Slim stdout line: the harness keeps only the LAST 2000 chars of
+      * stdout, and r7's three-dict compact line (~3.5 KB) pushed the
+      * wall dict out of the window — the driver parsed cpu+load and
+      * reported `parsed: null`. Wall dict + total + n_queries +
+      * load_max + tainted is ~1.4 KB at 50 queries; cpu/load/reps/prev
+      * live on the full line and in the committed file. */
+    def slimJsonFor(outcome: RequeueOutcome): String = {
+      val adjusted = res.map { r =>
+        outcome.vals.get(r.name) match {
+          case Some((w, _, _)) if w >= 0 && (r.wall < 0 || w < r.wall) =>
+            r.copy(wall = w)
+          case _ => r
+        }
+      }
+      val qjson = jmap(adjusted.map(r => r.name -> f"${r.wall}%.3f"))
+      val total = adjusted.map(_.wall).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"growth_flagged":${jarr(growthNames)},"requeued":${jarr(requeueNames)},"queries":$qjson,"sf":"$sfDir"}"""
+    }
+
+    // The full record goes to a COMMITTED repo file so no future round
+    // depends on the stdout window at all: bench/bench_r{N}.json is
+    // the durable artifact and the preferred `prev` source.
     // SPARK_GRAFT_BENCH_OUT redirects it (taint-injection test runs
     // must not clobber the round-close record).
-    try {
+    def commitRecord(fullJson: String): Unit = try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(new java.io.File(_))
         .getOrElse {
           val dir = new java.io.File("/root/repo/bench")
@@ -714,14 +821,36 @@ object Bench {
       System.err.println(s"[bench] full record written to $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: could not write bench file: $e") }
-    // FINAL stdout line, deliberately slim: the harness keeps only the
-    // LAST 2000 chars of stdout, and r7's three-dict compact line
-    // (~3.5 KB) pushed the wall dict out of the window — the driver
-    // parsed cpu+load and reported `parsed: null`. Wall dict + total +
-    // n_queries + load_max + tainted is ~1.4 KB at 50 queries;
-    // cpu/load/reps/prev live on the full line above and in the
-    // committed file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"growth_flagged":${jarr(growthNames)},"requeued":${jarr(requeueNames)},"queries":$qjson,"sf":"$sfDir"}""")
+
+    def emitPhase(outcome: RequeueOutcome, adjudicated: Boolean): Unit = {
+      val full = fullJsonFor(outcome, adjudicated)
+      println(full)
+      // slim line AFTER the full one so the harness's 2000-char stdout
+      // tail always ends on a line it can parse — in BOTH phases: a
+      // SIGKILL inside the fork leaves phase 1's slim line as the tail
+      println(slimJsonFor(outcome))
+      Console.out.flush()
+      commitRecord(full)
+    }
+
+    // ---- two-phase emit around the fork (VERDICT r18 task 1) ----
+    if (requeueNames.isEmpty) emitPhase(RequeueOutcome.empty, adjudicated = true)
+    else twoPhaseEmit(
+      requeueNames,
+      emitPhase1 = () => emitPhase(RequeueOutcome.empty, adjudicated = false),
+      fork = names => {
+        System.err.println(s"[bench] requeuing in a fresh JVM: " +
+          names.mkString(", ") +
+          s" (churn=${churnNames.size} growth=${growthNames.size} " +
+          s"over2x=${over2xNames.size})")
+        // pre-fork hygiene (VERDICT r18 task 1b): sweep the parent's
+        // unpinned persisted blocks and ask for a GC so the parent's
+        // ~full-run working set and the child never peak together
+        graft.operators.Checkpoints.unpersistUnpinned(spark)
+        System.gc()
+        freshJvmMeasure(names)
+      },
+      emitPhase2 = outcome => emitPhase(outcome, adjudicated = true))
     spark.stop()
   }
 }

@@ -638,21 +638,23 @@ object TextOps {
     * ([[graft.streaming.DocsStream.entropyStream]]), and
     * DocsStreamSpec pins this form bit-identical to it, so the gate
     * row is checked three ways (kernel, this aggregate, the DuckDB
-    * oracle). Every count and doc total is ≤ the shared 1023-position
-    * cap, so the LUT is the CONSTANT domain 1..1023 — construction is
-    * fully lazy. */
-  private[graft] def entropyAggregate(s: SparkSession, dir: String): DataFrame = {
+    * oracle). Every count and doc total is ≤ the shared prefix-window
+    * cap (`spark.graft.entropy.window`, default 1023 — VERDICT r18
+    * task 4), so the LUT is the CONSTANT domain 1..window —
+    * construction is fully lazy. */
+  private[graft] def entropyAggregate(s: SparkSession, dir: String,
+      window: Int = graft.streaming.DocsStream.DefaultEntropyWindow): DataFrame = {
     import s.implicits._
     val chars = docs(s, dir)
       .filter(col("text").isNotNull && length(col("text")) >= 1)
       .select(col("doc_id"),
-        explode(sequence(lit(1), least(length(col("text")), lit(1023)))).as("j"),
+        explode(sequence(lit(1), least(length(col("text")), lit(window)))).as("j"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, j, 1)").as("ch"))
     val cnt = graft.operators.Checkpoints.truncate(
       chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c")))
     val nn = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
-    val lut = (1L to 1023L).map(v =>
+    val lut = (1L to window.toLong).map(v =>
       (v, graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))))
       .toDF("v", "l2")
     val cl = cnt.join(broadcast(lut), cnt("c") === col("v"))
@@ -759,6 +761,19 @@ object TextOps {
     // arithmetic paths PLUS the DuckDB oracle.
     "text_entropy" -> ((s, dir) =>
       graft.streaming.DocsStream.entropyStream(docs(s, dir)).orderBy("doc_id")),
+
+    // The prefix window is a CONF (spark.graft.entropy.window,
+    // VERDICT r18 task 4), and these two rows pin non-default windows
+    // against the same parameterized oracle: w64 BINDS on every
+    // fixture doc (lengths ~550 chars), so the truncation semantics —
+    // which codepoints are in, which are out — are oracle-checked at
+    // every SF rather than only asserted in-engine; w4096 exercises
+    // the conf-sized LUT (4096-entry broadcast / 4096-row oracle
+    // chain) end-to-end, the shape a long-document corpus would run.
+    "text_entropy_w64" -> ((s, dir) =>
+      graft.streaming.DocsStream.entropyStream(docs(s, dir), 64).orderBy("doc_id")),
+    "text_entropy_w4096" -> ((s, dir) =>
+      graft.streaming.DocsStream.entropyStream(docs(s, dir), 4096).orderBy("doc_id")),
 
     // Language id: per-language marker-token counts, argmax with a
     // deterministic preference order; 'und' when no marker fires.
@@ -1177,6 +1192,37 @@ object TextOps {
 
   /** Portable word-count in ANSI SQL: pad + double the separators so
     * word-boundary matches never overlap, then length arithmetic. */
+  /** Parameterized `text_entropy` oracle: Shannon character entropy
+    * over the first `window` text positions — the prefix-window
+    * contract of `spark.graft.entropy.window` replayed in DuckDB. The
+    * chars CTE caps positions at the window, the lut CTE covers the
+    * count domain 1..window (both bounded BY the same conf value the
+    * engine uses), and the FixedLog shift-and-square chain is shared
+    * with pipe_dsir_weights' oracle. */
+  private def entropySql(window: Int): String =
+    s"""WITH chars AS (
+          SELECT doc_id, substr(text, CAST(j AS INT), 1) AS ch
+          FROM documents, unnest(range(1, ${window + 1})) AS t(j)
+          WHERE text IS NOT NULL AND j <= length(text)),
+        cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM chars GROUP BY 1, 2),
+        nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+               FROM cnt GROUP BY 1),
+        vals AS (SELECT unnest(range(1, ${window + 1})) AS v),
+        lut AS (SELECT v, ${OracleSql.log2ResultExpr} AS l2
+                FROM (${OracleSql.log2ChainSql(
+                  "SELECT v, v::HUGEINT AS num, 1::HUGEINT AS den FROM vals")})),
+        cl AS (SELECT cnt.doc_id, CAST(sum(cnt.c * lut.l2) AS BIGINT) AS cl
+               FROM cnt JOIN lut ON cnt.c = lut.v GROUP BY 1),
+        en AS (SELECT nn.doc_id, nn.n,
+                      CAST(nn.n * lut.l2 - cl.cl AS BIGINT) AS ent_num
+               FROM nn JOIN lut ON nn.n = lut.v
+               JOIN cl ON cl.doc_id = nn.doc_id)
+        SELECT doc_id, n, ent_num,
+               round(CAST(ent_num AS DOUBLE) /
+                     (CAST(n AS DOUBLE) * 1048576.0), 6) AS entropy
+        FROM en ORDER BY doc_id"""
+
   private def sqlWordCount(w: String): String =
     s"CAST((length(' ' || replace(text, ' ', '  ') || ' ') - " +
       s"length(replace(' ' || replace(text, ' ', '  ') || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
@@ -1689,29 +1735,12 @@ object TextOps {
     // the FixedLog chain (shared with pipe_dsir_weights' oracle) over
     // the distinct-count value set; n·L(n) − Σ c·L(c) in exact ints,
     // one double division at the edge — the engine twin byte-for-byte
-    "text_entropy" ->
-      s"""WITH chars AS (
-            SELECT doc_id, substr(text, CAST(j AS INT), 1) AS ch
-            FROM documents, unnest(range(1, 1024)) AS t(j)
-            WHERE text IS NOT NULL AND j <= length(text)),
-          cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-                  FROM chars GROUP BY 1, 2),
-          nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
-                 FROM cnt GROUP BY 1),
-          vals AS (SELECT unnest(range(1, 1024)) AS v),
-          lut AS (SELECT v, ${OracleSql.log2ResultExpr} AS l2
-                  FROM (${OracleSql.log2ChainSql(
-                    "SELECT v, v::HUGEINT AS num, 1::HUGEINT AS den FROM vals")})),
-          cl AS (SELECT cnt.doc_id, CAST(sum(cnt.c * lut.l2) AS BIGINT) AS cl
-                 FROM cnt JOIN lut ON cnt.c = lut.v GROUP BY 1),
-          en AS (SELECT nn.doc_id, nn.n,
-                        CAST(nn.n * lut.l2 - cl.cl AS BIGINT) AS ent_num
-                 FROM nn JOIN lut ON nn.n = lut.v
-                 JOIN cl ON cl.doc_id = nn.doc_id)
-          SELECT doc_id, n, ent_num,
-                 round(CAST(ent_num AS DOUBLE) /
-                       (CAST(n AS DOUBLE) * 1048576.0), 6) AS entropy
-          FROM en ORDER BY doc_id""",
+    "text_entropy" -> entropySql(
+      graft.streaming.DocsStream.DefaultEntropyWindow),
+    // non-default prefix windows (spark.graft.entropy.window): w64
+    // binds on every fixture doc, w4096 drives the conf-sized chain
+    "text_entropy_w64" -> entropySql(64),
+    "text_entropy_w4096" -> entropySql(4096),
 
     // token/bigram tables via unnest; top bigram by (count DESC,
     // bigram ASC) row_number — the same tie-break as the JVM kernel

@@ -56,38 +56,85 @@ object DocsStream {
       .toDF("doc_id", "lang")
   }
 
-  /** L(v) = FixedLog.log2Fixed(v, 1) for v in 1..1023 — the constant
-    * table the batch `text_entropy` broadcasts; index 0 unused. */
-  private lazy val EntropyLut: Array[Long] = {
-    val a = new Array[Long](1024)
-    var v = 1
-    while (v < 1024) {
-      a(v) = graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))
-      v += 1
-    }
-    a
+  /** Default entropy prefix window, in codepoints. Entropy over the
+    * first W codepoints is a quality signal over a PREFIX, not the
+    * whole document — a fine gate for short docs, surprising at scale
+    * with real long documents — so the window is a first-class conf
+    * ([[EntropyWindowConf]], VERDICT r18 task 4) rather than a buried
+    * constant. The default stays 1023 (the original contract; every
+    * fixture doc is shorter, so it never binds there). */
+  private[graft] val DefaultEntropyWindow = 1023
+
+  /** `spark.graft.entropy.window`: prefix window (codepoints) for
+    * [[entropyStream]] / `text_entropy`. Bounded to [1, 65536] — the
+    * LUT is one Long per count value up to the window (512 KiB at the
+    * max), and an unbounded window would silently turn the broadcast
+    * table into a memory hazard. Oracle parity at non-default windows
+    * is pinned by the `text_entropy_w64` / `text_entropy_w4096` gate
+    * rows (w64 BINDS on every fixture doc; w4096 exercises the
+    * conf-sized LUT end-to-end). */
+  private[graft] val EntropyWindowConf = "spark.graft.entropy.window"
+  private[graft] val MaxEntropyWindow = 65536
+
+  private[graft] def entropyWindow(s: org.apache.spark.sql.SparkSession): Int = {
+    val raw = s.conf.get(EntropyWindowConf, DefaultEntropyWindow.toString)
+    val w = try raw.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$EntropyWindowConf must be an integer, got '$raw'") }
+    require(w >= 1 && w <= MaxEntropyWindow,
+      s"$EntropyWindowConf must be in [1, $MaxEntropyWindow], got $w")
+    w
   }
+
+  /** L(v) = FixedLog.log2Fixed(v, 1) for v in 1..window — the constant
+    * table the batch `text_entropy` broadcasts; index 0 unused. Every
+    * count and doc total is bounded by the window, so the domain is
+    * known at construction; memoized per window size (the fixed-point
+    * chain is pure integer shift-and-square, ~µs per entry). */
+  private val entropyLutCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private[graft] def entropyLut(window: Int): Array[Long] =
+    entropyLutCache.computeIfAbsent(window, w => {
+      val a = new Array[Long](w + 1)
+      var v = 1
+      while (v <= w) {
+        a(v) = graft.functions.FixedLog.log2Fixed(BigInt(v), BigInt(1))
+        v += 1
+      }
+      a
+    })
 
   /** Entropy-on-ingest: the stateless streaming twin of
     * `text_entropy` — per-doc character entropy needs nothing beyond
     * the doc itself, so each row runs the SAME integer arithmetic as
-    * the batch query (codepoint counts over the 1023-position cap,
-    * FixedLog L values from the constant 1..1023 table,
+    * the batch query (codepoint counts over the first
+    * [[EntropyWindowConf]] codepoints — a PREFIX-window signal, see
+    * [[DefaultEntropyWindow]] — FixedLog L values from the constant
+    * 1..window table,
     * ent_num = n·L(n) − Σ c·L(c), one HALF_UP-rounded double at the
     * edge) in one narrow mapPartitions: no aggregation, no state, no
     * watermark — the union over ANY micro-batch cuts equals the batch
     * result row-for-row (DocsStreamSpec twin test). */
-  def entropyStream(docs: DataFrame): DataFrame = {
+  def entropyStream(docs: DataFrame): DataFrame =
+    entropyStream(docs, entropyWindow(docs.sparkSession))
+
+  /** Windowed form: entropy over the first `window` codepoints. The
+    * no-arg overload resolves the window from [[EntropyWindowConf]]
+    * at PLAN time (streaming restarts re-plan, so a conf change
+    * between runs changes the window — document, don't surprise). */
+  def entropyStream(docs: DataFrame, window: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val lut = EntropyLut
+    require(window >= 1 && window <= MaxEntropyWindow,
+      s"entropy window must be in [1, $MaxEntropyWindow], got $window")
+    val lut = entropyLut(window)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           if (text == null || text.isEmpty) Iterator.empty
           else {
             val counts = new java.util.HashMap[Integer, Array[Long]]()
-            val cps = math.min(text.codePointCount(0, text.length), 1023)
+            val cps = math.min(text.codePointCount(0, text.length), window)
             var i = 0
             var off = 0
             while (i < cps) {

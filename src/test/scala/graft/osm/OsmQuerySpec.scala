@@ -198,6 +198,36 @@ class OsmQuerySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pivot.maxKeys")
   }
 
+  test("pivot = false keeps the tags MapType column — the planet-scale escape hatch") {
+    // VERDICT r18 task 5: past spark.graft.pivot.maxKeys the only
+    // behavior used to be the loud failure; OsmQuery(pivot = false)
+    // is the documented fallback — same query, no key discovery, no
+    // driver collect, the MapType column served as-is.
+    // keepFirst = false: with only mustTags set, the reference truth
+    // table (F4) resolves keepFirst=true to drop-all
+    val q = OsmQuery(nodes = true, mustTags = Seq("amenity"), keepFirst = false)
+    val pivoted = q.runPivotTags(spark, world)
+    assert(pivoted.columns.contains("amenity") && !pivoted.columns.contains("tags"))
+    val unpivoted = q.copy(pivot = false).runPivotTags(spark, world)
+    assert(unpivoted.columns.contains("tags"),
+      s"pivot=false must keep the map column: ${unpivoted.columns.toSeq}")
+    assert(!unpivoted.columns.contains("amenity"))
+    // same rows, and element_at over the map equals the pivoted column
+    val viaMap = unpivoted
+      .select(col("osmid"), element_at(col("tags"), "amenity").as("amenity"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaPivot = pivoted.select(col("osmid"), col("amenity"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaMap === viaPivot && viaMap.nonEmpty)
+    // and it is the escape hatch for real: a cap the pivoted form
+    // trips does not touch the unpivoted one (no key discovery runs)
+    spark.conf.set("spark.graft.pivot.maxKeys", "1")
+    try {
+      intercept[IllegalStateException] { q.runPivotTags(spark, world) }
+      assert(q.copy(pivot = false).runPivotTags(spark, world).count() > 0)
+    } finally spark.conf.unset("spark.graft.pivot.maxKeys")
+  }
+
   test("a building-tagged MEMBER way is suppressed standalone (J6) yet assembles in its relation") {
     // way 113 qualifies the buildings filter on its own AND is the
     // georel's inner ring: it must appear exactly once in the output —

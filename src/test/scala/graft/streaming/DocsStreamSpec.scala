@@ -81,6 +81,62 @@ class DocsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("entropy window binds: kernel == aggregate on long docs at w=64 and w=4096") {
+    import spark.implicits._
+    // synthetic corpus where the windows genuinely BIND (the fixture
+    // docs are all < 1024 chars, so only this test exercises real
+    // truncation at 4096): 6000-char docs with position-dependent
+    // character mix — entropy of the first 64 differs from the first
+    // 4096 differs from the whole doc
+    val mk = (id: Long) => {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < 6000) { sb.append((('a' + ((i * (id + 3) + i / 97) % 26)).toChar)); i += 1 }
+      (id, sb.toString, "en")
+    }
+    val synth = (0L until 20L).map(mk).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("entropywin")
+    synth.write.parquet(s"$tmp/documents.parquet")
+    for (w <- Seq(64, 4096)) {
+      val kernel = DocsStream.entropyStream(synth, w).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val agg = graft.queries.TextOps.entropyAggregate(spark, tmp.toString, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(kernel.toSeq === agg.toSeq, s"kernel/aggregate divergence at w=$w")
+      // the window must BIND: every doc is 6000 chars, so n == w
+      assert(kernel.forall(_._2 == w), s"window $w did not bind: ${kernel.take(3).toSeq}")
+    }
+    // and the two windows must actually measure different prefixes
+    val e64 = DocsStream.entropyStream(synth, 64).collect().map(r => r.getDouble(3)).toSeq
+    val e4096 = DocsStream.entropyStream(synth, 4096).collect().map(r => r.getDouble(3)).toSeq
+    assert(e64 != e4096)
+  }
+
+  test("entropy window conf plumbs through the no-arg overload and validates") {
+    import spark.implicits._
+    val synth = Seq((1L, "a" * 500 + "b" * 500)).toDF("doc_id", "text")
+    val prev = spark.conf.getOption(DocsStream.EntropyWindowConf)
+    try {
+      spark.conf.set(DocsStream.EntropyWindowConf, "64")
+      val viaConf = DocsStream.entropyStream(synth).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val explicit = DocsStream.entropyStream(synth, 64).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(viaConf === explicit)
+      assert(viaConf.head._1 == 64L) // binds: doc is 1000 chars
+      // out-of-range and non-integer windows fail LOUDLY at plan time
+      spark.conf.set(DocsStream.EntropyWindowConf, "0")
+      intercept[IllegalArgumentException](DocsStream.entropyStream(synth))
+      spark.conf.set(DocsStream.EntropyWindowConf, "1048576")
+      intercept[IllegalArgumentException](DocsStream.entropyStream(synth))
+      spark.conf.set(DocsStream.EntropyWindowConf, "lots")
+      intercept[IllegalArgumentException](DocsStream.entropyStream(synth))
+    } finally prev match {
+      case Some(v) => spark.conf.set(DocsStream.EntropyWindowConf, v)
+      case None => spark.conf.unset(DocsStream.EntropyWindowConf)
+    }
+  }
+
   test("stream chunking == batch text_chunk, split across two micro-batches") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
