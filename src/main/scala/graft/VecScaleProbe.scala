@@ -33,13 +33,13 @@ object VecScaleProbe {
   val Clusters = 64
 
   // splitmix64 — the repo's standard deterministic generator
-  private def mix(z0: Long): Long = {
+  private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-  private def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+  private[graft] def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
 
   /** Deterministic two-level clustered corpus: 64 well-separated
     * coarse centers (the IVF structure), each split into 32

@@ -139,10 +139,107 @@ object VectorOps extends Serializable {
     * assignment: the index is built unfiltered and the filter prunes
     * at query time, the standard post-filter-in-index semantics. */
   private def evenLabelKeep(s: SparkSession, dir: String, keyCol: String)
-      : DataFrame => DataFrame = { d =>
+      : DataFrame => DataFrame =
+    predKeep(s, dir, keyCol, col("label") % 2 === 0)
+
+  /** Generalized metadata keep-set: semi join `keyCol` against the
+    * vec_ids satisfying `pred` — [[evenLabelKeep]] with the predicate
+    * as a parameter (the adaptive filtered path takes arbitrary
+    * predicates). */
+  private def predKeep(s: SparkSession, dir: String, keyCol: String,
+      pred: org.apache.spark.sql.Column): DataFrame => DataFrame = { d =>
     val keep = s.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("label") % 2 === 0).select(col("vec_id").as("__kid"))
+      .filter(pred).select(col("vec_id").as("__kid"))
     d.join(keep, d(keyCol) === col("__kid"), "left_semi")
+  }
+
+  /** Adaptive probe width for FILTERED ANN (VERDICT r18 task 3).
+    * Post-filter-in-index search prunes candidates AFTER list
+    * assignment, so a selective predicate empties the probed lists:
+    * the expected number of qualifying candidates in p probed lists is
+    * selectivity × avgListSize × p, and when that falls under k the
+    * recall against the FILTERED truth collapses — the canonical
+    * filtered-ANN failure mode a skewed-metadata corpus hits (FAISS /
+    * Milvus widen the probe or flip to brute force the same way).
+    *
+    * The rule (pure arithmetic, spec-pinned in FilteredAnnSpec, swept
+    * at 100k scale by FilteredAnnProbe):
+    *  - expected candidates must reach [[AdaptiveSafety]]·k: probe the
+    *    smallest p ≥ baseNprobe with selectivity·avgListSize·p ≥
+    *    safety·k;
+    *  - None (= fall back to exact FILTERED brute force) when the
+    *    whole corpus is too thin (selectivity·N < safety·k — no probe
+    *    width can fill k confidently), or when the required p exceeds
+    *    [[AdaptiveMaxProbeFrac]] of the lists — at that width the
+    *    index's pruning is mostly gone while its recall risk remains
+    *    (the true kept neighbors of a sparse predicate scatter across
+    *    ALL lists, not the nearest ones), and the filtered brute
+    *    force scores only selectivity·N rows anyway. */
+  private[graft] val AdaptiveSafety = 3.0
+  private[graft] val AdaptiveMaxProbeFrac = 0.3
+  private[graft] def adaptiveNprobe(selectivity: Double, avgListSize: Double,
+      nLists: Int, baseNprobe: Int, k: Int,
+      safety: Double = AdaptiveSafety,
+      maxProbeFrac: Double = AdaptiveMaxProbeFrac): Option[Int] = {
+    require(selectivity >= 0.0 && selectivity <= 1.0,
+      s"selectivity must be in [0,1], got $selectivity")
+    require(nLists >= 1 && avgListSize > 0 && baseNprobe >= 1 && k >= 1)
+    val perList = selectivity * avgListSize
+    val need = safety * k
+    if (perList <= 0.0 || perList * nLists < need) None
+    else {
+      val p = math.max(baseNprobe, math.ceil(need / perList).toInt)
+      if (p > math.max(baseNprobe.toDouble, maxProbeFrac * nLists)) None
+      else Some(math.min(nLists, p))
+    }
+  }
+
+  /** Filtered trained-IVF ANN with the adaptive probe rule applied at
+    * PLAN time: selectivity = keep-count / corpus-count (one aggregate
+    * collect — the a12 plan-time-scalar doctrine), lists from the
+    * trained quantizer. Some(p) probes p lists through the standard
+    * post-filter path; None falls back to the exact filtered brute
+    * force (recall 1.0 by construction, cost selectivity·N scored rows
+    * per query). The fixed-nprobe gate rows (`vec_ann_ivf_filtered`,
+    * `vec_recall_eval_filtered`) are deliberately unchanged — this is
+    * the production entry point for skewed-metadata corpora. */
+  /** Fixed-nprobe filtered search over an arbitrary predicate — the
+    * spec/probe seam for demonstrating the recall collapse the
+    * adaptive rule prevents (the gate row keeps [[annIvfFiltered]]'s
+    * even-label form). */
+  private[graft] def annIvfFilteredWith(s: SparkSession, dir: String,
+      iters: Int, nprobe: Int, pred: org.apache.spark.sql.Column): DataFrame =
+    annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe,
+      keepMatches = predKeep(s, dir, "vec_id", pred))
+
+  /** Filtered truth for an arbitrary predicate (exact brute force among
+    * qualifying matches) — shared by the adaptive fallback and specs. */
+  private[graft] def bruteforceFilteredWith(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    bruteforceTopK(s, dir, predKeep(s, dir, "match_id", pred))
+
+  def annIvfFilteredAdaptive(s: SparkSession, dir: String,
+      iters: Int = KmeansIters, baseNprobe: Int = NProbe,
+      pred: org.apache.spark.sql.Column = col("label") % 2 === 0): DataFrame =
+    adaptiveDecision(s, dir, iters, baseNprobe, pred) match {
+      case Some(p) => annIvfFilteredWith(s, dir, iters, p, pred)
+      case None => bruteforceFilteredWith(s, dir, pred)
+    }
+
+  /** The Some(p)/None decision [[annIvfFilteredAdaptive]] will take for
+    * `pred`, exposed so specs/probes can pin the dispatch without
+    * duplicating the plan-time scalar collection. */
+  private[graft] def adaptiveDecision(s: SparkSession, dir: String,
+      iters: Int, baseNprobe: Int,
+      pred: org.apache.spark.sql.Column): Option[Int] = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val r = e.agg(
+      sum(when(pred, 1L).otherwise(0L)).as("keep"),
+      count(lit(1)).as("total")).head()
+    val cents = trainedCents(s, dir, iters)
+    val sel = if (r.getLong(1) == 0) 0.0 else r.getLong(0).toDouble / r.getLong(1)
+    adaptiveNprobe(sel, r.getLong(1).toDouble / cents.length, cents.length,
+      baseNprobe, TopK)
   }
 
   /** Filtered trained-IVF ANN: probe as [[annIvfTrained]], candidates
