@@ -121,13 +121,20 @@ object PipelineOps {
     * canonical URL — never a global sort. */
   private[graft] def urlKeepBest(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = d.select(col("doc_id"), col("n_chars"), messyUrl.as("url"))
-      .withColumn("canon_url", canonicalizeUrl(col("url")))
     val w = Window.partitionBy("canon_url")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    canon.withColumn("rn", row_number().over(w))
+    urlCanon(d).withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("canon_url"), (col("rn") === 1).as("keep"))
   }
+
+  /** `(doc_id, n_chars, canon_url)` projection — the shared input of
+    * the batch keep-best window above AND its streaming running-best
+    * twin ([[graft.streaming.DocsStream.urlDedupStream]]): one
+    * canonicalization, two consumers, no rule drift. */
+  private[graft] def urlCanon(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("n_chars"), messyUrl.as("url"))
+      .withColumn("canon_url", canonicalizeUrl(col("url")))
+      .select("doc_id", "n_chars", "canon_url")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

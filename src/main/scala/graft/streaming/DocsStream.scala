@@ -182,7 +182,11 @@ object DocsStream {
     * lower-id owner is still to arrive (an arrival-order "first wins"
     * would diverge from the batch rule whenever ids arrive out of
     * order). A production stream runs those as periodic batch
-    * compaction over the accumulated corpus.
+    * compaction over the accumulated corpus. Stage 0 additionally has
+    * a stateful CONVERGENT twin, [[urlDedupStream]] (round 19): it
+    * cannot un-emit a superseded representative, but its LATEST
+    * emission per canonical URL equals the batch keep-best winner
+    * after any prefix, under any micro-batch cuts.
     *
     * Consequently the output is a SUPERSET of the batch
     * `pipe_full_curation` rows: identical on every doc the batch row
@@ -209,6 +213,60 @@ object DocsStream {
         it.filter { case (_, _, _, text, _) => !contaminated(set, text) }
       }.toDF("doc_id", "lang", "source", "text", "n_tokens")
     graft.queries.PipelineOps.curationTail(kept)
+  }
+
+  /** Streaming URL keep-best — the stateful twin of
+    * `pipe_url_dedup` / fullCuration stage 0 (VERDICT r18 task 6):
+    * per-canonical-URL GroupState carries the best (n_chars, doc_id)
+    * seen so far — O(1) per key — and a doc is emitted IFF it beats
+    * the committed best under the batch rule (longer wins, ties to
+    * the lower id). The emitted stream per key is therefore a
+    * strictly-improving sequence whose LATEST element equals the
+    * batch `urlKeepBest` winner over the data seen so far, for ANY
+    * micro-batch cuts (running max of a total order is
+    * permutation-invariant), and at-least-once replays are idempotent
+    * (equal is not better → no re-emission, no state change). An
+    * append-mode stream cannot RETRACT a superseded earlier winner —
+    * that is the irreducible gap to the batch drop-set semantics, so
+    * consumers take latest-per-key (or the batch compaction pass
+    * stays the authority, as [[curate]]'s scaladoc documents).
+    *
+    * NO idle-key eviction, deliberately (the asofStream carve-out):
+    * the keep-best horizon is the corpus — evicting an idle URL and
+    * later seeing a shorter duplicate would re-emit a doc the batch
+    * rule drops. Content per key is O(1); the key population is the
+    * price of corpus-global dedup (a deployment wanting bounded keys
+    * shards the URL space and compacts per shard). Canonicalization
+    * + projection are shared verbatim with the batch row
+    * ([[graft.queries.PipelineOps.urlCanon]] — one rule, two
+    * consumers). */
+  def urlDedupStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def better(nc: Long, id: Long, snc: Long, sid: Long): Boolean =
+      nc > snc || (nc == snc && id < sid)
+    graft.queries.PipelineOps.urlCanon(docs)
+      .as[(Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long), (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url: String, it: Iterator[(Long, Long, String)],
+            state: GroupState[(Long, Long)]) =>
+          // reduce this batch's slice to its best first: within-batch
+          // arrival order must not matter (cut-invariance)
+          var bn = -1L
+          var bid = Long.MaxValue
+          it.foreach { case (id, nc, _) =>
+            if (bn < 0 || better(nc, id, bn, bid)) { bn = nc; bid = id }
+          }
+          val cur = state.getOption
+          if (bn >= 0 && cur.forall(c => better(bn, bid, c._1, c._2))) {
+            state.update((bn, bid))
+            Iterator.single((bid, url, bn))
+          } else Iterator.empty
+      }
+      .toDF("doc_id", "canon_url", "n_chars")
   }
 
   /** Phrase-detection-on-ingest: the streaming form of

@@ -81,6 +81,60 @@ class DocsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream URL keep-best converges to batch pipe_url_dedup under arbitrary micro-batch cuts") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch reference: the keep=true winners of the gate row
+    val expected = graft.queries.PipelineOps.queries("pipe_url_dedup")(spark, dir)
+      .filter(col("keep")).select("doc_id", "canon_url")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty)
+    // the corpus must actually contain URL collisions or the test is
+    // vacuous (every doc its own winner)
+    assert(expected.size < docs.count(),
+      "fixture carries no canonical-URL collisions — keep-best untested")
+    val rows = docs.collect()
+    // two different randomized cut patterns (seeded): the straggler
+    // shape — a group's BETTER doc arriving in a later batch than a
+    // worse one — occurs whenever a collision pair is split
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(rows.toSeq)
+      val cut1 = 1 + rnd.nextInt(rows.length - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(rows.length - cut1 - 1)
+      val batches = Seq(shuffled.slice(0, cut1), shuffled.slice(cut1, cut2),
+        shuffled.slice(cut2, rows.length))
+      val streamDir = java.nio.file.Files.createTempDirectory(s"urldedup$seed")
+      val streamIn = spark.readStream.schema(docs.schema).parquet(s"$streamDir/*")
+      val sink = s"urldeduped$seed"
+      val q = DocsStream.urlDedupStream(streamIn)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        batches.zipWithIndex.foreach { case (chunk, i) =>
+          spark.createDataFrame(chunk.asJava, docs.schema)
+            .coalesce(1).write.parquet(s"$streamDir/b$i")
+          q.processAllAvailable()
+        }
+        val emitted = spark.table(sink)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        // latest emission per canonical URL = the best (n_chars desc,
+        // id asc) ever emitted for it — must equal the batch winner
+        val latest = emitted.groupBy(_._2).map { case (url, xs) =>
+          val best = xs.maxBy(x => (x._3, -x._1))
+          (best._1, url)
+        }.toSet
+        assert(latest === expected, s"seed $seed: convergence broken")
+        // and the improving-sequence contract: per key, emissions are
+        // strictly increasing under the batch order
+        emitted.groupBy(_._2).foreach { case (url, xs) =>
+          assert(xs.map(x => (x._3, -x._1)).distinct.length == xs.length,
+            s"seed $seed: duplicate emission for $url")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("entropy window binds: kernel == aggregate on long docs at w=64 and w=4096") {
     import spark.implicits._
     // synthetic corpus where the windows genuinely BIND (the fixture
