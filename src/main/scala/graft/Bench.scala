@@ -779,8 +779,15 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val requeuedOrigJson = jmap(res.filter(r => outcome.vals.contains(r.name))
         .map(r => r.name -> f"[${r.wall}%.3f,${r.cpu}%.2f]"))
+      // escape for a one-line JSON string: backslash, quote, AND
+      // control characters — exception messages carry newlines, and a
+      // raw \n inside the value would break both the committed file's
+      // parse and the "slim line is the parseable tail" guarantee, in
+      // exactly the failure path this field exists to make loud
+      // (review r19)
       val failJson = outcome.failReason
-        .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'") + "\"")
+        .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("\\p{Cntrl}", " ") + "\"")
         .getOrElse("null")
       s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     }

@@ -36,19 +36,7 @@ object CoordJoinProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val maxLoadEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    def loads(): (Double, Double) =
-      try {
-        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString).getOrElse("9 9").trim.split("\\s+")
-        (parts(0).toDouble, parts(1).toDouble)
-      } catch { case _: Exception => (-1.0, -1.0) }
-    def noisy(l: (Double, Double)): Boolean =
-      l._1 > maxLoadEnv || l._2 > 2 * maxLoadEnv
-    val t0 = System.nanoTime()
-    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
-    val tainted = noisy(loads())
-    val loadStart = loads()._1
+    val (loadStart, tainted) = ProbeRig.loadGate()
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -85,25 +73,38 @@ object CoordJoinProbe {
 
     def run(name: String, path: String, reps: Int): Phase = {
       val q = graft.osm.OsmQuery.highways.copy(geometry = true)
-      // plan-strategy flags from the physical plan (the coordJoin
-      // decision is an explicit hint, visible before execution; AQE
-      // cannot upgrade the broadcast() side away, and a SortMergeJoin
-      // would mean the shuffle_hash hint was dropped)
+      // warmup + FINAL-plan capture: execute THROUGH this df's own
+      // QueryExecution (foreach — count() would spawn a fresh one),
+      // then stringify. Under AQE the adaptive plan mutates in place,
+      // so the post-execution string carries the RUNTIME strategy —
+      // the pre-execution string is only the initial plan and could
+      // never detect the silent AQE conversion this probe gates on
+      // (review r19).
       val df = q.run(spark, path)
+      df.foreach(_ => ())
       val plan = df.queryExecution.executedPlan.toString
+      // per-rep shuffle deltas, reported from the MIN-WALL rep: a
+      // cross-rep sum would mix multipliers between phases with
+      // different rep counts, and the bus must drain BEFORE the
+      // recording window closes (review r19)
       var best = Double.MaxValue
       var rows = -1L
+      var bestRd = 0.0
+      var bestWr = 0.0
       (1 to reps).foreach { _ =>
+        shRead.set(0L); shWrite.set(0L)
         record = true
         val s = System.nanoTime()
         val n = q.run(spark, path).count()
         val d = (System.nanoTime() - s) / 1e9
+        Thread.sleep(500) // drain listener bus inside the window
         record = false
-        if (d < best) { best = d; rows = n }
+        if (d < best) {
+          best = d; rows = n
+          bestRd = shRead.get() / 1e6; bestWr = shWrite.get() / 1e6
+        }
       }
-      Thread.sleep(500) // drain listener bus
-      val p = Phase(name, best, rows,
-        shRead.getAndSet(0L) / 1e6, shWrite.getAndSet(0L) / 1e6,
+      val p = Phase(name, best, rows, bestRd, bestWr,
         broadcast = plan.contains("BroadcastHashJoin"),
         shuffleHash = plan.contains("ShuffledHashJoin"),
         sortMerge = plan.contains("SortMergeJoin"))
@@ -140,15 +141,7 @@ object CoordJoinProbe {
     val json =
       s"""{"probe":"coordjoin_10x","round":$round,"gen_s":${f"$genS%.1f"},"load_start":$loadStart,"tainted":$tainted,"threshold_rows":${spark.conf.get(graft.osm.GeometryBuilder.RefsBroadcastRowsKey, "4000000")},"phases":[${pj(p1)},${pj(p10)}],"wall_ratio":${f"${p10.wall / p1.wall}%.2f"},"violations":${viol.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(json)
-    try {
-      val dir = new java.io.File("/root/repo/bench")
-      dir.mkdirs()
-      val f = new java.io.File(dir, s"coordjoin_probe_r$round.json")
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.println(json) finally w.close()
-      System.err.println(s"[coordjoin] written to $f")
-    } catch { case e: Throwable =>
-      System.err.println(s"[coordjoin] WARNING: could not write artifact: $e") }
+    ProbeRig.writeArtifact(s"coordjoin_probe_r$round.json", json, "coordjoin")
     spark.stop()
     if (viol.nonEmpty) {
       viol.foreach(v => System.err.println(s"[coordjoin] VIOLATION: $v"))

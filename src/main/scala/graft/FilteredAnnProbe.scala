@@ -43,19 +43,7 @@ object FilteredAnnProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val maxLoadEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    def loads(): (Double, Double) =
-      try {
-        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString).getOrElse("9 9").trim.split("\\s+")
-        (parts(0).toDouble, parts(1).toDouble)
-      } catch { case _: Exception => (-1.0, -1.0) }
-    def noisy(l: (Double, Double)): Boolean =
-      l._1 > maxLoadEnv || l._2 > 2 * maxLoadEnv
-    val t0 = System.nanoTime()
-    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
-    val tainted = noisy(loads())
-    val loadStart = loads()._1
+    val (loadStart, tainted) = ProbeRig.loadGate()
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -165,15 +153,7 @@ object FilteredAnnProbe {
     val json =
       s"""{"probe":"filtered_ann","round":$round,"n":$n,"n_lists":$k,"avg_list":$avgList,"base_nprobe":$BaseNprobe,"top_k":$TopK,"qn":$qn,"load_start":$loadStart,"tainted":$tainted,"rows":$rowsJson,"violations":${viol.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(json)
-    try {
-      val dir = new java.io.File("/root/repo/bench")
-      dir.mkdirs()
-      val f = new java.io.File(dir, s"filtered_ann_probe_r$round.json")
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.println(json) finally w.close()
-      System.err.println(s"[filtprobe] written to $f")
-    } catch { case e: Throwable =>
-      System.err.println(s"[filtprobe] WARNING: could not write artifact: $e") }
+    ProbeRig.writeArtifact(s"filtered_ann_probe_r$round.json", json, "filtprobe")
     spark.stop()
     if (viol.nonEmpty) {
       viol.foreach(v => System.err.println(s"[filtprobe] VIOLATION: $v"))

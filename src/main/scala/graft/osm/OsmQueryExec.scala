@@ -439,16 +439,17 @@ object GeometryBuilder {
     * whole scan) and say nothing about the post-filter ref volume.
     *
     * Observed crossover (round 19, CoordJoinProbe — VERDICT r18
-    * task 8, bench/coordjoin_probe_r19.json): at the 2M-node / 100k-way
-    * BigWorld the highways-geometry workload explodes ~0.6M refs →
-    * broadcast tier, 1.4 s wall, ~23 MB total shuffle (the per-way
-    * walk's repartition; the join itself exchanges nothing). At the
-    * 10× world (20M nodes / 1M ways) the ~6M exploded refs cross the
-    * 4M threshold → SHUFFLE_HASH holds (AQE does not convert it back;
-    * the plan carries the hint), 7.1 s wall, ~826 MB shuffle — 10× the
-    * data at 5.0× the wall, the sublinear scaling the threshold design
-    * predicts. The probe exits 1 if either side of the crossover ever
-    * plans the other strategy. */
+    * task 8, bench/coordjoin_probe_r19.json; per-rep min-wall
+    * shuffle, strategy read from the POST-execution adaptive plan):
+    * at the 2M-node / 100k-way BigWorld the highways-geometry
+    * workload explodes ~0.6M refs → broadcast tier, ~2.3 s wall,
+    * ~8 MB shuffle (the per-way walk's repartition; the join itself
+    * exchanges nothing). At the 10× world (20M nodes / 1M ways) the
+    * ~6M exploded refs cross the 4M threshold → SHUFFLE_HASH holds
+    * (AQE does not convert it back at runtime), ~6.7 s wall, ~413 MB
+    * shuffle — 10× the data at ~3× the wall, the sublinear scaling
+    * the threshold design predicts. The probe exits 1 if either side
+    * of the crossover ever plans the other strategy. */
   private[osm] def coordJoin(spark: SparkSession, exploded: DataFrame,
       nodes: DataFrame): DataFrame = {
     val expC = exploded.localCheckpoint(eager = false)

@@ -739,16 +739,18 @@ object TextOps {
     // 18) — the classic curation quality signal (low entropy =
     // boilerplate/repetition/degenerate text), computed CROSS-ENGINE
     // EXACT where every other engine reaches for libm: counts are
-    // integers over the first 1023 chars (the range(1,1024) position
-    // cap both engines share — the ngram-oracle convention), log2
-    // comes from FixedLog's integer kernel over the CONSTANT LUT
-    // 1..1023 (every count and doc total is bounded by the position
-    // cap, so the LUT needs no data-dependent job — a driver-built
-    // 1023-row broadcast), and ent_num = n·L(n) − Σ c·L(c) is exact
-    // integer arithmetic — provably ≥ 0 because L is monotone. The
-    // one double division at the edge is identical in both engines.
-    // At 100 TB the LUT is unchanged and the per-doc work is one
-    // narrow explode + two count-sized aggregations.
+    // integers over a PREFIX window of codepoints (round 19: the
+    // window is the spark.graft.entropy.window conf, default 1023;
+    // both engines share the same cap — the ngram-oracle convention),
+    // log2 comes from FixedLog's integer kernel over the CONSTANT LUT
+    // 1..window (every count and doc total is bounded by the window,
+    // so the LUT needs no data-dependent job — a driver-built
+    // window-row broadcast, memoized per size), and
+    // ent_num = n·L(n) − Σ c·L(c) is exact integer arithmetic —
+    // provably ≥ 0 because L is monotone. The one double division at
+    // the edge is identical in both engines. At 100 TB the LUT is
+    // unchanged and the per-doc work is one narrow explode + two
+    // count-sized aggregations.
     // (see entropyAggregate below the queries map for the declarative
     // cross-check twin)
     // The GATE query runs the per-doc KERNEL (the entropyStream
@@ -759,8 +761,14 @@ object TextOps {
     // it replaces survives as [[entropyAggregate]], pinned
     // bit-identical by DocsStreamSpec — two independent in-engine
     // arithmetic paths PLUS the DuckDB oracle.
+    // the gate row PINS the default window explicitly: its oracle is
+    // entropySql(DefaultEntropyWindow), and resolving from the session
+    // conf here would let an ambient spark.graft.entropy.window break
+    // gate parity / leak between tests (review r19). The conf-reading
+    // no-arg overload is the production entry point.
     "text_entropy" -> ((s, dir) =>
-      graft.streaming.DocsStream.entropyStream(docs(s, dir)).orderBy("doc_id")),
+      graft.streaming.DocsStream.entropyStream(docs(s, dir),
+        graft.streaming.DocsStream.DefaultEntropyWindow).orderBy("doc_id")),
 
     // The prefix window is a CONF (spark.graft.entropy.window,
     // VERDICT r18 task 4), and these two rows pin non-default windows

@@ -194,15 +194,6 @@ object VectorOps extends Serializable {
     }
   }
 
-  /** Filtered trained-IVF ANN with the adaptive probe rule applied at
-    * PLAN time: selectivity = keep-count / corpus-count (one aggregate
-    * collect — the a12 plan-time-scalar doctrine), lists from the
-    * trained quantizer. Some(p) probes p lists through the standard
-    * post-filter path; None falls back to the exact filtered brute
-    * force (recall 1.0 by construction, cost selectivity·N scored rows
-    * per query). The fixed-nprobe gate rows (`vec_ann_ivf_filtered`,
-    * `vec_recall_eval_filtered`) are deliberately unchanged — this is
-    * the production entry point for skewed-metadata corpora. */
   /** Fixed-nprobe filtered search over an arbitrary predicate — the
     * spec/probe seam for demonstrating the recall collapse the
     * adaptive rule prevents (the gate row keeps [[annIvfFiltered]]'s
@@ -218,6 +209,15 @@ object VectorOps extends Serializable {
       pred: org.apache.spark.sql.Column): DataFrame =
     bruteforceTopK(s, dir, predKeep(s, dir, "match_id", pred))
 
+  /** Filtered trained-IVF ANN with the adaptive probe rule applied at
+    * PLAN time: selectivity = keep-count / corpus-count (one aggregate
+    * collect — the a12 plan-time-scalar doctrine), lists from the
+    * trained quantizer. Some(p) probes p lists through the standard
+    * post-filter path; None falls back to the exact filtered brute
+    * force (recall 1.0 by construction, cost selectivity·N scored rows
+    * per query). The fixed-nprobe gate rows (`vec_ann_ivf_filtered`,
+    * `vec_recall_eval_filtered`) are deliberately unchanged — this is
+    * the production entry point for skewed-metadata corpora. */
   def annIvfFilteredAdaptive(s: SparkSession, dir: String,
       iters: Int = KmeansIters, baseNprobe: Int = NProbe,
       pred: org.apache.spark.sql.Column = col("label") % 2 === 0): DataFrame =
@@ -236,10 +236,15 @@ object VectorOps extends Serializable {
     val r = e.agg(
       sum(when(pred, 1L).otherwise(0L)).as("keep"),
       count(lit(1)).as("total")).head()
-    val cents = trainedCents(s, dir, iters)
-    val sel = if (r.getLong(1) == 0) 0.0 else r.getLong(0).toDouble / r.getLong(1)
-    adaptiveNprobe(sel, r.getLong(1).toDouble / cents.length, cents.length,
-      baseNprobe, TopK)
+    // empty corpus: avgListSize would be 0 and adaptiveNprobe's domain
+    // require would throw — the honest decision is the brute-force
+    // fallback, which returns the empty result (review r19)
+    if (r.getLong(1) == 0) None
+    else {
+      val cents = trainedCents(s, dir, iters)
+      adaptiveNprobe(r.getLong(0).toDouble / r.getLong(1),
+        r.getLong(1).toDouble / cents.length, cents.length, baseNprobe, TopK)
+    }
   }
 
   /** Filtered trained-IVF ANN: probe as [[annIvfTrained]], candidates
