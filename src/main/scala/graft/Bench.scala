@@ -512,7 +512,14 @@ object Bench {
       else if (exit != 0) Some(s"child exited $exit")
       else if (names.nonEmpty && vals.isEmpty)
         Some("child exited 0 but produced no well-formed output lines")
-      else None
+      else if (vals.size < names.distinct.size) {
+        // a clean exit with SOME rows missing is still incomplete
+        // adjudication (review r19: parent/child registry drift or a
+        // dropped name must not read as "fully adjudicated")
+        val missing = names.distinct.filterNot(vals.contains)
+        Some(s"child exited 0 but returned ${vals.size}/${names.distinct.size} " +
+          s"rows (missing: ${missing.mkString(", ")})")
+      } else None
     failReason.foreach(r => System.err.println(s"[bench] requeue FAILED: $r " +
       s"(${vals.size}/${names.size} rows still adjudicated)"))
     RequeueOutcome(vals, detail, failReason)

@@ -38,15 +38,10 @@ object CoordJoinProbe {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (loadStart, tainted) = ProbeRig.loadGate()
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared bench session recipe (review r19: don't grow another
+    // inline copy of the SPARK_GRAFT_CPUS/local[n]/shuffle-partitions
+    // builder — BenchRig owns it)
+    val spark = BenchRig.buildSession()
 
     // per-phase shuffle totals via stage listener (PlanMetrics pattern)
     @volatile var record = false

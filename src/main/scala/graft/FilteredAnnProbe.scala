@@ -25,7 +25,11 @@ import org.apache.spark.sql.SparkSession
   *    316 lists would be needed — past the probe-fraction cap).
   *
   * Writes bench/filtered_ann_probe_r{N}.json. Ambient-load-gated like
-  * ScaleProbe; SPARK_GRAFT_FILTProbe_N overrides the corpus size. */
+  * ScaleProbe; SPARK_GRAFT_FILTPROBE_N overrides the corpus size (the
+  * decision-SHAPE assertions — indexed at 50%, fallback at 0.1% — are
+  * enforced only at the default size: the rule legitimately decides
+  * differently at other corpus geometries, e.g. at N=1M the 0.1%
+  * predicate is indexable; the recall bounds hold at every size). */
 object FilteredAnnProbe {
 
   import VecScaleProbe.{Dim, vec, l2, nearestIdx, mix, unit}
@@ -45,14 +49,8 @@ object FilteredAnnProbe {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (loadStart, tainted) = ProbeRig.loadGate()
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared bench session recipe (review r19 — see CoordJoinProbe)
+    val spark = BenchRig.buildSession()
     import spark.implicits._
 
     val n = sys.env.getOrElse("SPARK_GRAFT_FILTPROBE_N", "100000").toLong
@@ -136,13 +134,18 @@ object FilteredAnnProbe {
       (sel, decision, rFixed, rAdaptive, scannedFrac)
     }
 
+    // the decision-shape assertions are geometry-dependent — valid at
+    // the DEFAULT corpus size only (review r19: at N=1M the 0.1%
+    // predicate holds 1000 qualifying vectors and the rule correctly
+    // indexes it; a size override must not turn that into a violation)
+    val defaultSize = n == 100000L
     val viol = scala.collection.mutable.ListBuffer.empty[String]
     rows.foreach { case (sel, decision, rF, rA, frac) =>
       if (rA + 1e-9 < rF) viol += f"sel=$sel: adaptive $rA%.3f < fixed $rF%.3f"
       if (rA < 0.9) viol += f"sel=$sel: adaptive recall $rA%.3f < 0.9"
-      if (sel == 0.5 && (decision.isEmpty || frac > 0.1))
+      if (defaultSize && sel == 0.5 && (decision.isEmpty || frac > 0.1))
         viol += f"sel=0.5 must stay indexed with <=10%% lists probed (got $decision, $frac%.3f)"
-      if (sel == 0.001 && decision.nonEmpty)
+      if (defaultSize && sel == 0.001 && decision.nonEmpty)
         viol += s"sel=0.001 must fall back to brute force (got $decision)"
     }
 

@@ -225,6 +225,12 @@ class OsmQuerySpec extends AnyFunSuite {
     try {
       intercept[IllegalStateException] { q.runPivotTags(spark, world) }
       assert(q.copy(pivot = false).runPivotTags(spark, world).count() > 0)
+      // BOTH pivot entry points honor the flag (review r19: the
+      // cached-datasource path initially didn't)
+      val ds = new OsmFile(spark, world)
+      intercept[IllegalStateException] { ds.queryPivoted(q) }
+      val viaDs = ds.queryPivoted(q.copy(pivot = false))
+      assert(viaDs.columns.contains("tags") && viaDs.count() > 0)
     } finally spark.conf.unset("spark.graft.pivot.maxKeys")
   }
 

@@ -21,6 +21,8 @@ import graft.sources.SparkTestSession
 class FilteredAnnSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
+  private def requireFixture(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir absent")
 
   test("adaptiveNprobe arithmetic: widen, fallback, clamps") {
     import VectorOps.adaptiveNprobe
@@ -44,6 +46,7 @@ class FilteredAnnSpec extends AnyFunSuite {
   }
 
   test("plan-time dispatch at sf0.001: keep / widen / fall back") {
+    requireFixture()
     // 500 vectors, 17 trained lists (CentroidStep 31), avgList ≈ 29.4
     val keep = VectorOps.adaptiveDecision(spark, dir, 3, 4, col("label") % 2 === 0)
     assert(keep === Some(4), s"50% predicate must keep the base probe: $keep")
@@ -54,6 +57,7 @@ class FilteredAnnSpec extends AnyFunSuite {
   }
 
   test("adaptive == fixed on the abundant predicate; exact on the sparse one") {
+    requireFixture()
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
       df.select(col("query_id"), col("match_id"), col("rk"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
