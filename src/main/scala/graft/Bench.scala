@@ -512,14 +512,20 @@ object Bench {
       else if (exit != 0) Some(s"child exited $exit")
       else if (names.nonEmpty && vals.isEmpty)
         Some("child exited 0 but produced no well-formed output lines")
-      else if (vals.size < names.distinct.size) {
-        // a clean exit with SOME rows missing is still incomplete
-        // adjudication (review r19: parent/child registry drift or a
-        // dropped name must not read as "fully adjudicated")
-        val missing = names.distinct.filterNot(vals.contains)
-        Some(s"child exited 0 but returned ${vals.size}/${names.distinct.size} " +
-          s"rows (missing: ${missing.mkString(", ")})")
-      } else None
+      else {
+        // a clean exit with SOME requested rows missing — or present
+        // only as all-FAIL sentinels (wall < 0: every child rep threw,
+        // e.g. an OOM at the child's 4g bound) — is still incomplete
+        // adjudication (review r19 ×2: count comparison would let an
+        // equal number of wrongly-named rows mask a dropped name, and
+        // a -1 sentinel row has no adjudicating measurement in it)
+        val missing = names.distinct.filterNot(n =>
+          vals.get(n).exists(_._1 >= 0))
+        if (missing.isEmpty) None
+        else Some(s"child exited 0 but adjudicated only " +
+          s"${names.distinct.size - missing.size}/${names.distinct.size} " +
+          s"rows (missing or all-FAIL: ${missing.mkString(", ")})")
+      }
     failReason.foreach(r => System.err.println(s"[bench] requeue FAILED: $r " +
       s"(${vals.size}/${names.size} rows still adjudicated)"))
     RequeueOutcome(vals, detail, failReason)

@@ -68,6 +68,24 @@ class BenchForkSpec extends AnyFunSuite {
       s"partial child output lost: ${outcome.vals}")
   }
 
+  test("clean exit with an all-FAIL sentinel row is flagged, not read as adjudicated") {
+    // review r19: a row whose every child rep threw comes back as a
+    // well-formed wall=-1 line and exit 0 — no adjudicating
+    // measurement exists, so the committed record must say so
+    val out = Bench.freshJvmMeasure(Seq("fake_row"),
+      mainClass = "graft.BenchOneAllFail")
+    assert(out.failReason.isDefined, "all-FAIL sentinel must flag")
+    assert(out.failReason.get.contains("fake_row"))
+  }
+
+  test("clean exit with only a wrongly-named row is flagged (count cannot mask a dropped name)") {
+    val out = Bench.freshJvmMeasure(Seq("fake_row"),
+      mainClass = "graft.BenchOneWrongName")
+    assert(out.failReason.isDefined,
+      s"missing requested name must flag even at matching row count: $out")
+    assert(out.failReason.get.contains("fake_row"))
+  }
+
   test("twoPhaseEmit with no requeue names never forks") {
     var forked = false
     Bench.twoPhaseEmit(Nil, () => (),
