@@ -127,6 +127,26 @@ object PipelineOps {
       .select(col("doc_id"), col("canon_url"), (col("rn") === 1).as("keep"))
   }
 
+  /** The blocklist gate transform — shared by the `pipe_badwords_filter`
+    * gate row and its stateless streaming twin
+    * ([[graft.streaming.DocsStream.badwordsStream]]): per-doc count of
+    * tokens in the (broadcast-in-production) blocklist, keep while the
+    * bad fraction stays under 5% — cross-multiplied integers
+    * (n_bad·20 < n_tokens), never a float ratio. One narrow codegen'd
+    * map, so it runs unchanged on a streaming input (the union over
+    * any micro-batch cuts equals the batch result row-for-row). The
+    * two-word list stands in for the usual few-hundred-entry set
+    * (array_contains over a literal array IS the broadcast shape). */
+  private[graft] def badwordsGate(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bad = array(lit("slow"), lit("big"))
+    d.filter(col("text").isNotNull)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_bad", size(filter(toks, t => array_contains(bad, t))))
+      .select(col("doc_id"), col("n_tokens"), col("n_bad"),
+        (col("n_bad") * 20 < col("n_tokens")).as("keep"))
+  }
+
   /** `(doc_id, n_chars, canon_url)` projection — the shared input of
     * the batch keep-best window above AND its streaming running-best
     * twin ([[graft.streaming.DocsStream.urlDedupStream]]): one
@@ -182,24 +202,11 @@ object PipelineOps {
       urlKeepBest(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
 
     // Blocklist filtering (round 18) — the C4-style banned-word gate
-    // every web curation pipeline runs: per-doc count of tokens in
-    // the (broadcast-in-production) blocklist, keep while the bad
-    // fraction stays under 5% — cross-multiplied integers (n_bad·20 <
-    // n_tokens), never a float ratio. One narrow codegen'd map; the
-    // two-word list stands in for the usual few-hundred-entry set
-    // (array_contains over a literal array IS the broadcast shape —
-    // a real deployment swaps in a typed-literal or broadcast array).
-    "pipe_badwords_filter" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val bad = array(lit("slow"), lit("big"))
-      s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("text").isNotNull)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("n_bad", size(filter(toks, t => array_contains(bad, t))))
-        .select(col("doc_id"), col("n_tokens"), col("n_bad"),
-          (col("n_bad") * 20 < col("n_tokens")).as("keep"))
-        .orderBy("doc_id")
-    }),
+    // every web curation pipeline runs; the transform lives in
+    // [[badwordsGate]] (shared with the round-19 streaming twin
+    // DocsStream.badwordsStream — one rule, two consumers).
+    "pipe_badwords_filter" -> ((s, dir) =>
+      badwordsGate(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
 
     // tumbling 1h window aggregation (streaming-capable transform)
     "ev_window_agg" -> ((s, dir) =>

@@ -269,6 +269,15 @@ object DocsStream {
       .toDF("doc_id", "canon_url", "n_chars")
   }
 
+  /** Blocklist-gate-on-ingest: [[graft.queries.PipelineOps.badwordsGate]]
+    * applied to a streaming source — stateless and narrow (one
+    * codegen'd map per doc), so each micro-batch gates exactly the
+    * docs it carries and the union over batches equals the batch
+    * `pipe_badwords_filter` result regardless of cut placement
+    * (DocsStreamSpec). */
+  def badwordsStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineOps.badwordsGate(docs)
+
   /** Phrase-detection-on-ingest: the streaming form of
     * `search_phrase`. The phrase table is query-batch-sized and
     * static (alert phrases are curated, like benchmark fingerprints),

@@ -81,6 +81,32 @@ class DocsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream blocklist gate == batch pipe_badwords_filter, split across two micro-batches") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = graft.queries.PipelineOps.queries("pipe_badwords_filter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSet
+    assert(expected.nonEmpty && expected.exists(!_._4),
+      "fixture must contain at least one dropped doc or the gate is vacuous")
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val streamDir = java.nio.file.Files.createTempDirectory("badwordsstream")
+    val streamIn = spark.readStream.schema(docs.schema).parquet(s"$streamDir/*")
+    val q = DocsStream.badwordsStream(streamIn)
+      .writeStream.outputMode("append").format("memory").queryName("badworded")
+      .start()
+    try {
+      Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+        spark.createDataFrame(chunk.toSeq.asJava, docs.schema)
+          .coalesce(1).write.parquet(s"$streamDir/b$i")
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("badworded")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSet
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("stream URL keep-best converges to batch pipe_url_dedup under arbitrary micro-batch cuts") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
