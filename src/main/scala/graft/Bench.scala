@@ -526,8 +526,12 @@ object Bench {
           s"${names.distinct.size - missing.size}/${names.distinct.size} " +
           s"rows (missing or all-FAIL: ${missing.mkString(", ")})")
       }
+    // the adjudicated count mirrors the failReason semantics: requested
+    // names with a VALID wall — raw vals.size would count all-FAIL
+    // sentinels and stray wrong-named rows (review r19 pass 4)
+    val adjudicatedN = names.distinct.count(n => vals.get(n).exists(_._1 >= 0))
     failReason.foreach(r => System.err.println(s"[bench] requeue FAILED: $r " +
-      s"(${vals.size}/${names.size} rows still adjudicated)"))
+      s"($adjudicatedN/${names.distinct.size} rows still adjudicated)"))
     RequeueOutcome(vals, detail, failReason)
   } catch { case t: Throwable =>
     System.err.println(s"[bench] requeue fork failed: $t")
