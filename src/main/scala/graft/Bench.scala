@@ -538,6 +538,29 @@ object Bench {
     RequeueOutcome(Map.empty, Map.empty, Some(s"fork failed: ${t.getClass.getName}: ${t.getMessage}"))
   }
 
+  /** The MICRO record line — the LAST stdout line of each emission
+    * phase, size-bounded so the harness's 2000-char stdout tail always
+    * ends on one complete parseable JSON object. Round-19 finding: the
+    * slim line (total + the per-query wall dict) outgrew 2000 chars
+    * once the registry passed ~75 queries, so the driver's BENCH_r*
+    * `parsed` field has been null since r15 even on clean rc=0 runs —
+    * the full per-query record lives in the committed
+    * bench/bench_r{N}.json (and the full/slim stdout lines above), so
+    * the micro line carries only the headline scalars + flag COUNTS +
+    * the pointer to the full record. Kept under ~600 chars by
+    * construction (no unbounded lists — BenchMicroSpec pins the bound
+    * at a hostile 10k-query / long-reason shape). */
+  private[graft] def microLine(total: Double, nQueries: Int, round: Int,
+      adjudicated: Boolean, requeueFailed: Option[String], loadMax: Double,
+      nTainted: Int, nFirstFlagged: Int, nRequeued: Int, sf: String,
+      fullRecord: String): String = {
+    val fail = requeueFailed
+      .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("\\p{Cntrl}", " ").take(200) + "\"")
+      .getOrElse("null")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":$loadMax%.2f,"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"full_record":"${fullRecord.replace("\\", "/").replaceAll("[\"\\p{Cntrl}]", "").takeRight(120)}","sf":"${sf.take(120)}"}"""
+  }
+
   /** Two-phase record emission (VERDICT r18 task 1a). BENCH_r18's
     * driver artifact was `parsed: null` with exit 137: all ~131
     * measurements existed, but the runner was SIGKILLed inside the
@@ -809,12 +832,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     }
 
-    /** Slim stdout line: the harness keeps only the LAST 2000 chars of
-      * stdout, and r7's three-dict compact line (~3.5 KB) pushed the
-      * wall dict out of the window — the driver parsed cpu+load and
-      * reported `parsed: null`. Wall dict + total + n_queries +
-      * load_max + tainted is ~1.4 KB at 50 queries; cpu/load/reps/prev
-      * live on the full line and in the committed file. */
+    /** Slim stdout line: total + the per-query wall dict — ~1.4 KB at
+      * 50 queries but PAST the harness's 2000-char stdout tail at
+      * today's 134 (which is why BENCH_r15..r18 all read parsed:null
+      * even at rc 0). It stays for humans/greppability; the line the
+      * harness tail is guaranteed to END on is the size-bounded
+      * [[microLine]] printed after it. */
     def slimJsonFor(outcome: RequeueOutcome): String = {
       val adjusted = res.map { r =>
         outcome.vals.get(r.name) match {
@@ -848,13 +871,30 @@ object Bench {
 
     def emitPhase(outcome: RequeueOutcome, adjudicated: Boolean): Unit = {
       val full = fullJsonFor(outcome, adjudicated)
-      println(full)
-      // slim line AFTER the full one so the harness's 2000-char stdout
-      // tail always ends on a line it can parse — in BOTH phases: a
-      // SIGKILL inside the fork leaves phase 1's slim line as the tail
-      println(slimJsonFor(outcome))
-      Console.out.flush()
+      // commit the durable file FIRST: its stderr write-notice must not
+      // land after the micro line — the harness interleaves streams
+      // (BENCH_r18's tail shows stderr), and the micro line must be the
+      // LAST thing either stream emits in this phase
       commitRecord(full)
+      println(full)
+      println(slimJsonFor(outcome))
+      // micro line LAST in BOTH phases, so the harness's 2000-char
+      // stdout tail always ends on one COMPLETE parseable JSON object
+      // — a SIGKILL inside the fork leaves phase 1's micro line as the
+      // tail, and at >75 queries the slim line alone no longer fits
+      val adjTotal = res.map { r =>
+        outcome.vals.get(r.name) match {
+          case Some((w, _, _)) if w >= 0 && (r.wall < 0 || w < r.wall) => w
+          case _ => r.wall
+        }
+      }.sum
+      val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        f"bench/bench_r$roundNumber%d.json")
+      println(microLine(adjTotal, res.size, roundNumber, adjudicated,
+        outcome.failReason, loadMax, taintedNames.size,
+        firstBlownNames.size, requeueNames.size, sfDir, recordPath))
+      Console.out.flush()
+      System.err.flush()
     }
 
     // ---- two-phase emit around the fork (VERDICT r18 task 1) ----
