@@ -547,18 +547,31 @@ object Bench {
     * the full per-query record lives in the committed
     * bench/bench_r{N}.json (and the full/slim stdout lines above), so
     * the micro line carries only the headline scalars + flag COUNTS +
-    * the pointer to the full record. Kept under ~600 chars by
-    * construction (no unbounded lists — BenchMicroSpec pins the bound
-    * at a hostile 10k-query / long-reason shape). */
+    * the pointer to the full record. Bounded under 1000 chars at ANY
+    * input (no unbounded lists; every string field truncated then
+    * escaped — BenchMicroSpec pins the bound and parseability at a
+    * hostile 10k-query / quote-newline-backslash-reason shape), and
+    * numbers are formatted locale-independently: this is the one line
+    * whose entire contract is "always parses", so it cannot inherit
+    * the ambient default locale the way the human-facing lines do
+    * (review r19 pass 5 ×3). */
   private[graft] def microLine(total: Double, nQueries: Int, round: Int,
       adjudicated: Boolean, requeueFailed: Option[String], loadMax: Double,
       nTainted: Int, nFirstFlagged: Int, nRequeued: Int, sf: String,
       fullRecord: String): String = {
-    val fail = requeueFailed
-      .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'")
-        .replaceAll("\\p{Cntrl}", " ").take(200) + "\"")
-      .getOrElse("null")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":$loadMax%.2f,"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"full_record":"${fullRecord.replace("\\", "/").replaceAll("[\"\\p{Cntrl}]", "").takeRight(120)}","sf":"${sf.take(120)}"}"""
+    // truncate BEFORE escaping: a cut after escaping can split a \\
+    // pair and leave a dangling backslash that escapes the closing
+    // quote — invalid JSON in exactly the requeue-failure path
+    def jstr(raw: String, cap: Int, fromRight: Boolean = false): String = {
+      val cut = if (fromRight) raw.takeRight(cap) else raw.take(cap)
+      "\"" + cut.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("\\p{Cntrl}", " ") + "\""
+    }
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        java.lang.Double.valueOf(v))
+    val fail = requeueFailed.map(jstr(_, 200)).getOrElse("null")
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":${num(loadMax, 2)},"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"full_record":${jstr(fullRecord, 160, fromRight = true)},"sf":${jstr(sf, 120)}}"""
   }
 
   /** Two-phase record emission (VERDICT r18 task 1a). BENCH_r18's
@@ -796,12 +809,13 @@ object Bench {
       // churn signature is exactly "wall fine, CPU inflated", so gating
       // the fresh CPU on the fresh WALL also winning would keep the
       // inflated CPU in the record — poisoning next round's prev.cpu
-      // baseline, the very value the churn check compares against
+      // baseline, the very value the churn check compares against.
+      // Wall adjustment goes through the shared adjustedWall rule.
       val adjusted = res.map { r =>
         outcome.vals.get(r.name) match {
-          case Some((w, c, rows)) =>
+          case Some((_, c, rows)) =>
             r.copy(
-              wall = if (w >= 0 && (r.wall < 0 || w < r.wall)) w else r.wall,
+              wall = adjustedWall(r, outcome),
               cpu = if (c >= 0 && (r.cpu < 0 || c < r.cpu)) c else r.cpu,
               rows = if (r.rows < 0) rows else r.rows)
           case _ => r
@@ -839,13 +853,7 @@ object Bench {
       * harness tail is guaranteed to END on is the size-bounded
       * [[microLine]] printed after it. */
     def slimJsonFor(outcome: RequeueOutcome): String = {
-      val adjusted = res.map { r =>
-        outcome.vals.get(r.name) match {
-          case Some((w, _, _)) if w >= 0 && (r.wall < 0 || w < r.wall) =>
-            r.copy(wall = w)
-          case _ => r
-        }
-      }
+      val adjusted = res.map(r => r.copy(wall = adjustedWall(r, outcome)))
       val qjson = jmap(adjusted.map(r => r.name -> f"${r.wall}%.3f"))
       val total = adjusted.map(_.wall).sum
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"load_max":$loadMaxStr,"tainted":${jarr(taintedNames)},"first_flagged":${jarr(firstBlownNames)},"growth_flagged":${jarr(growthNames)},"requeued":${jarr(requeueNames)},"queries":$qjson,"sf":"$sfDir"}"""
@@ -855,8 +863,12 @@ object Bench {
     // depends on the stdout window at all: bench/bench_r{N}.json is
     // the durable artifact and the preferred `prev` source.
     // SPARK_GRAFT_BENCH_OUT redirects it (taint-injection test runs
-    // must not clobber the round-close record).
-    def commitRecord(fullJson: String): Unit = try {
+    // must not clobber the round-close record). Returns the ACTUAL
+    // written path so the micro line's pointer and the write share one
+    // truth — a separately-derived relative path disagreed with the
+    // absolute write target, and a failed write must not be advertised
+    // as a record (review r19 pass 5).
+    def commitRecord(fullJson: String): Option[String] = try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(new java.io.File(_))
         .getOrElse {
           val dir = new java.io.File("/root/repo/bench")
@@ -866,33 +878,42 @@ object Bench {
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(fullJson) finally w.close()
       System.err.println(s"[bench] full record written to $out")
+      Some(out.getAbsolutePath)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: could not write bench file: $e") }
+      System.err.println(s"[bench] WARNING: could not write bench file: $e")
+      None
+    }
+
+    // the ONE outcome-min wall adjustment, shared by the full, slim and
+    // micro emissions (review r19 pass 5: three hand-rolled copies of
+    // this rule would desynchronize the micro total from the record the
+    // way the r18 wall/cpu-min review almost did)
+    def adjustedWall(r: QRes, outcome: RequeueOutcome): Double =
+      outcome.vals.get(r.name) match {
+        case Some((w, _, _)) if w >= 0 && (r.wall < 0 || w < r.wall) => w
+        case _ => r.wall
+      }
 
     def emitPhase(outcome: RequeueOutcome, adjudicated: Boolean): Unit = {
       val full = fullJsonFor(outcome, adjudicated)
       // commit the durable file FIRST: its stderr write-notice must not
       // land after the micro line — the harness interleaves streams
       // (BENCH_r18's tail shows stderr), and the micro line must be the
-      // LAST thing either stream emits in this phase
-      commitRecord(full)
+      // LAST thing either stream emits in this phase. The pointer in
+      // the micro line is the ACTUAL written path (or a loud marker on
+      // write failure), never a separately-derived guess.
+      val writtenPath = commitRecord(full)
       println(full)
       println(slimJsonFor(outcome))
       // micro line LAST in BOTH phases, so the harness's 2000-char
       // stdout tail always ends on one COMPLETE parseable JSON object
       // — a SIGKILL inside the fork leaves phase 1's micro line as the
       // tail, and at >75 queries the slim line alone no longer fits
-      val adjTotal = res.map { r =>
-        outcome.vals.get(r.name) match {
-          case Some((w, _, _)) if w >= 0 && (r.wall < 0 || w < r.wall) => w
-          case _ => r.wall
-        }
-      }.sum
-      val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        f"bench/bench_r$roundNumber%d.json")
+      val adjTotal = res.map(adjustedWall(_, outcome)).sum
       println(microLine(adjTotal, res.size, roundNumber, adjudicated,
         outcome.failReason, loadMax, taintedNames.size,
-        firstBlownNames.size, requeueNames.size, sfDir, recordPath))
+        firstBlownNames.size, requeueNames.size, sfDir,
+        writtenPath.getOrElse("(record write FAILED)")))
       Console.out.flush()
       System.err.flush()
     }

@@ -4,20 +4,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The micro record line is the contract between Bench stdout and the
   * harness's 2000-char tail window: it must be ONE complete JSON
-  * object, size-bounded REGARDLESS of inputs (query count, tainted
-  * population, requeue failure reason length/content), because the
-  * slim line's per-query wall dict outgrew the window at ~75 queries
-  * and silently nulled the driver's parsed record from round 15 on. */
+  * object, size-bounded and PARSEABLE regardless of inputs (query
+  * count, tainted population, requeue failure reason content, env
+  * paths, ambient JVM locale), because the slim line's per-query wall
+  * dict outgrew the window at ~75 queries and silently nulled the
+  * driver's parsed record from round 15 on. Parsing here is REAL
+  * (jackson, on the Spark classpath), not a structural approximation. */
 class BenchMicroSpec extends AnyFunSuite {
 
-  private def parseable(s: String): Boolean = {
-    // minimal structural check without a JSON lib: one object, balanced
-    // braces/brackets, no raw control chars, key fields present
-    s.startsWith("{") && s.endsWith("}") &&
-      s.count(_ == '{') == s.count(_ == '}') &&
-      s.count(_ == '[') == s.count(_ == ']') &&
-      !s.exists(_.isControl) &&
-      s.contains("\"metric\":\"total\"") && s.contains("\"adjudicated\":")
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parse(s: String): com.fasterxml.jackson.databind.JsonNode = {
+    assert(!s.contains("\n"), "micro line must be one line")
+    mapper.readTree(s) // throws on invalid JSON — the real contract
   }
 
   test("micro line stays bounded and parseable at a hostile shape") {
@@ -26,18 +25,52 @@ class BenchMicroSpec extends AnyFunSuite {
       Some(nastyReason), 31.5, 10000, 10000, 8, "/some/very/long/" + ("x" * 500),
       "/tmp/some \"weird\"\npath/" + ("y" * 400) + ".json")
     assert(line.length < 1000, s"micro line too long: ${line.length}")
-    assert(parseable(line), s"not parseable: $line")
-    assert(!line.contains("\n"))
+    val n = parse(line)
+    assert(n.get("adjudicated").asBoolean() === false)
+    assert(n.get("requeue_failed").asText().nonEmpty)
+  }
+
+  test("truncation cannot split an escape pair (dangling-backslash trap)") {
+    // review r19 pass 5: take(cap) AFTER escaping could cut a \\ pair
+    // in half, leaving a lone backslash that escapes the closing
+    // quote. Park backslash runs exactly across the 200-char cut.
+    for (pad <- 195 to 205) {
+      val reason = ("a" * pad) + ("\\" * 12) + "\"tail\""
+      val line = Bench.microLine(1.0, 1, 1, adjudicated = true,
+        Some(reason), 0.5, 0, 0, 1, "/sf", "/r.json")
+      parse(line) // must not throw for ANY cut position
+    }
+  }
+
+  test("hostile sf and record paths are escaped, not trusted") {
+    val line = Bench.microLine(1.0, 1, 1, adjudicated = true, None, 0.5,
+      0, 0, 0, "/data/sf\"0.1\\weird\npath", "(record write FAILED)")
+    val n = parse(line)
+    assert(n.get("sf").asText().contains("sf'0.1"))
+    assert(n.get("full_record").asText() === "(record write FAILED)")
+  }
+
+  test("numbers are locale-independent (comma-decimal default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.microLine(67.851, 134, 19, adjudicated = true,
+        None, 1.99, 0, 4, 2, "/root/testdata/sf0.1", "bench/bench_r19.json")
+      val n = parse(line)
+      assert(n.get("value").asDouble() === 67.851)
+      assert(n.get("load_max").asDouble() === 1.99)
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("micro line round-trips the headline scalars") {
     val line = Bench.microLine(67.851, 134, 19, adjudicated = true,
       None, 1.99, 0, 4, 2, "/root/testdata/sf0.1", "bench/bench_r19.json")
     assert(line.length < 600)
-    assert(parseable(line))
-    assert(line.contains("\"value\":67.851"))
-    assert(line.contains("\"n_queries\":134"))
-    assert(line.contains("\"requeue_failed\":null"))
-    assert(line.contains("\"full_record\":\"bench/bench_r19.json\""))
+    val n = parse(line)
+    assert(n.get("value").asDouble() === 67.851)
+    assert(n.get("n_queries").asInt() === 134)
+    assert(n.get("requeue_failed").isNull)
+    assert(n.get("full_record").asText() === "bench/bench_r19.json")
+    assert(n.get("metric").asText() === "total")
   }
 }
