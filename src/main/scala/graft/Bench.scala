@@ -68,6 +68,10 @@ object Bench {
     // round-19 additions: windowed entropy (the w64 row BINDS on every
     // fixture doc; w4096 drives the conf-sized LUT)
     "text_entropy_w64", "text_entropy_w4096",
+    // round-20 additions: the adaptive filtered-ANN production entry
+    // point, both dispatch branches (widened-probe IVF / exact
+    // filtered brute-force fallback)
+    "vec_ann_adaptive", "vec_ann_adaptive_sparse",
     // osm fixture end-to-end + 2M-node scale probes (osm_split_topology
     // = same workload over a two-shard border-overlapping split: the
     // multi-file border-dedup shuffle's round-over-round signal)
@@ -395,6 +399,30 @@ object Bench {
   private[graft] val RequeueBaseTimeoutS = 240L
   private[graft] val RequeuePerQueryTimeoutS = 120L
 
+  /** Severity-ranked requeue selection (VERDICT r19 task 1). The old
+    * `.take(MaxRequeue)` cut candidates in RUN order, so when flags
+    * exceeded the cap the tail of the over2x list — late-run rows,
+    * exactly the ones measured while a host degrades — fell off: the
+    * r19 driver record shipped its three WORST outliers (16.4×/13.4×/
+    * 12.8× over prev) un-requeued while a 2.0× row got a slot, and the
+    * artifact never named what was cut. Candidates now sort by their
+    * severity RATIO descending (over2x rows by wall-vs-prev, churn
+    * rows by cpu-vs-prev, growth rows by last-vs-first rep — a name
+    * flagged by several sources takes its max), name ties broken
+    * alphabetically so the selection is deterministic, and BOTH halves
+    * are returned: `(selected, dropped)` — the dropped names go into
+    * the committed record's `requeue_dropped` field, so a capped
+    * adjudication is readable from the artifact alone (an
+    * `adjudicated: true` with non-empty `requeue_dropped` is partial). */
+  private[graft] def rankRequeue(candidates: Seq[(String, Double)],
+      max: Int = MaxRequeue): (Seq[String], Seq[String]) = {
+    val ordered = candidates.groupBy(_._1).toSeq
+      .map { case (n, xs) => (n, xs.map(_._2).max) }
+      .sortBy { case (n, sev) => (-sev, n) }
+      .map(_._1)
+    (ordered.take(max), ordered.drop(max))
+  }
+
   /** Requeue outcome: fresh-JVM headline values + the raw per-query
     * detail lines, plus a loud failure marker for the committed
     * artifact. `failReason` is Some whenever the adjudication is
@@ -557,21 +585,34 @@ object Bench {
     * (review r19 pass 5 ×3). */
   private[graft] def microLine(total: Double, nQueries: Int, round: Int,
       adjudicated: Boolean, requeueFailed: Option[String], loadMax: Double,
-      nTainted: Int, nFirstFlagged: Int, nRequeued: Int, sf: String,
-      fullRecord: String): String = {
-    // truncate BEFORE escaping: a cut after escaping can split a \\
-    // pair and leave a dangling backslash that escapes the closing
-    // quote — invalid JSON in exactly the requeue-failure path
+      nTainted: Int, nFirstFlagged: Int, nRequeued: Int,
+      nRequeueDropped: Int, sf: String, fullRecord: String): String = {
+    // cap AFTER escaping, so the bound holds on the bytes that land in
+    // the line (ADVICE r19: a pre-escape cap let backslash-heavy
+    // inputs double past the documented bound post-escape). The escaped
+    // alphabet is simple — quotes become ', control chars become
+    // space, so the ONLY escape sequence present is \\ — and a cut
+    // that splits one \\ pair leaves exactly one dangling backslash at
+    // the cut edge (trailing for a left-cut, leading for a right-cut),
+    // repaired by dropping one to keep every backslash run even.
     def jstr(raw: String, cap: Int, fromRight: Boolean = false): String = {
-      val cut = if (fromRight) raw.takeRight(cap) else raw.take(cap)
-      "\"" + cut.replace("\\", "\\\\").replace("\"", "'")
-        .replaceAll("\\p{Cntrl}", " ") + "\""
+      val esc = raw.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("\\p{Cntrl}", " ")
+      val cut0 = if (fromRight) esc.takeRight(cap) else esc.take(cap)
+      val cut =
+        if (fromRight) {
+          if (cut0.takeWhile(_ == '\\').length % 2 == 1) cut0.drop(1) else cut0
+        } else {
+          if (cut0.reverse.takeWhile(_ == '\\').length % 2 == 1) cut0.dropRight(1)
+          else cut0
+        }
+      "\"" + cut + "\""
     }
     def num(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f",
         java.lang.Double.valueOf(v))
     val fail = requeueFailed.map(jstr(_, 200)).getOrElse("null")
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":${num(loadMax, 2)},"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"full_record":${jstr(fullRecord, 160, fromRight = true)},"sf":${jstr(sf, 120)}}"""
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":${num(loadMax, 2)},"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"n_requeue_dropped":$nRequeueDropped,"full_record":${jstr(fullRecord, 160, fromRight = true)},"sf":${jstr(sf, 120)}}"""
   }
 
   /** Two-phase record emission (VERDICT r18 task 1a). BENCH_r18's
@@ -595,6 +636,26 @@ object Bench {
       else fork(requeueNames)
     emitPhase2(out)
     out
+  }
+
+  /** Non-colliding default record path (VERDICT r19 task 5): when
+    * `bench_r{N}.json` already exists at process start — the builder
+    * committed the round's quiet record and the driver runs later in
+    * the same round — return the first free round-suffixed sibling
+    * (`bench_r{N}_2.json`, `_3`, ...) instead of the base name: the
+    * r19 driver run silently overwrote the committed 67.9 s record
+    * with its 88.6 s contended one, leaving the file contradicting the
+    * README narrative that cited it. The suffix matches [[prevRecord]]'s
+    * committed-record pattern, so next round's quietest-of-round `prev`
+    * selection sees both files. Callers resolve ONCE per run (phase 1
+    * creates the file; a per-emission probe would push phase 2's
+    * superseding record to yet another path). */
+  private[graft] def resolveBenchOut(dir: java.io.File, round: Int): java.io.File = {
+    val base = new java.io.File(dir, s"bench_r$round.json")
+    if (!base.exists()) base
+    else Iterator.from(2)
+      .map(i => new java.io.File(dir, s"bench_r${round}_$i.json"))
+      .find(!_.exists()).get
   }
 
   /** Current round number, derived from the newest harness BENCH file
@@ -768,8 +829,39 @@ object Bench {
     val growthNames = res.filter(repGrowth).map(_.name)
     val over2xNames = res.filter(r => r.wall >= 0 &&
       prev.wall.get(r.name).exists(pw => pw > 0 && r.wall > 2.0 * pw)).map(_.name)
-    val requeueNames =
-      (churnNames ++ growthNames ++ over2xNames).distinct.take(MaxRequeue)
+    // severity per candidate, for worst-first selection under the cap
+    // (VERDICT r19 task 1 — see [[rankRequeue]]): churn rows rank by
+    // their min-rep CPU inflation vs prev, growth rows by the steeper
+    // of their wall/cpu last-vs-first rep slopes, over2x rows by their
+    // wall ratio vs prev
+    val churnSev = res.flatMap { r =>
+      if (!churnNames.contains(r.name)) None
+      else {
+        val m = r.reps.filterNot(_.failed).minBy(_.wall)
+        prev.cpu.get(r.name).filter(_ > 0).map(pc => r.name -> m.cpu / pc)
+      }
+    }
+    val growthSev = res.flatMap { r =>
+      if (!growthNames.contains(r.name)) None
+      else {
+        val ok = r.reps.filterNot(_.failed)
+        def slope(xs: Seq[Double]): Double =
+          if (xs.length >= 2 && xs.head > 0) xs.last / xs.head else 1.0
+        Some(r.name -> math.max(slope(ok.map(_.wall)), slope(ok.map(_.cpu))))
+      }
+    }
+    val over2xSev = res.flatMap { r =>
+      prev.wall.get(r.name) match {
+        case Some(pw) if pw > 0 && r.wall >= 0 && r.wall > 2.0 * pw =>
+          Some(r.name -> r.wall / pw)
+        case _ => None
+      }
+    }
+    val (requeueNames, requeueDropped) =
+      rankRequeue(churnSev ++ growthSev ++ over2xSev)
+    if (requeueDropped.nonEmpty)
+      System.err.println(s"[bench] requeue cap $MaxRequeue reached — " +
+        s"NOT requeued (recorded in requeue_dropped): ${requeueDropped.mkString(", ")}")
     // fixed (requeue-independent) artifact pieces, computed once
     val ljson = jmap(res.map(r => r.name -> f"${r.load}%.2f"))
     val rjson = jmap(res.map(r => r.name -> repsJson(r.reps)))
@@ -843,7 +935,7 @@ object Bench {
         .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'")
           .replaceAll("\\p{Cntrl}", " ") + "\"")
         .getOrElse("null")
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"over2x_flagged":${jarr(over2xNames)},"requeue_dropped":${jarr(requeueDropped)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     }
 
     /** Slim stdout line: total + the per-query wall dict — ~1.4 KB at
@@ -861,20 +953,25 @@ object Bench {
 
     // The full record goes to a COMMITTED repo file so no future round
     // depends on the stdout window at all: bench/bench_r{N}.json is
-    // the durable artifact and the preferred `prev` source.
-    // SPARK_GRAFT_BENCH_OUT redirects it (taint-injection test runs
-    // must not clobber the round-close record). Returns the ACTUAL
-    // written path so the micro line's pointer and the write share one
-    // truth — a separately-derived relative path disagreed with the
-    // absolute write target, and a failed write must not be advertised
-    // as a record (review r19 pass 5).
-    def commitRecord(fullJson: String): Option[String] = try {
-      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(new java.io.File(_))
+    // the durable artifact and the preferred `prev` source — or its
+    // first free round-suffixed sibling when the base name is already
+    // committed (see [[resolveBenchOut]]), resolved ONCE so both emit
+    // phases write the same file. SPARK_GRAFT_BENCH_OUT redirects it
+    // (taint-injection test runs must not clobber the round-close
+    // record). commitRecord returns the ACTUAL written path so the
+    // micro line's pointer and the write share one truth — a
+    // separately-derived relative path disagreed with the absolute
+    // write target, and a failed write must not be advertised as a
+    // record (review r19 pass 5).
+    lazy val benchOut: java.io.File =
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").map(new java.io.File(_))
         .getOrElse {
           val dir = new java.io.File("/root/repo/bench")
           dir.mkdirs()
-          new java.io.File(dir, f"bench_r$roundNumber%d.json")
+          resolveBenchOut(dir, roundNumber)
         }
+    def commitRecord(fullJson: String): Option[String] = try {
+      val out = benchOut
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(fullJson) finally w.close()
       System.err.println(s"[bench] full record written to $out")
@@ -912,7 +1009,7 @@ object Bench {
       val adjTotal = res.map(adjustedWall(_, outcome)).sum
       println(microLine(adjTotal, res.size, roundNumber, adjudicated,
         outcome.failReason, loadMax, taintedNames.size,
-        firstBlownNames.size, requeueNames.size, sfDir,
+        firstBlownNames.size, requeueNames.size, requeueDropped.size, sfDir,
         writtenPath.getOrElse("(record write FAILED)")))
       Console.out.flush()
       System.err.flush()

@@ -121,6 +121,61 @@ class BenchForkSpec extends AnyFunSuite {
     assert(child.last == "-Xmx4g")
   }
 
+  test("requeue selection is severity-ranked: worst candidates first, dropped names returned") {
+    // VERDICT r19 task 1: with more candidates than MaxRequeue, the
+    // old run-order .take(8) cut the over2x TAIL — in the driver's r19
+    // record the 16.4×/13.4×/12.8× outliers went un-requeued while a
+    // 2.0× row got a slot, and the artifact never said so. Eleven
+    // candidates, severities chosen so run order and severity order
+    // disagree hard: the three worst arrive LAST.
+    val cands = Seq(
+      "early_mild_a" -> 2.0, "early_mild_b" -> 2.1, "early_mild_c" -> 2.2,
+      "mid_d" -> 2.5, "mid_e" -> 2.6, "mid_f" -> 2.7, "mid_g" -> 2.8,
+      "mid_h" -> 2.9,
+      "late_worst_x" -> 16.4, "late_worst_y" -> 13.4, "late_worst_z" -> 12.8)
+    val (selected, dropped) = Bench.rankRequeue(cands)
+    assert(selected.size == Bench.MaxRequeue)
+    // the three late heavy outliers MUST be in, and in worst-first order
+    assert(selected.take(3) == Seq("late_worst_x", "late_worst_y", "late_worst_z"),
+      s"worst-first selection broken: $selected")
+    // the cut falls on the MILDEST candidates, and they are named
+    assert(dropped.toSet == Set("early_mild_a", "early_mild_b", "early_mild_c"),
+      s"dropped names wrong: $dropped")
+    // a name flagged by several sources ranks by its MAX severity, and
+    // appears once
+    val (sel2, _) = Bench.rankRequeue(
+      Seq("dual" -> 1.1, "dual" -> 9.9, "solo" -> 5.0), max = 2)
+    assert(sel2 == Seq("dual", "solo"))
+    // equal severities break ties alphabetically (deterministic record)
+    val (sel3, drop3) = Bench.rankRequeue(
+      Seq("zeta" -> 3.0, "alpha" -> 3.0, "mu" -> 3.0), max = 2)
+    assert(sel3 == Seq("alpha", "mu") && drop3 == Seq("zeta"))
+    // under-cap: everything selected, nothing dropped
+    val (sel4, drop4) = Bench.rankRequeue(Seq("only" -> 2.5))
+    assert(sel4 == Seq("only") && drop4.isEmpty)
+  }
+
+  test("default record path refuses to overwrite a committed same-round record") {
+    // VERDICT r19 task 5: the driver's run overwrote the builder's
+    // committed bench_r19.json in the worktree. The default target now
+    // steps to the first free round-suffixed sibling, and the suffix
+    // stays inside prevRecord's committed-record pattern so next
+    // round's quietest-of selection sees every record of the round.
+    val dir = java.nio.file.Files.createTempDirectory("benchout").toFile
+    val first = Bench.resolveBenchOut(dir, 20)
+    assert(first.getName == "bench_r20.json")
+    java.nio.file.Files.writeString(first.toPath, "{}")
+    val second = Bench.resolveBenchOut(dir, 20)
+    assert(second.getName == "bench_r20_2.json")
+    java.nio.file.Files.writeString(second.toPath, "{}")
+    val third = Bench.resolveBenchOut(dir, 20)
+    assert(third.getName == "bench_r20_3.json")
+    val pat = "^(?:bench|judge_probe)_r(\\d+)(?:_[A-Za-z0-9]+)?\\.json$".r
+    for (f <- Seq(first, second, third))
+      assert(pat.findFirstIn(f.getName).isDefined,
+        s"${f.getName} would be invisible to prevRecord")
+  }
+
   test("requeue child session is pinned to the bounded thread count") {
     // BenchRig.buildSession reads SPARK_GRAFT_CPUS; freshJvmMeasure
     // sets it to requeueChildCpus before the caller's overrides. The
