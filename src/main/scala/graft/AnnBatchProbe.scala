@@ -37,19 +37,9 @@ object AnnBatchProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val maxLoadEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    def loads(): (Double, Double) =
-      try {
-        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString).getOrElse("9 9").trim.split("\\s+")
-        (parts(0).toDouble, parts(1).toDouble)
-      } catch { case _: Exception => (-1.0, -1.0) }
-    def noisy(l: (Double, Double)): Boolean =
-      l._1 > maxLoadEnv || l._2 > 2 * maxLoadEnv
-    val t0 = System.nanoTime()
-    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
-    val loadStart = loads()._1
-    val tainted = noisy(loads())
+    // shared quiet-host gate (VERDICT r19 task 6 — retires this file's
+    // inline copy and its ADVICE-r19 '9 9' / double-sample defects)
+    val (loadStart, tainted) = ProbeRig.loadGate(tag = "annbatchprobe")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -190,13 +180,8 @@ object AnnBatchProbe {
     val json = rec.map { case (kk, v) => "\"" + kk + "\":" + v }
       .mkString("{", ",", "}")
     println(json)
-    val benchDir = new java.io.File("/root/repo/bench")
-    if (benchDir.isDirectory) {
-      val out = new java.io.File(benchDir, s"annbatch_r${Bench.roundNumber}.json")
-      java.nio.file.Files.write(out.toPath,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[annbatchprobe] record written to $out")
-    }
+    ProbeRig.writeArtifact(s"annbatch_r${Bench.roundNumber}.json", json,
+      "annbatchprobe")
 
     var fail = List.empty[String]
     if (v1 != p1) fail ::= s"1k: $v1 visits for $p1 pairs — scorer touched non-probing pairs"

@@ -68,35 +68,39 @@ object CoordJoinProbe {
 
     def run(name: String, path: String, reps: Int): Phase = {
       val q = graft.osm.OsmQuery.highways.copy(geometry = true)
-      // warmup + FINAL-plan capture: execute THROUGH this df's own
-      // QueryExecution (foreach — count() would spawn a fresh one),
-      // then stringify. Under AQE the adaptive plan mutates in place,
-      // so the post-execution string carries the RUNTIME strategy —
-      // the pre-execution string is only the initial plan and could
-      // never detect the silent AQE conversion this probe gates on
-      // (review r19).
-      val df = q.run(spark, path)
-      df.foreach(_ => ())
-      val plan = df.queryExecution.executedPlan.toString
-      // per-rep shuffle deltas, reported from the MIN-WALL rep: a
-      // cross-rep sum would mix multipliers between phases with
+      // untimed warmup (JIT/codegen/file index) — its plan is NOT the
+      // one asserted on: the gated strategy must come from a TIMED
+      // execution's own QueryExecution (ADVICE r19 — a separate
+      // warmup plan could in principle differ from the measured one)
+      q.run(spark, path).foreach(_ => ())
+      // per-rep shuffle deltas + plan, reported from the MIN-WALL rep:
+      // a cross-rep sum would mix multipliers between phases with
       // different rep counts, and the bus must drain BEFORE the
-      // recording window closes (review r19)
+      // recording window closes (review r19). Each rep executes
+      // through ITS df's QueryExecution (foreach + row accumulator —
+      // count() would spawn a fresh QE whose pruned plan is not the
+      // one measured), and under AQE the adaptive plan mutates in
+      // place, so the post-execution string carries the RUNTIME
+      // strategy of exactly the execution the wall number came from.
       var best = Double.MaxValue
       var rows = -1L
       var bestRd = 0.0
       var bestWr = 0.0
+      var plan = ""
       (1 to reps).foreach { _ =>
         shRead.set(0L); shWrite.set(0L)
         record = true
+        val df = q.run(spark, path)
+        val acc = spark.sparkContext.longAccumulator
         val s = System.nanoTime()
-        val n = q.run(spark, path).count()
+        df.foreach(_ => acc.add(1))
         val d = (System.nanoTime() - s) / 1e9
         Thread.sleep(500) // drain listener bus inside the window
         record = false
         if (d < best) {
-          best = d; rows = n
+          best = d; rows = acc.value
           bestRd = shRead.get() / 1e6; bestWr = shWrite.get() / 1e6
+          plan = df.queryExecution.executedPlan.toString
         }
       }
       val p = Phase(name, best, rows, bestRd, bestWr,

@@ -11,28 +11,57 @@ package graft
   *    `tainted` stamp if the host never quieted;
   *  - [[writeArtifact]] — the committed bench/<name> writer with the
   *    standard warn-don't-fail error path.
-  * The pre-r19 probes (ScaleProbe, VecScaleProbe, AnnBatchProbe,
-  * SimhashCapProbe) predate this helper and keep their inline copies;
-  * new probes must use it. */
+  * All six probe mains (ScaleProbe, VecScaleProbe, AnnBatchProbe,
+  * SimhashCapProbe, CoordJoinProbe, FilteredAnnProbe) share it
+  * (VERDICT r19 task 6 backfilled the four pre-r19 inline copies). */
 private[graft] object ProbeRig {
 
-  def loads(): (Double, Double) =
+  /** One sample of the (1-min, 5-min) load averages; None when
+    * /proc/loadavg is unreadable on this host. */
+  def loadsOpt(): Option[(Double, Double)] =
     try {
       val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString).getOrElse("9 9").trim.split("\\s+")
-      (parts(0).toDouble, parts(1).toDouble)
-    } catch { case _: Exception => (-1.0, -1.0) }
+        _.mkString).toOption.map(_.trim.split("\\s+"))
+      parts.collect { case p if p.length >= 2 =>
+        (p(0).toDouble, p(1).toDouble) }
+    } catch { case _: Exception => None }
+
+  /** -1 sentinels when unreadable — "unknown", NEVER "noisy" (ADVICE
+    * r19: the old '9 9' fallback made an unreadable loadavg read as an
+    * infinitely contended host, stalling every probe the full wait and
+    * then tainting it as contention that never existed). */
+  def loads(): (Double, Double) = loadsOpt().getOrElse((-1.0, -1.0))
 
   /** Block until the host is quiet (bounded), then return
-    * (loadAtStart, stillNoisy). */
-  def loadGate(maxWaitS: Int = 300): (Double, Boolean) = {
+    * (loadAtStart, tainted). Both values come from ONE final sample
+    * (ADVICE r19: reading loads() twice let the reported start load
+    * and the verdict disagree about the same instant). An unreadable
+    * loadavg proceeds immediately as (-1.0, true) — the explicit
+    * "load unknown" taint: the measurement may be fine, but the
+    * artifact cannot claim a quiet start it never observed. */
+  def loadGate(maxWaitS: Int = 300, tag: String = "probe"): (Double, Boolean) = {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
     def noisy(l: (Double, Double)): Boolean =
       l._1 > maxLoad || l._2 > 2 * maxLoad
     val t0 = System.nanoTime()
-    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < maxWaitS)
+    var cur = loadsOpt()
+    while (cur.exists(noisy) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+      cur.foreach(l => System.err.println(
+        f"[$tag] ambient load ${l._1}%.2f/${l._2}%.2f (1m/5m) > $maxLoad%.1f — waiting"))
       Thread.sleep(5000)
-    (loads()._1, noisy(loads()))
+      cur = loadsOpt()
+    }
+    cur match {
+      case Some(l) =>
+        if (noisy(l)) System.err.println(
+          f"[$tag] WARNING: starting TAINTED at load ${l._1}%.2f/${l._2}%.2f " +
+            s"after ${maxWaitS}s wait — not a usable quiet baseline")
+        (l._1, noisy(l))
+      case None =>
+        System.err.println(s"[$tag] WARNING: /proc/loadavg unreadable — " +
+          "proceeding immediately, stamped tainted (load unknown)")
+        (-1.0, true)
+    }
   }
 
   /** Write `json` to /root/repo/bench/<fileName>; warn on stderr, never

@@ -90,54 +90,23 @@ object ScaleProbe {
   }
   /** Ambient-load gate (VERDICT r10 task 2): scale_r10.json was taken
     * at load 17 and its parity_total_s / cpu_total_s were unusable as
-    * a round-over-round baseline. The probe now refuses to START while
-    * the 1-min load exceeds `SPARK_GRAFT_SCALE_MAX_LOAD` (default 2.0)
-    * — polling for up to `SPARK_GRAFT_SCALE_WAIT_S` (default 300) —
-    * and if the host never quiets down it still runs but stamps the
-    * artifact `"tainted":true`, so a contended record can never be
-    * mistaken for a scale regression. */
-  private def loadGate(): (Double, Double, Boolean) = {
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_S", "300").toInt
-    // gate on BOTH the 1- and 5-min averages (/proc/loadavg; MXBean
-    // only exposes the 1-min figure): measured this round, a probe
-    // admitted at 1-min 1.73 while the 5-min average still read ~5
-    // from a just-killed stress run burned 2x the CPU of the genuinely
-    // quiet re-run (parity 23.6 s vs 12.2 s) — the 1-min average
-    // forgives recent contention faster than the scheduler state and
-    // page cache actually recover. The 5-min gate uses a 2x allowance
-    // so one legitimately finished burst does not block for minutes.
-    def load(): (Double, Double) =
-      try {
-        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString).getOrElse("").trim.split("\\s+")
-        (parts(0).toDouble, parts(1).toDouble)
-      } catch {
-        case _: Exception =>
-          val l = java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean.getSystemLoadAverage
-          (l, l)
-      }
-    def noisy(l: (Double, Double)): Boolean =
-      l._1 > maxLoad || l._2 > 2 * maxLoad
-    val t0 = System.nanoTime()
-    var l = load()
-    while (noisy(l) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
-      System.err.println(
-        f"[scaleprobe] ambient load ${l._1}%.2f/${l._2}%.2f (1m/5m) > $maxLoad%.1f — waiting")
-      Thread.sleep(10000)
-      l = load()
-    }
-    val tainted = noisy(l)
-    if (tainted) System.err.println(
-      f"[scaleprobe] WARNING: starting TAINTED at load ${l._1}%.2f/${l._2}%.2f after " +
-        s"${maxWaitS}s wait — this record is not a usable scale baseline")
-    (l._1, maxLoad, tainted)
-  }
-
+    * a round-over-round baseline. The probe refuses to START while the
+    * 1-min load exceeds `SPARK_GRAFT_SCALE_MAX_LOAD` (default 2.0) or
+    * the 5-min average exceeds twice it — polling for up to
+    * `SPARK_GRAFT_SCALE_WAIT_S` (default 300) — and if the host never
+    * quiets down it still runs but stamps the artifact
+    * `"tainted":true`, so a contended record can never be mistaken
+    * for a scale regression. The gate itself is [[ProbeRig.loadGate]]
+    * (VERDICT r19 task 6 retired this file's inline copy; the shared
+    * rule reads an unreadable /proc/loadavg as UNKNOWN — proceed
+    * tainted with load_start -1 — instead of this copy's old MXBean
+    * 1-min-only fallback). */
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val (loadStart, maxLoad, loadTainted) = loadGate()
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
+    val (loadStart, loadTainted) = ProbeRig.loadGate(
+      maxWaitS = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAIT_S", "300").toInt,
+      tag = "scaleprobe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -254,15 +223,7 @@ object ScaleProbe {
     // bench/scale_r{N}.json is the durable record, same convention as
     // bench_r{N}.json. mf_results_match IS the oracle-gate bit at this
     // scale (single-file vs border-overlapping multi-file identity).
-    try {
-      val dir = new java.io.File("/root/repo/bench")
-      dir.mkdirs()
-      val out = new java.io.File(dir, s"scale_r${Bench.roundNumber}.json")
-      val w = new java.io.PrintWriter(out, "UTF-8")
-      try w.println(line) finally w.close()
-      System.err.println(s"[scaleprobe] record written to $out")
-    } catch { case e: Throwable =>
-      System.err.println(s"[scaleprobe] WARNING: could not write scale file: $e") }
+    ProbeRig.writeArtifact(s"scale_r${Bench.roundNumber}.json", line, "scaleprobe")
     if (!mfMatch)
       System.err.println(s"[scaleprobe] MULTI-FILE MISMATCH: " +
         s"nodes ${infoM("nodes")} vs ${info("nodes")}, ways ${infoM("ways")} vs ${info("ways")}, " +

@@ -103,15 +103,8 @@ object SimhashCapProbe {
     val line =
       f"""{"round":${Bench.roundNumber},"n_docs":$nDocs,"clusters":$nClusters,"cluster_size":$clusterSize,"default_cap":${graft.operators.LshBuckets.DefaultMaxBucketGroups},"tight_cap":$tightCap,"cap_engaged":${splitsCapped > 0},"tight_cap_engaged":${splitsTight > 0},"sub_splits_capped":$splitsCapped,"sub_splits_tight":$splitsTight,"sub_splits_uncapped":$splitsUncapped,"pairs_capped":$nCap,"pairs_tight":$nTight,"pairs_uncapped":$nUn,"checksum_capped":$chkCap,"checksum_tight":$chkTight,"checksum_uncapped":$chkUn,"capped_equals_uncapped":$matches,"wall_capped_s":$wCap%.1f,"wall_tight_s":$wTight%.1f,"wall_uncapped_s":$wUn%.1f}"""
     println(line)
-    try {
-      val dir = new java.io.File("/root/repo/bench")
-      dir.mkdirs()
-      val out = new java.io.File(dir, s"simhash_probe_r${Bench.roundNumber}.json")
-      val w = new java.io.PrintWriter(out, "UTF-8")
-      try w.println(line) finally w.close()
-      System.err.println(s"[simhashprobe] record written to $out")
-    } catch { case e: Throwable =>
-      System.err.println(s"[simhashprobe] WARNING: could not write probe file: $e") }
+    ProbeRig.writeArtifact(s"simhash_probe_r${Bench.roundNumber}.json", line,
+      "simhashprobe")
     if (!matches) {
       System.err.println(s"[simhashprobe] MISMATCH: capped run lost pairs")
       sys.exit(1)

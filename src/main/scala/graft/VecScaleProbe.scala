@@ -119,23 +119,11 @@ object VecScaleProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val maxLoadEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
-    // gate on BOTH the 1- and 5-min averages (the ScaleProbe.loadGate
-    // lesson: the 1-min figure alone admitted a run 1 min after a
-    // stress kill that still burned 2x CPU; the 5-min gate carries a
-    // 2x allowance so one finished burst does not block for minutes)
-    def loads(): (Double, Double) =
-      try {
-        val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-          _.mkString).getOrElse("9 9").trim.split("\\s+")
-        (parts(0).toDouble, parts(1).toDouble)
-      } catch { case _: Exception => (-1.0, -1.0) }
-    def noisy(l: (Double, Double)): Boolean =
-      l._1 > maxLoadEnv || l._2 > 2 * maxLoadEnv
-    val t0 = System.nanoTime()
-    while (noisy(loads()) && (System.nanoTime() - t0) / 1e9 < 300) Thread.sleep(5000)
-    val loadStart = loads()._1
-    val tainted = noisy(loads())
+    // shared quiet-host gate (VERDICT r19 task 6 — this file's inline
+    // copy had both ADVICE-r19 defects: the '9 9' unreadable-loadavg
+    // sentinel that stalls forever, and a double-sample disagreement
+    // between loadStart and the taint verdict)
+    val (loadStart, tainted) = ProbeRig.loadGate(tag = "vecscaleprobe")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -354,13 +342,8 @@ object VecScaleProbe {
     val json = rec.map { case (kk, v) => "\"" + kk + "\":" + v }
       .mkString("{", ",", "}")
     println(json)
-    val benchDir = new java.io.File("/root/repo/bench")
-    if (benchDir.isDirectory) {
-      val out = new java.io.File(benchDir, s"vecscale_r${Bench.roundNumber}.json")
-      java.nio.file.Files.write(out.toPath,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[vecscaleprobe] record written to $out")
-    }
+    ProbeRig.writeArtifact(s"vecscale_r${Bench.roundNumber}.json", json,
+      "vecscaleprobe")
 
     // self-checks: the probe IS the assertion (exit 1 on any violated
     // bound so a regression cannot ship a green-looking artifact)
