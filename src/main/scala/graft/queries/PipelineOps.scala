@@ -137,14 +137,34 @@ object PipelineOps {
     * any micro-batch cuts equals the batch result row-for-row). The
     * two-word list stands in for the usual few-hundred-entry set
     * (array_contains over a literal array IS the broadcast shape). */
-  private[graft] def badwordsGate(d: DataFrame): DataFrame = {
+  private[graft] def badwordsGate(d: DataFrame): DataFrame =
+    badwordsVerdictCols(d).select(col("doc_id"),
+      col("__bw_n_tokens").as("n_tokens"), col("__bw_n_bad").as("n_bad"),
+      col("__bw_keep").as("keep"))
+
+  /** Row-preserving form of the SAME blocklist verdict: docs surviving
+    * the gate with their full row intact, so the composed ingest
+    * (stage-0 keep-best → blocklist → curate,
+    * [[graft.streaming.DocsStream.curateGated]]) can continue into the
+    * curation tail. One rule, two shapes — both project from
+    * [[badwordsVerdictCols]], so the gate row and the composition
+    * cannot drift (round 20). */
+  private[graft] def badwordsKeepDocs(d: DataFrame): DataFrame =
+    badwordsVerdictCols(d).filter(col("__bw_keep"))
+      .drop("__bw_n_tokens", "__bw_n_bad", "__bw_keep")
+
+  /** Single owner of the blocklist arithmetic: per-doc token count,
+    * blocklist-token count, and the 5% keep rule as cross-multiplied
+    * integers (n_bad·20 < n_tokens — never a float ratio), appended
+    * as `__bw_`-prefixed columns that cannot collide with document
+    * schema fields. */
+  private def badwordsVerdictCols(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val bad = array(lit("slow"), lit("big"))
     d.filter(col("text").isNotNull)
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_bad", size(filter(toks, t => array_contains(bad, t))))
-      .select(col("doc_id"), col("n_tokens"), col("n_bad"),
-        (col("n_bad") * 20 < col("n_tokens")).as("keep"))
+      .withColumn("__bw_n_tokens", size(toks))
+      .withColumn("__bw_n_bad", size(filter(toks, t => array_contains(bad, t))))
+      .withColumn("__bw_keep", col("__bw_n_bad") * 20 < col("__bw_n_tokens"))
   }
 
   /** `(doc_id, n_chars, canon_url)` projection — the shared input of

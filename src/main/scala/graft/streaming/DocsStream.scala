@@ -90,9 +90,21 @@ object DocsStream {
     * table the batch `text_entropy` broadcasts; index 0 unused. Every
     * count and doc total is bounded by the window, so the domain is
     * known at construction; memoized per window size (the fixed-point
-    * chain is pure integer shift-and-square, ~µs per entry). */
-  private val entropyLutCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    * chain is pure integer shift-and-square, ~µs per entry). The memo
+    * is BOUNDED to the [[MaxEntropyLuts]] most-recently-used windows
+    * (ADVICE r19: window values are expected to be few and stable per
+    * process — the default plus the two gate-pinned sizes — but a
+    * long-lived session sweeping `spark.graft.entropy.window` could
+    * otherwise accumulate up to 65536 entries of up to ~512 KiB each
+    * on the driver; eviction only costs a pure rebuild). */
+  private val MaxEntropyLuts = 4
+  private val entropyLutCache: java.util.Map[Integer, Array[Long]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Integer, Array[Long]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Integer, Array[Long]]): Boolean =
+          size() > MaxEntropyLuts
+      })
   private[graft] def entropyLut(window: Int): Array[Long] =
     entropyLutCache.computeIfAbsent(window, w => {
       val a = new Array[Long](w + 1)
@@ -194,7 +206,15 @@ object DocsStream {
     * stages 0/2-3 would drop. Stateless end-to-end — no watermark, no
     * state store; the union over ANY micro-batch cuts equals the
     * same composition applied in batch (DocsStreamSpec pins both the
-    * cut-invariance and the superset/identity containments). */
+    * cut-invariance and the superset/identity containments).
+    *
+    * The END-TO-END composed ingest — stage-0 keep-best
+    * ([[urlDedupStream]], consumed latest-per-key) → blocklist gate →
+    * this tail — is [[curateGated]]; its equality to the batch
+    * composition (`urlKeepBest` winners → `badwordsKeepDocs` → these
+    * stages) under randomized micro-batch cuts, and its containment
+    * relation to `pipe_full_curation`, are spec-pinned in
+    * DocsStreamSpec ("composed ingest", VERDICT r19 task 3). */
   def curate(docs: DataFrame,
       benchFps: java.util.HashSet[java.lang.Long]): DataFrame = {
     val s = docs.sparkSession
@@ -214,6 +234,25 @@ object DocsStream {
       }.toDF("doc_id", "lang", "source", "text", "n_tokens")
     graft.queries.PipelineOps.curationTail(kept)
   }
+
+  /** Blocklist gate → curation tail: the STATELESS slice of the
+    * composed ingest pipeline (VERDICT r19 task 3). A full deployment
+    * runs three pieces over the same source: [[urlDedupStream]]
+    * (stage 0, stateful keep-best — consumers take its LATEST emission
+    * per canonical URL, see its scaladoc), this gated tail over every
+    * arriving doc, and the periodic batch compaction that owns the
+    * corpus-global stages 2-3. Restricting this tail's output to the
+    * stage-0 winners reproduces the batch composition exactly — per
+    * doc, every stage here is row-local, so filtering commutes with
+    * the tail; DocsStreamSpec's "composed ingest" case pins that
+    * equality under randomized micro-batch cuts plus the containment
+    * vs `pipe_full_curation` (identical rows on every full-curation
+    * doc that passes the blocklist). The blocklist rule is
+    * [[graft.queries.PipelineOps.badwordsKeepDocs]] — the same verdict
+    * columns as the `pipe_badwords_filter` gate row, row-preserving. */
+  def curateGated(docs: DataFrame,
+      benchFps: java.util.HashSet[java.lang.Long]): DataFrame =
+    curate(graft.queries.PipelineOps.badwordsKeepDocs(docs), benchFps)
 
   /** Streaming URL keep-best — the stateful twin of
     * `pipe_url_dedup` / fullCuration stage 0 (VERDICT r18 task 6):

@@ -280,6 +280,91 @@ class DocsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed ingest: stage-0 keep-best → blocklist → curate converges to the batch composition under randomized cuts") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val benchFps = DocsStream.benchmarkFingerprints(
+      docs.filter(col("doc_id") % 97 === 0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getInt(5))
+    // batch twin of the full composition: URL keep-best winners →
+    // blocklist keep → curation tail (the "pipe_full_curation minus
+    // batch-only stages 2-3, plus the blocklist" pipeline the
+    // curate/urlDedupStream scaladoc documents)
+    val winnersB = graft.queries.PipelineOps.queries("pipe_url_dedup")(spark, dir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchComposed = DocsStream.curateGated(
+      docs.filter(col("doc_id").isin(winnersB.toSeq: _*)), benchFps)
+      .collect().map(key).toSet
+    assert(batchComposed.nonEmpty)
+    // containment vs the batch integration row: pipe_full_curation
+    // shares stage 0 + quality + decontamination + tail with the
+    // composition, additionally drops chunk-exact/near-dup docs
+    // (batch-only), and has NO blocklist stage — so every
+    // full-curation row whose doc passes the blocklist must appear
+    // IDENTICALLY in the composed output
+    val badKeepIds = graft.queries.PipelineOps.queries("pipe_badwords_filter")(spark, dir)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val full = graft.queries.PipelineOps.queries("pipe_full_curation")(spark, dir)
+      .collect().map(key).toSet
+    val fullBadKept = full.filter(r => badKeepIds(r._1))
+    assert(fullBadKept.nonEmpty, "vacuous containment: blocklist dropped every curated doc")
+    assert(fullBadKept.subsetOf(batchComposed),
+      "a full-curation row passing the blocklist must survive the composition identically")
+    // and the composition must genuinely extend full curation (the
+    // batch-only stages drop SOMEONE on this fixture, or the superset
+    // claim is untested)
+    assert((batchComposed -- full).nonEmpty,
+      "fixture exercises no batch-only drop — composition == full curation, superset untested")
+    // two randomized 3-cut splits over a seeded shuffle: stage 0 is
+    // convergent (latest emission per key) and the gated tail is
+    // stateless (union over cuts), so the composed result must be
+    // cut-invariant
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = rnd.shuffle(docs.collect().toSeq)
+      val c1 = 1 + rnd.nextInt(rows.length - 2)
+      val c2 = c1 + 1 + rnd.nextInt(rows.length - c1 - 1)
+      val slices = Seq(rows.slice(0, c1), rows.slice(c1, c2),
+        rows.slice(c2, rows.length))
+      val streamDir = java.nio.file.Files.createTempDirectory(s"ingest$seed")
+      val streamIn = spark.readStream.schema(docs.schema).parquet(s"$streamDir/*")
+      val sinkUrl = s"ingest_url$seed"
+      val sinkCur = s"ingest_cur$seed"
+      val q0 = DocsStream.urlDedupStream(streamIn)
+        .writeStream.outputMode("append").format("memory").queryName(sinkUrl)
+        .start()
+      val q1 = DocsStream.curateGated(streamIn, benchFps)
+        .writeStream.outputMode("append").format("memory").queryName(sinkCur)
+        .start()
+      try {
+        slices.zipWithIndex.foreach { case (chunk, i) =>
+          spark.createDataFrame(chunk.asJava, docs.schema)
+            .coalesce(1).write.parquet(s"$streamDir/b$i")
+          q0.processAllAvailable()
+          q1.processAllAvailable()
+        }
+        // the documented stage-0 consumer rule: winner per canonical
+        // URL = the latest (= best under the strictly-improving
+        // emission order) emission for it
+        val emitted = spark.table(sinkUrl).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val winners = emitted.groupBy(_._2)
+          .map { case (_, xs) => xs.maxBy(x => (x._3, -x._1))._1 }.toSet
+        assert(winners === winnersB,
+          s"seed $seed: stage-0 winners diverge from batch keep-best")
+        // composed output: the gated tail's rows for winner docs only
+        val curated = spark.table(sinkCur).collect().map(key).toSet
+        val composed = curated.filter(r => winners(r._1))
+        assert(composed === batchComposed,
+          s"seed $seed: composed ingest diverges from the batch composition")
+      } finally { q0.stop(); q1.stop() }
+    }
+  }
+
   test("stream curation: cut-invariant, identical to batch composition, superset of pipe_full_curation") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
