@@ -414,6 +414,29 @@ object VectorOps extends Serializable {
       recallEval(bruteforceTopK(s, dir, evenLabelKeep(s, dir, "match_id")),
         annIvfFiltered(s, dir, KmeansIters, NProbe))),
 
+    // ADAPTIVE filtered ANN — the production entry point (round 19's
+    // adaptiveNprobe rule, oracle-gated in round 20 per VERDICT r19
+    // task 2), on a moderate-selectivity predicate that exercises the
+    // Some(p) branch with a genuinely WIDENED probe (4 → 5 lists at
+    // every committed SF); the oracle twins the dispatch itself
+    "vec_ann_adaptive" -> ((s, dir) =>
+      annIvfFilteredAdaptive(s, dir, pred = AdaptiveModeratePred)),
+
+    // the None branch: a predicate sparse enough that no probe width
+    // can confidently fill k — the rule falls back to exact FILTERED
+    // brute force (recall 1.0 by construction), and the oracle's
+    // dispatch twin takes the same branch
+    "vec_ann_adaptive_sparse" -> ((s, dir) =>
+      annIvfFilteredAdaptive(s, dir, pred = AdaptiveSparsePred)),
+
+    // recall@k of the adaptive path against the FILTERED truth for the
+    // moderate predicate — the number the r19 probe showed collapsing
+    // to 0.11 under fixed nprobe at high selectivity pressure, held at
+    // 1.0 by the widened probe
+    "vec_recall_eval_adaptive" -> ((s, dir) =>
+      recallEval(bruteforceFilteredWith(s, dir, AdaptiveModeratePred),
+        annIvfFilteredAdaptive(s, dir, pred = AdaptiveModeratePred))),
+
     // Deterministic Lloyd k-means over the embedding corpus (the
     // clustering stage of SemDeDup-style semantic dedup, Abbas et al.
     // 2023): seeds = the k lowest vec_ids, every coordinate grid-
@@ -1550,11 +1573,14 @@ object VectorOps extends Serializable {
   // assigns against), then the identical IVF skeleton with the
   // trained centroids as the coarse quantizer. Centroid norms use the
   // same lattice-rounded quadrature as the engine.
-  /** The trained-IVF chain up through the probed-list candidate set
-    * `cand` (query_id, match_id) — shared by the exact-scan trained
-    * IVF oracle and the composed IVF-SQ8 oracle. Leaves `idx`,
-    * `norms`, `cand` in scope. */
-  private val ivfTrainedCandPrefix: String = {
+  /** The trained-IVF chain up through the per-vector list assignment
+    * (`assigned`) and query list ranking (`csims`) — everything that
+    * does NOT depend on the probe width. Leaves `idx`, `norms`,
+    * `csims`, `assigned` in scope. Split out of the cand prefix in
+    * round 20 so the adaptive dispatch twin can interpose its decision
+    * CTEs between the assignment and the (now width-parameterized)
+    * probe set. */
+  private val ivfTrainedAssignPrefix: String = {
     val last = s"c${KmeansIters - 1}"
     s"""${kmeansCtes(TrainedKSql, KmeansIters - 1)},
           idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -1581,17 +1607,56 @@ object VectorOps extends Serializable {
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY csim DESC, cid ASC) AS crk
-              FROM csims) t WHERE crk = 1),
-          probes AS (
+              FROM csims) t WHERE crk = 1)"""
+  }
+
+  /** Probe set + candidate set over [[ivfTrainedAssignPrefix]]'s
+    * `csims`/`assigned`, with the probe width as a SQL expression —
+    * the fixed-nprobe oracles pass the literal, the adaptive twin a
+    * scalar subquery on its decision CTE. */
+  private def ivfProbesCandCtes(nprobeSql: String): String =
+    s"""probes AS (
             SELECT vec_id AS query_id, cid FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY csim DESC, cid ASC) AS crk
-              FROM csims WHERE vec_id < $QueryIdsDefault) t WHERE crk <= $NProbe),
+              FROM csims WHERE vec_id < $QueryIdsDefault) t WHERE crk <= $nprobeSql),
           cand AS (
             SELECT p.query_id, a.vec_id AS match_id
             FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)"""
-  }
+
+  /** The trained-IVF chain up through the probed-list candidate set
+    * `cand` (query_id, match_id) — shared by the exact-scan trained
+    * IVF oracle and the composed IVF-SQ8 oracle. Leaves `idx`,
+    * `norms`, `cand` in scope. */
+  private val ivfTrainedCandPrefix: String =
+    s"""$ivfTrainedAssignPrefix,
+          ${ivfProbesCandCtes(NProbe.toString)}"""
+
+  /** Exact-scoring tail over candidate table `candTable` as CTEs named
+    * `${p}dots` / `${p}scored` / `${p}ranked` — the standard quantized
+    * cosine + per-query ranking, shared by [[annIvfScoredSql]] (p="")
+    * and both branches of the adaptive dispatch twin (the brute-force
+    * branch takes p="bf" so the two chains coexist in one WITH).
+    * Expects `idx` and `norms` in scope. */
+  private def scoredTailCtes(candTable: String, p: String): String =
+    s"""${p}dots AS (
+            SELECT c.query_id, c.match_id, $dotSql AS dot
+            FROM $candTable c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.match_id
+            CROSS JOIN idx
+            GROUP BY 1, 2),
+          ${p}scored AS (
+            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM ${p}dots
+            JOIN norms na ON na.vec_id = query_id
+            JOIN norms nb ON nb.vec_id = match_id),
+          ${p}ranked AS (
+            SELECT query_id, match_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, match_id ASC) AS rk
+            FROM ${p}scored)"""
 
   /** The exact-scoring tail of a trained-IVF oracle over candidate
     * table `candTable`, with `extraCtes` (e.g. the filtered-ANN label
@@ -1599,23 +1664,7 @@ object VectorOps extends Serializable {
     * and filtered twins (round 18). */
   private def annIvfScoredSql(extraCtes: String, candTable: String): String =
     s"""WITH $ivfTrainedCandPrefix$extraCtes,
-          dots AS (
-            SELECT c.query_id, c.match_id, $dotSql AS dot
-            FROM $candTable c
-            JOIN embeddings a ON a.vec_id = c.query_id
-            JOIN embeddings b ON b.vec_id = c.match_id
-            CROSS JOIN idx
-            GROUP BY 1, 2),
-          scored AS (
-            SELECT query_id, match_id, round(dot / (na.nrm * nb.nrm), 6) AS sim
-            FROM dots
-            JOIN norms na ON na.vec_id = query_id
-            JOIN norms nb ON nb.vec_id = match_id),
-          ranked AS (
-            SELECT query_id, match_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, match_id ASC) AS rk
-            FROM scored)
+          ${scoredTailCtes(candTable, "")}
           SELECT query_id, match_id, sim, rk FROM ranked
           WHERE rk <= $TopK ORDER BY query_id, rk"""
 
@@ -1626,6 +1675,79 @@ object VectorOps extends Serializable {
             SELECT c.query_id, c.match_id FROM cand c
             JOIN embeddings l ON l.vec_id = c.match_id AND l.label % 2 = 0)""",
     "candf")
+
+  /** Gate predicates for the ADAPTIVE filtered rows (VERDICT r19
+    * task 2) — deterministic id-derived stand-ins for a shard/source
+    * metadata filter, chosen so each row exercises ONE dispatch branch
+    * at every committed scale factor (FilteredAnnSpec pins the branch;
+    * the oracle below twins the dispatch itself, so parity holds even
+    * at corpus shapes where the branch flips):
+    *  - moderate, ~22% (`vec_id % 9 < 2`): expected qualifying
+    *    candidates per probed list ≈ 6.6-6.9, so the probe WIDENS from
+    *    the base 4 to 5 lists (Some(5) at sf0.001/0.01/0.1);
+    *  - sparse, 4% (`vec_id % 25 = 24`): at 500 vectors the qualifying
+    *    corpus (20) cannot confidently fill k=10 (None — exact
+    *    filtered brute force); at sf0.1's 2000 vectors the required
+    *    probe width (25 lists) exceeds 30% of the 65 lists (None — the
+    *    index would scan most of itself and still risk recall). */
+  private val AdaptiveModeratePred: Column = col("vec_id") % 9 < 2
+  private val AdaptiveSparsePred: Column = col("vec_id") % 25 === 24
+  private def adaptiveModerateSqlPred(a: String): String = s"$a.vec_id % 9 < 2"
+  private def adaptiveSparseSqlPred(a: String): String = s"$a.vec_id % 25 = 24"
+
+  /** SQL twin of [[annIvfFilteredAdaptive]] INCLUDING the dispatch
+    * (VERDICT r19 task 2): the decision arithmetic of
+    * [[adaptiveNprobe]] runs in SQL over the same corpus statistics —
+    * keep/total from the predicate, `nl` = SURVIVING trained-list
+    * count (DISTINCT cid of the final Lloyd update, matching
+    * `trainedCents().length` — empty clusters vanish in both engines)
+    * — and the final SELECT takes the widened-probe IVF branch or the
+    * filtered brute-force branch per the 1-row `adec` verdict, so the
+    * oracle follows the engine's branch at ANY corpus shape. The
+    * floating-point forms mirror the Scala composition exactly:
+    * perList = (keep/total)·(total/nl) — NOT keep/nl, whose different
+    * rounding could flip a ceil boundary — and the probe width caps
+    * compare through the same max/ceil/min sequence. */
+  private def annAdaptiveSql(predFor: String => String): String = {
+    val last = s"c${KmeansIters - 1}"
+    val perList = "((s.keep / s.total) * (s.total / s.nl))"
+    val need = s"($AdaptiveSafety * $TopK)"
+    val pRaw = s"GREATEST($NProbe, CAST(ceil($need / $perList) AS INT))"
+    s"""WITH $ivfTrainedAssignPrefix,
+          astats AS (
+            SELECT CAST(count(*) FILTER (WHERE ${predFor("embeddings")}) AS DOUBLE) AS keep,
+                   CAST(count(*) AS DOUBLE) AS total,
+                   CAST((SELECT count(DISTINCT cid) FROM $last) AS DOUBLE) AS nl
+            FROM embeddings),
+          adec AS (
+            SELECT CASE
+                     WHEN s.total = 0 OR s.keep <= 0
+                          OR $perList * s.nl < $need THEN 0
+                     WHEN CAST($pRaw AS DOUBLE)
+                          > GREATEST(CAST($NProbe AS DOUBLE),
+                                     $AdaptiveMaxProbeFrac * s.nl) THEN 0
+                     ELSE 1 END AS use_ivf,
+                   CASE WHEN s.total = 0 OR s.keep <= 0 THEN 0
+                        ELSE LEAST(CAST(s.nl AS INT), $pRaw) END AS p
+            FROM astats s),
+          ${ivfProbesCandCtes("(SELECT p FROM adec)")},
+          candf AS (
+            SELECT c.query_id, c.match_id FROM cand c
+            JOIN embeddings l ON l.vec_id = c.match_id AND ${predFor("l")}),
+          ${scoredTailCtes("candf", "")},
+          bfcand AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS match_id
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < $QueryIdsDefault AND b.vec_id <> a.vec_id
+                 AND ${predFor("b")}),
+          ${scoredTailCtes("bfcand", "bf")}
+          SELECT query_id, match_id, sim, rk FROM ranked
+          WHERE rk <= $TopK AND 1 = (SELECT use_ivf FROM adec)
+          UNION ALL
+          SELECT query_id, match_id, sim, rk FROM bfranked
+          WHERE rk <= $TopK AND 0 = (SELECT use_ivf FROM adec)
+          ORDER BY query_id, rk"""
+  }
 
   /** SQL twin of [[annIvfSq8]]: the trained-IVF candidate prefix
     * composed with the SQ8 decode chain — asymmetric decoded cosine
@@ -2023,6 +2145,19 @@ object VectorOps extends Serializable {
     "vec_ann_ivf" -> annIvfSql,
     "vec_ann_ivf_trained" -> annIvfTrainedSql,
     "vec_ann_ivf_filtered" -> annIvfFilteredSql,
+    // the adaptive rows' oracles REPLICATE THE DISPATCH (see
+    // annAdaptiveSql): decision arithmetic in SQL, widened-probe IVF
+    // branch and filtered-brute-force branch both present, the 1-row
+    // verdict picking which one emits
+    "vec_ann_adaptive" -> annAdaptiveSql(adaptiveModerateSqlPred),
+    "vec_ann_adaptive_sparse" -> annAdaptiveSql(adaptiveSparseSqlPred),
+    "vec_recall_eval_adaptive" ->
+      s"""SELECT t.query_id,
+                 round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k
+          FROM (${bruteforceSqlWith("\n                 AND " + adaptiveModerateSqlPred("b"))}) t
+          LEFT JOIN (${annAdaptiveSql(adaptiveModerateSqlPred)}) a
+            ON a.query_id = t.query_id AND a.match_id = t.match_id
+          GROUP BY t.query_id ORDER BY t.query_id""",
     "vec_recall_eval_filtered" ->
       s"""SELECT t.query_id,
                  round(CAST(count(a.match_id) AS DOUBLE) / $TopK, 6) AS recall_at_k

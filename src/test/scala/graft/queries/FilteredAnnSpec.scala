@@ -56,6 +56,30 @@ class FilteredAnnSpec extends AnyFunSuite {
     assert(fall === None, s"1% predicate must fall back to brute force: $fall")
   }
 
+  test("gate-row predicates take their documented branches (round 20 oracle rows)") {
+    requireFixture()
+    // vec_ann_adaptive: ~22% (vec_id % 9 < 2) must WIDEN 4 → 5 — the
+    // Some(p) branch with p > base, so the gate row genuinely
+    // exercises the widening (not just base-kept) path
+    val moderate = VectorOps.adaptiveDecision(spark, dir, 3, 4,
+      col("vec_id") % 9 < 2)
+    assert(moderate === Some(5), s"moderate gate predicate must widen to 5: $moderate")
+    // vec_ann_adaptive_sparse: 4% (vec_id % 25 = 24) keeps only 20 of
+    // 500 vectors — under safety·k = 30, no probe width can fill k →
+    // the None (filtered brute force) branch
+    val sparse = VectorOps.adaptiveDecision(spark, dir, 3, 4,
+      col("vec_id") % 25 === 24)
+    assert(sparse === None, s"sparse gate predicate must fall back: $sparse")
+    // and the sparse gate row's output IS the filtered truth (recall
+    // 1.0 by construction — the property the oracle also checks)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("match_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sparsePred = col("vec_id") % 25 === 24
+    assert(pairs(VectorOps.queries("vec_ann_adaptive_sparse")(spark, dir)) ===
+      pairs(VectorOps.bruteforceFilteredWith(spark, dir, sparsePred)))
+  }
+
   test("adaptive == fixed on the abundant predicate; exact on the sparse one") {
     requireFixture()
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =

@@ -28,7 +28,14 @@ class PlanLintSpec extends AnyFunSuite {
       // both it and the brute-force truth
       "vec_ann_sq8", "vec_recall_eval_sq8", "vec_recall_eval_ivfsq8",
       // the filtered recall eval embeds the (filtered) brute-force truth
-      "vec_recall_eval_filtered")
+      "vec_recall_eval_filtered",
+      // the adaptive SPARSE gate row IS the exact filtered brute force
+      // (the None dispatch branch — recall 1.0 by construction), and
+      // the adaptive recall eval embeds the filtered truth; the
+      // moderate vec_ann_adaptive row takes the IVF branch and is
+      // deliberately NOT whitelisted — a dispatch regression that
+      // flips it to brute force would fail this lint
+      "vec_ann_adaptive_sparse", "vec_recall_eval_adaptive")
   // the 2M-node scale probes generate their extract on first touch —
   // too heavy for a lint pass that only inspects plans
   private val skip = Set("osm_big_pois", "osm_big_topology", "osm_big_buildings")
