@@ -36,7 +36,7 @@ object CoordJoinProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val (loadStart, tainted) = ProbeRig.loadGate()
+    val (loadStart, tainted) = ProbeRig.loadGate(tag = "coordjoin")
 
     // the shared bench session recipe (review r19: don't grow another
     // inline copy of the SPARK_GRAFT_CPUS/local[n]/shuffle-partitions
@@ -137,8 +137,13 @@ object CoordJoinProbe {
     val round = Bench.roundNumber
     def pj(p: Phase): String =
       f"""{"name":"${p.name}","wall_s":${p.wall}%.3f,"rows":${p.rows},"shuffle_read_mb":${p.shReadMB}%.1f,"shuffle_write_mb":${p.shWriteMB}%.1f,"broadcast":${p.broadcast},"shuffle_hash":${p.shuffleHash},"sort_merge":${p.sortMerge}}"""
+    // measured_action names WHAT the wall/shuffle numbers time:
+    // round ≤ 19 artifacts used count() (column-pruned plan), round
+    // 20+ materialize full rows through the asserted plan itself — a
+    // deliberate discontinuity (review r20); cross-round comparisons
+    // must not read the r19→r20 wall delta as a regression
     val json =
-      s"""{"probe":"coordjoin_10x","round":$round,"gen_s":${f"$genS%.1f"},"load_start":$loadStart,"tainted":$tainted,"threshold_rows":${spark.conf.get(graft.osm.GeometryBuilder.RefsBroadcastRowsKey, "4000000")},"phases":[${pj(p1)},${pj(p10)}],"wall_ratio":${f"${p10.wall / p1.wall}%.2f"},"violations":${viol.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"probe":"coordjoin_10x","round":$round,"measured_action":"materialize_rows","gen_s":${f"$genS%.1f"},"load_start":$loadStart,"tainted":$tainted,"threshold_rows":${spark.conf.get(graft.osm.GeometryBuilder.RefsBroadcastRowsKey, "4000000")},"phases":[${pj(p1)},${pj(p10)}],"wall_ratio":${f"${p10.wall / p1.wall}%.2f"},"violations":${viol.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(json)
     ProbeRig.writeArtifact(s"coordjoin_probe_r$round.json", json, "coordjoin")
     spark.stop()

@@ -47,7 +47,7 @@ object FilteredAnnProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val (loadStart, tainted) = ProbeRig.loadGate()
+    val (loadStart, tainted) = ProbeRig.loadGate(tag = "filtprobe")
 
     // shared bench session recipe (review r19 — see CoordJoinProbe)
     val spark = BenchRig.buildSession()

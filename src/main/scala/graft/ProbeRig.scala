@@ -16,14 +16,24 @@ package graft
   * (VERDICT r19 task 6 backfilled the four pre-r19 inline copies). */
 private[graft] object ProbeRig {
 
-  /** One sample of the (1-min, 5-min) load averages; None when
-    * /proc/loadavg is unreadable on this host. */
+  /** One sample of the (1-min, 5-min) load averages. Falls back to the
+    * OperatingSystemMXBean 1-min figure (duplicated into both slots —
+    * the bean exposes no 5-min average) on hosts without a readable
+    * /proc/loadavg, so non-procfs platforms keep a usable quiet gate
+    * (review r20 — the retired ScaleProbe inline gate had this
+    * fallback and the first shared version lost it); None only when
+    * neither source can produce a reading. */
   def loadsOpt(): Option[(Double, Double)] =
     try {
       val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
         _.mkString).toOption.map(_.trim.split("\\s+"))
       parts.collect { case p if p.length >= 2 =>
         (p(0).toDouble, p(1).toDouble) }
+        .orElse {
+          val l = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          if (l >= 0) Some((l, l)) else None
+        }
     } catch { case _: Exception => None }
 
   /** -1 sentinels when unreadable — "unknown", NEVER "noisy" (ADVICE
@@ -43,24 +53,37 @@ private[graft] object ProbeRig {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_LOAD", "2.0").toDouble
     def noisy(l: (Double, Double)): Boolean =
       l._1 > maxLoad || l._2 > 2 * maxLoad
-    val t0 = System.nanoTime()
-    var cur = loadsOpt()
-    while (cur.exists(noisy) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
-      cur.foreach(l => System.err.println(
-        f"[$tag] ambient load ${l._1}%.2f/${l._2}%.2f (1m/5m) > $maxLoad%.1f — waiting"))
-      Thread.sleep(5000)
-      cur = loadsOpt()
+    def unknown(why: String): (Double, Boolean) = {
+      System.err.println(s"[$tag] WARNING: load average unreadable ($why) — " +
+        "proceeding immediately, stamped tainted (load unknown)")
+      (-1.0, true)
     }
-    cur match {
-      case Some(l) =>
-        if (noisy(l)) System.err.println(
-          f"[$tag] WARNING: starting TAINTED at load ${l._1}%.2f/${l._2}%.2f " +
-            s"after ${maxWaitS}s wait — not a usable quiet baseline")
-        (l._1, noisy(l))
-      case None =>
-        System.err.println(s"[$tag] WARNING: /proc/loadavg unreadable — " +
-          "proceeding immediately, stamped tainted (load unknown)")
-        (-1.0, true)
+    loadsOpt() match {
+      // load never observed readable: proceed immediately as unknown
+      // (the ADVICE r19 rule — never presume an unreadable host noisy)
+      case None => unknown("at gate entry")
+      case first @ Some(_) =>
+        val t0 = System.nanoTime()
+        var cur: Option[(Double, Double)] = first
+        // a TRANSIENT mid-wait read failure keeps waiting (review r20:
+        // the host was just OBSERVED noisy; one failed read is not
+        // evidence it quieted) — Option.forall treats None as
+        // still-possibly-noisy, so only a readable quiet sample or the
+        // budget ends the wait
+        while (cur.forall(noisy) && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+          cur.foreach(l => System.err.println(
+            f"[$tag] ambient load ${l._1}%.2f/${l._2}%.2f (1m/5m) > $maxLoad%.1f — waiting"))
+          Thread.sleep(5000)
+          cur = loadsOpt()
+        }
+        cur match {
+          case Some(l) =>
+            if (noisy(l)) System.err.println(
+              f"[$tag] WARNING: starting TAINTED at load ${l._1}%.2f/${l._2}%.2f " +
+                s"after ${maxWaitS}s wait — not a usable quiet baseline")
+            (l._1, noisy(l))
+          case None => unknown("readability lost mid-wait")
+        }
     }
   }
 

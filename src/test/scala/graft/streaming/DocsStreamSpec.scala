@@ -341,21 +341,42 @@ class DocsStreamSpec extends AnyFunSuite {
         .writeStream.outputMode("append").format("memory").queryName(sinkCur)
         .start()
       try {
+        // per-batch emission snapshots: the documented consumer rule is
+        // the LATEST emission per key, so winners must be derived from
+        // ARRIVAL ORDER — re-applying the batch criterion (maxBy) would
+        // mask a regression that re-emits a superseded worse row after
+        // the true winner (review r20)
+        var seen = Set.empty[(Long, String, Long)]
+        val emissionBatch =
+          scala.collection.mutable.Map.empty[(Long, String, Long), Int]
         slices.zipWithIndex.foreach { case (chunk, i) =>
           spark.createDataFrame(chunk.asJava, docs.schema)
             .coalesce(1).write.parquet(s"$streamDir/b$i")
           q0.processAllAvailable()
           q1.processAllAvailable()
+          val now = spark.table(sinkUrl).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+          val fresh = now -- seen
+          // the state fn reduces each batch slice to its best first, so
+          // a key emits at most once per micro-batch
+          assert(fresh.groupBy(_._2).forall(_._2.size == 1),
+            s"seed $seed: multiple emissions for one key in batch $i")
+          fresh.foreach(e => emissionBatch(e) = i)
+          seen = now
         }
-        // the documented stage-0 consumer rule: winner per canonical
-        // URL = the latest (= best under the strictly-improving
-        // emission order) emission for it
-        val emitted = spark.table(sinkUrl).collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-        val winners = emitted.groupBy(_._2)
-          .map { case (_, xs) => xs.maxBy(x => (x._3, -x._1))._1 }.toSet
+        val winners = seen.groupBy(_._2).map { case (url, xs) =>
+          // per key, emissions must strictly IMPROVE in batch order
+          // under the keep-best total order — the convergence
+          // mechanism itself, asserted on arrival order
+          val ordered = xs.toSeq.sortBy(emissionBatch)
+          ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+            assert(b._3 > a._3 || (b._3 == a._3 && b._1 < a._1),
+              s"seed $seed: non-improving emission for $url: $a then $b")
+          }
+          ordered.last._1
+        }.toSet
         assert(winners === winnersB,
-          s"seed $seed: stage-0 winners diverge from batch keep-best")
+          s"seed $seed: stage-0 latest-per-key winners diverge from batch keep-best")
         // composed output: the gated tail's rows for winner docs only
         val curated = spark.table(sinkCur).collect().map(key).toSet
         val composed = curated.filter(r => winners(r._1))
