@@ -23,18 +23,25 @@ private[graft] object ProbeRig {
     * (review r20 — the retired ScaleProbe inline gate had this
     * fallback and the first shared version lost it); None only when
     * neither source can produce a reading. */
-  def loadsOpt(): Option[(Double, Double)] =
-    try {
-      val parts = scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
-        _.mkString).toOption.map(_.trim.split("\\s+"))
-      parts.collect { case p if p.length >= 2 =>
-        (p(0).toDouble, p(1).toDouble) }
-        .orElse {
-          val l = java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean.getSystemLoadAverage
-          if (l >= 0) Some((l, l)) else None
-        }
-    } catch { case _: Exception => None }
+  def loadsOpt(): Option[(Double, Double)] = {
+    // the procfs read AND parse are guarded together, so an unparsable
+    // /proc/loadavg (not just an absent one) still reaches the MXBean
+    // fallback — review r20 pass 2: a parse throw inside a combined
+    // try would skip the orElse and contradict the contract above
+    val proc: Option[(Double, Double)] =
+      try {
+        scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(
+          _.mkString).toOption.map(_.trim.split("\\s+"))
+          .collect { case p if p.length >= 2 =>
+            (p(0).toDouble, p(1).toDouble) }
+      } catch { case _: Exception => None }
+    proc.orElse(
+      try {
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        if (l >= 0) Some((l, l)) else None
+      } catch { case _: Exception => None })
+  }
 
   /** -1 sentinels when unreadable — "unknown", NEVER "noisy" (ADVICE
     * r19: the old '9 9' fallback made an unreadable loadavg read as an

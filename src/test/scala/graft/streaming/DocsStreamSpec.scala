@@ -346,7 +346,12 @@ class DocsStreamSpec extends AnyFunSuite {
         // ARRIVAL ORDER — re-applying the batch criterion (maxBy) would
         // mask a regression that re-emits a superseded worse row after
         // the true winner (review r20)
-        var seen = Set.empty[(Long, String, Long)]
+        // MULTISET per-batch snapshots (review r20 pass 2): a Set diff
+        // would collapse a VERBATIM re-emission of an already-seen
+        // superseded row — exactly the regression class a real
+        // latest-per-key consumer of the append stream is broken by —
+        // so fresh emissions are derived from occurrence-count deltas
+        var seenCounts = Map.empty[(Long, String, Long), Int]
         val emissionBatch =
           scala.collection.mutable.Map.empty[(Long, String, Long), Int]
         slices.zipWithIndex.foreach { case (chunk, i) =>
@@ -354,21 +359,29 @@ class DocsStreamSpec extends AnyFunSuite {
             .coalesce(1).write.parquet(s"$streamDir/b$i")
           q0.processAllAvailable()
           q1.processAllAvailable()
-          val now = spark.table(sinkUrl).collect()
-            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-          val fresh = now -- seen
-          // the state fn reduces each batch slice to its best first, so
-          // a key emits at most once per micro-batch
+          val nowCounts = spark.table(sinkUrl).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+            .groupBy(identity).map { case (k, v) => k -> v.size }
+          val fresh = nowCounts.collect {
+            case (k, n) if n > seenCounts.getOrElse(k, 0) => k
+          }.toSeq
+          // a row may only ever be emitted ONCE (equal is not better →
+          // no re-emission), and the state fn reduces each batch slice
+          // to its best first, so a key emits at most once per batch
+          fresh.foreach { e =>
+            assert(!emissionBatch.contains(e),
+              s"seed $seed: verbatim re-emission of $e in batch $i")
+            emissionBatch(e) = i
+          }
           assert(fresh.groupBy(_._2).forall(_._2.size == 1),
             s"seed $seed: multiple emissions for one key in batch $i")
-          fresh.foreach(e => emissionBatch(e) = i)
-          seen = now
+          seenCounts = nowCounts
         }
-        val winners = seen.groupBy(_._2).map { case (url, xs) =>
+        val winners = emissionBatch.keys.toSeq.groupBy(_._2).map { case (url, xs) =>
           // per key, emissions must strictly IMPROVE in batch order
           // under the keep-best total order — the convergence
           // mechanism itself, asserted on arrival order
-          val ordered = xs.toSeq.sortBy(emissionBatch)
+          val ordered = xs.sortBy(emissionBatch)
           ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
             assert(b._3 > a._3 || (b._3 == a._3 && b._1 < a._1),
               s"seed $seed: non-improving emission for $url: $a then $b")
