@@ -363,11 +363,18 @@ class DocsStreamSpec extends AnyFunSuite {
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
             .groupBy(identity).map { case (k, v) => k -> v.size }
           val fresh = nowCounts.collect {
-            case (k, n) if n > seenCounts.getOrElse(k, 0) => k
+            case (k, n) if n > seenCounts.getOrElse(k, 0) =>
+              // a row may only ever be emitted ONCE (equal is not
+              // better → no re-emission): a count delta of 2+ is a
+              // duplicate emitted WITHIN one micro-batch, which a
+              // key-level check below cannot see (review r20 pass 3)
+              assert(n - seenCounts.getOrElse(k, 0) == 1,
+                s"seed $seed: row $k emitted ${n - seenCounts.getOrElse(k, 0)} times in batch $i")
+              k
           }.toSeq
-          // a row may only ever be emitted ONCE (equal is not better →
-          // no re-emission), and the state fn reduces each batch slice
-          // to its best first, so a key emits at most once per batch
+          // ... and never again in a LATER batch; the state fn reduces
+          // each batch slice to its best first, so a key emits at most
+          // once per batch
           fresh.foreach { e =>
             assert(!emissionBatch.contains(e),
               s"seed $seed: verbatim re-emission of $e in batch $i")
