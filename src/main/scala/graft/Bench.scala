@@ -423,6 +423,44 @@ object Bench {
     (ordered.take(max), ordered.drop(max))
   }
 
+  /** Every requeue candidate with its severity ratio — the input of
+    * [[rankRequeue]], extracted from the run loop so the severity
+    * SOURCES are unit-pinnable alongside the flags they derive from
+    * (BenchFlagsSpec): a churn-flagged row ranks by its min-wall rep's
+    * CPU inflation vs the previous round, a growth-flagged row by the
+    * steeper of its wall/cpu last-vs-first rep slopes, an over-2x row
+    * by its headline wall ratio vs the previous round; a name flagged
+    * by several sources appears once per source and [[rankRequeue]]
+    * takes its max. */
+  private[graft] def requeueCandidates(res: Seq[QRes],
+      prevWall: Map[String, Double],
+      prevCpu: Map[String, Double]): Seq[(String, Double)] = {
+    val churnSev = res.flatMap { r =>
+      if (!churned(r, prevCpu.get(r.name))) None
+      else {
+        val m = r.reps.filterNot(_.failed).minBy(_.wall)
+        prevCpu.get(r.name).filter(_ > 0).map(pc => r.name -> m.cpu / pc)
+      }
+    }
+    val growthSev = res.flatMap { r =>
+      if (!repGrowth(r)) None
+      else {
+        val ok = r.reps.filterNot(_.failed)
+        def slope(xs: Seq[Double]): Double =
+          if (xs.length >= 2 && xs.head > 0) xs.last / xs.head else 1.0
+        Some(r.name -> math.max(slope(ok.map(_.wall)), slope(ok.map(_.cpu))))
+      }
+    }
+    val over2xSev = res.flatMap { r =>
+      prevWall.get(r.name) match {
+        case Some(pw) if pw > 0 && r.wall >= 0 && r.wall > 2.0 * pw =>
+          Some(r.name -> r.wall / pw)
+        case _ => None
+      }
+    }
+    churnSev ++ growthSev ++ over2xSev
+  }
+
   /** Requeue outcome: fresh-JVM headline values + the raw per-query
     * detail lines, plus a loud failure marker for the committed
     * artifact. `failReason` is Some whenever the adjudication is
@@ -830,35 +868,9 @@ object Bench {
     val over2xNames = res.filter(r => r.wall >= 0 &&
       prev.wall.get(r.name).exists(pw => pw > 0 && r.wall > 2.0 * pw)).map(_.name)
     // severity per candidate, for worst-first selection under the cap
-    // (VERDICT r19 task 1 — see [[rankRequeue]]): churn rows rank by
-    // their min-rep CPU inflation vs prev, growth rows by the steeper
-    // of their wall/cpu last-vs-first rep slopes, over2x rows by their
-    // wall ratio vs prev
-    val churnSev = res.flatMap { r =>
-      if (!churnNames.contains(r.name)) None
-      else {
-        val m = r.reps.filterNot(_.failed).minBy(_.wall)
-        prev.cpu.get(r.name).filter(_ > 0).map(pc => r.name -> m.cpu / pc)
-      }
-    }
-    val growthSev = res.flatMap { r =>
-      if (!growthNames.contains(r.name)) None
-      else {
-        val ok = r.reps.filterNot(_.failed)
-        def slope(xs: Seq[Double]): Double =
-          if (xs.length >= 2 && xs.head > 0) xs.last / xs.head else 1.0
-        Some(r.name -> math.max(slope(ok.map(_.wall)), slope(ok.map(_.cpu))))
-      }
-    }
-    val over2xSev = res.flatMap { r =>
-      prev.wall.get(r.name) match {
-        case Some(pw) if pw > 0 && r.wall >= 0 && r.wall > 2.0 * pw =>
-          Some(r.name -> r.wall / pw)
-        case _ => None
-      }
-    }
+    // (VERDICT r19 task 1 — see [[requeueCandidates]]/[[rankRequeue]])
     val (requeueNames, requeueDropped) =
-      rankRequeue(churnSev ++ growthSev ++ over2xSev)
+      rankRequeue(requeueCandidates(res, prev.wall, prev.cpu))
     if (requeueDropped.nonEmpty)
       System.err.println(s"[bench] requeue cap $MaxRequeue reached — " +
         s"NOT requeued (recorded in requeue_dropped): ${requeueDropped.mkString(", ")}")

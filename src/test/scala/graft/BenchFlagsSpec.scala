@@ -64,4 +64,38 @@ class BenchFlagsSpec extends AnyFunSuite {
     val fail = """{"benchone":"q","wall":-1.000,"cpu":-1.00,"rows":-1,"reps":["FAIL"]}"""
     assert(pat.findFirstMatchIn(fail).exists(_.group(2).toDouble === -1.0))
   }
+
+  test("requeue severity sources: churn by cpu-vs-prev, growth by rep slope, over2x by wall-vs-prev") {
+    def named(name: String, reps: Seq[Bench.Rep]): Bench.QRes =
+      res(reps).copy(name = name)
+    // churn row: min-wall rep cpu 21.4 vs prev cpu 3.6 → severity ~5.94
+    val churnRow = named("churny", Seq(rep(19.5, 148.0, jit = 102.0),
+      rep(10.8, 40.0, jit = 14.8), rep(5.6, 21.4, jit = 8.9)))
+    // growth row: cpu slope 58/15 ≈ 3.87 dominates wall slope 7/5
+    val growthRow = named("growy", Seq(rep(5.0, 15.0), rep(6.0, 45.0), rep(7.0, 58.0)))
+    // over2x row: headline wall 3.0 vs prev 1.0 → severity 3.0
+    val over2xRow = named("slowy", Seq(rep(3.0, 4.0), rep(3.1, 4.1), rep(3.2, 4.2)))
+    // clean row: nothing fires
+    val cleanRow = named("cleany", Seq(rep(1.0, 2.0), rep(0.9, 1.9), rep(0.9, 1.9)))
+    val cands = Bench.requeueCandidates(
+      Seq(churnRow, growthRow, over2xRow, cleanRow),
+      prevWall = Map("slowy" -> 1.0, "churny" -> 20.0, "growy" -> 10.0,
+        "cleany" -> 1.0),
+      prevCpu = Map("churny" -> 3.6, "growy" -> 100.0, "cleany" -> 2.0))
+    val bySrc = cands.groupBy(_._1)
+    assert(math.abs(bySrc("churny").head._2 - 21.4 / 3.6) < 1e-9)
+    assert(math.abs(bySrc("growy").head._2 - 58.0 / 15.0) < 1e-9)
+    assert(math.abs(bySrc("slowy").head._2 - 3.0) < 1e-9)
+    assert(!bySrc.contains("cleany"))
+    // a row flagged by BOTH growth and over2x appears once per source
+    // and rankRequeue takes its max — end-to-end through both functions
+    val dual = named("dualy", Seq(rep(3.0, 15.0), rep(3.5, 45.0), rep(4.0, 58.0)))
+    val dualCands = Bench.requeueCandidates(Seq(dual),
+      prevWall = Map("dualy" -> 1.0), prevCpu = Map.empty)
+    assert(dualCands.map(_._1).count(_ == "dualy") == 2)
+    val (sel, drop) = Bench.rankRequeue(dualCands ++ Seq("mild" -> 2.1), max = 1)
+    assert(sel == Seq("dualy") && drop == Seq("mild"))
+    // missing prev entirely → a clean run yields no candidates at all
+    assert(Bench.requeueCandidates(Seq(over2xRow), Map.empty, Map.empty).isEmpty)
+  }
 }
