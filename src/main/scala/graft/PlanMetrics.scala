@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
 object PlanMetrics {
 
   final case class StageRow(id: Int, name: String, tasks: Int,
-      runMs: Long, cpuMs: Long, shuffleReadMB: Double, shuffleWriteMB: Double,
-      inputMB: Double)
+      runMs: Long, cpuMs: Long, gcMs: Long, shuffleReadMB: Double,
+      shuffleWriteMB: Double, inputMB: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +49,7 @@ object PlanMetrics {
             if (scope.nonEmpty) scope else r.name
           }.distinct.mkString(" > ")
           rows += StageRow(si.stageId, ops.take(120), si.numTasks,
-            m.executorRunTime, m.executorCpuTime / 1000000,
+            m.executorRunTime, m.executorCpuTime / 1000000, m.jvmGCTime,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.inputMetrics.bytesRead / 1e6)
@@ -68,9 +68,9 @@ object PlanMetrics {
       record = false
       Thread.sleep(500) // let the listener bus drain the last stage events
       println(s"rows=$n")
-      println(f"${"stage"}%-6s${"tasks"}%-7s${"run_s"}%-8s${"cpu_s"}%-8s${"shRd_MB"}%-9s${"shWr_MB"}%-9s${"in_MB"}%-8s name")
-      rows.sortBy(-_.cpuMs).foreach { r =>
-        println(f"${r.id}%-6d${r.tasks}%-7d${r.runMs / 1000.0}%-8.2f${r.cpuMs / 1000.0}%-8.2f${r.shuffleReadMB}%-9.1f${r.shuffleWriteMB}%-9.1f${r.inputMB}%-8.1f${r.name}")
+      println(f"${"stage"}%-6s${"tasks"}%-7s${"run_s"}%-8s${"cpu_s"}%-8s${"gc_s"}%-7s${"shRd_MB"}%-9s${"shWr_MB"}%-9s${"in_MB"}%-8s name")
+      rows.sortBy(-_.runMs).foreach { r =>
+        println(f"${r.id}%-6d${r.tasks}%-7d${r.runMs / 1000.0}%-8.2f${r.cpuMs / 1000.0}%-8.2f${r.gcMs / 1000.0}%-7.2f${r.shuffleReadMB}%-9.1f${r.shuffleWriteMB}%-9.1f${r.inputMB}%-8.1f${r.name}")
       }
       val totCpu = rows.map(_.cpuMs).sum / 1000.0
       val totRun = rows.map(_.runMs).sum / 1000.0

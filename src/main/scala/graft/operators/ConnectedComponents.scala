@@ -143,39 +143,57 @@ object ConnectedComponents {
           sym.select(col("src").as("id")).distinct()
             .withColumn("lbl", col("id")),
           eager = true))
-      var changed = 1L
+      // Edge table WITH self-loops (id, id): the per-round neighbor-min
+      // aggregate over it then yields min(own lbl, neighbor lbls)
+      // DIRECTLY — one groupBy replaces the old neighbor-min join PLUS
+      // the labels⋈viaEdges re-attach join, cutting one shuffle join
+      // per round (round cost is dominated by per-stage latency, not
+      // bytes, at every scale where the label table is small).
+      val (symSelf, symSelfIds) = checkpointIds(
+        Checkpoints.truncate(
+          sym.unionByName(labels.select(col("id").as("src"), col("id").as("dst")))))
+      // Convergence signal: labels are per-vertex monotone non-increasing
+      // (each round takes a min including the current label), so the
+      // label-table sum strictly decreases until fixpoint. DECIMAL(38,0)
+      // accumulation is exact at any vertex count / id magnitude where a
+      // long sum could overflow. The old per-row `nlbl != lbl` flag
+      // needed the previous label carried through the round — the very
+      // join the self-loop form removes.
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().get(0))
+          .map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO)
+      var prevSum: Option[java.math.BigDecimal] = None
+      var changed = true
       var iter = 0
       var prevIds = Set.empty[Int]
-      while (changed > 0 && iter < maxIter) {
-        // min label over neighbors
-        val viaEdges = sym.join(labels, sym("dst") === labels("id"))
-          .groupBy("src").agg(min("lbl").as("nl"))
-        val prop = labels.join(viaEdges, labels("id") === viaEdges("src"), "left")
-          .select(col("id"), col("lbl"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl1"))
+      while (changed && iter < maxIter) {
+        // min label over self ∪ neighbors = least(lbl, neighbor min)
+        val cand = symSelf.join(labels, symSelf("dst") === labels("id"))
+          .groupBy("src").agg(min("lbl").as("lbl1"))
+          .select(col("src").as("id"), col("lbl1"))
         // pointer jump: also adopt the label of my current label
-        val l2 = prop.select(col("id").as("jid"), col("lbl1").as("jl"))
-        // lazy: the `changed` agg below is the round's single action —
+        val l2 = cand.select(col("id").as("jid"), col("lbl1").as("jl"))
+        // lazy: the label-sum agg below is the round's single action —
         // it materializes the checkpoint blocks as it runs (eager
         // would cost a second job per round for the same result)
         val (next, nextIds) = checkpointIds(Checkpoints.truncate(
-          prop.join(l2, prop("lbl1") === l2("jid"), "left")
+          cand.join(l2, cand("lbl1") === l2("jid"), "left")
             .select(col("id"),
-              least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("nlbl"),
-              col("lbl"))
-            .select(col("id"), col("nlbl").as("lbl"),
-              (col("nlbl") =!= col("lbl")).cast("long").as("chg"))))
-        changed = Option(next.agg(sum("chg")).first().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+              least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))))
+        val s = lblSum(next)
+        changed = !prevSum.contains(s)
+        prevSum = Some(s)
         // the agg action materialized `next` — the previous round's label
         // blocks are dead now
         free(prevIds)
         prevIds = labelIds
         labelIds = nextIds
-        labels = next.select("id", "lbl")
+        labels = next
         iter += 1
       }
-      require(changed == 0, s"connected components did not converge in $maxIter rounds")
+      require(!changed, s"connected components did not converge in $maxIter rounds")
+      free(symSelfIds)
       // result blocks (labelIds) stay; the edge table and the
       // second-to-last round are no longer needed
       free(prevIds)

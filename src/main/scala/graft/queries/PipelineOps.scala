@@ -28,6 +28,18 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Document corpus scan, fanned out to the session parallelism when
+    * the input cannot feed the cores (single-row-group bench parquet →
+    * ONE scan task, serializing the fused per-doc kernels: codecs,
+    * winnow fingerprints, URL canon — guide §2.5 input-skew rule;
+    * [[graft.operators.FanOut]] is a no-op at scan parallelism ≥ cores,
+    * so a real multi-file corpus never pays the exchange). The events
+    * table deliberately stays on the bare reader: every consumer's
+    * first operation is a user-key shuffle, so a fan-out exchange
+    * would be pure overhead there. */
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FanOut(t(s, dir, "documents"))
+
   /** Winnow fingerprint table (k=20, w=4) over a documents frame —
     * the shared detection stage of [[pipe_decontaminate]],
     * `dedup_substring_pairs` and [[fullCuration]]. Narrow (~len/w
@@ -184,7 +196,7 @@ object PipelineOps {
     // clean corpus. Duplicate policy: for every near-dup pair (a<b),
     // the higher id is dropped (deterministic canonicalization).
     "pipe_clean_corpus" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = docsT(s, dir)
       val toks = split(col("text"), " ")
       val quality = docs
         .withColumn("n_tokens", size(toks))
@@ -219,14 +231,14 @@ object PipelineOps {
     // partitions (the canonical key is the partitioner — never a
     // global sort). Canonicalization is idempotent (UrlCanonSpec).
     "pipe_url_dedup" -> ((s, dir) =>
-      urlKeepBest(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+      urlKeepBest(docsT(s, dir)).orderBy("doc_id")),
 
     // Blocklist filtering (round 18) — the C4-style banned-word gate
     // every web curation pipeline runs; the transform lives in
     // [[badwordsGate]] (shared with the round-19 streaming twin
     // DocsStream.badwordsStream — one rule, two consumers).
     "pipe_badwords_filter" -> ((s, dir) =>
-      badwordsGate(s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")),
+      badwordsGate(docsT(s, dir)).orderBy("doc_id")),
 
     // tumbling 1h window aggregation (streaming-capable transform)
     "ev_window_agg" -> ((s, dir) =>
@@ -452,13 +464,13 @@ object PipelineOps {
     // extraction (oracle covers the byte stats; the stubbed decode path
     // and fingerprint are pinned in MultimodalSpec)
     "mm_features" -> ((s, dir) =>
-      MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")))
+      MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(docsT(s, dir)))
         .select(col("id").as("doc_id"), col("n_bytes"), col("n_distinct_bytes"))
         .orderBy("doc_id")),
 
     // full feature row incl. entropy + FNV fingerprint
     "mm_features_full" -> ((s, dir) =>
-      MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")))
+      MultimodalOps.extractFeatures(s, MultimodalOps.docsAsMedia(docsT(s, dir)))
         .select(col("id").as("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
           round(col("entropy"), 6).as("entropy"), col("fingerprint"))
         .orderBy("doc_id")),
@@ -476,7 +488,7 @@ object PipelineOps {
     // stub — remains API surface, pinned by WinnowSpec.)
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
-      val bmps = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bmps = docsT(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 63)
@@ -513,7 +525,7 @@ object PipelineOps {
     // pixels are decoder-dependent — ImageCodecSpec.)
     "mm_png_decode" -> ((s, dir) => {
       import s.implicits._
-      val pngs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pngs = docsT(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 63)
@@ -546,7 +558,7 @@ object PipelineOps {
     // exactly.
     "mm_gif_decode" -> ((s, dir) => {
       import s.implicits._
-      val gifs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gifs = docsT(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 63)
@@ -578,7 +590,7 @@ object PipelineOps {
     // decoder.)
     "mm_wav_decode" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val bytes = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
           val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -611,7 +623,7 @@ object PipelineOps {
     // across the corpus.
     "mm_flac_decode" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val bytes = java.util.Arrays.copyOf(
             (if (text == null) "" else text).getBytes("UTF-8"), 64)
@@ -641,7 +653,7 @@ object PipelineOps {
     // the resampled PCM fails the hash.
     "mm_audio_resample" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           // null text = empty payload (zero-padded), matching the
           // oracle's bytes CTE which keeps the doc with b=0 everywhere
@@ -676,7 +688,7 @@ object PipelineOps {
     // no shuffle before the presentation sort.
     "mm_scene_cut" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {
@@ -707,7 +719,7 @@ object PipelineOps {
     // key per image, band-bucketed, never all-pairs.
     "mm_phash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val dh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dh = docsT(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           // null text = all-zero thumbnail (dHash 0), matching the
@@ -737,7 +749,7 @@ object PipelineOps {
     // df-guard pattern applies verbatim if a stock clip goes viral.
     "mm_video_neardup" -> ((s, dir) => {
       import s.implicits._
-      val fps = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fps = docsT(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           // null text = no frames (oracle's strlen(NULL) range is
@@ -772,7 +784,7 @@ object PipelineOps {
     // offset or short copy fails the hash, not just a length check
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      MultimodalOps.sampleFrames(s, MultimodalOps.docsAsMedia(t(s, dir, "documents")), 32, 4)
+      MultimodalOps.sampleFrames(s, MultimodalOps.docsAsMedia(docsT(s, dir)), 32, 4)
         .select("id", "frame_ix", "frame").as[(Long, Int, Array[Byte])]
         .mapPartitions(_.map { case (id, ix, frame) =>
           var sum = 0L
@@ -792,7 +804,7 @@ object PipelineOps {
     // header writer, comment parser, or row copy fails this row.
     "mm_image_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val px = java.util.Arrays.copyOf(text.getBytes("UTF-8"), 64)
           val pgm = graft.multimodal.ImageCodec.encodePgm(
@@ -810,7 +822,7 @@ object PipelineOps {
     // shared-substring guarantee pinned in WinnowSpec)
     "text_winnow" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val fps = graft.functions.Winnow.fingerprints(text, 5, 4)
           (id, fps.length, fps.headOption.getOrElse(0L))
@@ -830,7 +842,7 @@ object PipelineOps {
     // is small and broadcast into the semi-join, and the final
     // anti-join keys on doc_id — no all-pairs anything.
     "pipe_decontaminate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = docsT(s, dir)
       // k=20 shingles (w=4 → shared runs of >= 23 chars contaminate):
       // short shingles collide on common phrases and would flag the
       // whole corpus; 20 chars is in the spirit of the 13-token
@@ -938,7 +950,7 @@ object PipelineOps {
     // against the tiny over-cap fp set. Default 0 (off) keeps exact
     // oracle parity; SubstringPairsSpec pins the collapse under cap.
     "dedup_substring_pairs" -> ((s, dir) => {
-      val raw = winnowFps(s, t(s, dir, "documents"))
+      val raw = winnowFps(s, docsT(s, dir))
         .distinct() // an fp repeated INSIDE one doc must not multiply pair weight
       val maxDf = s.conf.get("spark.graft.winnow.maxFpDf", "0").toInt
       val fps = if (maxDf <= 0) raw else {
@@ -987,7 +999,7 @@ object PipelineOps {
       val contact = concat(col("text"), lit(" reach user"),
         col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      t(s, dir, "documents")
+      docsT(s, dir)
         .withColumn("contact", contact)
         .select(col("doc_id"),
           regexp_replace(
@@ -1173,7 +1185,7 @@ object PipelineOps {
     import org.apache.spark.sql.expressions.Window
     val k = DupSpanGram
     val minRun = DupSpanMinChars - k + 1 // 31: run length ⇒ span ≥ 50 chars
-    val d = t(s, dir, "documents")
+    val d = docsT(s, dir)
     val d0 = d.filter(length(col("text")) >= k) // null-safe: length(NULL) filters out
     // spread the gram explode BEFORE it fans out: a single-file gate
     // corpus scans as ONE task, which made the r17 guard's map-side
@@ -1334,7 +1346,7 @@ object PipelineOps {
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = DsirBuckets
-    val bucketed = t(s, dir, "documents").filter(col("text").isNotNull)
+    val bucketed = docsT(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(split(col("text"), " ", -1)).as("term"))
       .select(col("doc_id"),
@@ -1444,7 +1456,7 @@ object PipelineOps {
   }
 
   def fullCuration(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = docsT(s, dir)
     // stage 0 (round 18): URL-level dedup — the C4/RefinedWeb first
     // stage; drop every doc that is not its canonical URL's keep-best
     // representative (the pipe_url_dedup decision, shared helper).

@@ -74,8 +74,13 @@ object SearchOps extends Serializable {
   /** RRF smoothing constant (Cormack et al. 2009's k=60). */
   private val RrfK = 60
 
+  /** Corpus scan, fanned out when it cannot feed the cores (the bench's
+    * single-row-group parquet plans ONE task, serializing the tokenize →
+    * tf build of [[tfStage]]; guide §2.5). [[graft.operators.FanOut]] is
+    * a no-op at scan parallelism ≥ cores, and the tf checkpoint keeps
+    * the fanned-out partitioning for every downstream consumer. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.FanOut(s.read.parquet(s"$dir/documents.parquet"))
 
   /** (doc_id, term) token stream — `split(_, " ", -1)` keeps trailing
     * empties like DuckDB's string_split (the Scala-split trap). */

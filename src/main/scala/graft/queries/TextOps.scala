@@ -314,8 +314,15 @@ object TextOps {
       .withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")
   }
 
+  /** Document corpus scan, fanned out to the session's parallelism when
+    * the input cannot feed the cores on its own (single-row-group bench
+    * parquet plans ONE task, serializing every fused per-doc kernel —
+    * MinHash/SimHash signatures, bigram explodes, winnow fingerprints —
+    * on one core; guide §2.5 input-skew rule). [[graft.operators.FanOut]]
+    * is a no-op whenever the scan already plans >= cores partitions, so
+    * a 100 TB corpus never pays the exchange. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.FanOut(s.read.parquet(s"$dir/documents.parquet"))
 
   /** The hamming ≤ 3 near-dup pair graph over the corpus — the edge
     * input of [[GraphOps.triangles]] (`graph_triangles`). */

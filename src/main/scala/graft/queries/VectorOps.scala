@@ -27,8 +27,16 @@ object VectorOps extends Serializable {
   // 1e-6 output rounding.
   private val Q = 1048576.0 // 2^20
 
+  /** Embedding scan, fanned out when the input cannot feed the cores
+    * (single-row-group bench parquet plans ONE task, so every fused
+    * scoring/encoding kernel ran single-threaded — guide §2.5 input-skew
+    * rule; [[graft.operators.FanOut]] is a no-op at scan parallelism ≥
+    * cores, i.e. on any real multi-file corpus). Filters above the
+    * fan-out (the `vec_id < batch` query-side prune) still push through
+    * the exchange into the parquet scan — PushDownPredicates moves
+    * deterministic predicates past RepartitionOperation nodes. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.FanOut(s.read.parquet(s"$dir/embeddings.parquet"))
       // float32 → double once, up front: both engines then do identical
       // double arithmetic (float accumulation would diverge from the oracle)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -226,24 +234,41 @@ object VectorOps extends Serializable {
       case None => bruteforceFilteredWith(s, dir, pred)
     }
 
+  /** Session-scoped memo of the adaptive dispatch's plan-time scalars
+    * (VERDICT r20 task 3): the (keep, total) selectivity aggregate is a
+    * deterministic function of the corpus and the predicate — an index
+    * STATISTIC in the same lifecycle tier as the trained quantizer
+    * ([[centsMemo]]), so re-collecting it per query call only re-ran an
+    * identical 1-row aggregate. Keyed by the predicate's expression
+    * string (stable for identical Column constructions; a novel
+    * predicate simply pays its own first collection). */
+  private val adaptiveStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (Long, Long)]()
+
   /** The Some(p)/None decision [[annIvfFilteredAdaptive]] will take for
     * `pred`, exposed so specs/probes can pin the dispatch without
     * duplicating the plan-time scalar collection. */
   private[graft] def adaptiveDecision(s: SparkSession, dir: String,
       iters: Int, baseNprobe: Int,
       pred: org.apache.spark.sql.Column): Option[Int] = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-    val r = e.agg(
-      sum(when(pred, 1L).otherwise(0L)).as("keep"),
-      count(lit(1)).as("total")).head()
+    graft.operators.Checkpoints.purgeStopped(adaptiveStatsMemo)(_._1)
+    val (keep, total) = adaptiveStatsMemo.computeIfAbsent(
+      (s, dir, pred.toString), { _ =>
+        val r = s.read.parquet(s"$dir/embeddings.parquet").agg(
+          sum(when(pred, 1L).otherwise(0L)).as("keep"),
+          count(lit(1)).as("total")).head()
+        // SUM over zero rows is null — read it as 0 so the empty-corpus
+        // case stays on the honest brute-force fallback below
+        (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      })
     // empty corpus: avgListSize would be 0 and adaptiveNprobe's domain
     // require would throw — the honest decision is the brute-force
     // fallback, which returns the empty result (review r19)
-    if (r.getLong(1) == 0) None
+    if (total == 0) None
     else {
       val cents = trainedCents(s, dir, iters)
-      adaptiveNprobe(r.getLong(0).toDouble / r.getLong(1),
-        r.getLong(1).toDouble / cents.length, cents.length, baseNprobe, TopK)
+      adaptiveNprobe(keep.toDouble / total,
+        total.toDouble / cents.length, cents.length, baseNprobe, TopK)
     }
   }
 
@@ -504,6 +529,8 @@ object VectorOps extends Serializable {
 
   private def snappedVecs(s: SparkSession, dir: String): Dataset[(Long, Array[Double])] = {
     import s.implicits._
+    // emb() is fanned out, and the lazy checkpoint keeps its
+    // partitioning — every Lloyd pass over the blocks runs parallel
     emb(s, dir).select(col("vec_id"),
         expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)").as("vq"))
       .localCheckpoint(false)

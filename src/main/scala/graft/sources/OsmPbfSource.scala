@@ -233,7 +233,7 @@ class OsmPbfCountReader(p: OsmPbfPartition, groupByType: Boolean, nCounts: Int)
     var n = 0L
     var w = 0L
     var r = 0L
-    val blobReader = new graft.pbf.BlobReader(new Configuration())
+    val blobReader = new graft.pbf.BlobReader(graft.pbf.OsmPbfFile.sharedConf)
     try p.blobs.foreach { b =>
       val (bn, bw, br) = OsmPbfFile.countTypes(blobReader.read(b))
       n += bn; w += bw; r += br
@@ -398,7 +398,7 @@ object OsmPbfStats {
       spark.sparkContext
         .parallelize(blobs, math.min(blobs.size, 64).max(1))
         .map { b =>
-          val block = OsmPbfFile.readBlob(b, new Configuration())
+          val block = OsmPbfFile.readBlob(b, OsmPbfFile.sharedConf)
           OsmPbfFile.blobTypes(block)
         }
         .collect().toSeq
@@ -450,7 +450,7 @@ class OsmPbfColumnarReader(p: OsmPbfPartition, schema: StructType,
     info = schema.fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
     coords = schema.fieldNames.exists(f => f == "lat" || f == "lon"))
 
-  private val blobReader = new graft.pbf.BlobReader(new Configuration())
+  private val blobReader = new graft.pbf.BlobReader(graft.pbf.OsmPbfFile.sharedConf)
   private val blobIter = p.blobs.iterator
   private var batch: ColumnarBatch = _
 
@@ -547,7 +547,7 @@ class OsmPbfPartitionReader(p: OsmPbfPartition, fieldNames: Array[String],
     info = fieldNames.exists(f => f == "version" || f == "timestamp" || f == "changeset"),
     coords = fieldNames.exists(f => f == "lat" || f == "lon"))
 
-  private val blobReader = new graft.pbf.BlobReader(new Configuration())
+  private val blobReader = new graft.pbf.BlobReader(graft.pbf.OsmPbfFile.sharedConf)
   private val iter: Iterator[Decoded] =
     p.blobs.iterator.flatMap { b =>
       val block = blobReader.read(b)
