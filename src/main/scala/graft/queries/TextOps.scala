@@ -593,10 +593,18 @@ object TextOps {
       // verification. At j=0.8 the estimate is Binomial(128, 0.8):
       // P(< 0.72*128) ~ 1e-4, so oracle parity is preserved; the
       // j ~ 0.5 collision mass is rejected in O(few comparisons).
+      // The band-hash array rides the bucket shuffle ONLY for the
+      // first-matching-band test, which in band b never reads past
+      // index b: both members of a (b, bh) bucket share bhs(b), so the
+      // first-match scan terminates at fb <= b. Shipping just the
+      // bhs[0..band] prefix (avg (B+1)/2 of B entries) cuts ~40% of
+      // this exchange's bytes with an identical emitted pair set
+      // (guide §2.3, "shuffle fewer bytes").
       val exploded = sigDs
         .select(col("doc_id"), col("sig8"), col("bhs"),
           posexplode(col("bhs")).as(Seq("band", "bh")))
-        .select(col("band"), col("bh"), col("doc_id"), col("sig8"), col("bhs"))
+        .select(col("band"), col("bh"), col("doc_id"), col("sig8"),
+          slice(col("bhs"), lit(1), col("band") + 1).as("bhs"))
         .as[(Int, Long, Long, Array[Long], Array[Long])]
       val minMatches = math.ceil(0.72 * K).toInt
       // In-bucket candidate generation is grouped by FULL signature
