@@ -28,17 +28,17 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Document corpus scan, fanned out to the session parallelism when
-    * the input cannot feed the cores (single-row-group bench parquet →
-    * ONE scan task, serializing the fused per-doc kernels: codecs,
-    * winnow fingerprints, URL canon — guide §2.5 input-skew rule;
-    * [[graft.operators.FanOut]] is a no-op at scan parallelism ≥ cores,
-    * so a real multi-file corpus never pays the exchange). The events
-    * table deliberately stays on the bare reader: every consumer's
-    * first operation is a user-key shuffle, so a fan-out exchange
-    * would be pure overhead there. */
+  /** Document corpus scan — the BARE reader, same doctrine as
+    * [[TextOps.docs]]: the fresh-JVM `spark.graft.fanout` A/B showed a
+    * wholesale fan-out exchange costs 1.4–2.9× on every cheap per-doc
+    * kernel row (mm_scene_cut, mm_video_neardup, pipe_dsir_weights,
+    * dedup_chunk_exact …) and only pays where the fused kernel is
+    * genuinely expensive. The one such consumer here — the FLAC
+    * encode+decode round-trip of `mm_flac_decode` (0.44 → 0.21 s) —
+    * fans out at its own call site. The events table likewise stays
+    * bare: every consumer's first operation is a user-key shuffle. */
   private def docsT(s: SparkSession, dir: String): DataFrame =
-    graft.operators.FanOut(t(s, dir, "documents"))
+    t(s, dir, "documents")
 
   /** Winnow fingerprint table (k=20, w=4) over a documents frame —
     * the shared detection stage of [[pipe_decontaminate]],
@@ -623,7 +623,10 @@ object PipelineOps {
     // across the corpus.
     "mm_flac_decode" -> ((s, dir) => {
       import s.implicits._
-      docsT(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      // FLAC encode+decode per doc is the one docsT kernel heavy
+      // enough for a fan-out exchange (0.44 -> 0.21 s measured)
+      graft.operators.FanOut(
+          docsT(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val bytes = java.util.Arrays.copyOf(
             (if (text == null) "" else text).getBytes("UTF-8"), 64)

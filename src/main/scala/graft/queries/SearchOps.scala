@@ -74,18 +74,23 @@ object SearchOps extends Serializable {
   /** RRF smoothing constant (Cormack et al. 2009's k=60). */
   private val RrfK = 60
 
-  /** Corpus scan, fanned out when it cannot feed the cores (the bench's
-    * single-row-group parquet plans ONE task, serializing the tokenize →
-    * tf build of [[tfStage]]; guide §2.5). [[graft.operators.FanOut]] is
-    * a no-op at scan parallelism ≥ cores, and the tf checkpoint keeps
-    * the fanned-out partitioning for every downstream consumer. */
+  /** Corpus scan — the BARE reader (the [[TextOps.docs]] doctrine):
+    * the direct consumers (chunking, positional postings) are cheap
+    * per-doc kernels that a wholesale fan-out exchange made 1.4–2×
+    * slower in the fresh-JVM `spark.graft.fanout` A/B. The one heavy
+    * stage — the tokenize→tf build of [[tfStage]], paid once per
+    * session — fans out its own input below, and its checkpoint keeps
+    * that partitioning for every downstream retrieval consumer. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.FanOut(s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** (doc_id, term) token stream — `split(_, " ", -1)` keeps trailing
-    * empties like DuckDB's string_split (the Scala-split trap). */
+    * empties like DuckDB's string_split (the Scala-split trap). Fanned
+    * out (guide §2.5): sole consumer is the session-memoized tf build,
+    * where the exchange is paid once and the parallel tokenize+tf
+    * amortizes over every retrieval row. */
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    graft.operators.FanOut(docs(s, dir)).select(col("doc_id"),
       explode(split(col("text"), " ", -1)).as("term"))
 
   /** Session-scoped memo of the SHARED retrieval stage: the truncated

@@ -314,15 +314,19 @@ object TextOps {
       .withColumnRenamed("n_bpe_tokens", "n_unigram_tokens")
   }
 
-  /** Document corpus scan, fanned out to the session's parallelism when
-    * the input cannot feed the cores on its own (single-row-group bench
-    * parquet plans ONE task, serializing every fused per-doc kernel —
-    * MinHash/SimHash signatures, bigram explodes, winnow fingerprints —
-    * on one core; guide §2.5 input-skew rule). [[graft.operators.FanOut]]
-    * is a no-op whenever the scan already plans >= cores partitions, so
-    * a 100 TB corpus never pays the exchange. */
+  /** Document corpus scan — the BARE reader. Fan-out is applied
+    * selectively at the expensive fused-kernel call sites (the MinHash
+    * signature stage below), NOT here: a measured fresh-JVM A/B over
+    * the `spark.graft.fanout` toggle showed the wholesale exchange
+    * costs 1.4–2.9× on every cheap per-doc kernel row (text_tokens
+    * 0.21→0.36 s, dedup_exact_hash 0.35→0.74 s, text_doc_freq
+    * 0.47→0.97 s …) while only kernels whose per-doc work dwarfs the
+    * exchange win from it (dedup_minhash_lsh 2.31→1.61 s). At 100 TB
+    * the scan plans >= cores partitions and FanOut is a no-op either
+    * way — the placement only matters at single-row-group bench scale,
+    * so it sits exactly where the kernel cost justifies it. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.FanOut(s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
 
   /** The hamming ≤ 3 near-dup pair graph over the corpus — the edge
     * input of [[GraphOps.triangles]] (`graph_triangles`). */
@@ -575,7 +579,12 @@ object TextOps {
       // (graft.functions.MinHash) -- one string hash per distinct gram,
       // K arithmetic permutations; nothing shuffles until bucketing
       val kK = K; val kR = R; val kB = B
-      val sigDs = d.select(col("doc_id"), col("text")).as[(Long, String)]
+      // The K=128-permutation signature build is the one per-doc kernel
+      // expensive enough to justify a fan-out exchange when the scan
+      // cannot feed the cores (measured: 2.31 → 1.61 s min wall at
+      // sf0.1; the cheap kernels keep the bare scan — see [[docs]])
+      val sigDs = graft.operators.FanOut(d.select(col("doc_id"), col("text")))
+        .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val sig = MinHash.signature(MinHash.gramHashes(text), kK)
           // byte-packed signature (16 longs) rides the band shuffle in
