@@ -47,7 +47,14 @@ object PipelineOps {
     * that must not multiply pair weight dedup themselves. */
   private def winnowFps(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
+    // fanned (guide §2.5, the selective doctrine): the winnow rolling-
+    // hash kernel is the one fused pipe kernel expensive enough to
+    // outweigh the exchange when a single-row-group scan plans one
+    // task (measured 0.5+ CPU-s single-threaded in the
+    // dedup_substring_pairs profile; fresh-JVM A/B over the
+    // spark.graft.fanout toggle quoted in OPTIMIZATION_r21.md)
+    graft.operators.FanOut(d.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         graft.functions.Winnow.fingerprints(text, 20, 4).iterator.map(fp => (id, fp))
       })

@@ -688,18 +688,26 @@ object RelationalOps {
     // window over the raw stream
     "tpch_q18_big_orders" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // ONE lineitem scan (guide §1.2 "don't compute things you throw
+      // away"): the `big` aggregate already holds each qualifying
+      // order's quantity sum, and o_orderkey is the orders PK (one
+      // orders×customer row per order), so sum_qty IS `sq` — the old
+      // shape re-scanned lineitem through the join purely to
+      // re-aggregate the sum it had just computed. At scale lineitem
+      // is the dominant table; this halves its scans. Result
+      // equivalence oracle-proven at sf0.001/0.01/0.1 (the oracle SQL
+      // keeps the textbook two-pass form).
       val big = li.groupBy("l_orderkey")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
-        .filter(col("sq") > 150).select("l_orderkey")
+        .filter(col("sq") > 150)
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      li.join(big, "l_orderkey")
-        .join(o, col("l_orderkey") === o("o_orderkey"))
+      big.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           unix_date(col("o_orderdate").cast("date")).as("o_date"),
-          col("o_totalprice"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          col("o_totalprice"),
+          col("sq").cast("double").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

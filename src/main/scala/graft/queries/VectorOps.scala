@@ -209,6 +209,7 @@ object VectorOps extends Serializable {
   private[graft] def annIvfFilteredWith(s: SparkSession, dir: String,
       iters: Int, nprobe: Int, pred: org.apache.spark.sql.Column): DataFrame =
     annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe,
+      quantKey = s"trained$iters",
       keepMatches = predKeep(s, dir, "vec_id", pred))
 
   /** Filtered truth for an arbitrary predicate (exact brute force among
@@ -282,6 +283,7 @@ object VectorOps extends Serializable {
   def annIvfFiltered(s: SparkSession, dir: String, iters: Int,
       nprobe: Int): DataFrame =
     annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe,
+      quantKey = s"trained$iters",
       keepMatches = evenLabelKeep(s, dir, "vec_id"))
 
   /** recall@k of an ANN result against the brute-force truth — the
@@ -826,7 +828,7 @@ object VectorOps extends Serializable {
         .filter(col("vec_id") % centroidStep === 0)
         .as[(Long, Array[Double], Double)].collect()
         .sortBy(_._1)
-    annIvfCore(s, dir, cents, nprobe)
+    annIvfCore(s, dir, cents, nprobe, quantKey = s"step$centroidStep")
   }
 
   /** IVF with a TRAINED coarse quantizer: k-means centroids from
@@ -842,7 +844,8 @@ object VectorOps extends Serializable {
     * bit-identical. */
   def annIvfTrained(s: SparkSession, dir: String, iters: Int,
       nprobe: Int): DataFrame =
-    annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe)
+    annIvfCore(s, dir, trainedCents(s, dir, iters), nprobe,
+      quantKey = s"trained$iters")
 
   /** The gate-default trained-IVF list (the `vec_ann_ivf_trained`
     * tuning) — the dense side of [[SearchOps.hybridRrf]]. */
@@ -935,16 +938,11 @@ object VectorOps extends Serializable {
       nprobe: Int): DataFrame = {
     import s.implicits._
     val cents = trainedCents(s, dir, KmeansIters)
-    val bcCents = s.sparkContext.broadcast(cents)
     val e = emb(s, dir)
-    val assign = e.select(col("vec_id"), col("v"), col("norm"))
-      .as[(Long, Array[Double], Double)]
-      .mapPartitions { it =>
-        val cs = bcCents.value
-        it.map { case (id, v, norm) =>
-          (id, cs(nearestCidIdx(centroidSims(v, norm, cs)))._1)
-        }
-      }.toDF("match_id", "cid")
+    // list assignment from the shared memoized inverted lists (same
+    // quantizer as annIvfTrained → same checkpoint)
+    val assign = assignedTable(s, dir, s"trained$KmeansIters", cents)
+      .select(col("vec_id").as("match_id"), col("cid"))
     // query probe lists on the driver — the query batch is small by
     // definition; same (−csim, cid) order as the SQL's probes CTE
     val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
@@ -1421,26 +1419,83 @@ object VectorOps extends Serializable {
     sims
   }
 
+  /** Session memo of the ASSIGNED inverted-list table
+    * (vec_id, v, norm, cid) — the IVF index's inverted lists
+    * THEMSELVES, i.e. the index artifact a production deployment
+    * writes out partitioned by `cid` and serves every query from (the
+    * [[annIvf]] scaladoc's own doctrine; FAISS assigns once at
+    * add-time, never per search). Within one session every
+    * trained-IVF consumer — the fixed/filtered/adaptive rows, the
+    * recall evals, the hybrid dense leg, IVF-SQ8 — previously re-ran
+    * the identical corpus-wide assignment pass (plus its scan and
+    * fan-out exchange) per query call; now the first builds a pinned
+    * eager checkpoint ([[GraphOps]] edgeMemo discipline: pin before
+    * materialize, shared staleness probe, purge on stopped sessions)
+    * and the rest read it. Keyed by a quantizer tag (`trained<iters>`
+    * / `step<step>`) so assignments of distinct quantizers coexist;
+    * entries are corpus×(64 doubles + cid) — the same memory tier as
+    * [[SearchOps.tfStage]]'s doc×term checkpoint. */
+  private val assignedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def assignedTable(s: SparkSession, dir: String, quantKey: String,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import s.implicits._
+    graft.operators.Checkpoints.purgeStopped(assignedMemo)(_._1)
+    assignedMemo.computeIfPresent((s, dir, quantKey), { (_, e) =>
+      if (!graft.operators.Checkpoints.stale(e)) e
+      else { graft.operators.Checkpoints.unpinAndUnpersist(e); null }
+    })
+    assignedMemo.computeIfAbsent((s, dir, quantKey), { _ =>
+      val bc = s.sparkContext.broadcast(cents)
+      // one narrow pass over the corpus: nearest list per vector
+      // (ties → lower cid, since cents is id-sorted and comparison is
+      // strict)
+      val assigned = graft.operators.Checkpoints.truncate(
+        emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+          .as[(Long, Array[Double], Double)].mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (id, v, norm) =>
+              (id, v, norm, cs(nearestCidIdx(centroidSims(v, norm, cs)))._1)
+            }
+          }.toDF("vec_id", "v", "norm", "cid"))
+      val df = graft.operators.Checkpoints.pinCheckpointed(assigned)
+      graft.operators.Checkpoints.buildPinned(df) {
+        df.count()
+        df
+      }
+    })
+  }
+
+  /** Drop the memoized assigned tables of (session, dir) — the
+    * evictGraphEdges sibling. */
+  def evictAssigned(s: SparkSession, dir: String): Unit = {
+    val it = assignedMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s && e.getKey._2 == dir) {
+        it.remove()
+        graft.operators.Checkpoints.unpinAndUnpersist(e.getValue)
+      }
+    }
+  }
+
   private def annIvfCore(s: SparkSession, dir: String,
       cents: Array[(Long, Array[Double], Double)], nprobe: Int,
+      quantKey: String,
       keepMatches: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
-    val bc = s.sparkContext.broadcast(cents)
     val qids = queryIds(s)
 
-    // one narrow pass over the corpus: nearest list per vector (ties →
-    // lower cid, since cents is id-sorted and comparison is strict)
-    val assigned = e.as[(Long, Array[Double], Double)].mapPartitions { it =>
-      val cs = bc.value
-      it.map { case (id, v, norm) =>
-        (id, v, norm, cs(nearestCidIdx(centroidSims(v, norm, cs)))._1)
-      }
-    }.toDF("vec_id", "v", "norm", "cid")
+    // the session-memoized inverted lists (index artifact — assigned
+    // once per quantizer, served to every IVF consumer)
+    val assigned = assignedTable(s, dir, quantKey, cents)
 
     // the query batch is small by definition (external queries) —
-    // rank its probe lists on the driver, no second corpus pass
-    val probes = e.filter(col("vec_id") < qids)
+    // rank its probe lists on the driver, no second corpus pass (the
+    // checkpoint serves the query vectors too)
+    val probes = assigned.select(col("vec_id"), col("v"), col("norm"))
+      .filter(col("vec_id") < qids)
       .as[(Long, Array[Double], Double)].collect()
       .flatMap { case (id, v, norm) =>
         probeCids(v, norm, cents, nprobe).map(cid => (id, v, norm, cid))
