@@ -570,28 +570,66 @@ object TextOps {
     * and `pipe_clean_corpus` (which consumes the pair set and needs no
     * sort — a sort here would cost an extra execution pass for range-
     * bound sampling). */
-  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    locally {
-      import s.implicits._
-      import graft.functions.MinHash
-      val d = docs(s, dir)
-      // narrow map: signature + band hashes in a tight JVM loop
-      // (graft.functions.MinHash) -- one string hash per distinct gram,
-      // K arithmetic permutations; nothing shuffles until bucketing
+  /** Session memo of the MinHash SIGNATURE table (doc_id, sig8, bhs)
+    * — the fingerprint index of the near-dup family, the r17
+    * detect-once doctrine applied one stage EARLIER than
+    * [[GraphOps]]' edgeMemo (which memoizes the whole simhash pair
+    * join for the graph consumers): within one session
+    * `dedup_minhash_lsh`, `pipe_clean_corpus` and `pipe_full_curation`
+    * each re-ran the identical K=128-permutation signature build per
+    * call. Only the SIGNATURES memoize — bucketing, candidate
+    * generation and the exact-Jaccard verify (the parts whose output
+    * IS a row's answer) still execute per call. Same pinned-eager-
+    * checkpoint discipline as edgeMemo/tfStage. */
+  private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Drop the memoized signature table of (session, dir). */
+  def evictMinhashSigs(s: SparkSession, dir: String): Unit =
+    Option(sigMemo.remove((s, dir))).foreach(
+      graft.operators.Checkpoints.unpinAndUnpersist(_))
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MinHash
+    graft.operators.Checkpoints.purgeStopped(sigMemo)(_._1)
+    sigMemo.computeIfPresent((s, dir), { (_, e) =>
+      if (!graft.operators.Checkpoints.stale(e)) e
+      else { graft.operators.Checkpoints.unpinAndUnpersist(e); null }
+    })
+    sigMemo.computeIfAbsent((s, dir), { _ =>
       val kK = K; val kR = R; val kB = B
       // The K=128-permutation signature build is the one per-doc kernel
       // expensive enough to justify a fan-out exchange when the scan
       // cannot feed the cores (measured: 2.31 → 1.61 s min wall at
       // sf0.1; the cheap kernels keep the bare scan — see [[docs]])
-      val sigDs = graft.operators.FanOut(d.select(col("doc_id"), col("text")))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val sig = MinHash.signature(MinHash.gramHashes(text), kK)
-          // byte-packed signature (16 longs) rides the band shuffle in
-          // place of the full 128-long signature (3x narrower rows)
-          (id, MinHash.packBytes(sig), MinHash.bandHashes(sig, kR, kB))
-        })
-        .toDF("doc_id", "sig8", "bhs")
+      val df = graft.operators.Checkpoints.pinCheckpointed(
+        graft.operators.Checkpoints.truncate(
+          graft.operators.FanOut(
+              docs(s, dir).select(col("doc_id"), col("text")))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, text) =>
+              val sig = MinHash.signature(MinHash.gramHashes(text), kK)
+              // byte-packed signature (16 longs) rides the band shuffle
+              // in place of the full 128-long signature (3x narrower
+              // rows)
+              (id, MinHash.packBytes(sig), MinHash.bandHashes(sig, kR, kB))
+            })
+            .toDF("doc_id", "sig8", "bhs")))
+      graft.operators.Checkpoints.buildPinned(df) {
+        df.count()
+        df
+      }
+    })
+  }
+
+  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    locally {
+      import s.implicits._
+      import graft.functions.MinHash
+      val d = docs(s, dir)
+      val kK = K
+      val sigDs = minhashSigs(s, dir)
       // Candidate pairs are generated and filtered INSIDE each band
       // bucket (flatMapGroups): only (band, bandHash) bucket rows
       // shuffle -- never the O(candidates) pair set. Cross-band
