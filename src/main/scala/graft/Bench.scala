@@ -262,6 +262,17 @@ object Bench {
       !h.failed && h.wall > FirstRepFactor * ok.map(_.wall).min)
   }
 
+  /** First-rep-inclusive total (VERDICT r21 task 6): the min-of-reps
+    * headline erases one-time memo/index build cost from every row;
+    * this second total sums each row's FIRST successful rep (headline
+    * -1 sentinel for all-FAIL rows), so amortized cold-start/build
+    * cost is a visible headline number next to the min-of-reps total
+    * — not only a `first_flagged` name list. Requeue adjustment is
+    * deliberately NOT applied: the number describes the in-run cold
+    * sequential pass. */
+  private[graft] def firstRepTotal(res: Seq[QRes]): Double =
+    res.map(r => r.reps.find(!_.failed).map(_.wall).getOrElse(-1.0)).sum
+
   /** Host-contention taint thresholds (VERDICT r10 task 1). A row is
     * TAINTED when the rep its headline min came from started at 1-min
     * load above [[TaintLoadThreshold]] (this JVM is the only intended
@@ -458,7 +469,20 @@ object Bench {
         case _ => None
       }
     }
-    churnSev ++ growthSev ++ over2xSev
+    // no-prev blind spot (VERDICT r20 task 2 / r21 task 9): a row
+    // ABSENT from a non-empty prev record is new in the registry, so
+    // none of the ratio flags can ever fire on it and its debut
+    // measurement would ship un-adjudicated. It enters the candidate
+    // pool at the LOWEST severity — it fills spare requeue slots but
+    // never displaces a real ≥2× flag under the cap. An entirely
+    // empty prev (round 1 / outside the checkout) flags nothing:
+    // every row would be "new" and the cap would pick 8 arbitrarily.
+    val newRowSev =
+      if (prevWall.isEmpty) Nil
+      else res.collect {
+        case r if r.wall >= 0 && !prevWall.contains(r.name) => r.name -> 1.0
+      }
+    churnSev ++ growthSev ++ over2xSev ++ newRowSev
   }
 
   /** Requeue outcome: fresh-JVM headline values + the raw per-query
@@ -624,7 +648,8 @@ object Bench {
   private[graft] def microLine(total: Double, nQueries: Int, round: Int,
       adjudicated: Boolean, requeueFailed: Option[String], loadMax: Double,
       nTainted: Int, nFirstFlagged: Int, nRequeued: Int,
-      nRequeueDropped: Int, sf: String, fullRecord: String): String = {
+      nRequeueDropped: Int, sf: String, fullRecord: String,
+      totalFirst: Double = -1.0): String = {
     // cap AFTER escaping, so the bound holds on the bytes that land in
     // the line (ADVICE r19: a pre-escape cap let backslash-heavy
     // inputs double past the documented bound post-escape). The escaped
@@ -650,7 +675,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${decimals}f",
         java.lang.Double.valueOf(v))
     val fail = requeueFailed.map(jstr(_, 200)).getOrElse("null")
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":${num(loadMax, 2)},"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"n_requeue_dropped":$nRequeueDropped,"full_record":${jstr(fullRecord, 160, fromRight = true)},"sf":${jstr(sf, 120)}}"""
+    s"""{"metric":"total","value":${num(total, 3)},"value_first":${num(totalFirst, 3)},"unit":"sec","round":$round,"n_queries":$nQueries,"adjudicated":$adjudicated,"requeue_failed":$fail,"load_max":${num(loadMax, 2)},"n_tainted":$nTainted,"n_first_flagged":$nFirstFlagged,"n_requeued":$nRequeued,"n_requeue_dropped":$nRequeueDropped,"full_record":${jstr(fullRecord, 160, fromRight = true)},"sf":${jstr(sf, 120)}}"""
   }
 
   /** Two-phase record emission (VERDICT r18 task 1a). BENCH_r18's
@@ -892,6 +917,7 @@ object Bench {
     })
     val sjson = jmap(results.map { case (r, _, _, (n, mb, pin)) =>
       r.name -> f"[$n%d,$mb%.0f,$pin%d]" })
+    val totalFirstRep = firstRepTotal(res)
     val loadMax = if (res.nonEmpty) res.map(_.load).max else -1.0
     val taintedNames = results.filter(_._2).map(_._1.name)
     val rerunNames = results.filter(_._3).map(_._1.name)
@@ -947,7 +973,7 @@ object Bench {
         .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "'")
           .replaceAll("\\p{Cntrl}", " ") + "\"")
         .getOrElse("null")
-      s"""{"metric":"total","value":$total,"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"over2x_flagged":${jarr(over2xNames)},"requeue_dropped":${jarr(requeueDropped)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_first":${f"$totalFirstRep%.3f"},"unit":"sec","round":$roundNumber,"n_queries":${res.size},"adjudicated":$adjudicated,"requeue_pending":${jarr(if (adjudicated) Nil else requeueNames)},"requeue_failed":$failJson,"load_max":$loadMaxStr,"taint_load_threshold":$TaintLoadThreshold,"taint_cpu_ratio":$TaintCpuRatio,"tainted":${jarr(taintedNames)},"rerun":${jarr(rerunNames)},"first_flagged":${jarr(firstBlownNames)},"churn_flagged":${jarr(churnNames)},"growth_flagged":${jarr(growthNames)},"over2x_flagged":${jarr(over2xNames)},"requeue_dropped":${jarr(requeueDropped)},"requeue_replaced":${jarr(replacedNames)},"requeued":$requeuedJson,"requeued_orig":$requeuedOrigJson,"queries":$qjson,"cpu":$cjson,"load":$ljson,"first_wall":$fwjson,"first_cpu":$fcjson,"gc":$gjson,"storage":$sjson,"reps":$rjson,"jvm_start":$jvmStart,"jvm_end":${jvmJson()},"prev":$prevJson,"prev_source":"${prev.source}","sf":"$sfDir"}"""
     }
 
     /** Slim stdout line: total + the per-query wall dict — ~1.4 KB at
@@ -1022,7 +1048,8 @@ object Bench {
       println(microLine(adjTotal, res.size, roundNumber, adjudicated,
         outcome.failReason, loadMax, taintedNames.size,
         firstBlownNames.size, requeueNames.size, requeueDropped.size, sfDir,
-        writtenPath.getOrElse("(record write FAILED)")))
+        writtenPath.getOrElse("(record write FAILED)"),
+        totalFirst = totalFirstRep))
       Console.out.flush()
       System.err.flush()
     }

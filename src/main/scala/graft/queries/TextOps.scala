@@ -565,11 +565,6 @@ object TextOps {
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashNearDupPairs(s, dir).orderBy("ida", "idb"))) ++ queriesTail
 
-  /** Verified near-dup pairs via MinHash LSH, unsorted — the shared
-    * stage behind `dedup_minhash_lsh` (which only adds the output sort)
-    * and `pipe_clean_corpus` (which consumes the pair set and needs no
-    * sort — a sort here would cost an extra execution pass for range-
-    * bound sampling). */
   /** Session memo of the MinHash SIGNATURE table (doc_id, sig8, bhs)
     * — the fingerprint index of the near-dup family, the r17
     * detect-once doctrine applied one stage EARLIER than
@@ -623,6 +618,11 @@ object TextOps {
     })
   }
 
+  /** Verified near-dup pairs via MinHash LSH, unsorted — the shared
+    * stage behind `dedup_minhash_lsh` (which only adds the output sort)
+    * and `pipe_clean_corpus` (which consumes the pair set and needs no
+    * sort — a sort here would cost an extra execution pass for range-
+    * bound sampling). */
   private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     locally {
       import s.implicits._
@@ -1149,9 +1149,26 @@ object TextOps {
               .as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
       val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      val uc = big.groupBy("w1").agg(count(lit(1)).as("cu"))
-      val v = t.select(explode(col("ts")).as("w"))
-        .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      // c(w1·) = Σ_w2 c(w1,w2): derive the continuation totals from the
+      // bigram counts instead of a SECOND full shuffle of the bigram
+      // stream by w1 (guide §2.3/§2.4 — the re-aggregation shuffles the
+      // vocab²-bounded count table, not the corpus-sized token stream;
+      // exact long arithmetic, identical to counting big rows per w1)
+      val uc = bc.groupBy("w1").agg(sum(col("cb")).as("cu"))
+      // overlap the two independent build-time jobs (guide §2.6): the
+      // bigram-checkpoint materialization and the V vocab scalar both
+      // read only the scan and ran back-to-back as two serial
+      // single-task jobs; eager-materializing the checkpoint on a
+      // helper thread while the driver computes V halves that serial
+      // section (same total work — the checkpoint materializes exactly
+      // once either way, this only moves WHEN)
+      val fut = java.util.concurrent.CompletableFuture.runAsync(() => {
+        big.count(); ()
+      })
+      val v =
+        try t.select(explode(col("ts")).as("w"))
+          .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+        finally fut.join()
       val scored = big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
         .withColumn("q", expr(
           s"round(cast(cu + ${v}L as double) / cast(cb + 1L as double) * 1048576d) / 1048576d"))

@@ -953,13 +953,17 @@ object VectorOps extends Serializable {
     val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
       .filter(col("vec_id") < queryIds(s))
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    val probePairs = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
+    val probeSeq = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
       probeCids(v, norm, cents, nprobe).map(cid => (qid, cid))
-    }.toDF("query_id", "cid")
+    }
+    val probePairs = probeSeq.toDF("query_id", "cid")
     val dec = sq8DecTable(s, dir)
     val q = e.filter(col("vec_id") < queryIds(s))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
-    val scored = assign.join(broadcast(probePairs), Seq("cid"))
+    // plan-time literal probed-list set → source partition pruning on
+    // the cid-partitioned artifact (see annIvfCore's note)
+    val scored = assign.filter(col("cid").isin(probeSeq.map(_._2).distinct: _*))
+      .join(broadcast(probePairs), Seq("cid"))
       .filter(col("match_id") =!= col("query_id"))
       .join(dec, Seq("match_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -1317,8 +1321,6 @@ object VectorOps extends Serializable {
     val ds = snappedVecs(s, dir)
     val books = memoBooks(s, dir, "pq", m, subK, iters)(pqBooks(s, ds, m, subK, iters))
     val cents = trainedCents(s, dir, KmeansIters)
-    val bcBooks = s.sparkContext.broadcast(books)
-    val bcCents = s.sparkContext.broadcast(cents)
     // ONE narrow pass over the corpus emitting (id, list, codes): the
     // list id from the raw-double csim argmax (identical to
     // annIvfTrained's assignment), the codes from the snapped-lattice
@@ -1329,8 +1331,12 @@ object VectorOps extends Serializable {
       .withColumn("vq", expr(s"transform(v, x -> round(x * ${Q}d) / ${Q}d)"))
       .select(col("vec_id"), col("v"), col("norm"), col("vq"))
     // (id, list, codes) is THE IVF-PQ index layout (the scaladoc's
-    // "written partitioned by cid" table) — encoded once per session
+    // "written partitioned by cid" table) — encoded once per session;
+    // the codebook/centroid broadcasts live INSIDE the build closure so
+    // a memo-hit call ships no dead broadcasts (ADVICE r21)
     val encoded = memoIndexTable(s, dir, s"ivfpqcodes:$m:$subK:$iters") {
+      val bcBooks = s.sparkContext.broadcast(books)
+      val bcCents = s.sparkContext.broadcast(cents)
       e.as[(Long, Array[Double], Double, Array[Double])]
         .mapPartitions { it =>
           val cs = bcCents.value
@@ -1460,22 +1466,101 @@ object VectorOps extends Serializable {
     * artifact tag. Serves the inverted-list assignment above plus the
     * PQ / residual-PQ code tables and the SQ8 decoded corpus — all
     * FAISS add-time artifacts a deployment encodes once and serves
-    * every query from. */
+    * every query from.
+    *
+    * With [[IndexDirConf]] set the same tables are served from an
+    * ON-DISK artifact instead (see [[artifactTable]]): that is the
+    * 100 TB deployment shape — nothing corpus-sized stays pinned in
+    * executor memory, and cid-partitioned consumers prune at the
+    * source. The session memo is the default and the fallback. */
   private def memoIndexTable(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    graft.operators.Checkpoints.purgeStopped(indexTableMemo)(_._1)
-    indexTableMemo.computeIfPresent((s, dir, tag), { (_, e) =>
-      if (!graft.operators.Checkpoints.stale(e)) e
-      else { graft.operators.Checkpoints.unpinAndUnpersist(e); null }
-    })
-    indexTableMemo.computeIfAbsent((s, dir, tag), { _ =>
-      val df = graft.operators.Checkpoints.pinCheckpointed(
-        graft.operators.Checkpoints.truncate(build))
-      graft.operators.Checkpoints.buildPinned(df) {
-        df.count()
-        df
+      build: => DataFrame): DataFrame =
+    s.conf.getOption(IndexDirConf) match {
+      case Some(root) if root.trim.nonEmpty =>
+        artifactTable(s, root.trim, dir, tag)(build)
+      case _ =>
+        graft.operators.Checkpoints.purgeStopped(indexTableMemo)(_._1)
+        indexTableMemo.computeIfPresent((s, dir, tag), { (_, e) =>
+          if (!graft.operators.Checkpoints.stale(e)) e
+          else { graft.operators.Checkpoints.unpinAndUnpersist(e); null }
+        })
+        indexTableMemo.computeIfAbsent((s, dir, tag), { _ =>
+          val df = graft.operators.Checkpoints.pinCheckpointed(
+            graft.operators.Checkpoints.truncate(build))
+          graft.operators.Checkpoints.buildPinned(df) {
+            df.count()
+            df
+          }
+        })
+    }
+
+  /** Opt-in on-disk index-artifact root (VERDICT r21 task 1). When
+    * `spark.graft.index.dir` names a directory, every index table is
+    * WRITTEN ONCE as parquet under `<root>/<corpus>/<tag>/<fp>/` —
+    * partitioned by `cid` when the table carries one, so probed
+    * consumers prune list partitions at the source (guide §6) — and
+    * served by plain reads: executor memory no longer holds a pinned
+    * corpus replica per quantizer key. `<fp>` is the source corpus
+    * fingerprint (embeddings.parquet file names+lengths+mtimes —
+    * Spark's own file-index freshness contract): a changed corpus
+    * keys a fresh artifact and the stale sibling is removed at build.
+    * [[evictIndexTables]] deletes the corpus' artifacts. */
+  val IndexDirConf = "spark.graft.index.dir"
+
+  private def sanitize(p: String): String =
+    p.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** Fingerprint of the artifact's SOURCE data: every file under
+    * `$dir/embeddings.parquet` folded as (name, length, mtime). */
+  private def sourceFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((acc, c) => acc * 31L + walk(c))
+      else (f.getName.hashCode.toLong * 31L + f.length()) * 31L + f.lastModified()
+    walk(new java.io.File(dir, "embeddings.parquet"))
+  }
+
+  // one build lock per artifact path: concurrent first consumers of the
+  // same (root, dir, tag, fp) write exactly once
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def artifactTable(s: SparkSession, root: String, dir: String,
+      tag: String)(build: => DataFrame): DataFrame = {
+    val base = new java.io.File(new java.io.File(root, sanitize(dir)), sanitize(tag))
+    val fp = java.lang.Long.toHexString(sourceFingerprint(dir))
+    val out = new java.io.File(base, fp)
+    // schema sidecar: partitionBy moves `cid` to the END of the read
+    // schema and partition-column type inference can narrow it — the
+    // builder's DDL restores order and types so artifact-served frames
+    // are shape-identical to memo-served ones (positional .as[tuple]
+    // consumers). Written LAST, so it doubles as the success marker.
+    val ddlFile = new java.io.File(out, "_graft_schema_ddl")
+    val lock = artifactLocks.computeIfAbsent(out.getPath, _ => new Object)
+    lock.synchronized {
+      if (!ddlFile.exists()) {
+        // a changed corpus keys a new fp — remove stale siblings so a
+        // long-lived root does not accumulate dead corpus-sized dirs
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName != fp)
+          .foreach(deleteRecursively)
+        val df = build
+        val w = df.write.mode("overwrite")
+        (if (df.columns.contains("cid")) w.partitionBy("cid") else w)
+          .parquet(out.getPath)
+        java.nio.file.Files.writeString(ddlFile.toPath, df.schema.toDDL)
       }
-    })
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      java.nio.file.Files.readString(ddlFile.toPath))
+    s.read.parquet(out.getPath)
+      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   private def assignedTable(s: SparkSession, dir: String, quantKey: String,
@@ -1497,7 +1582,9 @@ object VectorOps extends Serializable {
   }
 
   /** Drop the memoized index tables of (session, dir) — the
-    * evictGraphEdges sibling. */
+    * evictGraphEdges sibling. With [[IndexDirConf]] set, also deletes
+    * the corpus' on-disk artifacts under the session's root (the next
+    * consumer rebuilds from source). */
   def evictIndexTables(s: SparkSession, dir: String): Unit = {
     val it = indexTableMemo.entrySet().iterator()
     while (it.hasNext) {
@@ -1506,6 +1593,9 @@ object VectorOps extends Serializable {
         it.remove()
         graft.operators.Checkpoints.unpinAndUnpersist(e.getValue)
       }
+    }
+    s.conf.getOption(IndexDirConf).filter(_.trim.nonEmpty).foreach { root =>
+      deleteRecursively(new java.io.File(root.trim, sanitize(dir)))
     }
   }
 
@@ -1523,15 +1613,25 @@ object VectorOps extends Serializable {
     // the query batch is small by definition (external queries) —
     // rank its probe lists on the driver, no second corpus pass (the
     // checkpoint serves the query vectors too)
-    val probes = assigned.select(col("vec_id"), col("v"), col("norm"))
+    val probePairs = assigned.select(col("vec_id"), col("v"), col("norm"))
       .filter(col("vec_id") < qids)
       .as[(Long, Array[Double], Double)].collect()
       .flatMap { case (id, v, norm) =>
         probeCids(v, norm, cents, nprobe).map(cid => (id, v, norm, cid))
-      }.toSeq.toDF("query_id", "va", "na", "cid")
+      }.toSeq
+    val probes = probePairs.toDF("query_id", "va", "na", "cid")
+    // the probed list ids are a PLAN-TIME literal set (the probe
+    // ranking is driver-side), so the corpus side carries an explicit
+    // cid IN (...) — on the cid-partitioned artifact ([[IndexDirConf]])
+    // that is source partition PRUNING (guide §6), replacing a scan of
+    // every list; semantics unchanged (the equi-join keeps only those
+    // cids anyway). On the memo path it is a cheap checkpoint filter.
+    val probedCids = probePairs.map(_._4).distinct
     // exact scoring inside the probed lists only; the metadata filter
     // (filtered-ANN family) prunes candidates BEFORE the scoring join
-    val scored = keepMatches(assigned).join(broadcast(probes), Seq("cid"))
+    val scored = keepMatches(assigned)
+      .filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("v"), col("na"), col("norm")), 6))
       .withColumnRenamed("vec_id", "match_id")

@@ -98,4 +98,36 @@ class BenchFlagsSpec extends AnyFunSuite {
     // missing prev entirely → a clean run yields no candidates at all
     assert(Bench.requeueCandidates(Seq(over2xRow), Map.empty, Map.empty).isEmpty)
   }
+
+  test("no-prev rows enter the requeue pool at lowest severity (r21 task 9)") {
+    def named(name: String, reps: Seq[Bench.Rep]): Bench.QRes =
+      res(reps).copy(name = name)
+    val newRow = named("newbie", Seq(rep(1.0, 2.0), rep(0.9, 1.9), rep(0.9, 1.9)))
+    val over2xRow = named("slowy", Seq(rep(3.0, 4.0), rep(3.1, 4.1), rep(3.2, 4.2)))
+    // non-empty prev lacking the new row → the row is a candidate at 1.0
+    val cands = Bench.requeueCandidates(Seq(newRow, over2xRow),
+      prevWall = Map("slowy" -> 1.0), prevCpu = Map.empty)
+    assert(cands.contains("newbie" -> 1.0))
+    // under the cap the real ≥2x flag wins the slot; the new row is the
+    // named dropped candidate, readable from the artifact
+    val (sel, drop) = Bench.rankRequeue(cands, max = 1)
+    assert(sel === Seq("slowy") && drop === Seq("newbie"))
+    // an all-FAIL new row has no valid measurement to adjudicate
+    val failRow = named("deady",
+      Seq(rep(-1.0, -1.0, failed = true), rep(-1.0, -1.0, failed = true),
+        rep(-1.0, -1.0, failed = true)))
+    assert(!Bench.requeueCandidates(Seq(failRow), Map("slowy" -> 1.0), Map.empty)
+      .exists(_._1 == "deady"))
+  }
+
+  test("firstRepTotal sums first successful reps (r21 task 6)") {
+    def named(name: String, reps: Seq[Bench.Rep]): Bench.QRes =
+      res(reps).copy(name = name)
+    val warm = named("warm", Seq(rep(5.0, 15.0), rep(1.0, 2.0), rep(1.0, 2.0)))
+    val cold = named("cold", Seq(rep(-1.0, -1.0, failed = true), rep(2.0, 3.0)))
+    val dead = named("dead", Seq(rep(-1.0, -1.0, failed = true)))
+    // warm contributes its FIRST rep (5.0, not the min 1.0); cold falls
+    // to its first SUCCESSFUL rep; an all-FAIL row keeps the -1 sentinel
+    assert(math.abs(Bench.firstRepTotal(Seq(warm, cold, dead)) - (5.0 + 2.0 - 1.0)) < 1e-9)
+  }
 }

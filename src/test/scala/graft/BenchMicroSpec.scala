@@ -89,10 +89,12 @@ class BenchMicroSpec extends AnyFunSuite {
 
   test("micro line round-trips the headline scalars") {
     val line = Bench.microLine(67.851, 134, 19, adjudicated = true,
-      None, 1.99, 0, 4, 2, 3, "/root/testdata/sf0.1", "bench/bench_r19.json")
+      None, 1.99, 0, 4, 2, 3, "/root/testdata/sf0.1", "bench/bench_r19.json",
+      totalFirst = 89.123)
     assert(line.length < 600)
     val n = parse(line)
     assert(n.get("value").asDouble() === 67.851)
+    assert(n.get("value_first").asDouble() === 89.123)
     assert(n.get("n_queries").asInt() === 134)
     assert(n.get("requeue_failed").isNull)
     assert(n.get("n_requeue_dropped").asInt() === 3)
