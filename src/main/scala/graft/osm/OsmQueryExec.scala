@@ -83,12 +83,88 @@ object OsmQueryExec {
     * identical, so arbitrary-wins is exact) — otherwise a way present
     * in two files doubles its geometry vertices and turns every one of
     * its nodes into a topology junction. Single-file scans (the common
-    * case) skip the shuffle entirely. */
-  private def dedupMultiFile(df: DataFrame, path: String): DataFrame =
-    if (graft.pbf.OsmPbfFile.expand(path,
-        df.sparkSession.sparkContext.hadoopConfiguration).size > 1)
-      df.dropDuplicates("type", "id")
-    else df
+    * case) skip the shuffle entirely.
+    *
+    * Border-range split (VERDICT r21 task 4, guide §2.5 hot-key split +
+    * §6 pushdown): a (type, id) key present in ≥ 2 files necessarily
+    * lies inside the pairwise INTERSECTION of those files' per-type id
+    * spans — plan-time metadata from the cached per-blob stats walk.
+    * Rows outside every intersection are globally unique and PASS
+    * THROUGH with no exchange; only rows inside the border intervals
+    * are re-scanned (a second scan whose `idRanges` option prunes to
+    * the border blobs at the source) and deduped. The full-row dedup
+    * exchange therefore carries only border rows — on adjacent
+    * real-world extracts a few percent of the corpus — instead of
+    * every element. Degenerate id layouts (border intervals covering
+    * most blobs, e.g. fully interleaved ids) fall back to the plain
+    * full dedup via `spark.graft.osm.borderBlobFrac` (default 0.5);
+    * disjoint id spaces skip the dedup outright. */
+  private def dedupMultiFile(df: DataFrame, path: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    val files = graft.pbf.OsmPbfFile.expand(path,
+      spark.sparkContext.hadoopConfiguration)
+    if (files.size <= 1) return df
+    val ranges = borderRanges(path)
+    if (ranges.isEmpty) return df
+    val blobs = graft.pbf.OsmPbfFile.indexAll(path)
+    val rngs = graft.sources.OsmPbfStats.ranges(path, blobs)
+    val nBorder = rngs.count(a => (0 to 2).exists(t =>
+      a(2 * t) <= a(2 * t + 1) && ranges.exists { case (rt, lo, hi) =>
+        rt == t && lo <= a(2 * t + 1) && hi >= a(2 * t)
+      }))
+    val maxFrac =
+      spark.conf.get("spark.graft.osm.borderBlobFrac", "0.5").toDouble
+    if (nBorder > maxFrac * blobs.size) return df.dropDuplicates("type", "id")
+    val inBorder = ranges.map { case (t, lo, hi) =>
+      col("type") === lit(t) && col("id") >= lo && col("id") <= hi
+    }.reduce(_ || _)
+    val borderScan = spark.read.format("osmpbf")
+      .options(opts + ("idRanges" ->
+        graft.sources.OsmPbfSource.serializeIdRanges(ranges)))
+      .load(path)
+    df.filter(!inBorder).unionByName(
+      borderScan.filter(inBorder).dropDuplicates("type", "id"))
+  }
+
+  /** Cross-file border intervals per type, merged: the pairwise
+    * intersections of the files' per-type id spans (derived from the
+    * cached per-blob stats walk — driver metadata, no element decode).
+    * Empty ⇔ the files' id spaces are disjoint for every type ⇔ no
+    * key can be duplicated. */
+  private[osm] def borderRanges(path: String): Seq[(Int, Long, Long)] = {
+    val blobs = graft.pbf.OsmPbfFile.indexAll(path)
+    val rngs = graft.sources.OsmPbfStats.ranges(path, blobs)
+    val perFile = blobs.zip(rngs).groupBy(_._1.path).values.map { xs =>
+      val acc = Array(Long.MaxValue, Long.MinValue, Long.MaxValue,
+        Long.MinValue, Long.MaxValue, Long.MinValue)
+      xs.foreach { case (_, a) =>
+        var t = 0
+        while (t < 3) {
+          if (a(2 * t) < acc(2 * t)) acc(2 * t) = a(2 * t)
+          if (a(2 * t + 1) > acc(2 * t + 1)) acc(2 * t + 1) = a(2 * t + 1)
+          t += 1
+        }
+      }
+      acc
+    }.toSeq
+    val raw = for {
+      i <- perFile.indices
+      j <- (i + 1) until perFile.size
+      t <- 0 to 2
+      lo = math.max(perFile(i)(2 * t), perFile(j)(2 * t))
+      hi = math.min(perFile(i)(2 * t + 1), perFile(j)(2 * t + 1))
+      if lo <= hi
+    } yield (t, lo, hi)
+    raw.groupBy(_._1).toSeq.flatMap { case (t, ivs) =>
+      ivs.map(x => (x._2, x._3)).sortBy(_._1)
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((plo, phi) :: rest, (lo, hi)) if lo <= phi =>
+            (plo, math.max(phi, hi)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse.map { case (lo, hi) => (t, lo, hi) }
+    }.sorted
+  }
 
   /** keep/exclude pair+key match over the tags map — one side of the
     * `_validate_tagval` truth table (reference primitives.py:186-215).
@@ -241,10 +317,11 @@ object OsmQueryExec {
     // Column-level must predicate still re-checks (free, and keeps the
     // cached-DataFrame path semantics identical).
     val elSource =
-      if (q.mustTags.nonEmpty)
+      if (q.mustTags.nonEmpty) {
+        val opts = Map("mustTagKeys" -> q.mustTags.mkString("\u0001"))
         dedupMultiFile(spark.read.format("osmpbf")
-          .option("mustTagKeys", q.mustTags.mkString("\u0001")).load(path), path)
-      else all
+          .options(opts).load(path), path, opts)
+      } else all
     runImpl(spark, elSource, all, q)
   }
 

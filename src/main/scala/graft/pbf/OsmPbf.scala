@@ -292,6 +292,63 @@ object OsmPbfFile {
     (n, w, rel)
   }
 
+  /** Per-type id ranges of one blob WITHOUT decoding elements — the
+    * same inflate + field-tag walk tier as [[blobTypes]] /
+    * [[countTypes]], additionally reading ONLY each element's id field
+    * (plain Node id is zigzag, Way/Relation ids plain varints,
+    * DenseNodes ids packed zigzag deltas — mirroring the decoder).
+    * Returns `[nMin,nMax,wMin,wMax,rMin,rMax]`, with the
+    * (Long.MaxValue, Long.MinValue) empty-interval sentinel for an
+    * absent type. Backs the multi-file border-overlap analysis
+    * (OsmQueryExec border dedup) and blob pruning for id-range
+    * filtered scans. */
+  def blobIdRanges(block: Array[Byte]): Array[Long] = {
+    val out = Array(Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue,
+      Long.MaxValue, Long.MinValue)
+    @inline def upd(t: Int, id: Long): Unit = {
+      if (id < out(2 * t)) out(2 * t) = id
+      if (id > out(2 * t + 1)) out(2 * t + 1) = id
+    }
+    def elemId(g: PbfReader, zig: Boolean): Long = {
+      var id = 0L
+      while (g.hasMore) {
+        val t = g.readTag()
+        if ((t >> 3) == 1 && (t & 7) == 0) {
+          id = if (zig) g.readZigzag() else g.readVarint()
+        } else g.skip(t & 7)
+      }
+      id
+    }
+    val root = new PbfReader(block)
+    while (root.hasMore) {
+      val tag = root.readTag()
+      if ((tag >> 3) == 2) {
+        val g = root.readMessage()
+        while (g.hasMore) {
+          val t2 = g.readTag()
+          (t2 >> 3) match {
+            case 1 => upd(0, elemId(g.readMessage(), zig = true))
+            case 2 =>
+              val d = g.readMessage()
+              while (d.hasMore) {
+                val t3 = d.readTag()
+                if ((t3 >> 3) == 1) {
+                  requireWire(t3, "DenseNodes.id")
+                  val ids = d.readPackedLongs(zigzag = true, delta = true)
+                  var i = 0
+                  while (i < ids.length) { upd(0, ids(i)); i += 1 }
+                } else d.skip(t3 & 7)
+              }
+            case 3 => upd(1, elemId(g.readMessage(), zig = false))
+            case 4 => upd(2, elemId(g.readMessage(), zig = false))
+            case _ => g.skip(t2 & 7)
+          }
+        }
+      } else root.skip(tag & 7)
+    }
+    out
+  }
+
   def readBlob(info: BlobInfo, conf: Configuration): Array[Byte] = {
     val path = new Path(info.path)
     val fs = path.getFileSystem(conf)

@@ -59,6 +59,25 @@ object OsmPbfSource {
   val scalarCols: Set[String] =
     Set("id", "type", "lat", "lon", "version", "timestamp", "changeset")
 
+  /** Per-type id-range scan restriction, as the `idRanges` source
+    * option: `"t,lo,hi;t,lo,hi"` (t ∈ 0/1/2). A scan with ranges keeps
+    * only blobs whose per-type id span (from the cached stats walk)
+    * intersects a requested interval of a wanted type — blob-granular
+    * PRUNING, not an element filter: a kept blob still emits all its
+    * rows, the consumer re-applies the exact predicate (the same
+    * conservative-recheck contract as the pushed filters). Serves the
+    * multi-file border-dedup split, whose overlap intervals are
+    * plan-time metadata. */
+  def serializeIdRanges(rs: Seq[(Int, Long, Long)]): String =
+    rs.map { case (t, lo, hi) => s"$t,$lo,$hi" }.mkString(";")
+
+  def parseIdRanges(s: String): Seq[(Int, Long, Long)] =
+    if (s == null || s.trim.isEmpty) Nil
+    else s.split(';').toSeq.filter(_.nonEmpty).map { part =>
+      val Array(t, lo, hi) = part.split(',')
+      (t.trim.toInt, lo.trim.toLong, hi.trim.toLong)
+    }
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("type", ByteType, nullable = false),
@@ -93,10 +112,12 @@ class OsmPbfTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OsmPbfScanBuilder(path,
       Option(options.get("mustTagKeys"))
-        .map(_.split('\u0001').filter(_.nonEmpty)).orNull)
+        .map(_.split('\u0001').filter(_.nonEmpty)).orNull,
+      OsmPbfSource.parseIdRanges(options.get("idRanges")))
 }
 
-class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
+class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null,
+    idRanges: Seq[(Int, Long, Long)] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -121,7 +142,8 @@ class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (idFilter.nonEmpty || mustTagKeys != null || !wantTypes.forall(identity)) return false
+    if (idFilter.nonEmpty || mustTagKeys != null || idRanges.nonEmpty ||
+      !wantTypes.forall(identity)) return false
     val groupOk = aggregation.groupByExpressions.forall {
       case f: org.apache.spark.sql.connector.expressions.NamedReference =>
         f.fieldNames.length == 1 && f.fieldNames()(0) == "type"
@@ -179,7 +201,8 @@ class OsmPbfScanBuilder(path: String, mustTagKeys: Array[String] = null)
 
   override def build(): Scan = pushedCounts match {
     case Some((groupByType, nCounts)) => new OsmPbfCountScan(path, groupByType, nCounts)
-    case None => new OsmPbfScan(path, required, wantTypes, idFilter, mustTagKeys)
+    case None =>
+      new OsmPbfScan(path, required, wantTypes, idFilter, mustTagKeys, idRanges)
   }
 }
 
@@ -262,7 +285,8 @@ class OsmPbfCountReader(p: OsmPbfPartition, groupByType: Boolean, nCounts: Int)
 
 class OsmPbfScan(path: String, required: StructType,
     wantTypes: Array[Boolean], idFilter: Option[Set[Long]],
-    mustTagKeys: Array[String] = null)
+    mustTagKeys: Array[String] = null,
+    idRanges: Seq[(Int, Long, Long)] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -279,7 +303,7 @@ class OsmPbfScan(path: String, required: StructType,
     * pass; sizeInBytes is what the join planner keys on). */
   override def estimateStatistics(): Statistics = {
     val bytes = math.max(1L,
-      OsmPbfScan.prunedBlobs(path, wantTypes).map(_.dataLen.toLong).sum *
+      OsmPbfScan.prunedBlobs(path, wantTypes, idRanges).map(_.dataLen.toLong).sum *
         OsmPbfScan.RowBytesPerCompressedByte)
     new Statistics {
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -291,11 +315,13 @@ class OsmPbfScan(path: String, required: StructType,
       .collect { case (n, true) => n }.mkString(",")
     val must = if (mustTagKeys == null) ""
       else s", mustTags=${mustTagKeys.mkString("|")}"
-    s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")}$must)"
+    val rng = if (idRanges.isEmpty) ""
+      else s", idRanges=${OsmPbfSource.serializeIdRanges(idRanges)}"
+    s"OsmPbfScan(path=$path, types=$types, cols=${required.fieldNames.mkString(",")}$must$rng)"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    OsmPbfScan.planPartitions(path, wantTypes)
+    OsmPbfScan.planPartitions(path, wantTypes, idRanges)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // session kill-switch (`spark.graft.pbf.columnar=false`) for the
@@ -328,22 +354,31 @@ object OsmPbfScan {
     * requested types (reference osmquery.py:242-247; the reference's
     * first-pass cache plays this role, SURVEY §4.1). Shared by
     * partition planning and the planner statistics. */
-  def prunedBlobs(path: String, wantTypes: Array[Boolean]): Seq[BlobInfo] = {
+  def prunedBlobs(path: String, wantTypes: Array[Boolean],
+      idRanges: Seq[(Int, Long, Long)] = Nil): Seq[BlobInfo] = {
     val blobs = OsmPbfFile.indexAll(path)
-    if (wantTypes.forall(identity)) blobs
+    if (wantTypes.forall(identity) && idRanges.isEmpty) blobs
     else {
-      val stats = OsmPbfStats.forFile(path, blobs)
-      blobs.zip(stats).collect {
-        case (b, (n, w, r))
-          if (n && wantTypes(0)) || (w && wantTypes(1)) || (r && wantTypes(2)) => b
-      }
+      val stats = OsmPbfStats.ranges(path, blobs)
+      // keep a blob iff SOME wanted type is present in it AND (when id
+      // ranges are given) that type's blob id span intersects a
+      // requested interval — blob-granular, consumers re-check exactly
+      def keep(a: Array[Long]): Boolean =
+        (0 to 2).exists { t =>
+          wantTypes(t) && a(2 * t) <= a(2 * t + 1) && (idRanges.isEmpty ||
+            idRanges.exists { case (rt, lo, hi) =>
+              rt == t && lo <= a(2 * t + 1) && hi >= a(2 * t)
+            })
+        }
+      blobs.zip(stats).collect { case (b, a) if keep(a) => b }
     }
   }
 
   /** Index, prune and pack the file's blobs into input partitions —
     * shared by the row, columnar and pushed-count scans. */
-  def planPartitions(path: String, wantTypes: Array[Boolean]): Array[InputPartition] = {
-    val pruned = prunedBlobs(path, wantTypes)
+  def planPartitions(path: String, wantTypes: Array[Boolean],
+      idRanges: Seq[(Int, Long, Long)] = Nil): Array[InputPartition] = {
+    val pruned = prunedBlobs(path, wantTypes, idRanges)
     // Pack blobs into splits with Spark's FilePartition formula: a
     // 100 TB corpus is ~6M blobs — one task per blob would swamp the
     // scheduler, so consecutive blobs coalesce up to maxSplitBytes,
@@ -384,25 +419,30 @@ object OsmPbfScan {
 
 case class OsmPbfPartition(blobs: Array[BlobInfo]) extends InputPartition
 
-/** Driver-side cache of per-blob element-type stats, built once per
+/** Driver-side cache of per-blob element stats, built once per
   * file by a parallel Spark job (inflate + field-tag walk only — no
-  * element decode). Subsequent scans with type filters prune partitions
-  * for free. */
+  * element decode). One walk yields per-type id RANGES
+  * (`[nMin,nMax,wMin,wMax,rMin,rMax]` per blob); type presence derives
+  * from non-empty intervals. Subsequent scans with type or id-range
+  * filters prune partitions for free. */
 object OsmPbfStats {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Boolean, Boolean, Boolean)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Long]]]()
 
-  def forFile(path: String, blobs: Seq[BlobInfo]): Seq[(Boolean, Boolean, Boolean)] =
+  def ranges(path: String, blobs: Seq[BlobInfo]): Seq[Array[Long]] =
     cache.computeIfAbsent(path, _ => {
       val spark = org.apache.spark.sql.SparkSession.active
       spark.sparkContext
         .parallelize(blobs, math.min(blobs.size, 64).max(1))
         .map { b =>
           val block = OsmPbfFile.readBlob(b, OsmPbfFile.sharedConf)
-          OsmPbfFile.blobTypes(block)
+          OsmPbfFile.blobIdRanges(block)
         }
         .collect().toSeq
     })
+
+  def forFile(path: String, blobs: Seq[BlobInfo]): Seq[(Boolean, Boolean, Boolean)] =
+    ranges(path, blobs).map(a => (a(0) <= a(1), a(2) <= a(3), a(4) <= a(5)))
 }
 
 class OsmPbfReaderFactory(schema: StructType, wantTypes: Array[Boolean],
