@@ -129,8 +129,7 @@ object VectorOps extends Serializable {
   private def bruteforceTopK(s: SparkSession, dir: String,
       keepMatches: DataFrame => DataFrame = identity): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < queryIds(s))
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val q = queryBatchDF(s, dir)
     val c = keepMatches(
       e.select(col("vec_id").as("match_id"), col("v").as("vb"), col("norm").as("nb")))
     val scored = c.join(broadcast(q))
@@ -914,10 +913,8 @@ object VectorOps extends Serializable {
     }
 
   private[graft] def annSq8(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
     val dec = sq8DecTable(s, dir)
-    val q = e.filter(col("vec_id") < queryIds(s))
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val q = queryBatchDF(s, dir)
     val scored = dec.join(broadcast(q))
       .filter(col("match_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
@@ -943,23 +940,18 @@ object VectorOps extends Serializable {
       nprobe: Int): DataFrame = {
     import s.implicits._
     val cents = trainedCents(s, dir, KmeansIters)
-    val e = emb(s, dir)
     // list assignment from the shared memoized inverted lists (same
     // quantizer as annIvfTrained → same checkpoint)
     val assign = assignedTable(s, dir, s"trained$KmeansIters", cents)
       .select(col("vec_id").as("match_id"), col("cid"))
-    // query probe lists on the driver — the query batch is small by
-    // definition; same (−csim, cid) order as the SQL's probes CTE
-    val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
-      .filter(col("vec_id") < queryIds(s))
-      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    val probeSeq = qsRaw.toSeq.flatMap { case (qid, v, norm) =>
+    // query probe lists on the driver — from the session query-batch
+    // memo; same (−csim, cid) order as the SQL's probes CTE
+    val probeSeq = queryBatch(s, dir).toSeq.flatMap { case (qid, v, norm) =>
       probeCids(v, norm, cents, nprobe).map(cid => (qid, cid))
     }
     val probePairs = probeSeq.toDF("query_id", "cid")
     val dec = sq8DecTable(s, dir)
-    val q = e.filter(col("vec_id") < queryIds(s))
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    val q = queryBatchDF(s, dir)
     // plan-time literal probed-list set → source partition pruning on
     // the cid-partitioned artifact (see annIvfCore's note)
     val scored = assign.filter(col("cid").isin(probeSeq.map(_._2).distinct: _*))
@@ -1057,8 +1049,10 @@ object VectorOps extends Serializable {
     * paths. */
   private def exactRerank(s: SparkSession, dir: String, sl: DataFrame): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < queryIds(s))
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm").as("na"))
+    // the query vectors come from the session query-batch memo (a
+    // local relation) — the old shape re-scanned the corpus, fanned 5
+    // rows through an exchange and broadcast the result, per call
+    val q = queryBatchDF(s, dir)
     val scored = e.select(col("vec_id").as("match_id"), col("v").as("vb"),
         col("norm").as("nb"))
       .join(broadcast(sl), "match_id")
@@ -1084,15 +1078,56 @@ object VectorOps extends Serializable {
     booksMemo.computeIfAbsent((s, dir, tag, m, subK, iters), _ => train)
   }
 
-  /** Drop every memoized index model (coarse quantizer + PQ codebooks)
-    * of (session, dir) — the SearchOps.evictTfStage sibling for the
-    * driver-array memos (ADVICE r15: session-keyed caches needed an
-    * explicit eviction path for long-lived multi-dir hosts). These
-    * hold no persisted blocks, so eviction is a plain map removal;
-    * the next ANN call retrains the identical deterministic model. */
+  /** Drop every memoized index model (coarse quantizer + PQ codebooks
+    * + the query batch) of (session, dir) — the SearchOps.evictTfStage
+    * sibling for the driver-array memos (ADVICE r15: session-keyed
+    * caches needed an explicit eviction path for long-lived multi-dir
+    * hosts). These hold no persisted blocks, so eviction is a plain
+    * map removal; the next ANN call re-derives the identical
+    * deterministic state. */
   def evictModels(s: SparkSession, dir: String): Unit = {
     centsMemo.keySet.removeIf(k => k._1 == s && k._2 == dir)
     booksMemo.keySet.removeIf(k => k._1 == s && k._2 == dir)
+    queryBatchMemo.keySet.removeIf(k => k._1 == s && k._2 == dir)
+  }
+
+  /** Session memo of the ANN QUERY BATCH — the external-query stand-in
+    * (`vec_id < queryBatch`) that every ANN row previously re-derived
+    * from its own corpus scan + fan-out exchange + driver collect per
+    * call (and the exact-rerank tail re-scanned AGAIN for the same 5
+    * query vectors to broadcast-join them). (vec_id, v, norm) rows,
+    * id-sorted — the [[centsMemo]] driver-array tier, batch × 64
+    * doubles; keyed by (session, dir, batch size) so an ad-hoc
+    * `spark.graft.ann.queryBatch` override keys its own entry. */
+  private val queryBatchMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Array[(Long, Array[Double], Double)]]()
+
+  private def queryBatch(s: SparkSession, dir: String): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    graft.operators.Checkpoints.purgeStopped(queryBatchMemo)(_._1)
+    queryBatchMemo.computeIfAbsent((s, dir, queryIds(s)), { _ =>
+      emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+        .filter(col("vec_id") < queryIds(s))
+        .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    })
+  }
+
+  /** Driver-side 2^-20 lattice snap — [[graft.functions.Num.round0]]
+    * is the engine replica of SQL round() (HALF_UP), so this is
+    * bit-identical to snappedVecs' `transform(v, x -> round(x·2^20)/2^20)`
+    * on the same doubles. */
+  private def snapVec(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var d = 0
+    while (d < v.length) { out(d) = r0(v(d) * Q) / Q; d += 1 }
+    out
+  }
+
+  /** The query batch as a tiny local DataFrame (query_id, va, na) —
+    * broadcast-join-ready with no corpus scan and no exchange. */
+  private def queryBatchDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    queryBatch(s, dir).toSeq.toDF("query_id", "va", "na")
   }
 
   /** Per-subspace PQ codebooks: m independent exact-lattice Lloyd
@@ -1158,7 +1193,9 @@ object VectorOps extends Serializable {
         }
       }.toDF("vec_id", "codes")
     }.as[(Long, Array[Long])]
-    val qs = ds.filter(col("vec_id") < queryIds(s)).collect().sortBy(_._1)
+    // snapped query vectors from the session query-batch memo (the
+    // driver-side snap is bit-identical to snappedVecs' transform)
+    val qs = queryBatch(s, dir).map { case (id, v, _) => (id, snapVec(v)) }
     val tables = pqTables(qs, books)
     val bcT = s.sparkContext.broadcast(tables)
     val scored = encoded.mapPartitions { it =>
@@ -1286,14 +1323,14 @@ object VectorOps extends Serializable {
       }.toDF("vec_id", "cid", "codes")
     }.as[(Long, Long, Array[Long])]
     // per-(query, probed list) residual ADC tables — nprobe tables of
-    // m × subK entries per query, driver-built and broadcast
-    val qsRaw = e.filter(col("vec_id") < queryIds(s))
-      .as[(Long, Array[Double], Double, Array[Double])].collect().sortBy(_._1)
-    val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm, _) =>
+    // m × subK entries per query, driver-built (from the session
+    // query-batch memo) and broadcast
+    val qsRaw = queryBatch(s, dir)
+    val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm) =>
       qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
     val qvq: Map[Long, Array[Double]] =
-      qsRaw.map { case (qid, _, _, vq) => qid -> vq }.toMap
+      qsRaw.map { case (qid, v, _) => qid -> snapVec(v) }.toMap
     // cid-indexed residual tables ([[tablesByList]]): per corpus row
     // the scorer touches only the queries probing THAT row's list
     val tables: Map[Long, Array[(Long, Array[Map[Long, Double]])]] =
@@ -1357,14 +1394,13 @@ object VectorOps extends Serializable {
     }.as[(Long, Long, Array[Long])]
     // the query batch is small by definition: probe lists ranked on
     // the driver (same (−csim, cid) order as annIvfCore) and ADC
-    // tables from the snapped query vectors
-    val qsRaw = e.select(col("vec_id"), col("v"), col("norm"))
-      .filter(col("vec_id") < queryIds(s))
-      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    // tables from the snapped query vectors — both from the session
+    // query-batch memo, no per-call corpus scan
+    val qsRaw = queryBatch(s, dir)
     val probes: Map[Long, Seq[Long]] = qsRaw.map { case (qid, v, norm) =>
       qid -> probeCids(v, norm, cents, nprobe)
     }.toMap
-    val qsSnap = ds.filter(col("vec_id") < queryIds(s)).collect().sortBy(_._1)
+    val qsSnap = qsRaw.map { case (id, v, _) => (id, snapVec(v)) }
     val tables = pqTables(qsSnap, books)
     // cid-indexed ([[tablesByList]]): the non-residual tables are
     // per-query only, shared by reference across that query's lists
@@ -1604,18 +1640,15 @@ object VectorOps extends Serializable {
       quantKey: String,
       keepMatches: DataFrame => DataFrame = identity): DataFrame = {
     import s.implicits._
-    val qids = queryIds(s)
 
     // the session-memoized inverted lists (index artifact — assigned
     // once per quantizer, served to every IVF consumer)
     val assigned = assignedTable(s, dir, quantKey, cents)
 
     // the query batch is small by definition (external queries) —
-    // rank its probe lists on the driver, no second corpus pass (the
-    // checkpoint serves the query vectors too)
-    val probePairs = assigned.select(col("vec_id"), col("v"), col("norm"))
-      .filter(col("vec_id") < qids)
-      .as[(Long, Array[Double], Double)].collect()
+    // rank its probe lists on the driver from the session query-batch
+    // memo: no per-call pass over the assigned table for 5 rows
+    val probePairs = queryBatch(s, dir)
       .flatMap { case (id, v, norm) =>
         probeCids(v, norm, cents, nprobe).map(cid => (id, v, norm, cid))
       }.toSeq
