@@ -18,11 +18,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     // same session-conf hook as TimeQuery/PlanMetrics, so conf-gated
     // plan shapes (e.g. spark.graft.index.dir) can be dumped
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    ProbeRig.applyEnvConf(spark)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -27,11 +27,7 @@ object JitProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    ProbeRig.applyEnvConf(spark)
     val qs = SparkEntry.queries
     val names = args.filter(qs.contains).toSeq
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -53,7 +49,12 @@ object JitProbe {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (os.getProcessCpuTime - c0) / 1e9
     val jit = (jitMs - j0) / 1e3
-    println(f"""{"jitprobe":{"n_rows":${names.size},"reps":$reps,"wall_s":$wall%.2f,"cpu_s":$cpu%.2f,"jit_s":$jit%.2f,"conf":"${sys.env.getOrElse("SPARK_GRAFT_CONF", "")}"}}""")
+    // the conf value rides inside a JSON string — escape it or a value
+    // containing quotes/backslashes breaks the A/B record (review r22)
+    val confEsc = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .filterNot(_.isControl)
+    println(f"""{"jitprobe":{"n_rows":${names.size},"reps":$reps,"wall_s":$wall%.2f,"cpu_s":$cpu%.2f,"jit_s":$jit%.2f,"conf":"$confEsc"}}""")
     spark.stop()
   }
 }

@@ -28,11 +28,7 @@ object PlanMetrics {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    ProbeRig.applyEnvConf(spark)
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[StageRow]
     @volatile var record = false

@@ -94,6 +94,17 @@ private[graft] object ProbeRig {
     }
   }
 
+  /** Apply `SPARK_GRAFT_CONF="k=v;k=v"` to the session — the shared
+    * dev-only conf hook of the standalone mains (TimeQuery,
+    * PlanMetrics, ScaleProbe, JitProbe, Explain): one parser, so the
+    * split/trim rules cannot drift across copies (review r22). */
+  def applyEnvConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+
   /** Write `json` to /root/repo/bench/<fileName>; warn on stderr, never
     * fail the probe, on IO errors (`tag` prefixes the log lines). */
   def writeArtifact(fileName: String, json: String, tag: String): Unit =

@@ -119,11 +119,7 @@ object ScaleProbe {
     // SPARK_GRAFT_CONF="k=v;k=v" applies session confs before the
     // phases (same contract as TimeQuery) — e.g. A/B the coordinate
     // join strategy at 7M via spark.graft.geom.refsBroadcastRows
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    ProbeRig.applyEnvConf(spark)
 
     // _v3: building-tagged inner rings + forest multipolygons — same
     // versioning rule as OsmQueries.BigPath (ensure() only checks

@@ -23,11 +23,7 @@ object TimeQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    ProbeRig.applyEnvConf(spark)
     val qs = SparkEntry.queries
     // a `set:k=v` pseudo-name switches a session conf mid-list, so two
     // configurations A/B inside ONE JVM (same warmup, same GC state)

@@ -107,12 +107,15 @@ object OsmQueryExec {
     if (files.size <= 1) return df
     val ranges = borderRanges(path)
     if (ranges.isEmpty) return df
+    // cached driver metadata (per-file planning cache) — these are map
+    // lookups, not re-walks; the intersection test is THE shared blob
+    // predicate, so this fraction decision and the border scan's actual
+    // blob pruning can never diverge (review r22)
     val blobs = graft.pbf.OsmPbfFile.indexAll(path)
     val rngs = graft.sources.OsmPbfStats.ranges(path, blobs)
-    val nBorder = rngs.count(a => (0 to 2).exists(t =>
-      a(2 * t) <= a(2 * t + 1) && ranges.exists { case (rt, lo, hi) =>
-        rt == t && lo <= a(2 * t + 1) && hi >= a(2 * t)
-      }))
+    val allTypes = Array(true, true, true)
+    val nBorder = rngs.count(
+      graft.sources.OsmPbfScan.blobIntersects(_, allTypes, ranges))
     val maxFrac =
       spark.conf.get("spark.graft.osm.borderBlobFrac", "0.5").toDouble
     if (nBorder > maxFrac * blobs.size) return df.dropDuplicates("type", "id")

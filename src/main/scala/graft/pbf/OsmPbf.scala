@@ -210,34 +210,6 @@ object OsmPbfFile {
     }
   }
 
-  /** Element-type content of one blob WITHOUT decoding elements: inflate,
-    * then walk only the top-level PrimitiveBlock field tags and the
-    * primitive-group field tags, skipping all bodies by length. This is
-    * the cheap stats pass behind blob-level partition pruning (F10 —
-    * the reference's per-block type index, osmquery.py:242-247). */
-  def blobTypes(block: Array[Byte]): (Boolean, Boolean, Boolean) = {
-    var hasN = false
-    var hasW = false
-    var hasR = false
-    val r = new PbfReader(block)
-    while (r.hasMore) {
-      val tag = r.readTag()
-      if ((tag >> 3) == 2) {
-        val g = r.readMessage()
-        while (g.hasMore) {
-          val t2 = g.readTag()
-          (t2 >> 3) match {
-            case 1 | 2 => hasN = true; g.skip(t2 & 7)
-            case 3 => hasW = true; g.skip(t2 & 7)
-            case 4 => hasR = true; g.skip(t2 & 7)
-            case _ => g.skip(t2 & 7)
-          }
-        }
-      } else r.skip(tag & 7)
-    }
-    (hasN, hasW, hasR)
-  }
-
   /** Per-type element counts of one blob WITHOUT decoding elements:
     * walk only the field tags, counting one per plain Node/Way/Relation
     * message and the packed-id varint count per DenseNodes group. This
@@ -258,7 +230,7 @@ object OsmPbfFile {
       throw new java.io.IOException(
         s"malformed PrimitiveBlock: $field must be length-delimited (wire type 2), " +
           s"got wire type ${tag & 7} — unpacked/non-message encoding is not supported " +
-          "by the COUNT pushdown path")
+          "by the stats-walk paths (COUNT pushdown, id-range index)")
 
   def countTypes(block: Array[Byte]): (Long, Long, Long) = {
     var n = 0L
@@ -293,8 +265,10 @@ object OsmPbfFile {
   }
 
   /** Per-type id ranges of one blob WITHOUT decoding elements — the
-    * same inflate + field-tag walk tier as [[blobTypes]] /
-    * [[countTypes]], additionally reading ONLY each element's id field
+    * same inflate + field-tag walk tier as [[countTypes]] (F10 — the
+    * reference's per-block type index, osmquery.py:242-247; type
+    * presence derives from non-empty intervals), additionally reading
+    * ONLY each element's id field
     * (plain Node id is zigzag, Way/Relation ids plain varints,
     * DenseNodes ids packed zigzag deltas — mirroring the decoder).
     * Returns `[nMin,nMax,wMin,wMax,rMin,rMax]`, with the
@@ -323,12 +297,20 @@ object OsmPbfFile {
     while (root.hasMore) {
       val tag = root.readTag()
       if ((tag >> 3) == 2) {
+        // same loud-failure rule as countTypes (review r22): a
+        // non-length-delimited group/element would be misparsed into
+        // GARBAGE ranges, and wrong ranges silently drop blobs via
+        // pruning / misclassify border keys — reject like the decoder
+        requireWire(tag, "primitivegroup")
         val g = root.readMessage()
         while (g.hasMore) {
           val t2 = g.readTag()
           (t2 >> 3) match {
-            case 1 => upd(0, elemId(g.readMessage(), zig = true))
+            case 1 =>
+              requireWire(t2, "Node")
+              upd(0, elemId(g.readMessage(), zig = true))
             case 2 =>
+              requireWire(t2, "DenseNodes")
               val d = g.readMessage()
               while (d.hasMore) {
                 val t3 = d.readTag()
@@ -339,8 +321,12 @@ object OsmPbfFile {
                   while (i < ids.length) { upd(0, ids(i)); i += 1 }
                 } else d.skip(t3 & 7)
               }
-            case 3 => upd(1, elemId(g.readMessage(), zig = false))
-            case 4 => upd(2, elemId(g.readMessage(), zig = false))
+            case 3 =>
+              requireWire(t2, "Way")
+              upd(1, elemId(g.readMessage(), zig = false))
+            case 4 =>
+              requireWire(t2, "Relation")
+              upd(2, elemId(g.readMessage(), zig = false))
             case _ => g.skip(t2 & 7)
           }
         }

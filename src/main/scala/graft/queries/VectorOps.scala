@@ -1512,7 +1512,13 @@ object VectorOps extends Serializable {
   private def memoIndexTable(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
     s.conf.getOption(IndexDirConf) match {
-      case Some(root) if root.trim.nonEmpty =>
+      // the artifact tier is gated on a LOCALLY fingerprintable corpus:
+      // sourceFingerprint walks java.io.File, so a non-local corpus URI
+      // (hdfs://, s3://) would fold to a constant and a re-ingested
+      // corpus would silently keep serving the stale artifact — fall
+      // back to the session memo instead (review r22)
+      case Some(root) if root.trim.nonEmpty &&
+          new java.io.File(dir, "embeddings.parquet").exists() =>
         artifactTable(s, root.trim, dir, tag)(build)
       case _ =>
         graft.operators.Checkpoints.purgeStopped(indexTableMemo)(_._1)
@@ -1540,11 +1546,28 @@ object VectorOps extends Serializable {
     * fingerprint (embeddings.parquet file names+lengths+mtimes —
     * Spark's own file-index freshness contract): a changed corpus
     * keys a fresh artifact and the stale sibling is removed at build.
-    * [[evictIndexTables]] deletes the corpus' artifacts. */
+    * [[evictIndexTables]] deletes the corpus' artifacts.
+    *
+    * Concurrency contract: ONE writer JVM per index root. The build
+    * lock serializes first consumers within a JVM; two driver JVMs
+    * sharing a root could interleave the overwrite-write of the same
+    * artifact path. Deployments that share a root across drivers must
+    * pre-build the artifacts (one warm-up run) or coordinate
+    * externally; the fallback on any inconsistency is simply to unset
+    * the conf — the session memo needs no coordination. */
   val IndexDirConf = "spark.graft.index.dir"
 
-  private def sanitize(p: String): String =
-    p.map(c => if (c.isLetterOrDigit) c else '_')
+  /** Filesystem-safe directory name for a corpus dir / artifact tag.
+    * The lossy character map alone can collide (`/a/b_c` vs `/a_b/c`),
+    * and a collision would make the stale-sibling cleanup and
+    * [[evictIndexTables]] delete the OTHER corpus' artifacts — so the
+    * raw string's FNV-1a hash is appended (review r22). */
+  private def sanitize(p: String): String = {
+    var h = 0xcbf29ce484222325L
+    p.foreach { c => h ^= c; h *= 0x100000001b3L }
+    p.map(c => if (c.isLetterOrDigit) c else '_') +
+      "-" + java.lang.Long.toHexString(h)
+  }
 
   /** Fingerprint of the artifact's SOURCE data: every file under
     * `$dir/embeddings.parquet` folded as (name, length, mtime). */

@@ -360,19 +360,26 @@ object OsmPbfScan {
     if (wantTypes.forall(identity) && idRanges.isEmpty) blobs
     else {
       val stats = OsmPbfStats.ranges(path, blobs)
-      // keep a blob iff SOME wanted type is present in it AND (when id
-      // ranges are given) that type's blob id span intersects a
-      // requested interval — blob-granular, consumers re-check exactly
-      def keep(a: Array[Long]): Boolean =
-        (0 to 2).exists { t =>
-          wantTypes(t) && a(2 * t) <= a(2 * t + 1) && (idRanges.isEmpty ||
-            idRanges.exists { case (rt, lo, hi) =>
-              rt == t && lo <= a(2 * t + 1) && hi >= a(2 * t)
-            })
-        }
-      blobs.zip(stats).collect { case (b, a) if keep(a) => b }
+      blobs.zip(stats).collect {
+        case (b, a) if blobIntersects(a, wantTypes, idRanges) => b
+      }
     }
   }
+
+  /** Keep a blob iff SOME wanted type is present in it AND (when id
+    * ranges are given) that type's blob id span intersects a requested
+    * interval — blob-granular, consumers re-check exactly. THE single
+    * intersection convention (closed intervals), shared by partition
+    * pruning above and the border-dedup blob-fraction decision
+    * (OsmQueryExec.dedupMultiFile) so the two can never drift. */
+  def blobIntersects(a: Array[Long], wantTypes: Array[Boolean],
+      idRanges: Seq[(Int, Long, Long)]): Boolean =
+    (0 to 2).exists { t =>
+      wantTypes(t) && a(2 * t) <= a(2 * t + 1) && (idRanges.isEmpty ||
+        idRanges.exists { case (rt, lo, hi) =>
+          rt == t && lo <= a(2 * t + 1) && hi >= a(2 * t)
+        })
+    }
 
   /** Index, prune and pack the file's blobs into input partitions —
     * shared by the row, columnar and pushed-count scans. */
@@ -440,9 +447,6 @@ object OsmPbfStats {
         }
         .collect().toSeq
     })
-
-  def forFile(path: String, blobs: Seq[BlobInfo]): Seq[(Boolean, Boolean, Boolean)] =
-    ranges(path, blobs).map(a => (a(0) <= a(1), a(2) <= a(3), a(4) <= a(5)))
 }
 
 class OsmPbfReaderFactory(schema: StructType, wantTypes: Array[Boolean],
