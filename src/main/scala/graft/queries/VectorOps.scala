@@ -1511,16 +1511,16 @@ object VectorOps extends Serializable {
     * source. The session memo is the default and the fallback. */
   private def memoIndexTable(s: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    s.conf.getOption(IndexDirConf) match {
-      // the artifact tier is gated on a LOCALLY fingerprintable corpus:
-      // sourceFingerprint walks java.io.File, so a non-local corpus URI
-      // (hdfs://, s3://) would fold to a constant and a re-ingested
-      // corpus would silently keep serving the stale artifact — fall
-      // back to the session memo instead (review r22)
-      case Some(root) if root.trim.nonEmpty &&
-          new java.io.File(dir, "embeddings.parquet").exists() =>
-        artifactTable(s, root.trim, dir, tag)(build)
-      case _ =>
+    s.conf.getOption(IndexDirConf).map(_.trim).filter(_.nonEmpty)
+        .flatMap(root => localCorpus(s, dir).map((root, _))) match {
+      // the artifact tier is gated on a LOCALLY fingerprintable corpus
+      // (resolved through Hadoop's own rules — see localCorpus): a
+      // corpus the fingerprint walk cannot see would fold to a constant
+      // and a re-ingested corpus would silently keep serving the stale
+      // artifact — fall back to the session memo instead (review r22)
+      case Some((root, src)) =>
+        artifactTable(s, root, dir, tag, src)(build)
+      case None =>
         graft.operators.Checkpoints.purgeStopped(indexTableMemo)(_._1)
         indexTableMemo.computeIfPresent((s, dir, tag), { (_, e) =>
           if (!graft.operators.Checkpoints.stale(e)) e
@@ -1554,30 +1554,61 @@ object VectorOps extends Serializable {
     * artifact path. Deployments that share a root across drivers must
     * pre-build the artifacts (one warm-up run) or coordinate
     * externally; the fallback on any inconsistency is simply to unset
-    * the conf — the session memo needs no coordination. */
+    * the conf — the session memo needs no coordination.
+    *
+    * The directory naming scheme (lossy-mapped tail + FNV-1a path
+    * hash) is part of the root's on-disk format: changing it orphans
+    * artifacts written under an older scheme (neither the
+    * stale-sibling sweep nor evict can find them) — clear the root
+    * when upgrading across a scheme change. */
   val IndexDirConf = "spark.graft.index.dir"
+
+  /** Resolve `<dir>/embeddings.parquet` through Hadoop's OWN path
+    * resolution — the same defaultFS/working-directory rules the
+    * corpus read uses — and return the local file iff it lives on the
+    * local filesystem and exists. Bare `java.io.File` would disagree
+    * with Spark's view exactly when it matters (review r22 pass 2): a
+    * RELATIVE path under a remote defaultFS could resolve to an
+    * unrelated local checkout (fingerprinting the wrong files — the
+    * stale-artifact bug again), and a local corpus addressed as
+    * `file:///` would flunk the gate and silently lose the artifact
+    * tier. */
+  private def localCorpus(s: SparkSession, dir: String): Option[java.io.File] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.getScheme != "file") None
+      else Some(new java.io.File(
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri.getPath))
+        .filter(_.exists())
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Filesystem-safe directory name for a corpus dir / artifact tag.
     * The lossy character map alone can collide (`/a/b_c` vs `/a_b/c`),
     * and a collision would make the stale-sibling cleanup and
     * [[evictIndexTables]] delete the OTHER corpus' artifacts — so the
-    * raw string's FNV-1a hash is appended (review r22). */
+    * raw string's FNV-1a hash is appended, and since the hash carries
+    * uniqueness the readable prefix keeps only the path's distinctive
+    * TAIL, capping the component well under the 255-byte filename
+    * limit that a deep corpus path would otherwise hit (review r22). */
   private def sanitize(p: String): String = {
     var h = 0xcbf29ce484222325L
     p.foreach { c => h ^= c; h *= 0x100000001b3L }
-    p.map(c => if (c.isLetterOrDigit) c else '_') +
+    val mapped = p.map(c => if (c.isLetterOrDigit) c else '_')
+    (if (mapped.length > 100) mapped.takeRight(100) else mapped) +
       "-" + java.lang.Long.toHexString(h)
   }
 
-  /** Fingerprint of the artifact's SOURCE data: every file under
-    * `$dir/embeddings.parquet` folded as (name, length, mtime). */
-  private def sourceFingerprint(dir: String): Long = {
+  /** Fingerprint of the artifact's SOURCE data: every file under the
+    * resolved local `embeddings.parquet` folded as
+    * (name, length, mtime). */
+  private def sourceFingerprint(src: java.io.File): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .foldLeft(f.getName.hashCode.toLong)((acc, c) => acc * 31L + walk(c))
       else (f.getName.hashCode.toLong * 31L + f.length()) * 31L + f.lastModified()
-    walk(new java.io.File(dir, "embeddings.parquet"))
+    walk(src)
   }
 
   // one build lock per artifact path: concurrent first consumers of the
@@ -1586,9 +1617,9 @@ object VectorOps extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def artifactTable(s: SparkSession, root: String, dir: String,
-      tag: String)(build: => DataFrame): DataFrame = {
+      tag: String, src: java.io.File)(build: => DataFrame): DataFrame = {
     val base = new java.io.File(new java.io.File(root, sanitize(dir)), sanitize(tag))
-    val fp = java.lang.Long.toHexString(sourceFingerprint(dir))
+    val fp = java.lang.Long.toHexString(sourceFingerprint(src))
     val out = new java.io.File(base, fp)
     // schema sidecar: partitionBy moves `cid` to the END of the read
     // schema and partition-column type inference can narrow it — the
