@@ -392,9 +392,26 @@ object OsmQueryExec {
     val nodes = all.filter(col("type") === TypeNode)
       .select(col("id").as("nid"), col("lon"), col("lat"))
     val result =
-      if (q.topology)
-        Topology.build(spark, el,
+      if (q.topology) {
+        // The walk and the attribute projection both read the filtered
+        // ways; a lazy local checkpoint decodes that scan ONCE and
+        // serves both consumers (the elC doctrine from the relation
+        // path: the checkpoint is selection-sized — elements passing
+        // the query's must/tag filter — never corpus-sized). Passing
+        // the checkpoint as `attrs` is exact: the inner join on segment
+        // way ids re-implies the dropped superset rows (see
+        // Topology.build's @param attrs note). The former shape — a
+        // second pruned scan of elSource — remains under
+        // spark.graft.osm.topoShare=false for A/B.
+        val share = spark.conf
+          .get("spark.graft.osm.topoShare", "true").toBoolean
+        if (share) {
+          val waysC = el.filter(col("type") === TypeWay)
+            .localCheckpoint(eager = false)
+          Topology.build(spark, waysC, waysC, nodes)
+        } else Topology.build(spark, el,
           elSource.filter(col("type") === TypeWay), nodes)
+      }
       else if (q.geometry) GeometryBuilder.build(spark, all, el, q, nodes)
       else el
 
@@ -575,10 +592,15 @@ object GeometryBuilder {
     val ways = el.filter(col("type") === TypeWay)
 
     if (!q.relations) {
-      // ways-only query: explode the filtered ways' own refs directly
+      // ways-only query: explode the filtered ways' own refs directly.
+      // The filtered ways feed BOTH the geometry walk and the final
+      // attribute join — the same lazy selection-sized checkpoint as
+      // the relation path's elC (and the topology path's waysC)
+      // decodes that scan once instead of twice.
+      val waysC = ways.localCheckpoint(eager = false)
       val wayGeoms: DataFrame = {
         val exploded = coordJoin(spark,
-          ways.withColumn("is_area", wayIsArea(col("tags"), col("refs")))
+          waysC.withColumn("is_area", wayIsArea(col("tags"), col("refs")))
             .select(col("id"), col("is_area"), posexplode(col("refs")).as(Seq("pos", "ref"))),
           nodes)
           .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
@@ -604,7 +626,7 @@ object GeometryBuilder {
           }
           .toDF("id", "geometry", "geom_type")
       }
-      branches += ways.drop("geometry", "geom_type")
+      branches += waysC.drop("geometry", "geom_type")
         .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
         .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
     } else {

@@ -24,17 +24,38 @@ class TopologyPlanSpec extends AnyFunSuite {
     f.getAbsolutePath
   }
 
-  test("refs are decoded on exactly one scan branch (walk), not the attribute join") {
+  test("the filtered-way scan is decoded ONCE: one shared checkpoint serves walk and attrs, and the only pbf scan is node coords") {
     val df = OsmQuery.highways.copy(geometry = true, topology = true).run(spark, world)
-    val scanCols = df.queryExecution.optimizedPlan.collect {
+    val plan = df.queryExecution.optimizedPlan
+    val scanCols = plan.collect {
       case r: DataSourceV2ScanRelation => r.scan.readSchema().fieldNames.toSet
     }
-    val withRefs = scanCols.filter(_.contains("refs"))
-    assert(withRefs.size === 1,
-      s"expected refs on exactly one scan (the chain walk); got:\n  ${scanCols.mkString("\n  ")}")
-    // the attribute branch carries tags for the projection but no refs
-    assert(scanCols.exists(c => c.contains("tags") && !c.contains("refs")),
-      s"expected a refs-free attribute scan; got:\n  ${scanCols.mkString("\n  ")}")
+    assert(scanCols.size === 1 && !scanCols.head.contains("refs") &&
+      !scanCols.head.contains("tags"),
+      s"expected the node-coords scan as the ONLY pbf scan; got:\n  ${scanCols.mkString("\n  ")}")
+    // the walk and attrs branches must read the SAME checkpointed RDD —
+    // two LogicalRDD leaves, one rdd id = one decode of the way source
+    val rddLeaves = plan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddLeaves.size === 2 && rddLeaves.distinct.size === 1,
+      s"expected walk+attrs to share ONE checkpoint RDD; got rdd ids $rddLeaves")
+  }
+
+  test("topoShare=false restores the two-scan shape: refs on exactly one scan, a refs-free attribute scan") {
+    spark.conf.set("spark.graft.osm.topoShare", "false")
+    try {
+      val df = OsmQuery.highways.copy(geometry = true, topology = true).run(spark, world)
+      val scanCols = df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.scan.readSchema().fieldNames.toSet
+      }
+      val withRefs = scanCols.filter(_.contains("refs"))
+      assert(withRefs.size === 1,
+        s"expected refs on exactly one scan (the chain walk); got:\n  ${scanCols.mkString("\n  ")}")
+      // the attribute branch carries tags for the projection but no refs
+      assert(scanCols.exists(c => c.contains("tags") && !c.contains("refs")),
+        s"expected a refs-free attribute scan; got:\n  ${scanCols.mkString("\n  ")}")
+    } finally spark.conf.unset("spark.graft.osm.topoShare")
   }
 
   test("the coordinate join input aggregates exploded pairs per node (no join at exploded volume)") {
