@@ -394,17 +394,20 @@ object OsmQueryExec {
     val result =
       if (q.topology) {
         // The walk and the attribute projection both read the filtered
-        // ways; a lazy local checkpoint decodes that scan ONCE and
-        // serves both consumers (the elC doctrine from the relation
-        // path: the checkpoint is selection-sized — elements passing
-        // the query's must/tag filter — never corpus-sized). Passing
-        // the checkpoint as `attrs` is exact: the inner join on segment
-        // way ids re-implies the dropped superset rows (see
-        // Topology.build's @param attrs note). The former shape — a
-        // second pruned scan of elSource — remains under
-        // spark.graft.osm.topoShare=false for A/B.
+        // ways — two scans of the same source. Sharing them through a
+        // lazy localCheckpoint (spark.graft.osm.topoShare=true) was
+        // MEASURED AND REJECTED as the default (r22 addendum): a
+        // topology query's tag filter keeps most ways, so the
+        // checkpoint materializes selection≈corpus way rows (refs
+        // arrays + tags maps) through the block manager — at the
+        // 7M-node probe that cost 2× the phase (topology_s 4.3 vs 2.2,
+        // same host epoch) while the attrs re-scan it replaces decodes
+        // only tags from compressed blobs and prunes refs. The share
+        // stays as an A/B arm for extracts whose filter IS selective;
+        // passing the checkpoint as `attrs` is exact (the inner join
+        // on segment way ids re-implies the dropped superset rows).
         val share = spark.conf
-          .get("spark.graft.osm.topoShare", "true").toBoolean
+          .get("spark.graft.osm.topoShare", "false").toBoolean
         if (share) {
           val waysC = el.filter(col("type") === TypeWay)
             .localCheckpoint(eager = false)
@@ -593,14 +596,14 @@ object GeometryBuilder {
 
     if (!q.relations) {
       // ways-only query: explode the filtered ways' own refs directly.
-      // The filtered ways feed BOTH the geometry walk and the final
-      // attribute join — the same lazy selection-sized checkpoint as
-      // the relation path's elC (and the topology path's waysC)
-      // decodes that scan once instead of twice.
-      val waysC = ways.localCheckpoint(eager = false)
+      // The filtered ways also feed the final attribute join — a
+      // second pruned scan (refs pruned off it), deliberately NOT a
+      // shared checkpoint: the topoShare A/B at the 7M probe showed
+      // materializing near-corpus way rows costs more than the pruned
+      // re-decode (see runImpl's topology note).
       val wayGeoms: DataFrame = {
         val exploded = coordJoin(spark,
-          waysC.withColumn("is_area", wayIsArea(col("tags"), col("refs")))
+          ways.withColumn("is_area", wayIsArea(col("tags"), col("refs")))
             .select(col("id"), col("is_area"), posexplode(col("refs")).as(Seq("pos", "ref"))),
           nodes)
           .select(col("id"), col("is_area"), col("pos"), col("lon"), col("lat"))
@@ -626,7 +629,7 @@ object GeometryBuilder {
           }
           .toDF("id", "geometry", "geom_type")
       }
-      branches += waysC.drop("geometry", "geom_type")
+      branches += ways.drop("geometry", "geom_type")
         .join(wayGeoms.withColumnRenamed("id", "gid"), col("id") === col("gid"))
         .select(carry.map(col) :+ col("geometry") :+ col("geom_type"): _*)
     } else {
